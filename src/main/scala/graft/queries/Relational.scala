@@ -1,0 +1,442 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational capability suite over the TPC-H-ish testdata
+  * (TESTDATA.md). The reference engine has no SQL layer — its only
+  * relational ops are set algebra + dedup (SURVEY.md §2.4/§2.7); this
+  * module supplies the general query surface Spark-first, one `QueryDef`
+  * per operator family, each with a DuckDB oracle.
+  *
+  * Scale notes (100 TB thinking, verified on `.explain`):
+  *  - dimension tables (region/nation/supplier/part) are explicitly
+  *    `broadcast()` — no shuffle on the fact side for those joins;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  *    AQE handles skew;
+  *  - aggregates are declarative groupBy → partial (map-side) + final
+  *    hash aggregation for free;
+  *  - filters/projections sit directly on the scan so parquet pushdown
+  *    and column pruning apply.
+  */
+object Relational extends Registry {
+  import Tables.table
+
+  def defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q01: full-scan grouped aggregation (TPC-H Q1 shape): partial+final
+    // hash agg, 6 aggregates over 2 grouping cols.
+    QueryDef(
+      "q01_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("2001-09-01").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").as("sum_qty"),
+            sum($"l_extendedprice").as("sum_base_price"),
+            sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+            avg($"l_quantity").as("avg_qty"),
+            avg($"l_extendedprice").as("avg_price"),
+            avg($"l_discount").as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  sum(l_extendedprice) AS sum_base_price,
+             |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+             |  avg(l_quantity) AS avg_qty,
+             |  avg(l_extendedprice) AS avg_price,
+             |  avg(l_discount) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      doc = "Grouped aggregation w/ filter pushdown (TPC-H Q1 shape)"),
+
+    // ------------------------------------------------------------------
+    // q02: selection + projection + deterministic top-n. Filter and the
+    // 3-column projection both push into the parquet scan.
+    QueryDef(
+      "q02_filter_topn",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders")
+          .filter($"o_orderstatus" === "O" && $"o_totalprice" > 100000.0)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(50)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders
+             |WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 50""".stripMargin),
+      doc = "Filter + projection pushdown + top-n (TakeOrderedAndProject)"),
+
+    // ------------------------------------------------------------------
+    // q03: 3-way join (customer⋈orders⋈lineitem) + agg + top-n
+    // (TPC-H Q3). customer side shrinks ~5× after the segment filter —
+    // AQE picks broadcast at bench scale; at 100 TB it becomes a shuffle
+    // join on the key, which is the right plan there too.
+    QueryDef(
+      "q03_shipping_priority",
+      (s, dir) => {
+        import s.implicits._
+        val cust = table(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        val ord = table(s, dir, "orders")
+          .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        val li = table(s, dir, "lineitem")
+          .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(20)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey
+             |LIMIT 20""".stripMargin),
+      doc = "Multi-join + agg + top-n (TPC-H Q3 shape)"),
+
+    // ------------------------------------------------------------------
+    // q04: left-semi join (EXISTS) — reference op J1
+    // (oneKgenomes/document_references.py:209-210 does this with Python
+    // set intersection; here it is a real distributed semi join).
+    QueryDef(
+      "q04_semi_join_exists",
+      (s, dir) => {
+        import s.implicits._
+        val bigLines = table(s, dir, "lineitem").filter($"l_quantity" > 45.0)
+        table(s, dir, "orders")
+          .join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      doc = "Left-semi join = reference set-intersection J1"),
+
+    // ------------------------------------------------------------------
+    // q05: left-anti join (NOT EXISTS) — reference op J2
+    // (set difference at oneKgenomes/document_references.py:211).
+    QueryDef(
+      "q05_anti_join_not_exists",
+      (s, dir) => {
+        import s.implicits._
+        val bigOrders = table(s, dir, "orders").filter($"o_totalprice" > 150000.0)
+        table(s, dir, "customer")
+          .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_totalprice > 150000.0)
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin),
+      doc = "Left-anti join = reference set-difference J2"),
+
+    // ------------------------------------------------------------------
+    // q06: star join with explicitly broadcast dimensions — the 100 TB
+    // plan: the fact table never shuffles for dimension joins.
+    QueryDef(
+      "q06_star_broadcast",
+      (s, dir) => {
+        import s.implicits._
+        val li = table(s, dir, "lineitem")
+        val sup = table(s, dir, "supplier")
+        val nat = table(s, dir, "nation")
+        val reg = table(s, dir, "region")
+        li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(
+            sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name,
+             |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+             |  count(*) AS n_lines
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name
+             |ORDER BY r_name""".stripMargin),
+      doc = "Star-schema join, all dims broadcast (zero fact shuffle)"),
+
+    // ------------------------------------------------------------------
+    // q07: ranking window — top-3 lineitems per return flag.
+    QueryDef(
+      "q07_window_topk",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        table(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .orderBy($"l_returnflag", $"rn")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             |    CAST(row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rn
+             |  FROM lineitem) t
+             |WHERE rn <= 3
+             |ORDER BY l_returnflag, rn""".stripMargin),
+      doc = "Ranking window function, top-k per group"),
+
+    // ------------------------------------------------------------------
+    // q08: analytic window with frame — running revenue per supplier
+    // ordered by ship date (bounded to a deterministic slice).
+    QueryDef(
+      "q08_window_running_sum",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "lineitem")
+          .filter($"l_suppkey" <= 5)
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate",
+            $"l_extendedprice")
+          // round(.,2): long cumulative double chains can land exactly on a
+          // half-rounding boundary and disagree with the oracle in the last
+          // bit; 2-decimal inputs make the 2-decimal rounded sum stable.
+          .withColumn("running_rev", round(sum($"l_extendedprice").over(w), 2))
+          .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
+             |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+             |FROM lineitem
+             |WHERE l_suppkey <= 5
+             |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin),
+      doc = "Analytic window with ROWS frame (running sum)"),
+
+    // ------------------------------------------------------------------
+    // q09: rollup — multi-level aggregate in one pass.
+    QueryDef(
+      "q09_rollup",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty, count(*) AS n
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      doc = "ROLLUP grouping sets"),
+
+    // ------------------------------------------------------------------
+    // q10: exact distinct counts (reference op A4 — distinct-set build —
+    // generalized to multi-column count distinct).
+    QueryDef(
+      "q10_count_distinct",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem").agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_suppliers"),
+          countDistinct($"l_orderkey").as("n_orders"))
+      },
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_suppliers,
+             |  count(DISTINCT l_orderkey) AS n_orders
+             |FROM lineitem""".stripMargin),
+      doc = "Exact multi-column distinct counts (expand + 2-phase agg)"),
+
+    // ------------------------------------------------------------------
+    // q11: set operations — nations having customers but no suppliers
+    // (EXCEPT) — reference J2 at relation level.
+    QueryDef(
+      "q11_set_ops",
+      (s, dir) => {
+        import s.implicits._
+        // custkeys that ordered, minus custkeys that ever ordered with
+        // status 'F'; unioned (distinct) with the intersection of
+        // high-balance and AUTOMOBILE customers.
+        val o = table(s, dir, "orders")
+        val ordered = o.select($"o_custkey".as("custkey"))
+        val fStatus = o.filter($"o_orderstatus" === "F").select($"o_custkey".as("custkey"))
+        val c = table(s, dir, "customer")
+        val rich = c.filter($"c_acctbal" > 5000.0).select($"c_custkey".as("custkey"))
+        val auto = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey".as("custkey"))
+        ordered.except(fStatus)
+          .union(rich.intersect(auto)).distinct()
+          .orderBy($"custkey")
+      },
+      Some("""SELECT custkey FROM (
+             |  (SELECT o_custkey AS custkey FROM orders
+             |   EXCEPT
+             |   SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+             |  UNION
+             |  (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0
+             |   INTERSECT
+             |   SELECT c_custkey AS custkey FROM customer
+             |   WHERE c_mktsegment = 'AUTOMOBILE')) t
+             |ORDER BY custkey""".stripMargin),
+      doc = "Set algebra: EXCEPT / INTERSECT / UNION distinct"),
+
+    // ------------------------------------------------------------------
+    // q12: scalar-subquery pattern — customers above global mean balance;
+    // the scalar agg is broadcast, not recomputed per row.
+    QueryDef(
+      "q12_above_avg_customers",
+      (s, dir) => {
+        import s.implicits._
+        val cust = table(s, dir, "customer")
+        val avgBal = cust.agg(avg($"c_acctbal").as("avg_bal"))
+        cust.join(broadcast(avgBal))
+          .filter($"c_acctbal" > $"avg_bal")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_above"), max($"c_acctbal").as("max_bal"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_above, max(c_acctbal) AS max_bal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin),
+      doc = "Scalar subquery via broadcast single-row agg"),
+
+    // ------------------------------------------------------------------
+    // q13: orders-per-customer distribution (TPC-H Q13): outer join +
+    // two-level aggregation.
+    QueryDef(
+      "q13_customer_distribution",
+      (s, dir) => {
+        import s.implicits._
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        c.join(o, $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey) t
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      doc = "Left outer join + double aggregation (TPC-H Q13 shape)"),
+
+    // ------------------------------------------------------------------
+    // q14: conditional aggregation (TPC-H Q12 shape) — CASE inside agg.
+    QueryDef(
+      "q14_conditional_agg",
+      (s, dir) => {
+        import s.implicits._
+        val li = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_linestatus")
+          .agg(
+            sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("low_line_count"))
+          .orderBy($"l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY l_linestatus
+             |ORDER BY l_linestatus""".stripMargin),
+      doc = "Conditional aggregation (TPC-H Q12 shape)"),
+
+    // ------------------------------------------------------------------
+    // q15: grouped part metrics with broadcast part dimension.
+    QueryDef(
+      "q15_part_metrics",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .join(broadcast(table(s, dir, "part")), $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand")
+          .agg(
+            sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            avg($"l_quantity").as("avg_qty"),
+            min($"p_retailprice").as("min_price"),
+            max($"p_retailprice").as("max_price"),
+            count(lit(1)).as("n_lines"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand,
+             |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+             |  avg(l_quantity) AS avg_qty,
+             |  min(p_retailprice) AS min_price,
+             |  max(p_retailprice) AS max_price,
+             |  count(*) AS n_lines
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand
+             |ORDER BY p_brand""".stripMargin),
+      doc = "Broadcast dimension join + multi-agg"),
+
+    // ------------------------------------------------------------------
+    // q16: upsert/dedup-by-key with explicit precedence — reference ops
+    // A1/A2/K3 (create_or_extend, utils.py:101-135): new rows win over
+    // existing rows with the same key (update_existing=True semantics),
+    // modeled as union + row_number window, fully distributed.
+    QueryDef(
+      "q16_upsert_precedence",
+      (s, dir) => {
+        import s.implicits._
+        val existing = table(s, dir, "customer")
+          .select($"c_custkey", $"c_acctbal", lit(0).as("src"))
+        // "new" batch: even-keyed customers with adjusted balances
+        val incoming = table(s, dir, "customer")
+          .filter($"c_custkey" % 2 === 0)
+          .select($"c_custkey", ($"c_acctbal" + 1000.0).as("c_acctbal"), lit(1).as("src"))
+        val w = Window.partitionBy($"c_custkey").orderBy($"src".desc)
+        existing.unionByName(incoming)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"c_custkey", $"c_acctbal")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 1000.0
+             |       ELSE c_acctbal END AS c_acctbal
+             |FROM customer
+             |ORDER BY c_custkey""".stripMargin),
+      doc = "Keyed upsert w/ precedence (reference create_or_extend K3/A2)")
+  )
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage:  python3 tools/verify_local.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet result written by graft.Verify plus
+oracle_sql.json, runs each oracle SQL in DuckDB over views named after the
+parquet tables in <sf_dir>, and compares: column set, row count, and
+values (rows sorted, columns sorted by name, floats rounded to 6 sig
+figs). Exit 1 on any mismatch.
+"""
+import sys, os, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        if v == 0:
+            return "0"
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)) or str(type(v)).endswith("ndarray'>"):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    rows = [tuple(norm_cell(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    return cols, sorted(rows)
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    failures = []
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            failures.append((name, "no parquet output"))
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        if name not in oracles:
+            print(f"  [rows-only] {name}: {len(got)} rows "
+                  f"{'OK' if len(got) > 0 else 'EMPTY!'}")
+            if len(got) == 0:
+                failures.append((name, "rows-only check: empty result"))
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append((name, f"oracle SQL failed: {e}"))
+            continue
+        gc, gr = canon(got)
+        wc, wr = canon(want)
+        if gc != wc:
+            failures.append((name, f"schema mismatch: spark={gc} duck={wc}"))
+        elif len(gr) != len(wr):
+            failures.append((name, f"row count: spark={len(gr)} duck={len(wr)}"))
+        elif gr != wr:
+            diff = next((i, a, b) for i, (a, b) in enumerate(zip(gr, wr)) if a != b)
+            failures.append((name, f"value mismatch at sorted row {diff[0]}: "
+                                   f"spark={diff[1]} duck={diff[2]}"))
+        else:
+            print(f"  [match]     {name}: {len(gr)} rows, {len(gc)} cols")
+    print()
+    if failures:
+        for n, msg in failures:
+            print(f"FAIL {n}: {msg}")
+        sys.exit(1)
+    print(f"ALL {len(names)} queries verified.")
+
+
+if __name__ == "__main__":
+    main()
