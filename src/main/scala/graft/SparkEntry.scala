@@ -13,7 +13,9 @@ object SparkEntry {
   /** Every registered capability module. Order is stable (drives
     * CORRECTNESS/BENCH artifact ordering). */
   def registries: Seq[Registry] = Seq(
-    graft.queries.Relational
+    graft.queries.Relational,
+    graft.queries.TextOps,
+    graft.queries.Dedup
   )
 
   def allDefs: Seq[QueryDef] = registries.flatMap(_.defs)

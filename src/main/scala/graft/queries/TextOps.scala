@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline half of the engine (BASELINE.json north star;
+  * no reference implementation exists, SURVEY.md §2.7).
+  *
+  * Everything is built from codegen'd `functions._` expressions — no
+  * UDFs — so whole-stage codegen covers the full pipeline and the same
+  * logic scales from 500 rows to 100 TB: per-document work is
+  * embarrassingly parallel (narrow), aggregations are partial+final.
+  */
+object TextOps extends Registry {
+  import Tables.table
+
+  /** Stopword lexicons for the language-ID heuristic. Small on purpose:
+    * they are inlined into the plan as literals (no broadcast needed). */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** BPE-ish tokenizer regex: word pieces, digit runs, single punctuation. */
+  val tokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  private def words(c: Column): Column = split(c, " ")
+
+  def defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q30: corpus statistics per language — the basic profiling pass any
+    // 100 TB text pipeline starts with.
+    QueryDef(
+      "q30_text_stats",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("sum_chars"),
+            avg(length($"text")).as("avg_chars"),
+            avg(size(words($"text")).cast("double")).as("avg_words"),
+            max(length($"text")).as("max_chars"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  avg(length(text)) AS avg_chars,
+             |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avg_words,
+             |  CAST(max(length(text)) AS INT) AS max_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "Per-language corpus statistics"),
+
+    // ------------------------------------------------------------------
+    // q31: token counting with a BPE-ish regex — per source totals.
+    QueryDef(
+      "q31_token_count",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select($"source",
+            regexp_count($"text", lit(tokenPattern)).as("n_tokens"),
+            size(words($"text")).as("n_words"))
+          .groupBy($"source")
+          .agg(
+            sum($"n_tokens".cast("long")).as("total_tokens"),
+            sum($"n_words".cast("long")).as("total_words"),
+            avg($"n_tokens".cast("double")).as("avg_tokens"))
+          .orderBy($"source")
+      },
+      Some(s"""SELECT source,
+              |  CAST(sum(len(regexp_extract_all(text, '$tokenPattern'))) AS BIGINT) AS total_tokens,
+              |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+              |  avg(CAST(len(regexp_extract_all(text, '$tokenPattern')) AS DOUBLE)) AS avg_tokens
+              |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      doc = "Regex token counting (BPE-ish) per source"),
+
+    // ------------------------------------------------------------------
+    // q32: per-document quality scoring: length, punctuation density,
+    // stopword ratio → composite score. All rational arithmetic (no
+    // transcendental fns) so the oracle matches bit-for-bit.
+    QueryDef(
+      "q32_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        val w = words($"text")
+        val nWords = size(w).cast("double")
+        val nStop = size(filter(w, x => x.isin(stopwordsEn: _*))).cast("double")
+        val punct = (length($"text") - length(regexp_replace($"text", "[.,!?;:]", "")))
+          .cast("double")
+        table(s, dir, "documents")
+          .select(
+            $"doc_id",
+            size(w).as("n_words"),
+            round(punct / length($"text").cast("double"), 6).as("punct_ratio"),
+            round(nStop / nWords, 6).as("stop_ratio"),
+            round(
+              least(nWords / lit(100.0), lit(1.0)) *
+                (lit(1.0) - punct / length($"text").cast("double")) *
+                (lit(1.0) - nStop / nWords), 6).as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text,' ')) AS INT) AS n_words,
+             |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             |        / length(text), 6) AS punct_ratio,
+             |  round(len(list_filter(string_split(text,' '),
+             |          x -> x IN ('the','a','an','of','and','to','in','is','on','for')))::DOUBLE
+             |        / len(string_split(text,' ')), 6) AS stop_ratio,
+             |  round(least(len(string_split(text,' '))::DOUBLE / 100.0, 1.0)
+             |    * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             |             / length(text))
+             |    * (1.0 - len(list_filter(string_split(text,' '),
+             |          x -> x IN ('the','a','an','of','and','to','in','is','on','for')))::DOUBLE
+             |             / len(string_split(text,' '))), 6) AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "Per-document quality scoring (length/punct/stopword)"),
+
+    // ------------------------------------------------------------------
+    // q33: language-ID by stopword-marker voting, reported as a
+    // (labelled lang × predicted lang) confusion matrix. Ties break by
+    // fixed precedence (the CASE chain), identical in both engines.
+    QueryDef(
+      "q33_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        val w = words(lower($"text"))
+        val scores = langMarkers.map { case (l, ms) =>
+          size(filter(w, x => x.isin(ms: _*))).as(s"s_$l")
+        }
+        val docs = table(s, dir, "documents").select(($"lang" +: $"doc_id" +: scores): _*)
+        val langs = langMarkers.map(_._1)
+        val predicted = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+          val c = col(s"s_$l")
+          val others = langs.filter(_ != l).map(o => c >= col(s"s_$o")).reduce(_ && _)
+          when(others, lit(l)).otherwise(rest)
+        }
+        docs.withColumn("predicted", predicted)
+          .groupBy($"lang", $"predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"predicted")
+      },
+      Some {
+        val scoreExprs = langMarkers.map { case (l, ms) =>
+          val inList = ms.map(m => s"'$m'").mkString(",")
+          s"len(list_filter(string_split(lower(text),' '), x -> x IN ($inList))) AS s_$l"
+        }.mkString(",\n  ")
+        val langs = langMarkers.map(_._1)
+        val caseChain = langs.init.map { l =>
+          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n    ")
+        s"""SELECT lang, predicted, count(*) AS n FROM (
+           |  SELECT lang, CASE $caseChain ELSE '${langs.last}' END AS predicted FROM (
+           |    SELECT lang, $scoreExprs FROM documents) t1) t2
+           |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+      },
+      doc = "Stopword-voting language ID + confusion matrix"),
+
+    // ------------------------------------------------------------------
+    // q34: document fingerprinting — canonical-form hash (lowercased,
+    // sorted distinct words) catches permuted/near-identical docs;
+    // dedup stats per source.
+    QueryDef(
+      "q34_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val canon = md5(concat_ws(" ", array_sort(array_distinct(words(lower($"text"))))))
+        table(s, dir, "documents")
+          .select($"source", canon.as("fp"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct($"fp").as("n_unique"),
+            (count(lit(1)) - countDistinct($"fp")).as("n_dupes"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  count(DISTINCT fp) AS n_unique,
+             |  count(*) - count(DISTINCT fp) AS n_dupes
+             |FROM (SELECT source,
+             |        md5(array_to_string(list_sort(list_distinct(
+             |          string_split(lower(text),' '))), ' ')) AS fp
+             |      FROM documents) t
+             |GROUP BY source ORDER BY source""".stripMargin),
+      doc = "Canonical-form fingerprinting + per-source dup stats")
+  )
+}
