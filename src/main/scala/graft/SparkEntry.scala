@@ -10,8 +10,8 @@ import graft.queries.{QueryDef, Registry}
   */
 object SparkEntry {
 
-  /** Every registered capability module. Order is stable (drives
-    * CORRECTNESS/BENCH artifact ordering). */
+  /** Every registered capability module. (Artifacts key by query name;
+    * `queries` below is a Map, so iteration order is incidental.) */
   def registries: Seq[Registry] = Seq(
     graft.queries.Relational,
     graft.queries.TextOps,

@@ -71,17 +71,25 @@ object Dedup extends Registry {
       (s, dir) => {
         import s.implicits._
         val docs = table(s, dir, "documents").select($"doc_id", $"lang", $"text")
+        // min($"lang"), not first(): the same text can appear under two
+        // langs, and first() is nondeterministic across task scheduling
         docs.unionAll(docs)
           .groupBy(md5($"text").as("h"))
-          .agg(min($"doc_id").as("keeper_id"), first($"lang").as("lang"),
+          .agg(min($"doc_id").as("keeper_id"), min($"lang").as("lang"),
             count(lit(1)).as("n_copies"))
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_unique"), sum($"n_copies").as("n_total"))
           .orderBy($"lang")
       },
+      // oracle mirrors the real dedup (GROUP BY hash first) — a plain
+      // per-lang count is only equivalent when no duplicate texts exist,
+      // which stops being true at sf0.1
       Some("""SELECT lang, count(*) AS n_unique,
-             |  CAST(2 * count(*) AS BIGINT) AS n_total
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+             |  CAST(sum(n_copies) AS BIGINT) AS n_total
+             |FROM (SELECT md5(text) AS h, min(lang) AS lang,
+             |        2 * count(*) AS n_copies
+             |      FROM documents GROUP BY md5(text)) t
+             |GROUP BY lang ORDER BY lang""".stripMargin),
       doc = "Exact dedup by content hash over a doubled corpus"),
 
     // ------------------------------------------------------------------

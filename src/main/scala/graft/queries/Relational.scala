@@ -95,12 +95,15 @@ object Relational extends Registry {
         li.join(ord, $"l_orderkey" === $"o_orderkey")
           .join(cust, $"o_custkey" === $"c_custkey")
           .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-          .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          // round(.,2) before ranking: a float near-tie at the limit-20
+          // boundary could otherwise select different row sets between
+          // engines (doubles accumulate in different orders)
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
           .orderBy($"revenue".desc, $"l_orderkey")
           .limit(20)
       },
       Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
-             |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -142,7 +145,10 @@ object Relational extends Registry {
       "q05_anti_join_not_exists",
       (s, dir) => {
         import s.implicits._
-        val bigOrders = table(s, dir, "orders").filter($"o_totalprice" > 150000.0)
+        // threshold chosen so the anti-join side is non-empty at every
+        // scale factor (sf0.001 has 20 qualifying customers; 150k left
+        // zero rows there and broke the non-empty test gate)
+        val bigOrders = table(s, dir, "orders").filter($"o_totalprice" > 400000.0)
         table(s, dir, "customer")
           .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
           .groupBy($"c_mktsegment")
@@ -153,7 +159,7 @@ object Relational extends Registry {
              |FROM customer
              |WHERE NOT EXISTS (SELECT 1 FROM orders
              |                  WHERE o_custkey = c_custkey
-             |                    AND o_totalprice > 150000.0)
+             |                    AND o_totalprice > 400000.0)
              |GROUP BY c_mktsegment
              |ORDER BY c_mktsegment""".stripMargin),
       doc = "Left-anti join = reference set-difference J2"),
@@ -191,15 +197,28 @@ object Relational extends Registry {
 
     // ------------------------------------------------------------------
     // q07: ranking window — top-3 lineitems per return flag.
+    // Two-phase: l_returnflag has only ~3 distinct values, so a direct
+    // window would sort the whole fact table inside 3 tasks (a straggler
+    // at 100×). Phase 1 takes a per-(flag, salt) local top-3 across 32
+    // salted groups — the global top-3 is always a subset of that union —
+    // then phase 2 ranks the ≤ 3×32 survivors per flag. The final sort
+    // touches ~100 rows per flag instead of the full table.
     QueryDef(
       "q07_window_topk",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"l_returnflag")
-          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
-        table(s, dir, "lineitem")
+        val ord = Seq($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+        val salted = table(s, dir, "lineitem")
           .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
-          .withColumn("rn", row_number().over(w))
+          .withColumn("salt", pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(32)))
+        val wLocal = Window.partitionBy($"l_returnflag", $"salt").orderBy(ord: _*)
+        val survivors = salted
+          .withColumn("lrn", row_number().over(wLocal))
+          .filter($"lrn" <= 3)
+          .drop("salt", "lrn")
+        val wGlobal = Window.partitionBy($"l_returnflag").orderBy(ord: _*)
+        survivors
+          .withColumn("rn", row_number().over(wGlobal))
           .filter($"rn" <= 3)
           .orderBy($"l_returnflag", $"rn")
       },
