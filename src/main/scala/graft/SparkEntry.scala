@@ -15,7 +15,8 @@ object SparkEntry {
   def registries: Seq[Registry] = Seq(
     graft.queries.Relational,
     graft.queries.TextOps,
-    graft.queries.Dedup
+    graft.queries.Dedup,
+    graft.queries.FhirEtl
   )
 
   def allDefs: Seq[QueryDef] = registries.flatMap(_.defs)

@@ -86,6 +86,38 @@ final case class IdMinter(site: String, project: String) extends Serializable {
 
   def mintIdentifier(resourceType: String, system: String, value: String): String =
     mint(s"$resourceType/$system|$value")
+
+  // ---- column-level minting (codegen-native, no UDF) ----------------
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  private val namespaceHex: String = namespace.toString.replace("-", "")
+
+  /** UUIDv5 over this minter's namespace as a pure column expression:
+    * sha1(namespace-bytes ++ utf8(name)) then RFC-4122 §4.3 version/
+    * variant surgery on the hex string. The variant nibble map
+    * (c & 0x3 | 0x8) is a 16-char `translate`. Stays fully inside
+    * whole-stage codegen — this is the hot path of every resource id at
+    * scale, where a Scala UDF would pay per-row (de)serialization. */
+  def uuid5Col(name: Column): Column = {
+    val h = sha1(concat(to_binary(lit(namespaceHex), lit("hex")),
+      encode(name, "UTF-8")))
+    concat_ws("-",
+      substring(h, 1, 8),
+      substring(h, 9, 4),
+      concat(lit("5"), substring(h, 14, 3)),
+      concat(translate(substring(h, 17, 1),
+        "0123456789abcdef", "89ab89ab89ab89ab"), substring(h, 18, 3)),
+      substring(h, 21, 12))
+  }
+
+  /** Column form of `mint`. */
+  def mintCol(identifierString: Column): Column =
+    uuid5Col(concat(lit(project + "/"), identifierString))
+
+  /** Column form of `mintIdentifier` (fixed type/system, per-row value). */
+  def mintIdentifierCol(resourceType: String, system: String, value: Column): Column =
+    mintCol(concat(lit(s"$resourceType/$system|"), value))
 }
 
 object IdMinter {

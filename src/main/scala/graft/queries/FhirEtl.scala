@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.etl.OneKg
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 1KG FHIR pipeline exposed through the driver harness (P1–P3, P7,
+  * J1/J2, A5, F1–F4, F5/F10, F14, V4).
+  *
+  * Each query runs the real pipeline on the staged fixtures
+  * (fixtures/ — reconstructed from the reference goldens by
+  * tools/make_onekg_fixtures.py) and projects ids + scalar fields; the
+  * DuckDB oracle reads the reference's own golden NDJSON
+  * (/root/reference/fhir_etl/oneKgenomes/META) — a hash match therefore
+  * proves golden parity, minted uuid5 ids included, through the
+  * driver's correctness gate. Full-tree parity (every nested field) is
+  * additionally proven in OneKgGoldenSpec.
+  */
+object FhirEtl extends Registry {
+
+  val FixtureDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures")
+  val GoldenDir = "/root/reference/fhir_etl/oneKgenomes/META"
+
+  private def sampleInfo(s: SparkSession): DataFrame =
+    OneKg.readSampleInfo(s, s"$FixtureDir/onekg_sample_info.tsv")
+
+  /** extension[url≈key].valueString — null-safe (get, not element_at). */
+  private def extVal(key: String): Column =
+    get(filter(col("extension"), e => e("url").contains(key)), lit(0))("valueString")
+
+  private def extRef(key: String): Column =
+    get(filter(col("extension"), e => e("url").contains(key)),
+      lit(0))("valueReference")("reference")
+
+  def defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q20_onekg_patient",
+      (s, _) => OneKg.patients(sampleInfo(s)).select(
+        col("id"),
+        element_at(col("identifier"), 1)("value").as("sample"),
+        extVal("us-core-sex").as("gender"),
+        extVal("us-core-race").as("race"),
+        extVal("research-population").as("population"),
+        extRef("part-of-study").as("study_ref")),
+      Some(s"""SELECT id, identifier[1].value AS sample,
+             |  list_filter(extension, x -> x.url LIKE '%us-core-sex%')[1].valueString AS gender,
+             |  list_filter(extension, x -> x.url LIKE '%us-core-race%')[1].valueString AS race,
+             |  list_filter(extension, x -> x.url LIKE '%research-population%')[1].valueString AS population,
+             |  list_filter(extension, x -> x.url LIKE '%part-of-study%')[1].valueReference.reference AS study_ref
+             |FROM read_json('$GoldenDir/Patient.ndjson',
+             |  format='newline_delimited', union_by_name=true)""".stripMargin),
+      doc = "P1 Row→Patient with minted uuid5 ids vs reference golden"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q21_onekg_researchsubject",
+      (s, _) => OneKg.researchSubjects(sampleInfo(s)).select(
+        col("id"),
+        element_at(col("identifier"), 1)("value").as("sample"),
+        col("status"),
+        col("subject")("reference").as("subject_ref"),
+        col("study")("reference").as("study_ref")),
+      Some(s"""SELECT id, identifier[1].value AS sample, status,
+             |  subject.reference AS subject_ref,
+             |  study.reference AS study_ref
+             |FROM read_json('$GoldenDir/ResearchSubject.ndjson',
+             |  format='newline_delimited', union_by_name=true)""".stripMargin),
+      doc = "P2 Row→ResearchSubject (cross-references re-minted, J5)"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q22_onekg_specimen",
+      (s, _) => OneKg.specimens(sampleInfo(s)).select(
+        col("id"),
+        element_at(col("identifier"), 1)("value").as("sample"),
+        element_at(col("type")("coding"), 1)("code").as("type_code"),
+        element_at(col("type")("coding"), 1)("display").as("type_display"),
+        element_at(col("collection")("method")("coding"), 1)("code")
+          .as("method_code"),
+        col("subject")("reference").as("subject_ref")),
+      Some(s"""SELECT id, identifier[1].value AS sample,
+             |  type.coding[1].code AS type_code,
+             |  type.coding[1].display AS type_display,
+             |  collection.method.coding[1].code AS method_code,
+             |  subject.reference AS subject_ref
+             |FROM read_json('$GoldenDir/Specimen.ndjson',
+             |  format='newline_delimited', union_by_name=true)""".stripMargin),
+      doc = "P3 Row→Specimen with null-fallback codings"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q23_onekg_docref",
+      (s, _) => OneKg.documentReferences(
+        OneKg.readFtpListing(s, s"$FixtureDir/onekg_ftp_listing.tsv")).select(
+        col("id"),
+        element_at(col("identifier"), 1)("value").as("file"),
+        element_at(col("type")("coding"), 1)("code").as("data_format"),
+        get(col("category"), lit(0))("coding")(0)("code").as("chromosome"),
+        element_at(col("content"), 1)("attachment")("contentType").as("mime"),
+        element_at(col("content"), 1)("attachment")("size").as("size"),
+        col("date"),
+        col("subject")("reference").as("subject_ref")),
+      Some(s"""SELECT id, identifier[1].value AS file,
+             |  type.coding[1].code AS data_format,
+             |  category[1].coding[1].code AS chromosome,
+             |  content[1].attachment.contentType AS mime,
+             |  content[1].attachment.size AS size,
+             |  strftime(date, '%Y-%m-%dT%H:%M:%SZ') AS date,
+             |  subject.reference AS subject_ref
+             |FROM read_json('$GoldenDir/DocumentReference.ndjson',
+             |  format='newline_delimited', union_by_name=true)""".stripMargin),
+      doc = "P7 Row→DocumentReference (F1/F2/F4 format-chromosome-mime)"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q24_onekg_group",
+      (s, _) => {
+        val g = OneKg.group(s,
+          OneKg.readHeaderSampleIds(s, s"$FixtureDir/onekg_vcf_header.txt"),
+          OneKg.specimenSampleIds(s, s"$GoldenDir/Specimen.ndjson"))
+        g.select(
+          col("id"),
+          size(col("member")).as("n_members"),
+          col("type"), col("membership"),
+          element_at(col("member"), 1)("entity")("reference").as("min_member"),
+          element_at(col("member"), size(col("member")))("entity")("reference")
+            .as("max_member"))
+      },
+      Some(s"""SELECT id, CAST(len(member) AS INT) AS n_members,
+             |  type, membership,
+             |  list_aggregate([x.entity.reference for x in member], 'min') AS min_member,
+             |  list_aggregate([x.entity.reference for x in member], 'max') AS max_member
+             |FROM read_json('$GoldenDir/Group.ndjson',
+             |  format='newline_delimited', union_by_name=true)""".stripMargin),
+      doc = "S7 NDJSON scan + J1 semi-join + A5 single-group collect"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q25_onekg_study",
+      (s, _) => OneKg.researchStudy(s).select(
+        col("id"), col("title"), col("status"),
+        element_at(col("identifier"), 1)("system").as("system"),
+        element_at(col("identifier"), 1)("value").as("value")),
+      Some(s"""SELECT id, title, status,
+             |  identifier[1].system AS system, identifier[1].value AS value
+             |FROM read_json('$GoldenDir/ResearchStudy.ndjson',
+             |  format='newline_delimited', union_by_name=true)""".stripMargin),
+      doc = "K2 singleton ResearchStudy (doubled-scheme F10 quirk pinned)"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q26_onekg_reconciliation",
+      (s, _) => OneKg.reconciliation(
+        OneKg.readHeaderSampleIds(s, s"$FixtureDir/onekg_vcf_header.txt"),
+        OneKg.specimenSampleIds(s, s"$GoldenDir/Specimen.ndjson")),
+      // fixture plants exactly 3 header ids absent from Specimen.ndjson
+      Some(s"""SELECT CAST(len(member) + 3 AS BIGINT) AS n_header,
+             |  CAST(len(member) AS BIGINT) AS n_found,
+             |  CAST(3 AS BIGINT) AS n_missing
+             |FROM read_json('$GoldenDir/Group.ndjson',
+             |  format='newline_delimited', union_by_name=true)""".stripMargin),
+      doc = "V4 reconciliation report (J1 found / J2 missing counts)")
+  )
+}

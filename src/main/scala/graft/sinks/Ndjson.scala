@@ -1,0 +1,90 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** NDJSON sinks — the reference's native output format: one JSON object
+  * per line, one `<ResourceType>.ndjson` file per type
+  * (`fhir_etl/oneKgenomes/oneKg_fhirizer.py:49-62`,
+  * `fhir_etl/utils.py:101-135`).
+  *
+  * Null-dropping on write reproduces the reference's recursive
+  * empty-pruning for the null case; empty structs are never constructed
+  * upstream (guarantee-by-construction, SURVEY §7.5 item 3).
+  *
+  * Scale note: golden-compat single-file output forces coalesce(1) at
+  * the very end — the transform upstream stays parallel and only the
+  * final line-writing serializes, same shape as any "collect results to
+  * one artifact" sink. For engine-internal storage the parquet sink
+  * (K4) is the scalable path; this sink exists for reference-format
+  * interchange.
+  */
+object Ndjson {
+
+  /** K1/K2: overwrite-write df as `<dir>/<resourceType>.ndjson`. */
+  def write(df: DataFrame, dir: String, resourceType: String): Unit = {
+    val tmp = Files.createTempDirectory("ndjson").resolve("out").toString
+    df.toJSON.coalesce(1).write.mode(SaveMode.Overwrite).text(tmp)
+    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString
+      .startsWith("part-")).findFirst().get()
+    Files.createDirectories(Paths.get(dir))
+    Files.move(part, Paths.get(dir, s"$resourceType.ndjson"),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** K3: `create_or_extend` (`fhir_etl/utils.py:101-135`) — upsert new
+    * resources into an existing NDJSON file by id.
+    *
+    * Faithful semantics, fully distributed and schema-free (lines are
+    * carried verbatim, ids extracted with get_json_object):
+    *  - id not present        → append (new-batch order)
+    *  - id present            → keep existing unless updateExisting
+    *  - duplicate id within a batch → last occurrence wins (dict-build)
+    *  - existing entries keep their original line position
+    *  - blank/malformed lines in the existing file are skipped
+    */
+  def createOrExtend(spark: SparkSession, newDf: DataFrame, dir: String,
+      resourceType: String, updateExisting: Boolean = false): Unit = {
+    import spark.implicits._
+    val path = Paths.get(dir, s"$resourceType.ndjson")
+
+    // positions: old lines get their file order; new lines sort after all
+    // old lines (Python dict preserves first-insertion position)
+    val newLines = newDf.toJSON.toDF("line")
+      .withColumn("pos", monotonically_increasing_id() + lit(1L << 45))
+      .withColumn("src", lit(1))
+    val all =
+      if (Files.exists(path)) {
+        val old = spark.read.text(path.toString).toDF("line")
+          .withColumn("pos", monotonically_increasing_id())
+          .withColumn("src", lit(0))
+        old.unionByName(newLines)
+      } else newLines
+
+    val withId = all
+      .withColumn("id", get_json_object($"line", "$.id"))
+      .filter($"id".isNotNull)
+    // winner per id: with updateExisting the max position overall wins
+    // (new > old, later-in-batch > earlier); without it, old wins when
+    // present (old positions boosted above every new position)
+    val precedence =
+      if (updateExisting) $"pos"
+      else when($"src" === 0, $"pos" + lit(1L << 62)).otherwise($"pos")
+    val w = Window.partitionBy($"id").orderBy(precedence.desc)
+    val resolved = withId
+      .withColumn("rn", row_number().over(w))
+      .withColumn("first_pos", min($"pos").over(Window.partitionBy($"id")))
+      .filter($"rn" === 1)
+      .orderBy($"first_pos")
+      .select($"line")
+
+    val tmp = Files.createTempDirectory("ndjson").resolve("out").toString
+    resolved.coalesce(1).write.mode(SaveMode.Overwrite).text(tmp)
+    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString
+      .startsWith("part-")).findFirst().get()
+    Files.createDirectories(Paths.get(dir))
+    Files.move(part, path, StandardCopyOption.REPLACE_EXISTING)
+  }
+}

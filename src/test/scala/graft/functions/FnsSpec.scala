@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.ids.IdMinter
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Table-driven tests for the scalar function library (F1–F4, F7, F8,
+  * F14) against reference behavior, plus the codegen-native uuid5
+  * column vs both the JVM implementation and golden ids. */
+class FnsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def eval1(in: Seq[String], c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Seq[String] = {
+    import spark.implicits._
+    in.toDF("x").select(c($"x").as("y")).collect().toSeq.map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+  }
+
+  test("F1 dataFormat: pop gz/tbi/csi then uppercase last extension") {
+    val cases = Seq(
+      "x.vcf.gz" -> "VCF", "x.vcf" -> "VCF", "header" -> "UNKNOWN",
+      "x.gz" -> "UNKNOWN", "a.b.gz.c" -> "C", "x.tbi.GZ" -> "UNKNOWN",
+      "f.vcf.gz.new" -> "NEW", "f.vcf.gz.new.tbi" -> "NEW",
+      "a.CSI" -> "UNKNOWN", "gz.vcf" -> "VCF")
+    assert(eval1(cases.map(_._1), Fns.dataFormat) == cases.map(_._2))
+  }
+
+  test("F2 chromosome: \\bchr([0-9XYMT]+)\\b case-insensitive, else null") {
+    val cases = Seq(
+      "ALL.chr1.phase3.vcf.gz" -> "1", "all.CHRX.x" -> "X",
+      "x.chrMT.y" -> "MT", "nochrom.vcf" -> null, "chr22" -> "22",
+      "anchored.chr9" -> "9", "notchr1x" -> null)
+    assert(eval1(cases.map(_._1), Fns.chromosome) == cases.map(_._2))
+  }
+
+  test("F3 parseMdtm: '213 yyyyMMddHHmmss' → ISO; fallback injectable") {
+    assert(eval1(Seq("213 20220509124500"), Fns.parseMdtm(_)) ==
+      Seq("2022-05-09T12:45:00"))
+    assert(eval1(Seq("garbage"), Fns.parseMdtm(_, lit("F"))) == Seq("F"))
+    assert(eval1(Seq("garbage"), Fns.parseMdtm(_)) == Seq(null))
+  }
+
+  test("F4 mimeType: text/vcf custom type, encoding-suffix strip, octet default") {
+    val cases = Seq(
+      "x.vcf" -> "text/vcf", "x.vcf.gz" -> "text/vcf",
+      "x.vcf.gz.tbi" -> "application/octet-stream",
+      "x.vcf.gz.new" -> "application/octet-stream",
+      "readme.txt" -> "text/plain", "noext" -> "application/octet-stream",
+      "x.gz" -> "application/octet-stream")
+    assert(eval1(cases.map(_._1), Fns.mimeType) == cases.map(_._2))
+  }
+
+  test("F7 sampidKey: last two dash segments") {
+    val cases = Seq("GTEX-1117F-0003-SM-4JBJ3" -> "SM-4JBJ3",
+      "A-B" -> "A-B", "SOLO" -> "SOLO")
+    assert(eval1(cases.map(_._1), Fns.sampidKey) == cases.map(_._2))
+  }
+
+  test("F8 birthYearRange: '60-69' → '1956 - 1965' (year 2025)") {
+    assert(eval1(Seq("60-69", "20-29"), Fns.birthYearRange(_)) ==
+      Seq("1956 - 1965", "1996 - 2005"))
+  }
+
+  test("F14 withUtcOffset") {
+    assert(eval1(Seq("2014-09-12T14:21:07"), Fns.withUtcOffset) ==
+      Seq("2014-09-12T14:21:07+00:00"))
+  }
+
+  test("uuid5Col (codegen, sha1 + hex surgery) == JVM IdMinter == goldens") {
+    import spark.implicits._
+    val m = IdMinter.oneKg
+    val system = "https://" + IdMinter.ThousandGenomesSite +
+      "technical/working/20130606_sample_info/"
+    val samples = Seq("HG00096", "HG00097", "NA21144", "weird/|chars",
+      "ünïcødé-✓", "")
+    val got = samples.toDF("s")
+      .select(m.mintIdentifierCol("Patient", system, $"s").as("u"))
+      .collect().toSeq.map(_.getString(0))
+    val want = samples.map(s => m.mintIdentifier("Patient", system, s))
+    assert(got == want)
+    // golden pins (reference META/Patient.ndjson lines 1-2)
+    assert(got.head == "fb96f2a9-8ec2-5784-ba62-16f168155434")
+    assert(got(1) == "ebea3aa4-1fe4-5956-8aab-6aba9db22321")
+    // version/variant nibbles per RFC-4122 §4.3
+    got.foreach { u =>
+      assert(u.charAt(14) == '5' && "89ab".contains(u.charAt(19)))
+    }
+  }
+}
