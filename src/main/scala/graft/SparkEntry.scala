@@ -16,6 +16,7 @@ object SparkEntry {
     graft.queries.Relational,
     graft.queries.TextOps,
     graft.queries.Dedup,
+    graft.queries.Similarity,
     graft.queries.FhirEtl
   )
 

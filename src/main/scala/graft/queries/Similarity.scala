@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * ARRAY<FLOAT> 64-dim unit vectors, label) — the north-star ANN surface
+  * (SURVEY §2.7): exact cosine top-k as the correctness baseline, a
+  * random-projection LSH bucketed variant as the scale path, and an
+  * IVF-style coarse-quantizer assignment.
+  *
+  * Scale design:
+  *  - the query set is broadcast — the corpus never shuffles to score;
+  *  - top-k is two-phase (salted local top-k, then final top-k over
+  *    ≤ k×32 survivors per query) so no single task sorts a whole
+  *    query's candidate list;
+  *  - LSH banding turns the all-pairs score into a bucket equi-join;
+  *    signatures are computed map-side from deterministic seeded
+  *    hyperplanes (no shuffle until the bucket join);
+  *  - IVF assignment is a broadcast join + per-vector argmax — the
+  *    partition-pruning path a real vector store uses (route queries to
+  *    nprobe cells instead of the full corpus).
+  *
+  * All math is `functions._` expressions (zip_with/aggregate) inside
+  * codegen — no UDFs. Cosines are rounded to 4 decimals *before*
+  * ranking with a vec_id tiebreak, so Spark and the DuckDB oracle rank
+  * identically despite float-sum order differences.
+  */
+object Similarity extends Registry {
+  import Tables.table
+
+  val K = 5
+  private val TopKSalts = 32
+
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Corpus with precomputed norm (embeddings are unit vectors, but the
+    * operator must not rely on that). */
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  private def queriesOf(c: DataFrame): DataFrame =
+    c.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+
+  /** Salted two-phase top-k per q_id (same pattern as q07). */
+  private def topKPerQuery(scored: DataFrame): DataFrame = {
+    val ord = Seq(col("cosine").desc, col("neighbor_id").asc)
+    val salted = scored.withColumn("salt",
+      pmod(xxhash64(col("neighbor_id")), lit(TopKSalts)))
+    val wLocal = Window.partitionBy(col("q_id"), col("salt")).orderBy(ord: _*)
+    val wGlobal = Window.partitionBy(col("q_id")).orderBy(ord: _*)
+    salted
+      .withColumn("lrn", row_number().over(wLocal)).filter(col("lrn") <= K)
+      .withColumn("rn", row_number().over(wGlobal)).filter(col("rn") <= K)
+      .select(col("q_id"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("q_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
+  /** Exact brute-force scorer: corpus ⨯ broadcast queries. */
+  def knnExact(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val scored = c.join(broadcast(queriesOf(c)), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4)
+          .as("cosine"))
+    topKPerQuery(scored)
+  }
+
+  // ------------------------------------------------------------------
+  // Random-projection LSH: 24 deterministic hyperplanes → 6 bands × 4
+  // sign bits. A candidate shares ≥1 band key with the query; exact
+  // cosine reranks candidates only. On this near-uniform synthetic
+  // corpus (top-5 cosines ≈ 0.3-0.45) band selectivity is modest —
+  // SimilaritySpec measures recall and candidate reduction honestly;
+  // on clustered real embeddings the same plumbing is the standard
+  // sub-linear path.
+  // ------------------------------------------------------------------
+  val NumBands = 6
+  val BitsPerBand = 4
+  private val planes: IndexedSeq[Seq[Double]] = {
+    val rng = new scala.util.Random(42)
+    IndexedSeq.fill(NumBands * BitsPerBand)(Seq.fill(64)(rng.nextGaussian()))
+  }
+
+  /** (band, key) array for one vector — map-side only. */
+  private def bandKeys(v: Column): Column =
+    array((0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until BitsPerBand).map { i =>
+          when(dot(v, typedLit(planes(b * BitsPerBand + i))) > 0,
+            lit(1 << i)).otherwise(lit(0))
+        }.reduce(_ + _).as("key"))
+    }: _*)
+
+  /** Candidate (q_id, neighbor_id) pairs via the band-bucket join. */
+  def lshCandidates(c: DataFrame, q: DataFrame): DataFrame = {
+    val cb = c.select(col("vec_id"), explode(bandKeys(col("v"))).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+    val qb = q.select(col("q_id"), explode(bandKeys(col("qv"))).as("bk"))
+      .select(col("q_id"), col("bk.band").as("qband"), col("bk.key").as("qkey"))
+    cb.join(broadcast(qb),
+      col("band") === col("qband") && col("key") === col("qkey") &&
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      .dropDuplicates("q_id", "neighbor_id")
+  }
+
+  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val q = queriesOf(c)
+    val scored = lshCandidates(c, q)
+      .join(c.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4)
+          .as("cosine"))
+    topKPerQuery(scored)
+  }
+
+  // ------------------------------------------------------------------
+  // IVF-style coarse assignment: 8 fixed centroids (vec_id < 8), every
+  // vector routed to its argmax-cosine cell via broadcast join.
+  // ------------------------------------------------------------------
+  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val cents = c.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("cell").asc)
+    c.join(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 4)
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("cosine")), 4).as("avg_cosine"))
+      .orderBy(col("cell"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q50_knn_exact",
+      (s, dir) => knnExact(s, dir),
+      Some("""WITH n AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |    sqrt(list_dot_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+             |      WHERE vec_id % 100 = 0),
+             |s AS (SELECT q_id, c.vec_id AS neighbor_id,
+             |        round(list_dot_product(qe, c.e) / (qn * c.nrm), 4) AS cosine
+             |      FROM q JOIN n c ON c.vec_id <> q.q_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+             |SELECT q_id, neighbor_id, cosine FROM r WHERE rn <= 5
+             |ORDER BY q_id, cosine DESC, neighbor_id""".stripMargin),
+      doc = "Exact cosine top-5 per query vector (broadcast queries, two-phase top-k)"),
+
+    QueryDef(
+      "q51_knn_lsh",
+      (s, dir) => knnLsh(s, dir),
+      None, // LSH bucket join is not SQL-expressible; recall vs q50 is
+            // asserted in SimilaritySpec
+      doc = "Random-projection LSH (6 bands × 4 bits) + exact rerank of candidates"),
+
+    QueryDef(
+      "q52_ivf_assign",
+      (s, dir) => ivfAssign(s, dir),
+      Some("""WITH n AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |    sqrt(list_dot_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |c AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n
+             |      WHERE vec_id < 8),
+             |s AS (SELECT n.vec_id, cell,
+             |        round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS cosine,
+             |        row_number() OVER (PARTITION BY n.vec_id
+             |          ORDER BY round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) DESC,
+             |                   cell) AS rn
+             |      FROM n JOIN c ON true)
+             |SELECT cell, count(*) AS n_vectors,
+             |  round(avg(cosine), 4) AS avg_cosine
+             |FROM s WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin),
+      doc = "IVF coarse-quantizer assignment (broadcast centroids, argmax cell)")
+  )
+}

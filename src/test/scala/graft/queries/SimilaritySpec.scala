@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality gates: LSH recall vs the exact top-k, and candidate-set
+  * reduction vs brute force. The synthetic embeddings are near-uniform
+  * (top-5 cosines ≈ 0.3-0.45, no real clusters), which is the
+  * worst case for random-projection LSH — the thresholds encode an
+  * honest floor for that regime, not a marketing number. */
+class SimilaritySpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.01"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("q51 LSH recall ≥ 0.4 vs exact top-5, candidates < 60% of brute force") {
+    val exact = Similarity.knnExact(spark, sfDir)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.knnLsh(spark, sfDir)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall $recall below floor")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nCorpus = emb.count()
+    val nQueries = emb.filter(col("vec_id") % 100 === 0).count()
+    val bruteForcePairs = nQueries * (nCorpus - 1)
+    val c = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = c.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val nCandidates = Similarity.lshCandidates(c, q).count()
+    val ratio = nCandidates.toDouble / bruteForcePairs
+    assert(ratio < 0.6, s"LSH scanned $ratio of brute-force pairs")
+    info(f"recall=$recall%.2f candidates=$ratio%.2f of brute force")
+  }
+
+  test("q50 exact top-k: every query returns exactly K rows") {
+    val counts = Similarity.knnExact(spark, sfDir)
+      .groupBy("q_id").count().collect().map(_.getLong(1)).toSet
+    assert(counts == Set(Similarity.K.toLong))
+  }
+}
