@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.TextOps,
     graft.queries.Dedup,
     graft.queries.Similarity,
+    graft.queries.EventOps,
     graft.queries.FhirEtl
   )
 

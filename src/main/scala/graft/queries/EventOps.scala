@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` table (event_id, ts, user_id,
+  * event_type, value, props JSON) — SURVEY §2.7: tumbling, sliding and
+  * session windows, batch-mode `window()`/`session_window()` exactly as
+  * Structured Streaming would plan them (the same expressions drive a
+  * readStream with `withWatermark`; batch is the oracle-checkable form).
+  *
+  * Scale: all three are single-shuffle grouped aggregations with
+  * map-side partial aggregation; the window struct is computed
+  * narrow-side. Session windows shuffle by user_id and merge sessions
+  * per key — Spark's native implementation, no driver-side state.
+  */
+object EventOps extends Registry {
+  import Tables.table
+
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the
+    * vectorized reader rejects; read it as a long and rebuild the
+    * timestamp with integer division (values are µs-precision, so ns→µs
+    * is lossless; `div`, not `/` — a double quotient above 2^53 ns would
+    * lose precision). */
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q60_tumbling_window",
+      (s, dir) => {
+        import s.implicits._
+        events(s, dir)
+          .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum($"value"), 2).as("sum_value"),
+            // props is a JSON string {"k": <int>} — extracted, not parsed
+            // driver-side (S-JSON scan shape)
+            sum(get_json_object($"props", "$.k").cast("long")).as("sum_k"))
+          .select($"w.start".as("window_start"), $"event_type",
+            $"n_events", $"sum_value", $"sum_k")
+          .orderBy($"window_start", $"event_type")
+      },
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             |  event_type, count(*) AS n_events,
+             |  round(sum(value), 2) AS sum_value,
+             |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "Tumbling 1h event-time window + JSON props extraction"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q61_sliding_window",
+      (s, dir) => {
+        import s.implicits._
+        events(s, dir)
+          .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n_events"))
+          .select($"w.start".as("window_start"), $"event_type", $"n_events")
+          .orderBy($"window_start", $"event_type")
+      },
+      // each event lands in exactly 2 overlapping windows: start =
+      // 30min-floor minus o×30min for o ∈ {0,1}
+      Some("""SELECT time_bucket(INTERVAL '30 minutes', ts)
+             |         - o * INTERVAL '30 minutes' AS window_start,
+             |  event_type, count(*) AS n_events
+             |FROM events CROSS JOIN (VALUES (0), (1)) AS off(o)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "Sliding 1h/30min event-time window"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q62_session_window",
+      (s, dir) => {
+        import s.implicits._
+        events(s, dir)
+          .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum($"value"), 2).as("sum_value"))
+          .select($"user_id", $"w.start".as("session_start"),
+            $"w.end".as("session_end"), $"n_events", $"sum_value")
+          .orderBy($"user_id", $"session_start")
+      },
+      // gaps-and-islands; Spark closes a session when the gap is >= the
+      // timeout (an event at exactly start+gap opens a new session), and
+      // session_end = last event + gap
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |y AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM x)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL '30 minutes' AS session_end,
+             |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+             |FROM y GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin),
+      doc = "Session window (30min gap) — native merging, no driver state")
+  )
+}
