@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed JVM/codegen warmup so the first timed query doesn't absorb
+    // class-loading and executor-spinup cost
+    spark.range(1000000).selectExpr("sum(id * 2)", "count(distinct id % 7)")
+      .collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

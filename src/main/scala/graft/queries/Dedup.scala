@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table: exact,
@@ -28,30 +29,71 @@ object Dedup extends Registry {
 
   private def words(c: Column): Column = split(c, " ")
 
-  /** Distinct word-k-shingles of a document (order-sensitive). Documents
-    * shorter than k words contribute the whole text as one shingle. */
-  def shingles(text: Column, k: Int): Column = {
-    val w = words(text)
+  /** Distinct word-k-shingles from a pre-split words column (order-
+    * sensitive). Documents shorter than k words contribute the whole
+    * text as one shingle.
+    *
+    * `w` MUST be a materialized column, not an inline `split(...)`:
+    * higher-order functions are CodegenFallback (interpreted), so every
+    * expression referenced inside the lambda is re-evaluated per
+    * element — an inline split would re-tokenize the document for every
+    * shingle (measured 3-4s of pure re-splitting at sf0.1). One `slice`
+    * per shingle instead of k `element_at`s for the same reason. */
+  def shinglesOf(text: Column, w: Column, k: Int): Column =
     when(size(w) < k, array(text)).otherwise(
       array_distinct(transform(
         sequence(lit(1), size(w) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j)): _*))))
-  }
+        i => concat_ws(" ", slice(w, i, lit(k))))))
 
-  /** MinHash signature entry s for a shingle array: min over shingles of
-    * xxhash64 salted with the hash index. */
-  private def minhash(sh: Column, s: Int): Column =
-    array_min(transform(sh, x => xxhash64(lit(s + "|"), x)))
+  /** Convenience wrapper when the caller materializes `w` itself. */
+  def shingles(text: Column, k: Int): Column = shinglesOf(text, words(text), k)
+
+  /** MinHash signature entry s over pre-hashed shingles: min of
+    * xxhash64(salt, h64). Shingle strings are hashed to 64 bits ONCE
+    * (see bandedSignatures); the 12 per-signature rehashes then run over
+    * fixed 12-byte inputs instead of re-hashing every string 12 times —
+    * the dominant cost of the sketch at corpus scale. */
+  private def minhash(hs: Column, s: Int): Column =
+    array_min(transform(hs, h => xxhash64(lit(s), h)))
 
   val NumHashes = 12
   val NumBands = 4 // 4 bands × 3 rows: catches J≥~0.5 with high prob.
   private val RowsPerBand = NumHashes / NumBands
 
-  /** (doc_id, band, bh) — one row per (document, band); the LSH join key. */
+  /** Identical-text content classes get ONE representative (min doc_id)
+    * before any sketching. This is the LSH scale guard: N byte-identical
+    * copies of a boilerplate page would otherwise share every band hash
+    * and emit N²/2 candidate pairs from a single bucket — the classic
+    * 100 TB web-corpus failure. Identical-duplicate *groups* are exact
+    * dedup's output (q40); near-dup detection only needs each content
+    * once. */
+  def contentClassReps(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .select(col("doc_id"), col("text"))
+
+  /** Residual-skew guard: drop buckets larger than this (a bucket that
+    * big on deduped content means a degenerate band, not useful
+    * candidates; dropped buckets only cost recall, never correctness of
+    * emitted pairs — every emitted pair is exact-verified). */
+  val MaxBucketSize = 64
+
+  private[queries] def capBuckets(banded: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    banded.withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= MaxBucketSize).drop("bsz")
+  }
+
+  /** (doc_id, band, bh) — one row per (document, band); the LSH join key.
+    * Each stage materializes its array column so the interpreted
+    * higher-order lambdas never re-evaluate upstream work (see
+    * [[shinglesOf]]). */
   private def bandedSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(col("text"), 3).as("sh")
-    val withSh = docs.select(col("doc_id"), sh)
-    val mhCols = (0 until NumHashes).map(s => minhash(col("sh"), s).as(s"mh$s"))
+    val withSh = docs
+      .select(col("doc_id"), col("text"), words(col("text")).as("w"))
+      .select(col("doc_id"), shinglesOf(col("text"), col("w"), 3).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+    val mhCols = (0 until NumHashes).map(s => minhash(col("hs"), s).as(s"mh$s"))
     val sig = withSh.select((col("doc_id") +: mhCols): _*)
     val bands = array((0 until NumBands).map { b =>
       struct(lit(b).as("band"),
@@ -59,6 +101,74 @@ object Dedup extends Registry {
     }: _*)
     sig.select(col("doc_id"), explode(bands).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.bh"))
+  }
+
+  /** MinHash-LSH near-dup pairs among content classes of `docs`
+    * (doc_id, text), exact-Jaccard verified at `minJaccard`.
+    *
+    * Shuffle discipline for 100 TB:
+    *  1. exact pre-dedup (one shuffle on a 16-byte digest);
+    *  2. banding is narrow; the bucket self-join shuffles only
+    *     (doc_id, band, bh) triples — never shingle arrays;
+    *  3. oversized buckets are capped (skew guard);
+    *  4. shingle arrays are recomputed ONLY for docs that appear in a
+    *     candidate pair (semi-join reduction: candidates ≪ corpus), so
+    *     the verify join moves candidate-sized array data, not
+    *     corpus-sized. */
+  def minhashPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val reps = contentClassReps(docs)
+    val banded = capBuckets(bandedSignatures(reps), Seq("band", "bh"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val candIds = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shs = reps.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"), words(col("text")).as("w"))
+      .select(col("doc_id"), shinglesOf(col("text"), col("w"), 3).as("sh"))
+    cands
+      .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup pairs among content classes, Hamming-verified.
+    * Same pre-dedup + bucket-cap guards as [[minhashPairs]]. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val wh = transform(split(col("text"), " "), w => xxhash64(w))
+    val reps = contentClassReps(docs).select(col("doc_id"), wh.as("wh"))
+    val bits = (0 until 64).map { k =>
+      when(size(filter(col("wh"),
+        h => shiftrightunsigned(h, k).bitwiseAND(lit(1L)) === lit(1L))) * 2
+        > size(col("wh")), shiftleft(lit(1L), k)).otherwise(lit(0L))
+    }
+    val sim = reps.select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("simhash"))
+    val bandCol = (b: Int) =>
+      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
+    val banded = capBuckets(
+      sim.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), bandCol(b).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key")),
+      Seq("band", "key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -116,67 +226,24 @@ object Dedup extends Registry {
       doc = "Canonical word-set dedup (catches permuted duplicates)"),
 
     // ------------------------------------------------------------------
-    // q42: MinHash + LSH near-duplicate pairs. Not SQL-expressible →
-    // rows-only oracle. Verified (exact Jaccard ≥ 0.5) pairs only.
+    // q42: MinHash + LSH near-duplicate pairs among content classes
+    // (identical texts pre-deduped — their groups are q40's output).
+    // Not SQL-expressible → rows-only oracle; DedupFixtureSpec verifies
+    // planted near-duplicates with hand-computed Jaccard.
     QueryDef(
       "q42_minhash_lsh",
-      (s, dir) => {
-        import s.implicits._
-        val docs = table(s, dir, "documents")
-        val banded = bandedSignatures(docs)
-        val cands = banded.as("a")
-          .join(banded.as("b"),
-            $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
-              $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
-        val shs = docs.select($"doc_id", shingles($"text", 3).as("sh"))
-        cands
-          .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-          .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-          .withColumn("jaccard",
-            size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-              size(array_union($"sh_a", $"sh_b")))
-          .filter($"jaccard" >= 0.5)
-          .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
-          .orderBy($"doc_a", $"doc_b")
-      },
+      (s, dir) => minhashPairs(table(s, dir, "documents")),
       None,
-      doc = "MinHash(12)+LSH(4×3) candidate pairs, exact-Jaccard verified"),
+      doc = "MinHash(12)+LSH(4×3) near-dup pairs, pre-deduped, exact-verified"),
 
     // ------------------------------------------------------------------
     // q43: SimHash near-dup pairs — 64-bit multiset sketch; candidates
     // share a 16-bit band; confirmed at Hamming distance ≤ 8.
     QueryDef(
       "q43_simhash",
-      (s, dir) => {
-        import s.implicits._
-        val wh = transform(words($"text"), w => xxhash64(w))
-        val docs = table(s, dir, "documents").select($"doc_id", wh.as("wh"))
-        val bits = (0 until 64).map { k =>
-          when(size(filter($"wh",
-            h => shiftrightunsigned(h, k).bitwiseAND(lit(1L)) === lit(1L))) * 2
-            > size($"wh"), shiftleft(lit(1L), k)).otherwise(lit(0L))
-        }
-        val sim = docs.select($"doc_id", bits.reduce(_ bitwiseOR _).as("simhash"))
-        val bandCol = (b: Int) =>
-          shiftrightunsigned($"simhash", b * 16).bitwiseAND(lit(0xffffL))
-        val banded = sim.select($"doc_id", $"simhash",
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"), bandCol(b).as("key"))): _*)).as("bk"))
-          .select($"doc_id", $"simhash", $"bk.band", $"bk.key")
-        banded.as("a")
-          .join(banded.as("b"),
-            $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
-              $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-            bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
-          .dropDuplicates("doc_a", "doc_b")
-          .filter($"hamming" <= 8)
-          .orderBy($"doc_a", $"doc_b")
-      },
+      (s, dir) => simhashPairs(table(s, dir, "documents")),
       None,
-      doc = "SimHash-64 sketch + 16-bit-band LSH, Hamming ≤ 8"),
+      doc = "SimHash-64 sketch + 16-bit-band LSH, Hamming ≤ 8, pre-deduped"),
 
     // ------------------------------------------------------------------
     // q44: exact n-gram Jaccard on a bounded key range — the LSH
@@ -186,7 +253,9 @@ object Dedup extends Registry {
       (s, dir) => {
         import s.implicits._
         val sample = table(s, dir, "documents").filter($"doc_id" < 300)
-        val shs = sample.select($"doc_id", shingles($"text", 2).as("sh"))
+        val shs = sample
+          .select($"doc_id", $"text", words($"text").as("w"))
+          .select($"doc_id", shinglesOf($"text", $"w", 2).as("sh"))
         shs.as("a").join(shs.as("b"), $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
             (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
