@@ -57,17 +57,24 @@ object Fns {
     "tsv" -> "text/tab-separated-values",
     "json" -> "application/json", "xml" -> "text/xml",
     "html" -> "text/html", "htm" -> "text/html",
-    "pdf" -> "application/pdf", "zip" -> "application/zip",
+    "pdf" -> "application/pdf",
+    // x-zip-compressed / x-tar / xlsx pinned by the reference's golden
+    // GTEx DocumentReference contentTypes (its mimetypes environment)
+    "zip" -> "application/x-zip-compressed", "tar" -> "application/x-tar",
+    "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
     "png" -> "image/png", "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg",
-    "gif" -> "image/gif", "bed" -> "text/plain")
+    "gif" -> "image/gif")
 
-  def mimeType(name: Column): Column = {
+  /** `default` differs per pipeline: "application/octet-stream" for 1KG
+    * (utils.py:92), "Unknown" for GTEx (gtex_fhirizer.py:281). */
+  def mimeType(name: Column,
+      default: String = "application/octet-stream"): Column = {
     val stripped = regexp_replace(name, "(?i)(\\.(gz|bz2|xz|z|br))+$", "")
     val parts = split(stripped, "\\.")
     when(size(parts) > 1,
       coalesce(element_at(typedLit(mimeTable), lower(element_at(parts, -1))),
-        lit("application/octet-stream")))
-      .otherwise(lit("application/octet-stream"))
+        lit(default)))
+      .otherwise(lit(default))
   }
 
   /** F7: GTEx SAMPID → last two dash segments ("GTEX-1117F-0003-SM-4JBJ3"

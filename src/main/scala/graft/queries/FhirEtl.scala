@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.etl.OneKg
+import graft.etl.{Gtex, OneKg}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,7 @@ object FhirEtl extends Registry {
   val FixtureDir: String =
     sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures")
   val GoldenDir = "/root/reference/fhir_etl/oneKgenomes/META"
+  val GtexGoldenDir = "/root/reference/fhir_etl/GTEx/META"
 
   private def sampleInfo(s: SparkSession): DataFrame =
     OneKg.readSampleInfo(s, s"$FixtureDir/onekg_sample_info.tsv")
@@ -161,6 +162,71 @@ object FhirEtl extends Registry {
              |  CAST(3 AS BIGINT) AS n_missing
              |FROM read_json('$GoldenDir/Group.ndjson',
              |  format='newline_delimited', union_by_name=true)""".stripMargin),
-      doc = "V4 reconciliation report (J1 found / J2 missing counts)")
+      doc = "V4 reconciliation report (J1 found / J2 missing counts)"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q27_gtex_patient",
+      (s, _) => Gtex.patients(
+        Gtex.readTsv(s, s"$FixtureDir/gtex_subjects.tsv")).select(
+        col("id"),
+        element_at(col("identifier"), 1)("value").as("subject_id"),
+        extVal("us-core-sex").as("sex"),
+        col("deceasedBoolean").as("deceased"),
+        extVal("dueto").as("death_circumstance"),
+        extVal("Patient-age").as("age_range"),
+        extRef("part-of-study").as("study_ref")),
+      Some(s"""SELECT id, identifier[1].value AS subject_id,
+             |  list_filter(extension, x -> x.url LIKE '%us-core-sex%')[1].valueString AS sex,
+             |  deceasedBoolean AS deceased,
+             |  list_filter(extension, x -> x.url LIKE '%dueto%')[1].valueString AS death_circumstance,
+             |  list_filter(extension, x -> x.url LIKE '%Patient-age%')[1].valueString AS age_range,
+             |  list_filter(extension, x -> x.url LIKE '%part-of-study%')[1].valueReference.reference AS study_ref
+             |FROM read_json('$GtexGoldenDir/Patient.ndjson',
+             |  format='newline_delimited', union_by_name=true)""".stripMargin),
+      doc = "P4 GTEx Row→Patient (deceasedBoolean, age/dueto branch F8)"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q28_gtex_researchsubject",
+      (s, _) => Gtex.researchSubjects(
+        Gtex.readTsv(s, s"$FixtureDir/gtex_subjects.tsv")).select(
+        col("id"),
+        element_at(col("identifier"), 1)("value").as("subject_id"),
+        col("status"),
+        col("subject")("reference").as("subject_ref"),
+        col("study")("reference").as("study_ref")),
+      Some(s"""SELECT id, identifier[1].value AS subject_id, status,
+             |  subject.reference AS subject_ref,
+             |  study.reference AS study_ref
+             |FROM read_json('$GtexGoldenDir/ResearchSubject.ndjson',
+             |  format='newline_delimited', union_by_name=true)""".stripMargin),
+      doc = "P5 GTEx Row→ResearchSubject"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q29_gtex_docref",
+      (s, _) => Gtex.documentReferences(
+        Gtex.readFileList(s, s"$FixtureDir/gtex_filelist.json")).select(
+        col("id"),
+        element_at(col("identifier"), 1)("value").as("file"),
+        col("version"), col("status"),
+        element_at(col("type")("coding"), 1)("code").as("type_code"),
+        element_at(col("content"), 1)("attachment")("contentType").as("mime"),
+        element_at(col("content"), 1)("attachment")("url").as("url"),
+        element_at(element_at(col("content"), 1)("profile"), 1)("valueCoding")("code")
+          .as("subpath"),
+        extVal("file-size").as("size_str"),
+        col("subject")("reference").as("subject_ref")),
+      Some(s"""SELECT id, identifier[1].value AS file, version, status,
+             |  type.coding[1].code AS type_code,
+             |  content[1].attachment.contentType AS mime,
+             |  content[1].attachment.url AS url,
+             |  content[1].profile[1].valueCoding.code AS subpath,
+             |  list_filter(extension, x -> x.url LIKE '%file-size%')[1].valueString AS size_str,
+             |  subject.reference AS subject_ref
+             |FROM read_json('$GtexGoldenDir/DocumentReference.ndjson',
+             |  format='newline_delimited', union_by_name=true)""".stripMargin),
+      doc = "P8 GTEx Row→DocumentReference (P14 unnest, S4 nested JSON)")
   )
 }

@@ -53,7 +53,13 @@ class FnsSpec extends AnyFunSuite {
       "x.vcf.gz.new" -> "application/octet-stream",
       "readme.txt" -> "text/plain", "noext" -> "application/octet-stream",
       "x.gz" -> "application/octet-stream")
-    assert(eval1(cases.map(_._1), Fns.mimeType) == cases.map(_._2))
+    assert(eval1(cases.map(_._1), Fns.mimeType(_)) == cases.map(_._2))
+    // GTEx default + golden-pinned types (gtex_fhirizer.py:281)
+    val gtex = Seq("x.tar.gz" -> "application/x-tar", "a.gct.gz" -> "Unknown",
+      "b.xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+      "c.zip" -> "application/x-zip-compressed", "d.parquet" -> "Unknown")
+    assert(eval1(gtex.map(_._1), Fns.mimeType(_, default = "Unknown")) ==
+      gtex.map(_._2))
   }
 
   test("F7 sampidKey: last two dash segments") {
