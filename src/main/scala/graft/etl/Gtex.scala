@@ -172,6 +172,22 @@ object Gtex {
           col("fs_name").as("display")).as("valueCoding"))).as("profile")))
         .as("content"))
 
+  /** E2 end-to-end: all six NDJSON outputs (gtex_fhirizer.py:410-423). */
+  def runAll(spark: SparkSession, fixtureDir: String, outDir: String): Unit = {
+    import graft.sinks.Ndjson
+    val subjects = readTsv(spark, s"$fixtureDir/gtex_subjects.tsv")
+    val samples = readTsv(spark, s"$fixtureDir/gtex_samples.tsv")
+    Ndjson.write(patients(subjects), outDir, "Patient")
+    Ndjson.write(researchSubjects(subjects), outDir, "ResearchSubject")
+    Ndjson.write(specimens(samples), outDir, "Specimen")
+    Ndjson.write(researchStudy(spark), outDir, "ResearchStudy")
+    Ndjson.write(documentReferences(
+      readFileList(spark, s"$fixtureDir/gtex_filelist.json")),
+      outDir, "DocumentReference")
+    Ndjson.write(group(readTsv(spark, s"$fixtureDir/gtex_sample_attrs.tsv"),
+      samples), outDir, "Group")
+  }
+
   // ------------------------------------------------------------------
   // Group: J3 intersection (stripped SAMPID ∩ aliquot ids) + A5
   // (gtex_fhirizer.py:87-105, 377-395)

@@ -241,6 +241,29 @@ object OneKg {
         col("member"))
   }
 
+  /** E1 end-to-end: transform all fixtures and write the six NDJSON
+    * files (K1/K2 for the per-row types, K3 create_or_extend for
+    * DocumentReference and Group, mirroring
+    * document_references.py:251-257). The Group step scans the
+    * Specimen.ndjson this very job wrote — the reference's own flow
+    * (S7 over its prior output). */
+  def runAll(spark: SparkSession, fixtureDir: String, outDir: String): Unit = {
+    import graft.sinks.Ndjson
+    val si = readSampleInfo(spark, s"$fixtureDir/onekg_sample_info.tsv")
+    Ndjson.write(patients(si), outDir, "Patient")
+    Ndjson.write(researchSubjects(si), outDir, "ResearchSubject")
+    Ndjson.write(specimens(si), outDir, "Specimen")
+    Ndjson.write(researchStudy(spark), outDir, "ResearchStudy")
+    Ndjson.createOrExtend(spark,
+      documentReferences(readFtpListing(spark, s"$fixtureDir/onekg_ftp_listing.tsv")),
+      outDir, "DocumentReference")
+    Ndjson.createOrExtend(spark,
+      group(spark,
+        readHeaderSampleIds(spark, s"$fixtureDir/onekg_vcf_header.txt"),
+        specimenSampleIds(spark, s"$outDir/Specimen.ndjson")),
+      outDir, "Group")
+  }
+
   /** V4: reconciliation counts (document_references.py:209-216) —
     * total/found/missing header ids vs the specimen set, as a report row. */
   def reconciliation(headerIds: DataFrame, specimenIds: DataFrame): DataFrame = {

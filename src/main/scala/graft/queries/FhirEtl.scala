@@ -227,6 +227,34 @@ object FhirEtl extends Registry {
              |  subject.reference AS subject_ref
              |FROM read_json('$GtexGoldenDir/DocumentReference.ndjson',
              |  format='newline_delimited', union_by_name=true)""".stripMargin),
-      doc = "P8 GTEx Row→DocumentReference (P14 unnest, S4 nested JSON)")
+      doc = "P8 GTEx Row→DocumentReference (P14 unnest, S4 nested JSON)"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q70_validate_onekg",
+      (s, _) => graft.etl.Validate.summary(s, GoldenDir),
+      Some(s"""SELECT * FROM (
+             |  SELECT 'DocumentReference' AS resource_type, count(*) AS n_valid
+             |  FROM read_json('$GoldenDir/DocumentReference.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'Group', count(*) FROM read_json('$GoldenDir/Group.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'Patient', count(*) FROM read_json('$GoldenDir/Patient.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'ResearchStudy', count(*) FROM read_json('$GoldenDir/ResearchStudy.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'ResearchSubject', count(*) FROM read_json('$GoldenDir/ResearchSubject.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'Specimen', count(*) FROM read_json('$GoldenDir/Specimen.ndjson', format='newline_delimited', union_by_name=true)
+             |) ORDER BY resource_type""".stripMargin),
+      doc = "V3 directory validation — README.md:35 count table"),
+
+    QueryDef(
+      "q71_validate_gtex",
+      (s, _) => graft.etl.Validate.summary(s, GtexGoldenDir),
+      Some(s"""SELECT * FROM (
+             |  SELECT 'DocumentReference' AS resource_type, count(*) AS n_valid
+             |  FROM read_json('$GtexGoldenDir/DocumentReference.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'Group', count(*) FROM read_json('$GtexGoldenDir/Group.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'Patient', count(*) FROM read_json('$GtexGoldenDir/Patient.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'ResearchStudy', count(*) FROM read_json('$GtexGoldenDir/ResearchStudy.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'ResearchSubject', count(*) FROM read_json('$GtexGoldenDir/ResearchSubject.ndjson', format='newline_delimited', union_by_name=true)
+             |) ORDER BY resource_type""".stripMargin),
+      doc = "V3 directory validation — README.md:38 count table")
   )
 }
