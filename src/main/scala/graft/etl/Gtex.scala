@@ -53,6 +53,20 @@ object Gtex {
   def readTsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("sep", "\t").option("header", "true").csv(path)
 
+  /** S3: the paginated subject API via the DataSourceV2 page source —
+    * one InputPartition per staged page envelope, records parsed with
+    * codegen'd from_json (graft.sources.RestPagesSource). */
+  def readSubjectPages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("graft.sources.RestPagesSource").option("path", dir)
+      .load()
+      .select(from_json($"value",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "subjectId STRING, sex STRING, ageBracket STRING, hardyScale STRING"))
+        .as("r"))
+      .select("r.*")
+  }
+
   /** S4: the nested fileList JSON — keep `GTEx Analysis V8`, drop the
     * protected fileset positionally (row 0, gtex_fhirizer.py:83), then
     * unnest filesets→files (P14). */

@@ -231,6 +231,26 @@ object FhirEtl extends Registry {
 
     // ------------------------------------------------------------------
     QueryDef(
+      "q72_gtex_patient_restsource",
+      // same transform as q27 but fed by the S3 paginated-REST
+      // DataSourceV2 (one InputPartition per page) instead of the TSV —
+      // the oracle is the same golden, so a match proves the custom
+      // source delivers every record of every page exactly once
+      (s, _) => Gtex.patients(
+        Gtex.readSubjectPages(s, s"$FixtureDir/gtex_subject_pages")).select(
+        col("id"),
+        element_at(col("identifier"), 1)("value").as("subject_id"),
+        col("deceasedBoolean").as("deceased"),
+        extRef("part-of-study").as("study_ref")),
+      Some(s"""SELECT id, identifier[1].value AS subject_id,
+             |  deceasedBoolean AS deceased,
+             |  list_filter(extension, x -> x.url LIKE '%part-of-study%')[1].valueReference.reference AS study_ref
+             |FROM read_json('$GtexGoldenDir/Patient.ndjson',
+             |  format='newline_delimited', union_by_name=true)""".stripMargin),
+      doc = "S3 paginated REST scan via DataSourceV2, one partition per page"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
       "q70_validate_onekg",
       (s, _) => graft.etl.Validate.summary(s, GoldenDir),
       Some(s"""SELECT * FROM (

@@ -98,6 +98,34 @@ def main():
         f.write("GTEX-MISS-0002-SM-9999\tLung\n")         # miss
     print("samples: 5 synthetic, attrs: 3 matches + 2 misses")
 
+    # ---- paginated subject API envelopes (S3 fixture: 100 items/page,
+    # the reference's itemsPerPage, gtex_fhirizer.py:61) ----
+    page_dir = f"{OUT}/gtex_subject_pages"
+    os.makedirs(page_dir, exist_ok=True)
+    for f0 in os.listdir(page_dir):
+        os.remove(os.path.join(page_dir, f0))
+    records = []
+    for p in pats:
+        em = ext_map(p)
+        age = em.get("https://hl7.org/fhir/extensions/SearchParameter-patient-extensions-Patient-age.html")
+        if age:
+            a, b = [int(x) for x in age.split(" - ")]
+            bracket = f"{2025 - b}-{2025 - a}"
+        else:
+            bracket = None
+        records.append({
+            "subjectId": p["identifier"][0]["value"],
+            "sex": em.get("https://hl7.org/fhir/us/core/STU3.1.1/StructureDefinition-us-core-sex.html"),
+            "ageBracket": bracket,
+            "hardyScale": em.get("https://hl7.org/fhir/R4B/extension-condition-dueto.html")})
+    per, n_pages = 100, (len(records) + 99) // 100
+    for i in range(n_pages):
+        with open(f"{page_dir}/page-{i:04d}.json", "w") as f:
+            json.dump({"data": records[i * per:(i + 1) * per],
+                       "paging_info": {"numberOfPages": n_pages, "page": i,
+                                       "totalNumberOfItems": len(records)}}, f)
+    print(f"subject pages: {n_pages} x <= {per}")
+
 
 if __name__ == "__main__":
     main()
