@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.Dedup,
     graft.queries.Similarity,
     graft.queries.EventOps,
+    graft.queries.Multimodal,
     graft.queries.FhirEtl
   )
 

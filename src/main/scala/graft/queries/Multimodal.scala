@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators — the training-data-pipeline surface for
+  * opaque binary assets (images/audio/video) with typed metadata.
+  *
+  * The corpus is derived deterministically from `documents`: the UTF-8
+  * payload bytes stand in for encoded media, modality is assigned by
+  * doc_id, and a typed `meta` struct carries per-modality attributes.
+  * The DECODE step is a clearly-marked STUB (this container has no
+  * image/audio codecs): "features" are md5-derived values and "frames"
+  * are fixed-stride payload slices. Everything around the stub — binary
+  * columns, metadata schema, narrow per-asset transforms, frame
+  * explosion, per-modality aggregation — is the real plumbing a media
+  * pipeline needs and is fully tested (MultimodalSpec + DuckDB
+  * oracles).
+  *
+  * Scale: decode/feature steps are narrow (no shuffle); the only
+  * shuffles are the final per-modality/per-asset aggregations. At 100 TB
+  * the same shape holds: assets are value-columns, never join keys.
+  */
+object Multimodal extends Registry {
+  import Tables.table
+
+  /** STUB decode: deterministic pseudo-feature in [0,1) from md5 of the
+    * asset content and a feature index. A real deployment swaps this
+    * for a codec/model call (e.g. mapInArrow over payload batches)
+    * without changing the plan shape. */
+  private def fakeFeature(content: Column, i: Int): Column =
+    conv(substring(md5(concat(content, lit(s"|$i"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  private val modality =
+    when(pmod(col("doc_id"), lit(3)) === 0, "image")
+      .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+      .otherwise("video")
+
+  /** The multimodal corpus: binary payload + typed per-modality meta. */
+  def corpus(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(
+      col("doc_id"),
+      modality.as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("text"),
+      struct(
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+        // stub metadata: deterministic fake dimensions / rates
+        (pmod(xxhash64(col("doc_id")), lit(1280)) + 64).as("width"),
+        (pmod(xxhash64(col("doc_id"), lit(1)), lit(720)) + 64).as("height"),
+        lit(16000).as("sample_rate")).as("meta"))
+
+  val FrameChars = 64
+  val MaxFrames = 8
+
+  /** Frame sampling (video modality): fixed-stride slices of the asset,
+    * capped at MaxFrames — the standard keyframe-subsample shape. */
+  def frames(video: DataFrame): DataFrame = {
+    val nFrames = least(lit(MaxFrames),
+      ((length(col("text")) - 1) / FrameChars).cast("int") + 1)
+    video
+      .select(col("doc_id"), col("text"), nFrames.as("n"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n") - 1),
+          i => col("text").substr(i * FrameChars + 1, lit(FrameChars)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q80_multimodal_decode",
+      (s, dir) => corpus(s, dir)
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_assets"),
+          round(avg(col("meta")("n_bytes")), 2).as("avg_bytes"),
+          round(avg(fakeFeature(col("text"), 0)), 4).as("f0"),
+          round(avg(fakeFeature(col("text"), 1)), 4).as("f1"))
+        .orderBy(col("modality")),
+      Some("""SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+             |            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             |  count(*) AS n_assets,
+             |  round(avg(octet_length(encode(text))), 2) AS avg_bytes,
+             |  round(avg(CAST(('0x' || substr(md5(text || '|0'), 1, 8)) AS BIGINT)
+             |        / 4294967296.0), 4) AS f0,
+             |  round(avg(CAST(('0x' || substr(md5(text || '|1'), 1, 8)) AS BIGINT)
+             |        / 4294967296.0), 4) AS f1
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Binary payload + typed meta + stubbed decode/feature extract"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q81_multimodal_frames",
+      (s, dir) => frames(corpus(s, dir).filter(col("modality") === "video"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          round(avg(fakeFeature(col("frame"), 0)), 4).as("avg_frame_f0"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+             |f AS (SELECT doc_id,
+             |        unnest([substr(text, i * $FrameChars + 1, $FrameChars)
+             |                for i in range(0, least($MaxFrames,
+             |                  (length(text) - 1) // $FrameChars + 1))]) AS frame
+             |      FROM v)
+             |SELECT doc_id, count(*) AS n_frames,
+             |  round(avg(CAST(('0x' || substr(md5(frame || '|0'), 1, 8)) AS BIGINT)
+             |        / 4294967296.0), 4) AS avg_frame_f0
+             |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "Frame sampling (fixed-stride slices, capped) + per-frame features")
+  )
+}

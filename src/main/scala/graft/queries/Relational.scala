@@ -456,6 +456,48 @@ object Relational extends Registry {
              |       ELSE c_acctbal END AS c_acctbal
              |FROM customer
              |ORDER BY c_custkey""".stripMargin),
-      doc = "Keyed upsert w/ precedence (reference create_or_extend K3/A2)")
+      doc = "Keyed upsert w/ precedence (reference create_or_extend K3/A2)"),
+
+    // ------------------------------------------------------------------
+    // q17: CUBE — all four grouping-set combinations in one pass
+    // (VERDICT r1 flagged cube/grouping-sets as untested).
+    QueryDef(
+      "q17_cube",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag".asc_nulls_first,
+            $"l_linestatus".asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      doc = "CUBE grouping sets (4 combinations, single pass)"),
+
+    // ------------------------------------------------------------------
+    // q18: typed-Aggregator UDAF (geometric mean) — partial+final
+    // aggregation exactly like a native agg; the UDAF/UDTF surface of
+    // SURVEY §2.7.
+    QueryDef(
+      "q18_geomean_udaf",
+      (s, dir) => {
+        import s.implicits._
+        val geomean = udaf(graft.functions.Aggregators.GeoMean)
+        table(s, dir, "part")
+          .groupBy($"p_brand")
+          .agg(round(geomean($"p_retailprice"), 4).as("geo_price"),
+            count(lit(1)).as("n_parts"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand,
+             |  round(exp(avg(ln(p_retailprice))), 4) AS geo_price,
+             |  count(*) AS n_parts
+             |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      doc = "Typed Aggregator UDAF (geomean) with map-side partial agg")
   )
 }
