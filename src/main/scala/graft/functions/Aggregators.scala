@@ -25,4 +25,29 @@ object Aggregators {
     override def bufferEncoder: Encoder[GeoMeanBuf] = Encoders.product
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  final case class PricedLine(price: Double, okey: Long, lnum: Int)
+
+  /** Bounded top-k by (price DESC, okey ASC, lnum ASC). The buffer
+    * never exceeds k rows, so map-side partial aggregation reduces each
+    * input partition to a k-row state BEFORE the shuffle — grouped
+    * top-k without moving the fact table (vs a window, which shuffles
+    * every row to its group's partition first). */
+  final class TopKLines(k: Int)
+      extends Aggregator[PricedLine, Seq[PricedLine], Seq[PricedLine]] {
+    private def ord: Ordering[PricedLine] =
+      Ordering.by(l => (-l.price, l.okey, l.lnum))
+    private def top(s: Seq[PricedLine]): Seq[PricedLine] =
+      s.sorted(ord).take(k)
+    override def zero: Seq[PricedLine] = Nil
+    override def reduce(b: Seq[PricedLine], x: PricedLine): Seq[PricedLine] =
+      top(b :+ x)
+    override def merge(a: Seq[PricedLine], b: Seq[PricedLine]): Seq[PricedLine] =
+      top(a ++ b)
+    override def finish(b: Seq[PricedLine]): Seq[PricedLine] = b
+    override def bufferEncoder: Encoder[Seq[PricedLine]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[PricedLine]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

@@ -117,13 +117,20 @@ object Dedup extends Registry {
     *     corpus-sized. */
   def minhashPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     val reps = contentClassReps(docs)
-    val banded = capBuckets(bandedSignatures(reps), Seq("band", "bh"))
+    // persist the SKETCHES (not the text): the banded signatures feed
+    // both sides of the self-join and the candidate set feeds two
+    // downstream joins — without a materialization point Spark
+    // re-expands the whole sketch subtree per use (audited: 6 document
+    // scans). Sketch volume is ~4 rows × 16 bytes per content class,
+    // negligible at any corpus size.
+    val banded = capBuckets(bandedSignatures(reps), Seq("band", "bh")).persist()
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      .persist()
     val candIds = cands
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
@@ -160,6 +167,7 @@ object Dedup extends Registry {
           struct(lit(b).as("band"), bandCol(b).as("key"))): _*)).as("bk"))
         .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key")),
       Seq("band", "key"))
+      .persist() // both sides of the self-join; see minhashPairs
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -196,30 +196,27 @@ object Relational extends Registry {
       doc = "Star-schema join, all dims broadcast (zero fact shuffle)"),
 
     // ------------------------------------------------------------------
-    // q07: ranking window — top-3 lineitems per return flag.
-    // Two-phase: l_returnflag has only ~3 distinct values, so a direct
-    // window would sort the whole fact table inside 3 tasks (a straggler
-    // at 100×). Phase 1 takes a per-(flag, salt) local top-3 across 32
-    // salted groups — the global top-3 is always a subset of that union —
-    // then phase 2 ranks the ≤ 3×32 survivors per flag. The final sort
-    // touches ~100 rows per flag instead of the full table.
+    // q07: top-3 lineitems per return flag — via a BOUNDED map-side
+    // top-k Aggregator. l_returnflag has ~3 distinct values, so any
+    // window-based ranking must first shuffle the entire fact table to
+    // ≤3 partitions (the r1-flagged straggler). The Aggregator's k-row
+    // buffer partial-aggregates each input split down to 3 rows BEFORE
+    // the shuffle: what moves is (#input-partitions × 3) tiny states,
+    // at any table size.
     QueryDef(
       "q07_window_topk",
       (s, dir) => {
         import s.implicits._
-        val ord = Seq($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
-        val salted = table(s, dir, "lineitem")
-          .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
-          .withColumn("salt", pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(32)))
-        val wLocal = Window.partitionBy($"l_returnflag", $"salt").orderBy(ord: _*)
-        val survivors = salted
-          .withColumn("lrn", row_number().over(wLocal))
-          .filter($"lrn" <= 3)
-          .drop("salt", "lrn")
-        val wGlobal = Window.partitionBy($"l_returnflag").orderBy(ord: _*)
-        survivors
-          .withColumn("rn", row_number().over(wGlobal))
-          .filter($"rn" <= 3)
+        val topk = udaf(new graft.functions.Aggregators.TopKLines(3),
+          org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.PricedLine])
+        table(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+          .groupBy($"l_returnflag")
+          .agg(topk($"l_extendedprice", $"l_orderkey", $"l_linenumber").as("top"))
+          .select($"l_returnflag", posexplode($"top"))
+          .select($"l_returnflag", $"col.okey".as("l_orderkey"),
+            $"col.lnum".as("l_linenumber"), $"col.price".as("l_extendedprice"),
+            ($"pos" + 1).cast("int").as("rn"))
           .orderBy($"l_returnflag", $"rn")
       },
       Some("""SELECT * FROM (
