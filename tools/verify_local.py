@@ -29,11 +29,14 @@ def norm_cell(v):
     return str(v)
 
 
-def canon(df: pd.DataFrame):
+def canon(df: pd.DataFrame, ordered: bool):
+    """Column order is always normalized; row order is kept when the
+    oracle declares ORDER BY (so declared orderings are actually
+    verified), sorted otherwise."""
     cols = sorted(df.columns)
     rows = [tuple(norm_cell(v) for v in row)
             for row in df[cols].itertuples(index=False, name=None)]
-    return cols, sorted(rows)
+    return cols, (rows if ordered else sorted(rows))
 
 
 def main():
@@ -45,11 +48,20 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    manifest = None
+    mpath = os.path.join(out_dir, "queries.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = set(json.load(f))
 
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     failures = []
     for name in names:
+        if manifest is not None and name not in manifest:
+            failures.append((name, "stale output dir: not in the current "
+                                   "query registry (rm -rf the out dir)"))
+            continue
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             failures.append((name, "no parquet output"))
@@ -66,8 +78,9 @@ def main():
         except Exception as e:
             failures.append((name, f"oracle SQL failed: {e}"))
             continue
-        gc, gr = canon(got)
-        wc, wr = canon(want)
+        ordered = "order by" in oracles[name].lower()
+        gc, gr = canon(got, ordered)
+        wc, wr = canon(want, ordered)
         if gc != wc:
             failures.append((name, f"schema mismatch: spark={gc} duck={wc}"))
         elif len(gr) != len(wr):
