@@ -1,0 +1,47 @@
+package graft
+
+import graft.expressions.MinHashBandsExpr
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point — registers graft's custom Catalyst
+  * expressions with a session, either via the canonical
+  * `spark.sql.extensions=graft.GraftExtensions` config or lazily with
+  * [[GraftExtensions.ensureRegistered]] (used defensively by queries so
+  * they work on harness-created sessions too). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.minhashBands)
+}
+
+object GraftExtensions {
+
+  private val minhashBands: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_bands"),
+    new ExpressionInfo(classOf[MinHashBandsExpr].getName, "minhash_bands"),
+    (args: Seq[Expression]) => {
+      def intArg(e: Expression, default: Int): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => default
+      }
+      args match {
+        case Seq(text) => MinHashBandsExpr(text, 3, 12, 4)
+        case Seq(text, k, nh, nb) =>
+          MinHashBandsExpr(text, intArg(k, 3), intArg(nh, 12), intArg(nb, 4))
+        case _ => throw new IllegalArgumentException(
+          "minhash_bands(text[, k, numHashes, numBands])")
+      }
+    })
+
+  /** Idempotent per-session registration for sessions not created with
+    * the extensions config (e.g. the driver harness's own session). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    if (!registry.functionExists(minhashBands._1))
+      registry.registerFunction(minhashBands._1, minhashBands._2, minhashBands._3)
+  }
+}

@@ -84,23 +84,19 @@ object Dedup extends Registry {
       .filter(col("bsz") <= MaxBucketSize).drop("bsz")
   }
 
-  /** (doc_id, band, bh) — one row per (document, band); the LSH join key.
-    * Each stage materializes its array column so the interpreted
-    * higher-order lambdas never re-evaluate upstream work (see
-    * [[shinglesOf]]). */
+  /** (doc_id, band, bh) — one row per (document, band); the LSH join
+    * key. The whole sketch (tokenize → shingle → hash → salted minima →
+    * band hashes) is ONE custom codegen expression
+    * ([[graft.expressions.MinHashBandsExpr]]) — bit-identical to the
+    * equivalent built-in chain but ~an order of magnitude cheaper,
+    * because higher-order functions are interpreted while this stays in
+    * whole-stage codegen. */
   private def bandedSignatures(docs: DataFrame): DataFrame = {
-    val withSh = docs
-      .select(col("doc_id"), col("text"), words(col("text")).as("w"))
-      .select(col("doc_id"), shinglesOf(col("text"), col("w"), 3).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
-    val mhCols = (0 until NumHashes).map(s => minhash(col("hs"), s).as(s"mh$s"))
-    val sig = withSh.select((col("doc_id") +: mhCols): _*)
-    val bands = array((0 until NumBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*).as("bh"))
-    }: _*)
-    sig.select(col("doc_id"), explode(bands).as("bs"))
-      .select(col("doc_id"), col("bs.band"), col("bs.bh"))
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        posexplode(expr(s"minhash_bands(text, 3, $NumHashes, $NumBands)")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
   }
 
   /** MinHash-LSH near-dup pairs among content classes of `docs`
