@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.MinHashBandsExpr
+import graft.expressions.{MinHashBandsExpr, SimHash64Expr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -12,8 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[GraftExtensions.ensureRegistered]] (used defensively by queries so
   * they work on harness-created sessions too). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashBands)
+    ext.injectFunction(GraftExtensions.simhash64)
+  }
 }
 
 object GraftExtensions {
@@ -36,12 +38,19 @@ object GraftExtensions {
       }
     })
 
+  private val simhash64: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+    (args: Seq[Expression]) => SimHash64Expr(args.head))
+
   /** Idempotent per-session registration for sessions not created with
     * the extensions config (e.g. the driver harness's own session). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    if (!registry.functionExists(minhashBands._1))
-      registry.registerFunction(minhashBands._1, minhashBands._2, minhashBands._3)
+    for (fn <- Seq(minhashBands, simhash64))
+      if (!registry.functionExists(fn._1))
+        registry.registerFunction(fn._1, fn._2, fn._3)
   }
 }

@@ -145,16 +145,14 @@ object Dedup extends Registry {
   }
 
   /** SimHash near-dup pairs among content classes, Hamming-verified.
-    * Same pre-dedup + bucket-cap guards as [[minhashPairs]]. */
+    * Same pre-dedup + bucket-cap guards as [[minhashPairs]]. The sketch
+    * is the custom codegen expression [[graft.expressions.SimHash64Expr]]
+    * — one pass over the words instead of 64 interpreted filter scans,
+    * bit-identical output. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val wh = transform(split(col("text"), " "), w => xxhash64(w))
-    val reps = contentClassReps(docs).select(col("doc_id"), wh.as("wh"))
-    val bits = (0 until 64).map { k =>
-      when(size(filter(col("wh"),
-        h => shiftrightunsigned(h, k).bitwiseAND(lit(1L)) === lit(1L))) * 2
-        > size(col("wh")), shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }
-    val sim = reps.select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("simhash"))
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val sim = contentClassReps(docs)
+      .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
     val bandCol = (b: Int) =>
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
     val banded = capBuckets(
@@ -251,7 +249,13 @@ object Dedup extends Registry {
 
     // ------------------------------------------------------------------
     // q44: exact n-gram Jaccard on a bounded key range — the LSH
-    // verification tail as a standalone, oracle-checkable op.
+    // verification tail as a standalone, oracle-checkable op. The
+    // all-pairs join is DELIBERATE and bounded (doc_id < 300, constant
+    // at any sf): an inverted-index shingle join was measured SLOWER
+    // here because ubiquitous bigrams ("of the") each expand to df²
+    // pair rows — on natural text that exceeds n² for small n. The
+    // unbounded-scale form of exact verification is q42's
+    // candidate-restricted join, not this.
     QueryDef(
       "q44_ngram_jaccard",
       (s, dir) => {
