@@ -176,6 +176,39 @@ object Similarity extends Registry {
       doc = "Random-projection LSH (6 bands × 4 bits) + exact rerank of candidates"),
 
     QueryDef(
+      "q45_embedding_neardup",
+      // embedding-cosine near-duplicate pairs (the dedup-by-embedding
+      // checkbox): exact all-pairs at the verification threshold —
+      // oracle-checkable; the sub-linear candidate path for unbounded
+      // corpora is q51's LSH bucketing
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val a = c.select(col("vec_id").as("id_a"), col("v").as("va"),
+          col("nrm").as("na"))
+        val b = c.select(col("vec_id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+              .as("cosine"))
+          .filter(col("cosine") >= 0.4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |    sqrt(list_dot_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             |  FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
+             |FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin),
+      doc = "Embedding-cosine near-dup pairs (exact; LSH candidates = q51)"),
+
+    QueryDef(
       "q52_ivf_assign",
       (s, dir) => ivfAssign(s, dir),
       Some("""WITH n AS (
