@@ -104,6 +104,46 @@ object EventOps extends Registry {
              |  count(*) AS n_events, round(sum(value), 2) AS sum_value
              |FROM y GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin),
-      doc = "Session window (30min gap) — native merging, no driver state")
+      doc = "Session window (30min gap) — native merging, no driver state"),
+
+    // ------------------------------------------------------------------
+    // q63: event-time AS-OF join — for every purchase, the latest click
+    // by the same user at or before it. Spark lacks a native as-of
+    // join; composing existing ops (ladder step (a)): tag and union the
+    // two streams, one window per user carries the last click timestamp
+    // forward. ONE shuffle on user_id, no per-pair range explosion —
+    // the plan a point-in-time-correct feature join needs at any scale.
+    // Oracle: DuckDB's native ASOF LEFT JOIN.
+    QueryDef(
+      "q63_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val e = events(s, dir).select($"event_id", $"user_id", $"ts",
+          $"event_type")
+        val tagged = e.filter($"event_type" === "click")
+          .select($"user_id", $"ts", lit(1).as("is_click"),
+            lit(null).cast("long").as("event_id"))
+          .unionByName(e.filter($"event_type" === "purchase")
+            .select($"user_id", $"ts", lit(0).as("is_click"), $"event_id"))
+        // ties: a click at exactly the purchase timestamp counts as
+        // prior (ASOF >= semantics) — clicks sort first at equal ts
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts".asc, $"is_click".desc)
+          .rowsBetween(Long.MinValue, 0)
+        tagged
+          .withColumn("last_click_ts",
+            last(when($"is_click" === 1, $"ts"), ignoreNulls = true).over(w))
+          .filter($"is_click" === 0)
+          .select($"event_id", $"user_id", $"ts".as("purchase_ts"),
+            $"last_click_ts")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+             |  c.ts AS last_click_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin),
+      doc = "Event-time AS-OF join via carry-forward window (vs DuckDB ASOF)")
   )
 }
