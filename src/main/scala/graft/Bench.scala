@@ -11,9 +11,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed JVM/codegen warmup so the first timed query doesn't absorb
-    // class-loading and executor-spinup cost
+    // class-loading and executor-spinup cost; includes a real parquet
+    // scan + agg so the vectorized-reader and agg codegen paths are hot
     spark.range(1000000).selectExpr("sum(id * 2)", "count(distinct id % 7)")
       .collect()
+    try spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().collect()
+    catch { case _: Throwable => () }
     // sorted for a stable, comparable readout across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

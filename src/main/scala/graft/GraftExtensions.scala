@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{MinHashBandsExpr, SimHash64Expr}
+import graft.expressions.{MinHashBandsExpr, SimHash64Expr, VectorDotExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashBands)
     ext.injectFunction(GraftExtensions.simhash64)
+    ext.injectFunction(GraftExtensions.vecDot)
   }
 }
 
@@ -44,12 +45,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
     (args: Seq[Expression]) => SimHash64Expr(args.head))
 
+  private val vecDot: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VectorDotExpr].getName, "vec_dot"),
+    (args: Seq[Expression]) => VectorDotExpr(args(0), args(1)))
+
   /** Idempotent per-session registration for sessions not created with
     * the extensions config (e.g. the driver harness's own session). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    for (fn <- Seq(minhashBands, simhash64))
+    for (fn <- Seq(minhashBands, simhash64, vecDot))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
   }

@@ -35,15 +35,20 @@ object Similarity extends Registry {
 
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Codegen dot product (graft.expressions.VectorDotExpr) — the
+    * built-in aggregate/zip_with form is interpreted and was the
+    * dominant cost of every scorer at bench scale. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    call_function("vec_dot", a, b)
 
   /** Corpus with precomputed norm (embeddings are unit vectors, but the
     * operator must not rely on that). */
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(s)
     table(s, dir, "embeddings")
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
 
   private def queriesOf(c: DataFrame): DataFrame =
     c.filter(col("vec_id") % 100 === 0)
@@ -101,6 +106,7 @@ object Similarity extends Registry {
 
   /** Candidate (q_id, neighbor_id) pairs via the band-bucket join. */
   def lshCandidates(c: DataFrame, q: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(c.sparkSession)
     val cb = c.select(col("vec_id"), explode(bandKeys(col("v"))).as("bk"))
       .select(col("vec_id"), col("bk.band"), col("bk.key"))
     val qb = q.select(col("q_id"), explode(bandKeys(col("qv"))).as("bk"))

@@ -37,4 +37,28 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(key).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("streaming dedup within watermark drops re-delivered events") {
+    import org.apache.spark.sql.functions._
+    // simulate at-least-once delivery: the same file arrives twice
+    val streamDir = java.nio.file.Files.createTempDirectory("evt-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events-a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events-b.parquet"))
+    val deduped = EventStream.readStream(spark, streamDir.toString)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy().count()
+    val query = deduped.writeStream.format("memory")
+      .queryName("evt_dedup").outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    val n = spark.table("evt_dedup").collect().head.getLong(0)
+    val expected = EventStream
+      .readBatch(spark, s"$sfDir/events.parquet").count()
+    assert(n == expected, s"deduped stream $n != unique events $expected")
+  }
 }
