@@ -188,6 +188,43 @@ object TextOps extends Registry {
              |          string_split(lower(text),' '))), ' ')) AS fp
              |      FROM documents) t
              |GROUP BY source ORDER BY source""".stripMargin),
-      doc = "Canonical-form fingerprinting + per-source dup stats")
+      doc = "Canonical-form fingerprinting + per-source dup stats"),
+
+    // ------------------------------------------------------------------
+    // q35: the composed LLM data-prep pipeline these operators exist
+    // for — quality gate → exact dedup (keep lowest doc_id) → per-
+    // language corpus stats. Each stage is a narrow filter or a single
+    // keyed shuffle; the composition is what runs over a 100 TB crawl.
+    QueryDef(
+      "q35_prep_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val gated = table(s, dir, "documents")
+          .withColumn("n_words", size(words($"text")))
+          .filter($"n_words" >= 30 && $"n_chars" >= 200)
+        gated
+          .groupBy(md5($"text").as("h"))
+          .agg(min($"doc_id").as("keeper_id"), min($"lang").as("lang"),
+            min($"n_words").as("n_words"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_words").as("total_tokens"),
+            round(avg($"n_words"), 2).as("avg_tokens"))
+          .orderBy($"lang")
+      },
+      Some("""WITH gated AS (
+             |  SELECT doc_id, lang, text,
+             |    len(string_split(text, ' ')) AS n_words
+             |  FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 30 AND n_chars >= 200),
+             |dedup AS (
+             |  SELECT md5(text) AS h, min(doc_id) AS keeper_id,
+             |    min(lang) AS lang, min(n_words) AS n_words
+             |  FROM gated GROUP BY md5(text))
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
+             |  round(avg(n_words), 2) AS avg_tokens
+             |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "Composed prep pipeline: quality gate → dedup → corpus stats")
   )
 }
