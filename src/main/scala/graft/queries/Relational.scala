@@ -495,6 +495,52 @@ object Relational extends Registry {
              |  round(exp(avg(ln(p_retailprice))), 4) AS geo_price,
              |  count(*) AS n_parts
              |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin),
-      doc = "Typed Aggregator UDAF (geomean) with map-side partial agg")
+      doc = "Typed Aggregator UDAF (geomean) with map-side partial agg"),
+
+    // ------------------------------------------------------------------
+    // q19: pivot — wide-format aggregation (one column per pivot value,
+    // fixed value list so no extra distinct-scan pass).
+    QueryDef(
+      "q19_pivot",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(round(sum($"l_quantity"), 2))
+          .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+      doc = "PIVOT to wide format (explicit value list, single pass)"),
+
+    // ------------------------------------------------------------------
+    // q1a: unpivot/melt — long-format normalization of measure columns.
+    QueryDef(
+      "q1a_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+          .unpivot(Array($"l_orderkey"),
+            Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+            "metric", "val")
+          .groupBy($"metric")
+          .agg(count(lit(1)).as("n"), round(sum($"val"), 2).as("total"))
+          .orderBy($"metric")
+      },
+      Some("""SELECT metric, count(*) AS n, round(sum(val), 2) AS total
+             |FROM (
+             |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_discount', l_discount FROM lineitem) t
+             |GROUP BY metric ORDER BY metric""".stripMargin),
+      doc = "UNPIVOT/melt to long format + aggregate")
   )
 }
