@@ -18,6 +18,20 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
     catch { case _: Throwable => () }
+    // warm the join + window codegen paths too — the suite runs
+    // alphabetically, so without this the first join-heavy queries
+    // (q03/q04) absorb all join/window JIT cost and distort readouts
+    try {
+      import org.apache.spark.sql.functions._
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(n.select(col("n_nationkey").as("k")), col("n_nationkey") === col("k"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("r_name").orderBy("n_name")))
+        .agg(sum("rn")).collect()
+    } catch { case _: Throwable => () }
     // sorted for a stable, comparable readout across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{MinHashBandsExpr, SimHash64Expr, VectorDotExpr}
+import graft.expressions.{JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, SimHash64Expr, VectorDotExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashBands)
     ext.injectFunction(GraftExtensions.simhash64)
     ext.injectFunction(GraftExtensions.vecDot)
+    ext.injectFunction(GraftExtensions.shingleHashes)
+    ext.injectFunction(GraftExtensions.jaccardSorted)
   }
 }
 
@@ -51,12 +53,29 @@ object GraftExtensions {
     new ExpressionInfo(classOf[VectorDotExpr].getName, "vec_dot"),
     (args: Seq[Expression]) => VectorDotExpr(args(0), args(1)))
 
+  private val shingleHashes: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+    (args: Seq[Expression]) => args match {
+      case Seq(text) => ShingleHashesExpr(text, 3)
+      case Seq(text, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+        ShingleHashesExpr(text, k)
+      case _ => throw new IllegalArgumentException("shingle_hashes(text[, k])")
+    })
+
+  private val jaccardSorted: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaccard_sorted"),
+    new ExpressionInfo(classOf[JaccardSortedExpr].getName, "jaccard_sorted"),
+    (args: Seq[Expression]) => JaccardSortedExpr(args(0), args(1)))
+
   /** Idempotent per-session registration for sessions not created with
     * the extensions config (e.g. the driver harness's own session). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    for (fn <- Seq(minhashBands, simhash64, vecDot))
+    for (fn <- Seq(minhashBands, simhash64, vecDot, shingleHashes, jaccardSorted))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
   }

@@ -130,18 +130,26 @@ object Dedup extends Registry {
     val candIds = cands
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
+    // verify kernel: sorted 64-bit shingle hashes + linear-merge Jaccard
+    // (codegen, see ShingleJaccard) instead of interpreted string-array
+    // intersect/union — same values (injective modulo 2⁻⁶⁵ collisions)
     val shs = reps.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("text"), words(col("text")).as("w"))
-      .select(col("doc_id"), shinglesOf(col("text"), col("w"), 3).as("sh"))
-    cands
+      .select(col("doc_id"), expr("shingle_hashes(text, 3)").as("sh"))
+    val result = cands
       .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", expr("jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+      // materialize the (small, bounded: verified near-dup pairs) result
+      // eagerly so the sketch/candidate caches can be released NOW —
+      // without this the persisted partitions stay resident for the rest
+      // of the application (cache hygiene the 100× story needs)
+      .localCheckpoint(true)
+    banded.unpersist()
+    cands.unpersist()
+    result
   }
 
   /** SimHash near-dup pairs among content classes, Hamming-verified.
@@ -162,7 +170,7 @@ object Dedup extends Registry {
         .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key")),
       Seq("band", "key"))
       .persist() // both sides of the self-join; see minhashPairs
-    banded.as("a")
+    val result = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -171,6 +179,9 @@ object Dedup extends Registry {
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true) // release the sketch cache; see minhashPairs
+    banded.unpersist()
+    result
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -260,14 +271,17 @@ object Dedup extends Registry {
       "q44_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
-        val sample = table(s, dir, "documents").filter($"doc_id" < 300)
-        val shs = sample
-          .select($"doc_id", $"text", words($"text").as("w"))
-          .select($"doc_id", shinglesOf($"text", $"w", 2).as("sh"))
+        graft.GraftExtensions.ensureRegistered(s)
+        // sorted 64-bit shingle hashes + merge-Jaccard (codegen kernel,
+        // ShingleJaccard): identical values to string-array
+        // intersect/union — injective modulo 2⁻⁶⁵ hash collisions — at a
+        // fraction of the cost (the interpreted-HOF + string-compare
+        // form was 19s of the sf0.1 bench for this constant-size job)
+        val shs = table(s, dir, "documents").filter($"doc_id" < 300)
+          .select($"doc_id", expr("shingle_hashes(text, 2)").as("sh"))
         shs.as("a").join(shs.as("b"), $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-            (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
-              size(array_union($"a.sh", $"b.sh"))).as("j"))
+            expr("jaccard_sorted(a.sh, b.sh)").as("j"))
           .filter($"j" >= 0.3)
           .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
           .orderBy($"doc_a", $"doc_b")

@@ -47,7 +47,7 @@ object EventOps extends Registry {
       Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
              |  event_type, count(*) AS n_events,
              |  round(sum(value), 2) AS sum_value,
-             |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k
+             |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
              |FROM events
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "Tumbling 1h event-time window + JSON props extraction"),

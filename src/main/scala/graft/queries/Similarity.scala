@@ -184,11 +184,13 @@ object Similarity extends Registry {
     QueryDef(
       "q45_embedding_neardup",
       // embedding-cosine near-duplicate pairs (the dedup-by-embedding
-      // checkbox): exact all-pairs at the verification threshold —
-      // oracle-checkable; the sub-linear candidate path for unbounded
-      // corpora is q51's LSH bucketing
+      // checkbox): exact pairs at the verification threshold over a
+      // BOUNDED key range (vec_id < 1000 — constant at any sf, like
+      // q44), so the registered plan never carries an unbounded
+      // triangular cross join; the sub-linear candidate path for
+      // unbounded corpora is q51's LSH bucketing
       (s, dir) => {
-        val c = corpus(s, dir)
+        val c = corpus(s, dir).filter(col("vec_id") < 1000)
         val a = c.select(col("vec_id").as("id_a"), col("v").as("va"),
           col("nrm").as("na"))
         val b = c.select(col("vec_id").as("id_b"), col("v").as("vb"),
@@ -206,13 +208,13 @@ object Similarity extends Registry {
              |    sqrt(list_dot_product(
              |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
              |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
-             |  FROM embeddings)
+             |  FROM embeddings WHERE vec_id < 1000)
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
              |FROM n a JOIN n b ON a.vec_id < b.vec_id
              |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.4
              |ORDER BY id_a, id_b""".stripMargin),
-      doc = "Embedding-cosine near-dup pairs (exact; LSH candidates = q51)"),
+      doc = "Embedding-cosine near-dup pairs (exact, bounded key range; LSH candidates = q51)"),
 
     QueryDef(
       "q52_ivf_assign",
