@@ -73,6 +73,7 @@ object Validate {
     parsed.select(
       lit(new java.io.File(path).getName).as("file"),
       lit(expectedType).as("resource_type"),
+      $"id",
       reason.isNull.as("ok"),
       reason.as("reason"),
       substring($"line", 1, 80).as("line"))
@@ -93,6 +94,16 @@ object Validate {
     validateDir(spark, dir).filter(col("ok"))
       .groupBy(col("resource_type"))
       .agg(count(lit(1)).as("n_valid"))
+      .orderBy(col("resource_type"))
+
+  /** Like [[summary]] but with id extremes per type — the e2e-pipeline
+    * gate shape (counts alone can't catch a minting regression; min/max
+    * id pin the uuid5 chain of the engine's own written output). */
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    validateDir(spark, dir).filter(col("ok"))
+      .groupBy(col("resource_type"))
+      .agg(count(lit(1)).as("n_valid"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
       .orderBy(col("resource_type"))
 
   /** Per-line quarantine report (path:line-snippet exception analogue). */

@@ -230,6 +230,91 @@ object FhirEtl extends Registry {
       doc = "P8 GTEx Row→DocumentReference (P14 unnest, S4 nested JSON)"),
 
     // ------------------------------------------------------------------
+    // q2a/q2b close P6/J3/F7/S2 out of unit-only status: the reference's
+    // GTEx Specimen/Group-membership goldens are elided upstream
+    // (.MISSING_LARGE_BLOBS), so the oracle recomputes the transform from
+    // the committed synthetic fixtures in DuckDB. Scalar fields are fully
+    // recomputed; minted uuid5 ids are pinned as literals (DuckDB 1.0 has
+    // no sha1, so the chain itself is not SQL-expressible — the identical
+    // minting chain is golden-proven via q20-q29).
+    QueryDef(
+      "q2a_gtex_specimen",
+      (s, _) => Gtex.specimens(
+        Gtex.readTsv(s, s"$FixtureDir/gtex_samples.tsv")).select(
+        col("id"),
+        element_at(col("identifier"), 1)("value").as("sample"),
+        element_at(col("type")("coding"), 1)("code").as("type_code"),
+        element_at(col("type")("coding"), 1)("display").as("type_display"),
+        element_at(col("collection")("method")("coding"), 1)("code")
+          .as("method_code"),
+        col("subject")("reference").as("subject_ref"))
+        .orderBy("sample"),
+      Some(s"""WITH f AS (SELECT * FROM read_csv('$FixtureDir/gtex_samples.tsv',
+             |    delim='\t', header=true, all_varchar=true)),
+             |ids(sample, sid) AS (VALUES
+             |  ('SM-0001', 'ce838dc2-5204-5d5e-a3b9-78410577b165'),
+             |  ('SM-0002', 'f40b3e98-6d1d-592b-bf83-d4a45a6e0898'),
+             |  ('SM-0003', '8c6e4101-ff2a-5d6c-be5f-f4da698fc60c'),
+             |  ('SM-0004', '85a363f2-bab7-5753-b0f4-54eec4b08cf8'),
+             |  ('SM-0005', '7efe5e96-6434-5cdd-b7d0-5792e80d1fc1')),
+             |pids(subj, pid) AS (VALUES
+             |  ('GTEX-1117F', '491ad1a2-faea-5858-9887-625d94bd6b8c'),
+             |  ('GTEX-ZZZZ', 'fe462f38-6b41-58c0-a22d-2ffc4092408a'),
+             |  ('GTEX-AAAA', 'a90ffd21-5bbc-585d-9d02-e6ec5d462cc8'))
+             |SELECT ids.sid AS id, f.aliquotId AS sample,
+             |  coalesce(f.dataType, 'None') AS type_code,
+             |  coalesce(f.dataType, 'None') AS type_display,
+             |  f.freezeType AS method_code,
+             |  CASE WHEN f.subjectId IS NOT NULL THEN 'Patient/' || pid END
+             |    AS subject_ref
+             |FROM f JOIN ids ON ids.sample = f.aliquotId
+             |LEFT JOIN pids ON pids.subj = f.subjectId
+             |ORDER BY sample""".stripMargin),
+      doc = "P6 GTEx Row→Specimen vs fixture-recomputed oracle (ids literal-pinned)"),
+
+    QueryDef(
+      "q2b_gtex_group",
+      (s, _) => {
+        val g = Gtex.group(
+          Gtex.readTsv(s, s"$FixtureDir/gtex_sample_attrs.tsv"),
+          Gtex.readTsv(s, s"$FixtureDir/gtex_samples.tsv"))
+        g.select(
+          col("id"), col("type"), col("membership"),
+          size(col("member")).as("n_members"),
+          // member is sort_array'd ascending — first/last = min/max
+          element_at(col("member"), 1)("entity")("reference").as("min_member"),
+          element_at(col("member"), size(col("member")))("entity")("reference")
+            .as("max_member"))
+      },
+      // the oracle RECOMPUTES the F7 SAMPID strip and the J3 semi-join
+      // from both fixtures; only the per-sample uuid5 values are literal
+      Some(s"""WITH attrs AS (SELECT * FROM read_csv(
+             |    '$FixtureDir/gtex_sample_attrs.tsv',
+             |    delim='\t', header=true, all_varchar=true)),
+             |samples AS (SELECT * FROM read_csv('$FixtureDir/gtex_samples.tsv',
+             |    delim='\t', header=true, all_varchar=true)),
+             |stripped AS (SELECT DISTINCT CASE
+             |    WHEN len(string_split(SAMPID, '-')) >= 2
+             |    THEN string_split(SAMPID, '-')[-2] || '-' ||
+             |         string_split(SAMPID, '-')[-1]
+             |    ELSE SAMPID END AS sample_id FROM attrs),
+             |inter AS (SELECT sample_id FROM stripped
+             |  WHERE sample_id IN (SELECT DISTINCT aliquotId FROM samples)),
+             |ids(sample_id, sid) AS (VALUES
+             |  ('SM-0001', 'ce838dc2-5204-5d5e-a3b9-78410577b165'),
+             |  ('SM-0002', 'f40b3e98-6d1d-592b-bf83-d4a45a6e0898'),
+             |  ('SM-0003', '8c6e4101-ff2a-5d6c-be5f-f4da698fc60c'),
+             |  ('SM-0004', '85a363f2-bab7-5753-b0f4-54eec4b08cf8'),
+             |  ('SM-0005', '7efe5e96-6434-5cdd-b7d0-5792e80d1fc1'))
+             |SELECT 'e15af919-ded6-510a-a538-1449bfb57fc4' AS id,
+             |  'specimen' AS type, 'definitional' AS membership,
+             |  CAST(count(*) AS INT) AS n_members,
+             |  min('Specimen/' || sid) AS min_member,
+             |  max('Specimen/' || sid) AS max_member
+             |FROM inter JOIN ids USING (sample_id)""".stripMargin),
+      doc = "J3/F7 GTEx Group: oracle recomputes SAMPID strip + intersection"),
+
+    // ------------------------------------------------------------------
     QueryDef(
       "q72_gtex_patient_restsource",
       // same transform as q27 but fed by the S3 paginated-REST
@@ -263,6 +348,58 @@ object FhirEtl extends Registry {
              |  UNION ALL SELECT 'Specimen', count(*) FROM read_json('$GoldenDir/Specimen.ndjson', format='newline_delimited', union_by_name=true)
              |) ORDER BY resource_type""".stripMargin),
       doc = "V3 directory validation — README.md:35 count table"),
+
+    // ------------------------------------------------------------------
+    // q73/q74: the END-TO-END pipelines through the driver gate — runAll
+    // writes all six NDJSON outputs (K1 per-row writes, K2 singleton,
+    // K3 create_or_extend, including the reference's own S7-over-own-
+    // output Group flow), then Validate.profile re-reads and validates
+    // the engine's OWN files. Counts reproduce the reference CLI's
+    // summary (README.md:35,38) and min/max id pin the uuid5 chain of
+    // every written type against the reference goldens.
+    QueryDef(
+      "q73_onekg_e2e",
+      (s, _) => {
+        val out = java.nio.file.Files.createTempDirectory("onekg_e2e").toString
+        OneKg.runAll(s, FixtureDir, out)
+        graft.etl.Validate.profile(s, out)
+      },
+      Some(s"""SELECT * FROM (
+             |  SELECT 'DocumentReference' AS resource_type, count(*) AS n_valid, min(id) AS min_id, max(id) AS max_id
+             |  FROM read_json('$GoldenDir/DocumentReference.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'Group', count(*), min(id), max(id) FROM read_json('$GoldenDir/Group.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'Patient', count(*), min(id), max(id) FROM read_json('$GoldenDir/Patient.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'ResearchStudy', count(*), min(id), max(id) FROM read_json('$GoldenDir/ResearchStudy.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'ResearchSubject', count(*), min(id), max(id) FROM read_json('$GoldenDir/ResearchSubject.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'Specimen', count(*), min(id), max(id) FROM read_json('$GoldenDir/Specimen.ndjson', format='newline_delimited', union_by_name=true)
+             |) ORDER BY resource_type""".stripMargin),
+      doc = "E1 end-to-end: runAll → own-output validation vs golden counts + id extremes"),
+
+    QueryDef(
+      "q74_gtex_e2e",
+      (s, _) => {
+        val out = java.nio.file.Files.createTempDirectory("gtex_e2e").toString
+        Gtex.runAll(s, FixtureDir, out)
+        graft.etl.Validate.profile(s, out)
+      },
+      // golden per-type recompute where goldens exist; Specimen golden is
+      // elided upstream, so its row recomputes count + id extremes from
+      // the literal-pinned fixture mint table (see q2a)
+      Some(s"""SELECT * FROM (
+             |  SELECT 'DocumentReference' AS resource_type, count(*) AS n_valid, min(id) AS min_id, max(id) AS max_id
+             |  FROM read_json('$GtexGoldenDir/DocumentReference.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'Group', count(*), min(id), max(id) FROM read_json('$GtexGoldenDir/Group.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'Patient', count(*), min(id), max(id) FROM read_json('$GtexGoldenDir/Patient.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'ResearchStudy', count(*), min(id), max(id) FROM read_json('$GtexGoldenDir/ResearchStudy.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'ResearchSubject', count(*), min(id), max(id) FROM read_json('$GtexGoldenDir/ResearchSubject.ndjson', format='newline_delimited', union_by_name=true)
+             |  UNION ALL SELECT 'Specimen', count(*), min(sid), max(sid)
+             |    FROM (VALUES ('ce838dc2-5204-5d5e-a3b9-78410577b165'),
+             |                 ('f40b3e98-6d1d-592b-bf83-d4a45a6e0898'),
+             |                 ('8c6e4101-ff2a-5d6c-be5f-f4da698fc60c'),
+             |                 ('85a363f2-bab7-5753-b0f4-54eec4b08cf8'),
+             |                 ('7efe5e96-6434-5cdd-b7d0-5792e80d1fc1')) ids(sid)
+             |) ORDER BY resource_type""".stripMargin),
+      doc = "E2 end-to-end: GTEx runAll → own-output validation vs goldens"),
 
     QueryDef(
       "q71_validate_gtex",
