@@ -157,15 +157,23 @@ object Dedup extends Registry {
     * is the custom codegen expression [[graft.expressions.SimHash64Expr]]
     * — one pass over the words instead of 64 interpreted filter scans,
     * bit-identical output. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+  /** @param numBands LSH band count over the 64-bit sketch (band width =
+    *   64/numBands). Pigeonhole: a pair at Hamming h is GUARANTEED to
+    *   share a band iff h < numBands — pick numBands > target Hamming
+    *   for deterministic recall, fewer bands for cheaper joins when
+    *   probabilistic recall is acceptable. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8,
+      numBands: Int = 4): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val width = 64 / numBands
+    val mask = (1L << width) - 1
     val sim = contentClassReps(docs)
       .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
     val bandCol = (b: Int) =>
-      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
+      shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))
     val banded = capBuckets(
       sim.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
+        explode(array((0 until numBands).map(b =>
           struct(lit(b).as("band"), bandCol(b).as("key"))): _*)).as("bk"))
         .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key")),
       Seq("band", "key"))
@@ -257,6 +265,60 @@ object Dedup extends Registry {
       (s, dir) => simhashPairs(table(s, dir, "documents")),
       None,
       doc = "SimHash-64 sketch + 16-bit-band LSH, Hamming ≤ 8, pre-deduped"),
+
+    // ------------------------------------------------------------------
+    // q46/q47: the LSH dedup family against a REAL oracle. On the
+    // committed planted fixture (tools/make_neardup_fixtures.py: 12
+    // near-dup pairs at trigram J≈0.9, disjoint-vocab singletons) the
+    // banding catches every planted pair deterministically, so the
+    // emitted pair set must hash-equal the exact all-pairs Jaccard that
+    // DuckDB recomputes from the same parquet. q42/q43 stay as the
+    // rows-only sf-scale runs; these two close the "no oracle" gap.
+    QueryDef(
+      "q46_minhash_fixture",
+      (s, _) => minhashPairs(
+        s.read.parquet(s"${FhirEtl.FixtureDir}/neardup_docs.parquet")),
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
+             |    ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+             |                        for i in range(1, len(ws) - 1)]) END AS sg
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+             |        FROM read_parquet('${FhirEtl.FixtureDir}/neardup_docs.parquet')) t)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  round(len(list_intersect(a.sg, b.sg))::DOUBLE
+             |        / len(list_distinct(list_concat(a.sg, b.sg))), 4) AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.sg, b.sg))::DOUBLE
+             |      / len(list_distinct(list_concat(a.sg, b.sg))) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "MinHash+LSH vs exact-Jaccard oracle on committed planted fixture"),
+
+    QueryDef(
+      "q47_simhash_fixture",
+      // SimHash hamming is not SQL-computable (xxhash inside), so the
+      // gate compares the PAIR SET: on this fixture hamming ≤ 8 and
+      // J ≥ 0.5 coincide by construction (near-identical partners vs
+      // disjoint-vocab noise)
+      // 8 bands of 8 bits: guaranteed shared band at Hamming ≤ 7
+      // (pigeonhole), and the planted pairs measure ≤ 6 while
+      // disjoint-vocab noise pairs measure ≥ 22 — deterministic
+      // separation with margin on both sides
+      (s, _) => simhashPairs(
+        s.read.parquet(s"${FhirEtl.FixtureDir}/neardup_docs.parquet"),
+        maxHamming = 8, numBands = 8)
+        .select(col("doc_a"), col("doc_b")),
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
+             |    ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+             |                        for i in range(1, len(ws) - 1)]) END AS sg
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+             |        FROM read_parquet('${FhirEtl.FixtureDir}/neardup_docs.parquet')) t)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.sg, b.sg))::DOUBLE
+             |      / len(list_distinct(list_concat(a.sg, b.sg))) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "SimHash pair set vs exact-Jaccard oracle on committed planted fixture"),
 
     // ------------------------------------------------------------------
     // q44: exact n-gram Jaccard on a bounded key range — the LSH

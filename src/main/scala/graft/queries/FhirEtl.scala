@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.etl.{Gtex, OneKg}
+import graft.etl.{Clean, Gtex, OneKg}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -400,6 +400,61 @@ object FhirEtl extends Registry {
              |                 ('7efe5e96-6434-5cdd-b7d0-5792e80d1fc1')) ids(sid)
              |) ORDER BY resource_type""".stripMargin),
       doc = "E2 end-to-end: GTEx runAll → own-output validation vs goldens"),
+
+    // ------------------------------------------------------------------
+    // q75/q76: the cleaning pass (F11-F13) through the driver gate. The
+    // reference runs clean_resources inside every write
+    // (utils.py:177-231); here the same three concerns are checked
+    // end-to-end over a committed fixture with planted decimal strings,
+    // {"value":"42"} coercions, empty dicts/lists, ""/false/0 scalars.
+    QueryDef(
+      "q75_clean_ndjson",
+      (s, _) => {
+        val lines = s.read.textFile(s"$FixtureDir/clean_input.ndjson")
+          .filter((l: String) => l.trim.nonEmpty)
+        val coerced = lines
+          .select(Clean.coerceValueStrings(col("value")).as("value"))
+          .as(org.apache.spark.sql.Encoders.STRING)
+        Clean.pruneEmptyLines(coerced)
+          .select(get_json_object(col("value"), "$.id").cast("long").as("id"),
+            col("value").as("cleaned"))
+          .orderBy("id")
+      },
+      // expected lines independently derived from the reference's
+      // clean_resources semantics (utils.py:138-161, 189-206)
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), '{"id":1,"resourceType":"Observation","value":42}'),
+             |  (CAST(2 AS BIGINT), '{"id":2,"a":{"value":3.14}}'),
+             |  (CAST(3 AS BIGINT), '{"id":3,"x":[{"y":0}]}'),
+             |  (CAST(4 AS BIGINT), '{"id":4,"value":-7.5,"keep":true}'),
+             |  (CAST(5 AS BIGINT), '{"id":5,"value":"abc"}'),
+             |  (CAST(6 AS BIGINT), '{"id":6,"ok":"yes"}'),
+             |  (CAST(7 AS BIGINT), '{"id":7,"vals":[{"value":0},{"value":1.25}],"s":" "}'),
+             |  (CAST(8 AS BIGINT), '{"id":8,"m":{"n":{"value":10}}}')
+             |) t(id, cleaned) ORDER BY id""".stripMargin),
+      doc = "F12/F13 clean_resources round-trip over planted NDJSON fixture"),
+
+    QueryDef(
+      "q76_clean_decimals",
+      // F11 decimal→double as a schema-level rewrite: the driver gate
+      // compares schemas, so if decimalsToDouble missed a nested decimal
+      // the decimal column type itself would fail the check
+      (s, _) => {
+        val df = s.sql(
+          """SELECT CAST(id AS BIGINT) AS k,
+            |  CAST(id + 0.25 AS DECIMAL(12,2)) AS price,
+            |  named_struct('amt', CAST(id * 2 AS DECIMAL(8,3)),
+            |    'tags', array(CAST(1.5 AS DECIMAL(4,1)))) AS nested
+            |FROM range(3)""".stripMargin)
+        Clean.decimalsToDouble(df)
+          .select(col("k"), col("price"), col("nested.amt").as("amt"),
+            element_at(col("nested.tags"), 1).as("tag0"))
+          .orderBy("k")
+      },
+      Some("""SELECT CAST(i AS BIGINT) AS k, CAST(i + 0.25 AS DOUBLE) AS price,
+             |  CAST(i * 2 AS DOUBLE) AS amt, CAST(1.5 AS DOUBLE) AS tag0
+             |FROM (SELECT unnest([0, 1, 2]) AS i) ORDER BY k""".stripMargin),
+      doc = "F11 recursive decimal→double schema rewrite (gate checks types)"),
 
     QueryDef(
       "q71_validate_gtex",

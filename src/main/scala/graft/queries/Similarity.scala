@@ -43,12 +43,14 @@ object Similarity extends Registry {
 
   /** Corpus with precomputed norm (embeddings are unit vectors, but the
     * operator must not rely on that). */
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
-    graft.GraftExtensions.ensureRegistered(s)
-    table(s, dir, "embeddings")
-      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+  private def corpusOf(emb: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(emb.sparkSession)
+    emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    corpusOf(table(s, dir, "embeddings"))
 
   private def queriesOf(c: DataFrame): DataFrame =
     c.filter(col("vec_id") % 100 === 0)
@@ -118,8 +120,12 @@ object Similarity extends Registry {
       .dropDuplicates("q_id", "neighbor_id")
   }
 
-  def knnLsh(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
+  def knnLsh(s: SparkSession, dir: String): DataFrame =
+    knnLshOn(corpus(s, dir))
+
+  /** LSH top-k over any (vec_id, embedding-derived v, nrm) corpus — the
+    * fixture-gated form (q53) shares this with the sf-table form (q51). */
+  def knnLshOn(c: DataFrame): DataFrame = {
     val q = queriesOf(c)
     val scored = lshCandidates(c, q)
       .join(c.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
@@ -180,6 +186,34 @@ object Similarity extends Registry {
       None, // LSH bucket join is not SQL-expressible; recall vs q50 is
             // asserted in SimilaritySpec
       doc = "Random-projection LSH (6 bands × 4 bits) + exact rerank of candidates"),
+
+    QueryDef(
+      "q53_knn_lsh_fixture",
+      // the LSH plumbing against a REAL oracle: on the committed
+      // clustered fixture (tools/make_neardup_fixtures.py) the
+      // deterministic projection planes give recall 1.0, so LSH top-5
+      // must hash-equal the exact top-5 that DuckDB recomputes — this
+      // upgrades the ANN family from rows-only gate evidence (q51 stays
+      // the honest near-uniform-recall case on the sf table)
+      (s, _) => knnLshOn(corpusOf(
+        s.read.parquet(s"${FhirEtl.FixtureDir}/neardup_embeddings.parquet"))),
+      Some(s"""WITH n AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |    sqrt(list_dot_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             |  FROM read_parquet('${FhirEtl.FixtureDir}/neardup_embeddings.parquet')),
+             |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+             |      WHERE vec_id % 100 = 0),
+             |s AS (SELECT q_id, c.vec_id AS neighbor_id,
+             |        round(list_dot_product(qe, c.e) / (qn * c.nrm), 4) AS cosine
+             |      FROM q JOIN n c ON c.vec_id <> q.q_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+             |SELECT q_id, neighbor_id, cosine FROM r WHERE rn <= 5
+             |ORDER BY q_id, cosine DESC, neighbor_id""".stripMargin),
+      doc = "LSH ANN vs exact-top-k oracle on committed clustered fixture"),
 
     QueryDef(
       "q45_embedding_neardup",
