@@ -144,6 +144,29 @@ object EventOps extends Registry {
              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin),
-      doc = "Event-time AS-OF join via carry-forward window (vs DuckDB ASOF)")
+      doc = "Event-time AS-OF join via carry-forward window (vs DuckDB ASOF)"),
+
+    // ------------------------------------------------------------------
+    // q64: the SAME as-of semantics as a stateful streaming operator
+    // (flatMapGroupsWithState, EventStream.asofJoin) run in batch mode —
+    // gated against the identical DuckDB ASOF oracle, so the custom
+    // state machine and the declarative window plan (q63) are both
+    // independently proven. StreamingSpec drains it as a real stream.
+    QueryDef(
+      "q64_asof_stateful",
+      // asofJoin consumes the RAW long-nanos ts (shared with the
+      // streaming source), not the rebuilt timestamp
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        graft.streaming.EventStream.asofJoin(table(s, dir, "events"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+             |  c.ts AS last_click_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin),
+      doc = "AS-OF join as a flatMapGroupsWithState operator (vs DuckDB ASOF)")
   )
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface over the `events` table (SURVEY §2.7):
@@ -34,6 +35,71 @@ object EventStream {
         round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** Session windows (gap-merged per user) — same single transform for
+    * batch and streaming; Spark's native `session_window` merges
+    * partial sessions across triggers under the watermark. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", watermark)
+      .groupBy(session_window(col("ets"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  // ------------------------------------------------------------------
+  // Stateful event-time AS-OF join (KeyValueGroupedDataset.
+  // flatMapGroupsWithState — SURVEY §2.7 custom-state checkbox): for
+  // every purchase, the latest click by the same user at or before it.
+  // The state per user_id is ONE long (last click µs) — constant-size,
+  // watermark-safe; within a trigger events are sorted by event time
+  // (clicks first on ties, = q63's ASOF >= semantics). Cross-trigger
+  // correctness holds when triggers advance in event time (file/queue
+  // replay order); the declarative batch form of the same semantics is
+  // EventOps q63, and AsofParity in StreamingSpec proves this state
+  // machine ≡ that window plan on a drained stream.
+  // ------------------------------------------------------------------
+  case class AsOfEvent(user_id: Long, ts_us: Long, event_type: String,
+      event_id: Option[Long])
+  case class AsOfOut(event_id: Long, user_id: Long, purchase_us: Long,
+      click_us: Option[Long])
+  case class AsOfState(lastClickUs: Long)
+
+  private def asofStateFn(userId: Long, rows: Iterator[AsOfEvent],
+      state: GroupState[AsOfState]): Iterator[AsOfOut] = {
+    val sorted = rows.toIndexedSeq
+      .sortBy(e => (e.ts_us, if (e.event_type == "click") 0 else 1))
+    var last = state.getOption.map(_.lastClickUs)
+    val out = IndexedSeq.newBuilder[AsOfOut]
+    sorted.foreach { e =>
+      if (e.event_type == "click") last = Some(e.ts_us)
+      else e.event_id.foreach(id => out += AsOfOut(id, userId, e.ts_us, last))
+    }
+    last.foreach(l => state.update(AsOfState(l)))
+    out.result().iterator
+  }
+
+  /** The as-of join as a stateful operator — works on batch AND
+    * streaming frames (batch runs it with empty state, once per key). */
+  def asofJoin(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed: Dataset[AsOfEvent] = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"),
+        when(col("event_type") === "purchase", col("event_id")).as("event_id"))
+      .as[AsOfEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(asofStateFn)
+      .toDF()
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("purchase_us")).as("purchase_ts"),
+        timestamp_micros(col("click_us")).as("last_click_ts"))
+  }
 
   /** Streaming source over a directory of event parquet files. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
