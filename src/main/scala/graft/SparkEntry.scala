@@ -15,6 +15,7 @@ object SparkEntry {
   def registries: Seq[Registry] = Seq(
     graft.queries.Relational,
     graft.queries.TextOps,
+    graft.queries.Sampling,
     graft.queries.Dedup,
     graft.queries.Similarity,
     graft.queries.EventOps,

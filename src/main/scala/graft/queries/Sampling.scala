@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting over `documents` — the dataset-
+  * assembly ops of a training-data pipeline (quota sampling per
+  * stratum, reproducible train/val/test splits, fixed-size uniform
+  * samples). All are hash-derived from the row key, so they are
+  * reproducible across runs, clusters and engines — no RNG state, no
+  * `sample()` nondeterminism — and every one is a narrow map-side
+  * filter (zero shuffle before the final bounded agg/top-k), which is
+  * the only shape that survives 100 TB.
+  *
+  * The bucket hash is md5-based (not xxhash64) deliberately: md5 is the
+  * one keyed hash DuckDB shares bit-for-bit with Spark, so the oracle
+  * recomputes the sample membership itself rather than trusting the
+  * engine's hash.
+  */
+object Sampling extends Registry {
+  import Tables.table
+
+  /** Stable per-row bucket in [0, 100): first 4 hex chars of
+    * md5(key) mod 100. */
+  def bucket100(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+
+  def defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q36: stratified quota sampling — per-language keep-rates (e.g.
+    // downsample dominant English, keep all of the long tail), the
+    // standard corpus-balancing op. Narrow filter; the only shuffle is
+    // the final per-lang count.
+    QueryDef(
+      "q36_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        val quota = typedLit(Map("en" -> 30, "es" -> 60, "fr" -> 60,
+          "de" -> 60, "ja" -> 90))
+        table(s, dir, "documents")
+          .withColumn("b", bucket100($"doc_id"))
+          .filter($"b" < coalesce(quota($"lang"), lit(50)))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("id_checksum"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, count(*) AS n_kept,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+             |FROM (SELECT lang, doc_id,
+             |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+             |             AS BIGINT) % 100 AS b
+             |      FROM documents) t
+             |WHERE b < CASE lang WHEN 'en' THEN 30 WHEN 'es' THEN 60
+             |            WHEN 'fr' THEN 60 WHEN 'de' THEN 60
+             |            WHEN 'ja' THEN 90 ELSE 50 END
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "Deterministic stratified quota sampling per language"),
+
+    // ------------------------------------------------------------------
+    // q37: reproducible train/val/test split (80/10/10 by key hash) —
+    // membership is a pure function of the key, so re-runs, incremental
+    // appends and other engines assign identically (no leakage drift).
+    QueryDef(
+      "q37_train_val_test",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .withColumn("b", bucket100($"doc_id"))
+          .withColumn("split",
+            when($"b" < 80, "train").when($"b" < 90, "val").otherwise("test"))
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_checksum"),
+            sum(length($"text")).as("chars"))
+          .orderBy($"split")
+      },
+      Some("""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |         ELSE 'test' END AS split,
+             |  count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             |  CAST(sum(len(text)) AS BIGINT) AS chars
+             |FROM (SELECT doc_id, text,
+             |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+             |             AS BIGINT) % 100 AS b
+             |      FROM documents) t
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Reproducible hash-keyed 80/10/10 train/val/test split"),
+
+    // ------------------------------------------------------------------
+    // q38: fixed-size uniform sample — the k rows with the smallest key
+    // hashes (order-independent, reproducible; the distributed
+    // stand-in for reservoir sampling). Physically TakeOrderedAndProject:
+    // per-partition top-k states only, no full sort, no shuffle of N.
+    QueryDef(
+      "q38_hash_sample_k",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            md5($"doc_id".cast("string")).as("h"))
+          .orderBy($"h", $"doc_id")
+          .limit(20)
+          .select($"doc_id", $"lang")
+      },
+      Some("""SELECT doc_id, lang
+             |FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+             |      FROM documents)
+             |ORDER BY h, doc_id LIMIT 20""".stripMargin),
+      doc = "Fixed-k uniform sample via smallest key hashes (top-k, no shuffle)")
+  )
+}
