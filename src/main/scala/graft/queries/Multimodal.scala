@@ -46,10 +46,16 @@ object Multimodal extends Registry {
       col("text"),
       struct(
         octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
-        // stub metadata: deterministic fake dimensions / rates
-        (pmod(xxhash64(col("doc_id")), lit(1280)) + 64).as("width"),
-        (pmod(xxhash64(col("doc_id"), lit(1)), lit(720)) + 64).as("height"),
+        // stub metadata: deterministic fake dimensions / rates —
+        // md5-derived (not xxhash64) so the DuckDB oracle can recompute
+        // them bit-for-bit (q82)
+        (fakeDim(col("doc_id"), 0) % 1280 + 64).as("width"),
+        (fakeDim(col("doc_id"), 1) % 720 + 64).as("height"),
         lit(16000).as("sample_rate")).as("meta"))
+
+  private def fakeDim(docId: Column, salt: Int): Column =
+    conv(substring(md5(concat(docId.cast("string"), lit(s"#$salt"))), 1, 4),
+      16, 10).cast("long")
 
   val FrameChars = 64
   val MaxFrames = 8
@@ -66,6 +72,24 @@ object Multimodal extends Registry {
           i => col("text").substr(i * FrameChars + 1, lit(FrameChars)))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame")
+  }
+
+  val ResizeTarget = 224
+
+  /** Resize (image modality): integer box-fit to ResizeTarget on the
+    * long side preserving aspect ratio; the payload "resample" stub
+    * scales byte count by the pixel ratio. Pure narrow arithmetic per
+    * asset — a real resampler swap (mapPartitions over payload batches)
+    * keeps the same plan shape. */
+  def resized(images: DataFrame): DataFrame = {
+    val w = col("meta")("width"); val h = col("meta")("height")
+    val maxDim = greatest(w, h)
+    val newW = floor(w * lit(ResizeTarget) / maxDim)
+    val newH = floor(h * lit(ResizeTarget) / maxDim)
+    images.select(col("doc_id"), w.as("width"), h.as("height"),
+      newW.as("new_w"), newH.as("new_h"),
+      floor(col("meta")("n_bytes") * (newW * newH) / (w * h))
+        .as("resized_bytes"))
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -108,6 +132,28 @@ object Multimodal extends Registry {
              |  round(avg(CAST(('0x' || substr(md5(frame || '|0'), 1, 8)) AS BIGINT)
              |        / 4294967296.0), 4) AS avg_frame_f0
              |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      doc = "Frame sampling (fixed-stride slices, capped) + per-frame features")
+      doc = "Frame sampling (fixed-stride slices, capped) + per-frame features"),
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q82_multimodal_resize",
+      (s, dir) => resized(corpus(s, dir)
+        .filter(col("modality") === "image" && col("doc_id") < 300))
+        .orderBy(col("doc_id")),
+      Some("""WITH m AS (SELECT doc_id,
+             |    octet_length(encode(text)) AS n_bytes,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 4)
+             |         AS BIGINT) % 1280 + 64 AS w,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#1'), 1, 4)
+             |         AS BIGINT) % 720 + 64 AS h
+             |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 300)
+             |SELECT doc_id, w AS width, h AS height,
+             |  (w * 224) // greatest(w, h) AS new_w,
+             |  (h * 224) // greatest(w, h) AS new_h,
+             |  (n_bytes * ((w * 224) // greatest(w, h))
+             |           * ((h * 224) // greatest(w, h))) // (w * h)
+             |    AS resized_bytes
+             |FROM m ORDER BY doc_id""".stripMargin),
+      doc = "Image resize: integer box-fit + byte-count resample (narrow per-asset)")
   )
 }
