@@ -225,6 +225,45 @@ object TextOps extends Registry {
              |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
              |  round(avg(n_words), 2) AS avg_tokens
              |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin),
-      doc = "Composed prep pipeline: quality gate → dedup → corpus stats")
+      doc = "Composed prep pipeline: quality gate → dedup → corpus stats"),
+
+    // ------------------------------------------------------------------
+    // q39: benchmark decontamination — flag every document sharing an
+    // 8-gram with the "eval set" (simulated as three corpus documents,
+    // the way real decontamination takes benchmark strings). The
+    // benchmark n-gram set is tiny by nature, so it BROADCASTS and the
+    // corpus is filtered map-side (BroadcastHashJoin LeftSemi) — the
+    // only shuffle is the final distinct on flagged doc_ids. At 100 TB
+    // the shape is identical: eval sets stay KBs while the corpus
+    // streams through narrow. N-grams are codegen shingle_hashes; the
+    // oracle recomputes with string 8-grams (equivalent modulo 2⁻⁶⁵
+    // collisions).
+    QueryDef(
+      "q39_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        graft.GraftExtensions.ensureRegistered(s)
+        val docs = table(s, dir, "documents")
+        val grams = docs.select($"doc_id", $"lang",
+          explode(expr("shingle_hashes(text, 8)")).as("h"))
+        val bench = docs.filter($"doc_id".isin(42, 137, 256))
+          .select(explode(expr("shingle_hashes(text, 8)")).as("h")).distinct()
+        grams.join(broadcast(bench), Seq("h"), "left_semi")
+          .select($"doc_id", $"lang").distinct()
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, lang, CASE WHEN len(ws) < 8 THEN [text]
+             |    ELSE list_distinct([array_to_string(ws[i:i+7], ' ')
+             |                        for i in range(1, len(ws) - 6)]) END AS sg
+             |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+             |        FROM documents) t),
+             |bench AS (
+             |  SELECT DISTINCT unnest(sg) AS g FROM sh
+             |  WHERE doc_id IN (42, 137, 256))
+             |SELECT DISTINCT doc_id, lang FROM sh
+             |WHERE EXISTS (SELECT 1 FROM bench WHERE list_contains(sh.sg, bench.g))
+             |ORDER BY doc_id""".stripMargin),
+      doc = "Benchmark decontamination: 8-gram overlap vs broadcast eval set")
   )
 }
