@@ -10,7 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
 
   test("spark.sql.extensions config registers all graft functions") {
-    val prev = SparkSession.getDefaultSession
+    // spark.sql.extensions is a STATIC conf read when the SparkContext
+    // is first created — a context inherited from an earlier suite would
+    // silently ignore it. Suites run sequentially in the single forked
+    // test JVM, so stop any existing context; the next suite's lazy
+    // getOrCreate recreates one.
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
@@ -32,9 +38,9 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getInt(3) == 3)
       assert(r.getDouble(4) == 0.5)
     } finally {
+      s.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      prev.foreach(SparkSession.setDefaultSession)
     }
   }
 }
