@@ -189,10 +189,13 @@ object Gtex {
   /** E2 end-to-end: all six NDJSON outputs (gtex_fhirizer.py:410-423). */
   def runAll(spark: SparkSession, fixtureDir: String, outDir: String): Unit = {
     import graft.sinks.Ndjson
-    val subjects = readTsv(spark, s"$fixtureDir/gtex_subjects.tsv")
-    val samples = readTsv(spark, s"$fixtureDir/gtex_samples.tsv")
+    // subjects feeds two transforms, samples feeds two — cache both for
+    // the job, release when their consumers are done
+    val subjects = readTsv(spark, s"$fixtureDir/gtex_subjects.tsv").persist()
+    val samples = readTsv(spark, s"$fixtureDir/gtex_samples.tsv").persist()
     Ndjson.write(patients(subjects), outDir, "Patient")
     Ndjson.write(researchSubjects(subjects), outDir, "ResearchSubject")
+    subjects.unpersist()
     Ndjson.write(specimens(samples), outDir, "Specimen")
     Ndjson.write(researchStudy(spark), outDir, "ResearchStudy")
     Ndjson.write(documentReferences(
@@ -200,6 +203,7 @@ object Gtex {
       outDir, "DocumentReference")
     Ndjson.write(group(readTsv(spark, s"$fixtureDir/gtex_sample_attrs.tsv"),
       samples), outDir, "Group")
+    samples.unpersist()
   }
 
   // ------------------------------------------------------------------

@@ -249,10 +249,14 @@ object OneKg {
     * (S7 over its prior output). */
   def runAll(spark: SparkSession, fixtureDir: String, outDir: String): Unit = {
     import graft.sinks.Ndjson
+    // three transforms share one TSV scan — cache it for the job, release
+    // before the downstream (non-si) stages
     val si = readSampleInfo(spark, s"$fixtureDir/onekg_sample_info.tsv")
+      .persist()
     Ndjson.write(patients(si), outDir, "Patient")
     Ndjson.write(researchSubjects(si), outDir, "ResearchSubject")
     Ndjson.write(specimens(si), outDir, "Specimen")
+    si.unpersist()
     Ndjson.write(researchStudy(spark), outDir, "ResearchStudy")
     Ndjson.createOrExtend(spark,
       documentReferences(readFtpListing(spark, s"$fixtureDir/onekg_ftp_listing.tsv")),

@@ -541,6 +541,33 @@ object Relational extends Registry {
              |  UNION ALL
              |  SELECT 'l_discount', l_discount FROM lineitem) t
              |GROUP BY metric ORDER BY metric""".stripMargin),
-      doc = "UNPIVOT/melt to long format + aggregate")
+      doc = "UNPIVOT/melt to long format + aggregate"),
+
+    // ------------------------------------------------------------------
+    // q1b: exact interpolated percentiles per group — Spark's
+    // `percentile` (exact, sort-based; the scalable sketch variant is
+    // percentile_approx, error-bound-tested in ApproxSpec) against
+    // DuckDB's quantile_cont, which shares the interpolation definition.
+    QueryDef(
+      "q1b_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.9D))")
+            .as("p"))
+          .select($"l_returnflag",
+            round(get($"p", lit(0)), 4).as("p25"),
+            round(get($"p", lit(1)), 4).as("p50"),
+            round(get($"p", lit(2)), 4).as("p90"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_quantity, 0.9), 4) AS p90
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+      doc = "Exact interpolated percentiles per group (vs DuckDB quantile_cont)")
   )
 }

@@ -78,6 +78,42 @@ class FnsSpec extends AnyFunSuite {
       Seq("2014-09-12T14:21:07+00:00"))
   }
 
+  // Widening table per round-2 verdict: the fixtures are inverse-
+  // constructed from the goldens, so a hypothetical self-inverse bug in
+  // both tools would be invisible to golden parity — these direct
+  // input/output pins are the mitigation.
+  test("F1/F2/F4/F7/F8 edge-case widening") {
+    val f1 = Seq("X.VCF" -> "VCF", "a..vcf" -> "VCF", ".hidden" -> "HIDDEN",
+      "x.tbi" -> "UNKNOWN", "x.csi.gz" -> "UNKNOWN", "" -> "UNKNOWN")
+    assert(eval1(f1.map(_._1), Fns.dataFormat) == f1.map(_._2))
+    val f2 = Seq("a.chr10.chr2.b" -> "10", "chrx lower.y" -> "X",
+      "CHRchr.z" -> null, "x_chr21_y" -> null /* _ is a word char: no \b */,
+      "x.chr21.y" -> "21", "" -> null)
+    assert(eval1(f2.map(_._1), Fns.chromosome) == f2.map(_._2))
+    val f4 = Seq("X.VCF" -> "text/vcf", "a.TXT" -> "text/plain",
+      "a.txt.gz" -> "text/plain", "a.gz.txt" -> "text/plain")
+    assert(eval1(f4.map(_._1), Fns.mimeType(_)) == f4.map(_._2))
+    val f7 = Seq("" -> "", "A-B-C" -> "B-C", "--" -> "-",
+      "GTEX-1117F-0003-SM-5DWSB-extra" -> "SM-5DWSB-extra".split("-")
+        .takeRight(2).mkString("-"))
+    assert(eval1(f7.map(_._1), Fns.sampidKey) == f7.map(_._2))
+    val f8 = Seq("50-59" -> "1966 - 1975", "70-79" -> "1946 - 1955")
+    assert(eval1(f8.map(_._1), Fns.birthYearRange(_)) == f8.map(_._2))
+  }
+
+  test("GTEx minter golden pins (q2a/q2b literal table cross-check)") {
+    // the same values literal-pinned in the q2a/q2b oracles — if the
+    // minting chain drifts, this fails before the driver gate does
+    val m = IdMinter.gtex
+    val meta = "https://gtexportal.org/home/downloads/adult-gtex/metadata"
+    assert(m.mintIdentifier("Specimen", meta, "SM-0001") ==
+      "ce838dc2-5204-5d5e-a3b9-78410577b165")
+    assert(m.mintIdentifier("Patient", meta, "GTEX-1117F") ==
+      "491ad1a2-faea-5858-9887-625d94bd6b8c")
+    assert(m.mintIdentifier("Group", meta, "GTEX_V10") ==
+      "e15af919-ded6-510a-a538-1449bfb57fc4")
+  }
+
   test("uuid5Col (codegen, sha1 + hex surgery) == JVM IdMinter == goldens") {
     import spark.implicits._
     val m = IdMinter.oneKg
