@@ -568,6 +568,66 @@ object Relational extends Registry {
              |  round(quantile_cont(l_quantity, 0.9), 4) AS p90
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin),
-      doc = "Exact interpolated percentiles per group (vs DuckDB quantile_cont)")
+      doc = "Exact interpolated percentiles per group (vs DuckDB quantile_cont)"),
+
+    // ------------------------------------------------------------------
+    // q1c: analytic window functions (lag/lead/ntile) — the
+    // value-carrying complement of the ranking (q07) and frame (q08)
+    // windows. One shuffle on o_custkey for lag/lead; ntile is over a
+    // bounded result set (o_custkey < 100 — constant at any sf).
+    QueryDef(
+      "q1c_window_analytics",
+      (s, dir) => {
+        import s.implicits._
+        val byCust = org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_custkey").orderBy($"o_orderkey")
+        val globalByPrice = org.apache.spark.sql.expressions.Window
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        table(s, dir, "orders")
+          .filter($"o_custkey" < 100)
+          .select($"o_custkey", $"o_orderkey",
+            round($"o_totalprice", 2).as("price"),
+            round(lag($"o_totalprice", 1).over(byCust), 2).as("prev_price"),
+            round(lead($"o_totalprice", 1).over(byCust), 2).as("next_price"),
+            ntile(4).over(globalByPrice).cast("long").as("price_quartile"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(o_totalprice, 2) AS price,
+             |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+             |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+             |  ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+             |    AS price_quartile
+             |FROM orders WHERE o_custkey < 100
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      doc = "Analytic windows: lag/lead per customer + global ntile quartile"),
+
+    // ------------------------------------------------------------------
+    // q1d: explicit GROUPING SETS (beyond rollup q09 / cube q17) with
+    // grouping() markers — one aggregation pass producing three
+    // groupings; nulls normalized so both engines order identically.
+    QueryDef(
+      "q1d_grouping_sets",
+      (s, dir) => {
+        table(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                |  coalesce(l_linestatus, 'ALL') AS ls,
+                |  grouping(l_returnflag) AS g_rf,
+                |  grouping(l_linestatus) AS g_ls,
+                |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+                |FROM lineitem_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY rf, ls""".stripMargin)
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  coalesce(l_linestatus, 'ALL') AS ls,
+             |  CAST(grouping(l_returnflag) AS TINYINT) AS g_rf,
+             |  CAST(grouping(l_linestatus) AS TINYINT) AS g_ls,
+             |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY rf, ls""".stripMargin),
+      doc = "GROUPING SETS with grouping() markers (single multi-grouping pass)")
   )
 }
