@@ -264,6 +264,55 @@ object TextOps extends Registry {
              |SELECT DISTINCT doc_id, lang FROM sh
              |WHERE EXISTS (SELECT 1 FROM bench WHERE list_contains(sh.sg, bench.g))
              |ORDER BY doc_id""".stripMargin),
-      doc = "Benchmark decontamination: 8-gram overlap vs broadcast eval set")
+      doc = "Benchmark decontamination: 8-gram overlap vs broadcast eval set"),
+
+    // ------------------------------------------------------------------
+    // q3b: PII redaction — email/phone scrub, the standard pre-training
+    // privacy pass. The synthetic corpus contains no PII, so each doc
+    // gets a deterministic planted contact line (same honesty pattern as
+    // the multimodal stubs); the operator itself — global regex scrub as
+    // a narrow codegen projection — is exactly the production shape.
+    QueryDef(
+      "q3b_redact_pii",
+      (s, dir) => {
+        import s.implicits._
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        table(s, dir, "documents")
+          .withColumn("pii_text",
+            concat($"text", lit(" contact user"), $"doc_id",
+              lit("@example.com or +1-555-"),
+              lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0")))
+          .withColumn("redacted",
+            regexp_replace(regexp_replace($"pii_text", emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"redacted".contains("<EMAIL>"), 1).otherwise(0))
+              .as("n_email_redacted"),
+            sum(when($"redacted".contains("<PHONE>"), 1).otherwise(0))
+              .as("n_phone_redacted"),
+            sum(when($"redacted".rlike(emailRe) || $"redacted".rlike(phoneRe),
+              1).otherwise(0)).as("n_leaks"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN contains(redacted, '<EMAIL>')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_email_redacted,
+             |  CAST(sum(CASE WHEN contains(redacted, '<PHONE>')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_redacted,
+             |  CAST(sum(CASE WHEN regexp_matches(redacted,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+             |    OR regexp_matches(redacted, '\+1-555-[0-9]{4}')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks
+             |FROM (SELECT lang,
+             |    regexp_replace(regexp_replace(
+             |      text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+             |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+             |  FROM documents) t
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "PII redaction: global email/phone regex scrub + leak audit")
   )
 }
