@@ -1,0 +1,96 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the codegen expression kernels: each must be
+  * bit-identical to the built-in-expression chain it replaced (or to an
+  * obviously-correct scala model) on arbitrary generated inputs, not
+  * just the fixtures the unit specs pin. Raw ScalaCheck generators over
+  * fixed seeds (scalatestplus bridge isn't on the offline classpath;
+  * fixed seeds also make failures exactly reproducible). */
+class ExprPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g(Gen.Parameters.default, Seed(seed)).get
+
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf(('a' to 'z') ++ ('0' to '9') :+ 'ü')))
+  private val text: Gen[String] =
+    Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+
+  test("shingle_hashes == sorted distinct xxhash64 of the string shingles") {
+    graft.GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    for (seed <- 0 until 20) {
+      val texts = sample(Gen.listOfN(12, text), seed)
+      val k = Seq(2, 3, 5)(seed % 3)
+      val df = texts.toDF("text")
+      // model: the interpreted built-in chain (shinglesOf + xxhash64)
+      val w = split($"text", " ")
+      val sh = when(size(w) < k, array($"text")).otherwise(
+        array_distinct(transform(sequence(lit(1), size(w) - (k - 1)),
+          i => concat_ws(" ", slice(w, i, lit(k))))))
+      val model = array_sort(array_distinct(transform(sh, x => xxhash64(x))))
+      val both = df.select(
+        expr(s"shingle_hashes(text, $k)").as("fast"), model.as("slow"))
+      assert(both.filter($"fast" =!= $"slow").count() == 0, s"seed=$seed k=$k")
+    }
+  }
+
+  test("jaccard_sorted == set-model Jaccard on arbitrary long sets") {
+    graft.GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val longSet = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100L, 100L)).map(_.distinct.sorted))
+    val pairs = (0 until 40).map(i =>
+      (sample(longSet, i), sample(longSet, 1000 + i)))
+    val got = pairs.toDF("a", "b")
+      .select(expr("jaccard_sorted(a, b)")).collect().map(_.getDouble(0))
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      val expected =
+        if (a.isEmpty && b.isEmpty) 1.0
+        else a.toSet.intersect(b.toSet).size.toDouble /
+          a.toSet.union(b.toSet).size
+      assert(math.abs(g - expected) < 1e-12, s"a=$a b=$b")
+    }
+  }
+
+  test("uuid5 column minter == JVM minter on arbitrary strings") {
+    import spark.implicits._
+    val m = graft.ids.IdMinter.gtex
+    val anyStr = Gen.chooseNum(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('|', '/', ' ',
+        'é', '中', '-', '.'))).map(_.mkString))
+    val vs = (0 until 60).map(i => sample(anyStr, i))
+    val got = vs.toDF("v").select(m.mintCol($"v")).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == vs.map(m.mint))
+  }
+
+  test("simhash64 is word-order-insensitive (bag-of-words sketch)") {
+    graft.GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val pairs = (0 until 20).map { i =>
+      val ws = sample(Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word)), i)
+      val shuffled = new scala.util.Random(i).shuffle(ws)
+      (ws.mkString(" "), shuffled.mkString(" "))
+    }
+    val rows = pairs.toDF("a", "b")
+      .select(expr("simhash64(a)"), expr("simhash64(b)")).collect()
+    rows.zip(pairs).foreach { case (r, (a, b)) =>
+      assert(r.getLong(0) == r.getLong(1), s"'$a' vs '$b'")
+    }
+  }
+}
