@@ -37,7 +37,7 @@ object Sampling extends Registry {
       (s, dir) => {
         import s.implicits._
         val quota = typedLit(Map("en" -> 30, "es" -> 60, "fr" -> 60,
-          "de" -> 60, "ja" -> 90))
+          "de" -> 60, "zh" -> 90))
         table(s, dir, "documents")
           .withColumn("b", bucket100($"doc_id"))
           .filter($"b" < coalesce(quota($"lang"), lit(50)))
@@ -53,7 +53,7 @@ object Sampling extends Registry {
              |      FROM documents) t
              |WHERE b < CASE lang WHEN 'en' THEN 30 WHEN 'es' THEN 60
              |            WHEN 'fr' THEN 60 WHEN 'de' THEN 60
-             |            WHEN 'ja' THEN 90 ELSE 50 END
+             |            WHEN 'zh' THEN 90 ELSE 50 END
              |GROUP BY lang ORDER BY lang""".stripMargin),
       doc = "Deterministic stratified quota sampling per language"),
 
@@ -106,6 +106,31 @@ object Sampling extends Registry {
              |FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
              |      FROM documents)
              |ORDER BY h, doc_id LIMIT 20""".stripMargin),
-      doc = "Fixed-k uniform sample via smallest key hashes (top-k, no shuffle)")
+      doc = "Fixed-k uniform sample via smallest key hashes (top-k, no shuffle)"),
+
+    // ------------------------------------------------------------------
+    // q77: partitioned-layout round-trip — write the corpus
+    // hive-partitioned by lang, read it back with a partition-pruned
+    // scan (the plan shows PartitionFilters, and only the en/zh
+    // directories are listed). This is the storage layout a 100 TB
+    // corpus actually uses: partition columns turn selective scans into
+    // directory pruning before any IO happens.
+    QueryDef(
+      "q77_partitioned_scan",
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("part_docs").toString
+        table(s, dir, "documents").write.mode("overwrite")
+          .partitionBy("lang").parquet(out)
+        s.read.parquet(out)
+          .filter(col("lang").isin("en", "zh"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+             |FROM documents WHERE lang IN ('en', 'zh')
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "Hive-partitioned write + partition-pruned read-back")
   )
 }
