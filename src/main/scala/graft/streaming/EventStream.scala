@@ -58,8 +58,9 @@ object EventStream {
   // (clicks first on ties, = q63's ASOF >= semantics). Cross-trigger
   // correctness holds when triggers advance in event time (file/queue
   // replay order); the declarative batch form of the same semantics is
-  // EventOps q63, and AsofParity in StreamingSpec proves this state
-  // machine ≡ that window plan on a drained stream.
+  // EventOps q63. StreamingSpec proves this state machine ≡ that window
+  // plan both on a drained single-trigger stream AND split across two
+  // triggers at the median timestamp (state-carry path).
   // ------------------------------------------------------------------
   case class AsOfEvent(user_id: Long, ts_us: Long, event_type: String,
       event_id: Option[Long])

@@ -77,6 +77,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("stateful as-of join carries click state ACROSS triggers") {
+    import org.apache.spark.sql.functions._
+    // split events at the median timestamp into two files and force one
+    // file per trigger (ordered by mtime): purchases in the second
+    // trigger must still see clicks from the first — the state-carry
+    // path that a single drained batch never exercises
+    val streamDir = java.nio.file.Files.createTempDirectory("evt-asof2")
+    val all = EventStream.readBatch(spark, s"$sfDir/events.parquet")
+    val mid = all.selectExpr("percentile(ts, 0.5)").collect().head.getDouble(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(all.filter(col("ts") < mid), "a-first.parquet", 1000000L)
+    stage(all.filter(col("ts") >= mid), "b-second.parquet", 2000000L)
+
+    val query = EventStream
+      .asofJoin(spark.readStream.schema(EventStream.RawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString))
+      .writeStream.format("memory").queryName("evt_asof2")
+      .outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))
+    val got = spark.table("evt_asof2").collect().map(key).toSet
+    val want = graft.SparkEntry.queries("q63_asof_join")(spark, sfDir)
+      .collect().map(key).toSet
+    assert(got == want && got.nonEmpty)
+    // the interesting rows: purchases after the split whose latest click
+    // was before it — they prove state crossed the trigger boundary
+    val crossing = want.count { case (_, _, p, c) =>
+      c != null && p.getTime >= (mid / 1e6).toLong && c.getTime < (mid / 1e6).toLong }
+    assert(crossing > 0, "split produced no state-crossing purchases")
+  }
+
   test("streaming dedup within watermark drops re-delivered events") {
     import org.apache.spark.sql.functions._
     // simulate at-least-once delivery: the same file arrives twice
