@@ -131,6 +131,47 @@ object Sampling extends Registry {
              |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
              |FROM documents WHERE lang IN ('en', 'zh')
              |GROUP BY lang ORDER BY lang""".stripMargin),
-      doc = "Hive-partitioned write + partition-pruned read-back")
+      doc = "Hive-partitioned write + partition-pruned read-back"),
+
+    // ------------------------------------------------------------------
+    // q78: small-file compaction — the maintenance job every
+    // streaming-ingested corpus needs: many tiny part files (here a
+    // deliberate 32-way scatter) re-written as ceil(bytes/target)
+    // right-sized files. Row count and content checksum must survive
+    // the rewrite; the file-count claims are returned as booleans so the
+    // check is scale-factor-independent.
+    QueryDef(
+      "q78_compaction",
+      (s, dir) => {
+        import s.implicits._
+        def parquetFiles(d: String): Seq[java.io.File] =
+          Option(new java.io.File(d).listFiles()).toSeq.flatten
+            .filter(_.getName.endsWith(".parquet"))
+        val scattered = java.nio.file.Files
+          .createTempDirectory("scatter").toString
+        val compacted = java.nio.file.Files
+          .createTempDirectory("compact").toString
+        val docs = table(s, dir, "documents")
+        docs.repartition(32).write.mode("overwrite").parquet(scattered)
+        val before = parquetFiles(scattered)
+        val targetBytes = 8L << 20
+        val nOut = math.max(1, math.ceil(
+          before.map(_.length).sum.toDouble / targetBytes).toInt)
+        s.read.parquet(scattered).coalesce(nOut)
+          .write.mode("overwrite").parquet(compacted)
+        val after = parquetFiles(compacted)
+        val (rows, chk) = {
+          val r = s.read.parquet(compacted)
+            .agg(count(lit(1)), sum($"doc_id")).collect().head
+          (r.getLong(0), r.getLong(1))
+        }
+        val origRows = docs.count()
+        Seq((before.size > after.size, rows == origRows, chk))
+          .toDF("files_reduced", "rows_preserved", "id_checksum")
+      },
+      Some("""SELECT true AS files_reduced, true AS rows_preserved,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+             |FROM documents""".stripMargin),
+      doc = "Small-file compaction: 32-way scatter re-written to right-sized files")
   )
 }
