@@ -313,6 +313,39 @@ object TextOps extends Registry {
              |      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
              |  FROM documents) t
              |GROUP BY lang ORDER BY lang""".stripMargin),
-      doc = "PII redaction: global email/phone regex scrub + leak audit")
+      doc = "PII redaction: global email/phone regex scrub + leak audit"),
+
+    // ------------------------------------------------------------------
+    // q3c: vocabulary profiling — top-5 most frequent words per
+    // language. The explode is narrow; ONE shuffle on (lang, word) with
+    // map-side partial counts (word frequency follows Zipf, so partial
+    // aggregation absorbs the hot keys before the exchange); the final
+    // per-lang top-k runs over the tiny (lang, word) aggregate.
+    QueryDef(
+      "q3c_vocab_topk",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"n".desc, $"word")
+        table(s, dir, "documents")
+          .select($"lang", explode(words($"text")).as("word"))
+          .filter(length($"word") > 0)
+          .groupBy($"lang", $"word")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"lang", $"rank".cast("long").as("rank"), $"word", $"n")
+          .orderBy($"lang", $"rank")
+      },
+      Some("""SELECT lang, rank, word, n FROM (
+             |  SELECT lang, word, count(*) AS n,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY count(*) DESC, word) AS rank
+             |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+             |        FROM documents) t
+             |  WHERE len(word) > 0
+             |  GROUP BY lang, word)
+             |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin),
+      doc = "Per-language vocabulary top-5 (explode, partial-agg shuffle, top-k)")
   )
 }
