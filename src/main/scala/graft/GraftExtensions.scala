@@ -57,11 +57,29 @@ object GraftExtensions {
       Seq[Expression] => Expression) = (
     FunctionIdentifier("shingle_hashes"),
     new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
-    (args: Seq[Expression]) => args match {
-      case Seq(text) => ShingleHashesExpr(text, 3)
-      case Seq(text, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
-        ShingleHashesExpr(text, k)
-      case _ => throw new IllegalArgumentException("shingle_hashes(text[, k])")
+    (args: Seq[Expression]) => {
+      // k must be a compile-time constant but any foldable integral form
+      // is fine (3, 3L, 1+2, CAST(3 AS INT)); k < 1 is meaningless (the
+      // whole-text fallback would silently make every Jaccard 1.0)
+      def constK(e: Expression): Int = {
+        val v = if (e.foldable) e.eval() else null
+        v match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case _ => throw new IllegalArgumentException(
+            s"shingle_hashes k must be a constant integer, got $e")
+        }
+      }
+      args match {
+        case Seq(text) => ShingleHashesExpr(text, 3)
+        case Seq(text, kExpr) =>
+          val k = constK(kExpr)
+          require(k >= 1, s"shingle_hashes k must be >= 1, got $k")
+          ShingleHashesExpr(text, k)
+        case _ => throw new IllegalArgumentException("shingle_hashes(text[, k])")
+      }
     })
 
   private val jaccardSorted: (FunctionIdentifier, ExpressionInfo,

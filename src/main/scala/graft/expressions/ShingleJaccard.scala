@@ -99,14 +99,19 @@ case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression 
 case class JaccardSortedExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // containsNull arrays are rejected outright: the merge reads primitive
+  // longs, so a null slot would silently read as 0 instead of erroring.
+  // Sortedness/distinctness cannot be checked statically — they are the
+  // documented input contract (shingle_hashes and array_sort∘array_distinct
+  // both produce it); unsorted input yields an undercounted intersection.
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(e => e.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     })) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"jaccard_sorted requires two array<bigint> inputs, got " +
-        s"${left.dataType} / ${right.dataType}")
+      s"jaccard_sorted requires two array<bigint> inputs without null " +
+        s"elements, got ${left.dataType} / ${right.dataType}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
 

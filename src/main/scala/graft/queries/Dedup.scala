@@ -111,7 +111,12 @@ object Dedup extends Registry {
     *     candidate pair (semi-join reduction: candidates ≪ corpus), so
     *     the verify join moves candidate-sized array data, not
     *     corpus-sized. */
-  def minhashPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+  /** @param releaseCaches eagerly materialize the (small) result and
+    *   unpersist the sketch/candidate caches before returning — the
+    *   default for real runs (cache hygiene). Pass false to get the
+    *   un-truncated lazy plan (plan audits / further composition). */
+  def minhashPairs(docs: DataFrame, minJaccard: Double = 0.5,
+      releaseCaches: Boolean = true): DataFrame = {
     val reps = contentClassReps(docs)
     // persist the SKETCHES (not the text): the banded signatures feed
     // both sides of the self-join and the candidate set feeds two
@@ -135,21 +140,24 @@ object Dedup extends Registry {
     // intersect/union — same values (injective modulo 2⁻⁶⁵ collisions)
     val shs = reps.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), expr("shingle_hashes(text, 3)").as("sh"))
-    val result = cands
+    val lazyResult = cands
       .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", expr("jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+    if (!releaseCaches) lazyResult
+    else {
       // materialize the (small, bounded: verified near-dup pairs) result
       // eagerly so the sketch/candidate caches can be released NOW —
       // without this the persisted partitions stay resident for the rest
       // of the application (cache hygiene the 100× story needs)
-      .localCheckpoint(true)
-    banded.unpersist()
-    cands.unpersist()
-    result
+      val result = lazyResult.localCheckpoint(true)
+      banded.unpersist()
+      cands.unpersist()
+      result
+    }
   }
 
   /** SimHash near-dup pairs among content classes, Hamming-verified.
@@ -158,12 +166,18 @@ object Dedup extends Registry {
     * — one pass over the words instead of 64 interpreted filter scans,
     * bit-identical output. */
   /** @param numBands LSH band count over the 64-bit sketch (band width =
-    *   64/numBands). Pigeonhole: a pair at Hamming h is GUARANTEED to
-    *   share a band iff h < numBands — pick numBands > target Hamming
-    *   for deterministic recall, fewer bands for cheaper joins when
-    *   probabilistic recall is acceptable. */
+    *   64/numBands; must tile 64 with width ≤ 32 — i.e. 2/4/8/16/32 —
+    *   so every sketch bit lands in exactly one band and the band mask
+    *   doesn't overflow a long shift). Pigeonhole: a pair at Hamming h
+    *   is GUARANTEED to share a band iff h < numBands — pick
+    *   numBands > target Hamming for deterministic recall, fewer bands
+    *   for cheaper joins when probabilistic recall is acceptable.
+    * @param releaseCaches see [[minhashPairs]] */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8,
-      numBands: Int = 4): DataFrame = {
+      numBands: Int = 4, releaseCaches: Boolean = true): DataFrame = {
+    require(numBands >= 2 && numBands <= 32 && 64 % numBands == 0,
+      s"numBands must be one of 2/4/8/16/32 (got $numBands): non-divisors " +
+        "leave bits out of every band; 1 band makes the mask shift overflow")
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val width = 64 / numBands
     val mask = (1L << width) - 1
@@ -178,7 +192,7 @@ object Dedup extends Registry {
         .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key")),
       Seq("band", "key"))
       .persist() // both sides of the self-join; see minhashPairs
-    val result = banded.as("a")
+    val lazyResult = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -187,9 +201,13 @@ object Dedup extends Registry {
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true) // release the sketch cache; see minhashPairs
-    banded.unpersist()
-    result
+    if (!releaseCaches) lazyResult
+    else {
+      // release the sketch cache; see minhashPairs
+      val result = lazyResult.localCheckpoint(true)
+      banded.unpersist()
+      result
+    }
   }
 
   def defs: Seq[QueryDef] = Seq(

@@ -360,7 +360,7 @@ object FhirEtl extends Registry {
     QueryDef(
       "q73_onekg_e2e",
       (s, _) => {
-        val out = java.nio.file.Files.createTempDirectory("onekg_e2e").toString
+        val out = Tables.scratchDir("q73_onekg_e2e")
         OneKg.runAll(s, FixtureDir, out)
         graft.etl.Validate.profile(s, out)
       },
@@ -378,7 +378,7 @@ object FhirEtl extends Registry {
     QueryDef(
       "q74_gtex_e2e",
       (s, _) => {
-        val out = java.nio.file.Files.createTempDirectory("gtex_e2e").toString
+        val out = Tables.scratchDir("q74_gtex_e2e")
         Gtex.runAll(s, FixtureDir, out)
         graft.etl.Validate.profile(s, out)
       },

@@ -54,8 +54,7 @@ object Multimodal extends Registry {
         lit(16000).as("sample_rate")).as("meta"))
 
   private def fakeDim(docId: Column, salt: Int): Column =
-    conv(substring(md5(concat(docId.cast("string"), lit(s"#$salt"))), 1, 4),
-      16, 10).cast("long")
+    Sampling.md5Prefix16(concat(docId.cast("string"), lit(s"#$salt")))
 
   val FrameChars = 64
   val MaxFrames = 8

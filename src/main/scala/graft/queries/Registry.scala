@@ -26,4 +26,21 @@ trait Registry {
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Fixed per-name scratch directory, deleted and recreated on every
+    * call — queries that write real output (e2e pipelines, layout ops)
+    * use this instead of fresh createTempDirectory calls so repeated
+    * Verify/Bench runs are bounded to ONE resident copy per query
+    * rather than leaking corpus-sized temp dirs. */
+  def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch", name)
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(del)
+      f.delete(); ()
+    }
+    del(p.toFile)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
 }

@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
 object Sampling extends Registry {
   import Tables.table
 
-  /** Stable per-row bucket in [0, 100): first 4 hex chars of
-    * md5(key) mod 100. */
-  def bucket100(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
-      .cast("long") % 100
+  /** First 4 hex chars of md5(key) as a long in [0, 65536) — THE
+    * engine-parity hash idiom (every user must keep it in sync with its
+    * DuckDB oracle mirror `CAST('0x' || substr(md5(x), 1, 4) AS
+    * BIGINT)`; one definition here so the Scala side can't diverge). */
+  def md5Prefix16(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Stable per-row bucket in [0, 100). */
+  def bucket100(key: Column): Column = md5Prefix16(key) % 100
 
   def defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -118,7 +122,7 @@ object Sampling extends Registry {
     QueryDef(
       "q77_partitioned_scan",
       (s, dir) => {
-        val out = java.nio.file.Files.createTempDirectory("part_docs").toString
+        val out = Tables.scratchDir("q77_part")
         table(s, dir, "documents").write.mode("overwrite")
           .partitionBy("lang").parquet(out)
         s.read.parquet(out)
@@ -147,16 +151,19 @@ object Sampling extends Registry {
         def parquetFiles(d: String): Seq[java.io.File] =
           Option(new java.io.File(d).listFiles()).toSeq.flatten
             .filter(_.getName.endsWith(".parquet"))
-        val scattered = java.nio.file.Files
-          .createTempDirectory("scatter").toString
-        val compacted = java.nio.file.Files
-          .createTempDirectory("compact").toString
+        val scattered = Tables.scratchDir("q78_scatter")
+        val compacted = Tables.scratchDir("q78_compact")
         val docs = table(s, dir, "documents")
         docs.repartition(32).write.mode("overwrite").parquet(scattered)
         val before = parquetFiles(scattered)
         val targetBytes = 8L << 20
-        val nOut = math.max(1, math.ceil(
-          before.map(_.length).sum.toDouble / targetBytes).toInt)
+        // clamp to strictly fewer files than the scatter: when the
+        // corpus is big enough that right-sizing alone wouldn't reduce
+        // the count, compaction still must (files_reduced is part of the
+        // sf-independent contract; at that scale the target is advisory)
+        val nOut = math.min(math.max(1, math.ceil(
+          before.map(_.length).sum.toDouble / targetBytes).toInt),
+          math.max(1, before.size - 1))
         s.read.parquet(scattered).coalesce(nOut)
           .write.mode("overwrite").parquet(compacted)
         val after = parquetFiles(compacted)

@@ -112,9 +112,14 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(key).toSet
     assert(got == want && got.nonEmpty)
     // the interesting rows: purchases after the split whose latest click
-    // was before it — they prove state crossed the trigger boundary
+    // was before it — they prove state crossed the trigger boundary.
+    // Compare at the data's µs granularity (ms truncation could
+    // misclassify pairs inside the split millisecond).
+    val midUs = (mid / 1e3).toLong
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
     val crossing = want.count { case (_, _, p, c) =>
-      c != null && p.getTime >= (mid / 1e6).toLong && c.getTime < (mid / 1e6).toLong }
+      c != null && us(p) >= midUs && us(c) < midUs }
     assert(crossing > 0, "split produced no state-crossing purchases")
   }
 
