@@ -167,6 +167,46 @@ object EventOps extends Registry {
              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin),
-      doc = "AS-OF join as a flatMapGroupsWithState operator (vs DuckDB ASOF)")
+      doc = "AS-OF join as a flatMapGroupsWithState operator (vs DuckDB ASOF)"),
+
+    // ------------------------------------------------------------------
+    // q65: SCD2 validity-interval build — the event log rewritten as a
+    // slowly-changing-dimension table: each event opens an interval
+    // [valid_from, valid_to) closed by the user's next event (null = the
+    // current row), plus a point-in-time activity flag for a snapshot
+    // timestamp (the membership test a temporal join runs). ONE shuffle
+    // on user_id; lead() carries no state beyond the sort — the standard
+    // shape for building a point-in-time-correct dimension at any scale.
+    // Bounded to user_id < 20 so the registered result stays small.
+    QueryDef(
+      "q65_scd2_intervals",
+      (s, dir) => {
+        import s.implicits._
+        val snapshot = "2024-01-15 00:00:00"
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        events(s, dir).filter($"user_id" < 20)
+          .select($"user_id", $"event_id", $"event_type", $"ts")
+          .withColumn("valid_to", lead($"ts", 1).over(w))
+          .select($"user_id", $"event_id", $"event_type",
+            $"ts".as("valid_from"), $"valid_to",
+            (unix_millis($"valid_to") - unix_millis($"ts")).as("duration_ms"),
+            ($"ts" <= lit(snapshot).cast("timestamp") &&
+              ($"valid_to".isNull ||
+                $"valid_to" > lit(snapshot).cast("timestamp")))
+              .as("active_at_snapshot"))
+          .orderBy($"user_id", $"valid_from", $"event_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, ts AS valid_from,
+             |  lead(ts) OVER w AS valid_to,
+             |  epoch_ms(lead(ts) OVER w) - epoch_ms(ts) AS duration_ms,
+             |  ts <= TIMESTAMP '2024-01-15 00:00:00'
+             |    AND (lead(ts) OVER w IS NULL
+             |         OR lead(ts) OVER w > TIMESTAMP '2024-01-15 00:00:00')
+             |    AS active_at_snapshot
+             |FROM events WHERE user_id < 20
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, valid_from, event_id""".stripMargin),
+      doc = "SCD2 interval build (lead-closed validity windows + snapshot flag)")
   )
 }

@@ -179,6 +179,117 @@ object Sampling extends Registry {
       Some("""SELECT true AS files_reduced, true AS rows_preserved,
              |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
              |FROM documents""".stripMargin),
-      doc = "Small-file compaction: 32-way scatter re-written to right-sized files")
+      doc = "Small-file compaction: 32-way scatter re-written to right-sized files"),
+
+    // ------------------------------------------------------------------
+    // q90: training-sequence packing (concat-and-chunk) — documents are
+    // concatenated in deterministic order and cut into fixed
+    // token-budget sequences; each doc belongs to the sequence its start
+    // offset lands in. Packing is PER HASH-SHARD, the way a real
+    // pipeline packs per writer task: the running-sum window partitions
+    // by shard, so there is no global single-partition window and the
+    // shard count scales with the cluster, not the data. One shuffle on
+    // shard; everything else is narrow.
+    QueryDef(
+      "q90_sequence_packing",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 2048
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"shard").orderBy($"doc_id")
+          .rowsBetween(Long.MinValue, 0)
+        table(s, dir, "documents")
+          .select($"doc_id",
+            (md5Prefix16($"doc_id") % 8).as("shard"),
+            size(split($"text", " ")).cast("long").as("n_tok"))
+          .withColumn("running", sum($"n_tok").over(w))
+          .withColumn("seq_id",
+            floor(($"running" - $"n_tok") / lit(budget.toDouble)).cast("long"))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"seq_id").as("n_seqs"),
+            sum($"n_tok").as("total_tokens"),
+            round(sum($"n_tok") /
+              (countDistinct($"seq_id") * lit(budget.toDouble)), 4)
+              .as("fill_ratio"))
+          .orderBy($"shard")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+             |         AS BIGINT) % 8 AS shard,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |r AS (
+             |  SELECT shard, n_tok,
+             |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS running
+             |  FROM t)
+             |SELECT shard, count(*) AS n_docs,
+             |  count(DISTINCT CAST(floor((running - n_tok) / 2048.0) AS BIGINT))
+             |    AS n_seqs,
+             |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             |  round(sum(n_tok) /
+             |    (count(DISTINCT CAST(floor((running - n_tok) / 2048.0) AS BIGINT))
+             |     * 2048.0), 4) AS fill_ratio
+             |FROM r GROUP BY shard ORDER BY shard""".stripMargin),
+      doc = "Per-shard concat-and-chunk sequence packing (2048-token budget)"),
+
+    // ------------------------------------------------------------------
+    // q91: dataset mixing — per-source mixture weights applied as
+    // deterministic replication: integer part = whole epochs (every doc
+    // repeated), fractional part = md5-bucket acceptance (w=0.5 keeps
+    // half the docs, chosen by key hash, not RNG). This is the standard
+    // corpus-reweighting op before training; the explode is narrow and
+    // the only shuffle is the final per-source aggregate, so the shape
+    // is identical at 100 TB (upsampled copies carry an epoch index a
+    // downstream shuffler can salt on).
+    QueryDef(
+      "q91_dataset_mixing",
+      (s, dir) => {
+        import s.implicits._
+        // weight by source index: 2.0 / 1.0 / 0.5 / 0.25 tiers
+        val idx = substring($"source", 4, 10).cast("int")
+        val base = when(idx < 5, 2).when(idx < 10, 1).otherwise(0)
+        val fracPct = when(idx < 10, 0).when(idx < 15, 50).otherwise(25)
+        table(s, dir, "documents")
+          .select($"doc_id", $"source", $"n_chars",
+            (base + when(bucket100($"doc_id") < fracPct, 1).otherwise(0))
+              .as("copies"))
+          .filter($"copies" > 0)
+          .select($"doc_id", $"source", $"n_chars",
+            explode(sequence(lit(1), $"copies")).as("epoch"))
+          .groupBy($"source")
+          .agg(countDistinct($"doc_id").as("n_docs_in"),
+            count(lit(1)).as("n_copies_out"),
+            sum($"doc_id").as("id_checksum"),
+            sum($"n_chars").as("chars_out"),
+            max($"epoch").as("max_epoch"))
+          .orderBy($"source")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(substr(source, 4) AS INT) AS idx,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+             |         AS BIGINT) % 100 AS b
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_chars,
+             |    (CASE WHEN idx < 5 THEN 2 WHEN idx < 10 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN b < (CASE WHEN idx < 10 THEN 0
+             |                           WHEN idx < 15 THEN 50 ELSE 25 END)
+             |       THEN 1 ELSE 0 END) AS copies
+             |  FROM t),
+             |e AS (
+             |  SELECT doc_id, source, n_chars,
+             |    unnest(range(1, copies + 1)) AS epoch
+             |  FROM c WHERE copies > 0)
+             |SELECT source, count(DISTINCT doc_id) AS n_docs_in,
+             |  count(*) AS n_copies_out,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars_out,
+             |  CAST(max(epoch) AS INT) AS max_epoch
+             |FROM e GROUP BY source ORDER BY source""".stripMargin),
+      doc = "Deterministic weighted dataset mixing (epoch replication + hash-fraction)")
   )
 }

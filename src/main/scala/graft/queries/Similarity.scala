@@ -158,6 +158,40 @@ object Similarity extends Registry {
       .orderBy(col("cell"))
   }
 
+  // ------------------------------------------------------------------
+  // q54: one k-means (Lloyd) iteration on top of the IVF assignment —
+  // the centroid-refinement step a real IVF index build runs. Assignment
+  // is the broadcast-centroids argmax (no corpus shuffle); the centroid
+  // recompute is posexplode to (cell, dim, x) then a single partial-agg
+  // shuffle on (cell, dim) — k×dim groups, constant size at any corpus
+  // scale. Per-dim means are rounded before the norm reduction so Spark
+  // and DuckDB float-sum orders can't diverge the result.
+  // ------------------------------------------------------------------
+  def kmeansIter(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val cents = c.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("cell").asc)
+    val assigned = c.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cell"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 4)
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val dimMeans = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("m"))
+    dimMeans.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_dims"),
+        round(sum(col("m") * col("m")), 4).as("centroid_norm2"))
+      .join(assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members")),
+        Seq("cell"))
+      .select(col("cell"), col("n_members"), col("n_dims"),
+        col("centroid_norm2"))
+      .orderBy(col("cell"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q50_knn_exact",
@@ -271,6 +305,37 @@ object Similarity extends Registry {
              |SELECT cell, count(*) AS n_vectors,
              |  round(avg(cosine), 4) AS avg_cosine
              |FROM s WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin),
-      doc = "IVF coarse-quantizer assignment (broadcast centroids, argmax cell)")
+      doc = "IVF coarse-quantizer assignment (broadcast centroids, argmax cell)"),
+
+    QueryDef(
+      "q54_kmeans_iter",
+      (s, dir) => kmeansIter(s, dir),
+      Some("""WITH n AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |    sqrt(list_dot_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |c AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n
+             |      WHERE vec_id < 8),
+             |s AS (SELECT n.vec_id, cell,
+             |        row_number() OVER (PARTITION BY n.vec_id
+             |          ORDER BY round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) DESC,
+             |                   cell) AS rn
+             |      FROM n JOIN c ON true),
+             |a AS (SELECT vec_id, cell FROM s WHERE rn = 1),
+             |ex AS (SELECT a.cell, generate_subscripts(n.e, 1) AS dim,
+             |         unnest(n.e) AS x
+             |       FROM a JOIN n USING (vec_id)),
+             |m AS (SELECT cell, dim, round(avg(x), 6) AS m
+             |      FROM ex GROUP BY cell, dim),
+             |nm AS (SELECT cell, count(*) AS n_dims,
+             |         round(sum(m * m), 4) AS centroid_norm2
+             |       FROM m GROUP BY cell),
+             |cnt AS (SELECT cell, count(*) AS n_members FROM a GROUP BY cell)
+             |SELECT cell, n_members, n_dims, centroid_norm2
+             |FROM nm JOIN cnt USING (cell) ORDER BY cell""".stripMargin),
+      doc = "One k-means Lloyd iteration: argmax assign + per-dim centroid recompute")
   )
 }

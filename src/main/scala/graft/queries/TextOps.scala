@@ -346,6 +346,124 @@ object TextOps extends Registry {
              |  WHERE len(word) > 0
              |  GROUP BY lang, word)
              |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin),
-      doc = "Per-language vocabulary top-5 (explode, partial-agg shuffle, top-k)")
+      doc = "Per-language vocabulary top-5 (explode, partial-agg shuffle, top-k)"),
+
+    // ------------------------------------------------------------------
+    // q92: intra-document repetition removal (the Gopher-style "fraction
+    // of duplicate n-grams" filter). The synthetic corpus has near-zero
+    // natural repetition, so docs with doc_id % 7 == 0 get a
+    // deterministic planted repeated phrase (same honesty pattern as
+    // q3b's planted PII); the operator itself — distinct-vs-total 3-gram
+    // ratio as a narrow codegen projection (shingle_hashes dedupes
+    // internally, so size() IS the distinct count), then a threshold
+    // gate — is exactly the production shape. Only shuffle: the final
+    // per-lang aggregate.
+    QueryDef(
+      "q92_repetition_filter",
+      (s, dir) => {
+        import s.implicits._
+        graft.GraftExtensions.ensureRegistered(s)
+        table(s, dir, "documents")
+          // planted docs are rebuilt as their first-10-word phrase
+          // repeated to roughly original length → dup3 ≈ 0.9, far from
+          // the 0.2 gate at any doc length (an appended constant-size
+          // phrase would vanish into long docs)
+          .withColumn("phrase", concat_ws(" ", slice(words($"text"), 1, 10)))
+          .withColumn("k",
+            greatest(ceil(size(words($"text")) / lit(10.0)), lit(2))
+              .cast("int"))
+          .withColumn("planted",
+            when(pmod($"doc_id", lit(7)) === 0,
+              expr("substring(repeat(' ' || phrase, k), 2)"))
+              .otherwise($"text"))
+          .withColumn("n_words", size(words($"planted")))
+          .withColumn("total3",
+            when($"n_words" < 3, 1).otherwise($"n_words" - 2))
+          .withColumn("dis3", expr("size(shingle_hashes(planted, 3))"))
+          .withColumn("dup3",
+            round(lit(1.0) - $"dis3" / $"total3".cast("double"), 6))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"dup3" > 0.2, 1).otherwise(0)).as("n_flagged"),
+            sum(when($"dup3" <= 0.2, 1).otherwise(0)).as("n_kept"),
+            round(sum($"dup3"), 4).as("sum_dup3"))
+          .orderBy($"lang")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN substr(repeat(' ' ||
+             |        array_to_string(string_split(text, ' ')[1:10], ' '),
+             |        greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0)
+             |                      AS INT), 2)), 2)
+             |      ELSE text END AS planted
+             |  FROM documents),
+             |d AS (
+             |  SELECT lang,
+             |    CASE WHEN len(ws) < 3 THEN 1 ELSE len(ws) - 2 END AS total3,
+             |    CASE WHEN len(ws) < 3 THEN 1
+             |      ELSE len(list_distinct([array_to_string(ws[i:i+2], ' ')
+             |                              for i in range(1, len(ws) - 1)]))
+             |      END AS dis3
+             |  FROM (SELECT lang, string_split(planted, ' ') AS ws FROM p) t)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN round(1.0 - dis3::DOUBLE / total3, 6) > 0.2
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             |  CAST(sum(CASE WHEN round(1.0 - dis3::DOUBLE / total3, 6) <= 0.2
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  round(sum(round(1.0 - dis3::DOUBLE / total3, 6)), 4) AS sum_dup3
+             |FROM d GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "Gopher-style duplicate-3-gram repetition filter (planted repetition)"),
+
+    // ------------------------------------------------------------------
+    // q3d: RAG-style sliding-window chunking — every document cut into
+    // 200-char chunks with 50-char overlap (stride 150) via
+    // sequence()+posexplode, the narrow generator shape (no shuffle
+    // until the final per-lang aggregate). The chunk-chars minus
+    // doc-chars difference IS the overlap volume, returned as its own
+    // column so the oracle pins the overlap arithmetic, not just counts.
+    QueryDef(
+      "q3d_chunking",
+      (s, dir) => {
+        import s.implicits._
+        val stride = 150
+        val chunkLen = 200
+        val docs = table(s, dir, "documents")
+        val chunks = docs
+          .select($"doc_id", $"lang", $"text",
+            explode(sequence(lit(0),
+              greatest(length($"text") - 1, lit(0)), lit(stride)))
+              .as("start"))
+          .select($"doc_id", $"lang",
+            length(expr(s"substring(text, start + 1, $chunkLen)"))
+              .as("chunk_chars"))
+        chunks.groupBy($"lang")
+          .agg(countDistinct($"doc_id").as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum($"chunk_chars".cast("long")).as("sum_chunk_chars"))
+          .join(docs.groupBy($"lang")
+            .agg(sum(length($"text").cast("long")).as("sum_doc_chars")), Seq("lang"))
+          .select($"lang", $"n_docs", $"n_chunks", $"sum_chunk_chars",
+            ($"sum_chunk_chars" - $"sum_doc_chars").as("overlap_chars"))
+          .orderBy($"lang")
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, lang,
+             |    length(substr(text, start + 1, 200)) AS chunk_chars
+             |  FROM (SELECT doc_id, lang, text,
+             |          unnest(range(0, greatest(length(text), 1), 150)) AS start
+             |        FROM documents) t),
+             |agg AS (
+             |  SELECT lang, count(DISTINCT doc_id) AS n_docs,
+             |    count(*) AS n_chunks,
+             |    CAST(sum(chunk_chars) AS BIGINT) AS sum_chunk_chars
+             |  FROM c GROUP BY lang),
+             |d AS (
+             |  SELECT lang, CAST(sum(length(text)) AS BIGINT) AS sum_doc_chars
+             |  FROM documents GROUP BY lang)
+             |SELECT lang, n_docs, n_chunks, sum_chunk_chars,
+             |  sum_chunk_chars - sum_doc_chars AS overlap_chars
+             |FROM agg JOIN d USING (lang) ORDER BY lang""".stripMargin),
+      doc = "Sliding-window document chunking (200 chars, stride 150) + overlap audit")
   )
 }
