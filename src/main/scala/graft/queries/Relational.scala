@@ -628,6 +628,48 @@ object Relational extends Registry {
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
              |ORDER BY rf, ls""".stripMargin),
-      doc = "GROUPING SETS with grouping() markers (single multi-grouping pass)")
+      doc = "GROUPING SETS with grouping() markers (single multi-grouping pass)"),
+
+    // ------------------------------------------------------------------
+    // q93: sketch-based approximate aggregates through the driver gate.
+    // Spark's HLL++ and DuckDB's approx sketches differ by construction,
+    // so the oracle can't recompute the estimate — instead the query
+    // returns the EXACT values plus booleans asserting the sketch landed
+    // inside its error contract (±5% for HLL at rsd 0.02, ±2% for the
+    // approx median at accuracy 1000). The sketch is the 100 TB answer
+    // to count-distinct — mergeable partial state, no distinct shuffle —
+    // and this makes its error contract part of the gated surface
+    // (previously ApproxSpec-only evidence).
+    QueryDef(
+      "q93_approx_sketch",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .agg(
+            countDistinct($"l_partkey").as("exact_parts"),
+            approx_count_distinct($"l_partkey", 0.02).as("hll_parts"),
+            countDistinct($"l_orderkey").as("exact_orders"),
+            approx_count_distinct($"l_orderkey", 0.02).as("hll_orders"),
+            expr("percentile(l_extendedprice, 0.5D)").as("exact_med"),
+            percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+              .as("approx_med"))
+          .select(
+            $"exact_parts", $"exact_orders",
+            round($"exact_med", 2).as("exact_median"),
+            (abs($"hll_parts" - $"exact_parts") <= $"exact_parts" * 0.05)
+              .as("parts_within_5pct"),
+            (abs($"hll_orders" - $"exact_orders") <= $"exact_orders" * 0.05)
+              .as("orders_within_5pct"),
+            (abs($"approx_med" - $"exact_med") <= $"exact_med" * 0.02)
+              .as("median_within_2pct"))
+      },
+      Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
+             |  count(DISTINCT l_orderkey) AS exact_orders,
+             |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
+             |  true AS parts_within_5pct,
+             |  true AS orders_within_5pct,
+             |  true AS median_within_2pct
+             |FROM lineitem""".stripMargin),
+      doc = "HLL count-distinct + approx percentile with gated error bounds")
   )
 }

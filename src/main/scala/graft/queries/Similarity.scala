@@ -178,15 +178,19 @@ object Similarity extends Registry {
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 4)
           .as("cosine"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    val dimMeans = assigned
+    // member count rides the per-dim aggregate (every dim of a cell has
+    // the same row count), so ONE branch computes everything — a
+    // separate .groupBy(cell).count() would re-expand the whole
+    // assignment subtree (Spark shares no common subplans) and join it
+    // back
+    assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
-      .agg(round(avg(col("x")), 6).as("m"))
-    dimMeans.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_dims"),
+      .agg(count(lit(1)).as("n"), round(avg(col("x")), 6).as("m"))
+      .groupBy(col("cell"))
+      .agg(max(col("n")).as("n_members"),
+        count(lit(1)).as("n_dims"),
         round(sum(col("m") * col("m")), 4).as("centroid_norm2"))
-      .join(assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members")),
-        Seq("cell"))
       .select(col("cell"), col("n_members"), col("n_dims"),
         col("centroid_norm2"))
       .orderBy(col("cell"))
@@ -328,14 +332,11 @@ object Similarity extends Registry {
              |ex AS (SELECT a.cell, generate_subscripts(n.e, 1) AS dim,
              |         unnest(n.e) AS x
              |       FROM a JOIN n USING (vec_id)),
-             |m AS (SELECT cell, dim, round(avg(x), 6) AS m
-             |      FROM ex GROUP BY cell, dim),
-             |nm AS (SELECT cell, count(*) AS n_dims,
-             |         round(sum(m * m), 4) AS centroid_norm2
-             |       FROM m GROUP BY cell),
-             |cnt AS (SELECT cell, count(*) AS n_members FROM a GROUP BY cell)
-             |SELECT cell, n_members, n_dims, centroid_norm2
-             |FROM nm JOIN cnt USING (cell) ORDER BY cell""".stripMargin),
+             |m AS (SELECT cell, dim, count(*) AS n, round(avg(x), 6) AS m
+             |      FROM ex GROUP BY cell, dim)
+             |SELECT cell, max(n) AS n_members, count(*) AS n_dims,
+             |  round(sum(m * m), 4) AS centroid_norm2
+             |FROM m GROUP BY cell ORDER BY cell""".stripMargin),
       doc = "One k-means Lloyd iteration: argmax assign + per-dim centroid recompute")
   )
 }

@@ -464,6 +464,47 @@ object TextOps extends Registry {
              |SELECT lang, n_docs, n_chunks, sum_chunk_chars,
              |  sum_chunk_chars - sum_doc_chars AS overlap_chars
              |FROM agg JOIN d USING (lang) ORDER BY lang""".stripMargin),
-      doc = "Sliding-window document chunking (200 chars, stride 150) + overlap audit")
+      doc = "Sliding-window document chunking (200 chars, stride 150) + overlap audit"),
+
+    // ------------------------------------------------------------------
+    // q94: one BPE merge-candidate scoring step — the inner loop of
+    // tokenizer training: count every adjacent character pair inside
+    // every (lowercased) word, rank the top merge candidates. The pair
+    // extraction is explode(sequence)+substring — generators and codegen
+    // string ops, NOT an interpreted higher-order lambda — so the hot
+    // path stays inside whole-stage codegen; Zipf-skewed pair keys are
+    // absorbed by map-side partial aggregation before the one shuffle;
+    // the top-k over the tiny pair aggregate is a bounded sort.
+    QueryDef(
+      "q94_bpe_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"n".desc, $"pair")
+        table(s, dir, "documents")
+          .select(explode(words(lower($"text"))).as("word"))
+          .filter(length($"word") >= 2)
+          .select($"word", explode(sequence(lit(1), length($"word") - 1))
+            .as("i"))
+          .select(expr("substring(word, i, 2)").as("pair"))
+          .groupBy($"pair")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 20)
+          .select($"rank".cast("long").as("rank"), $"pair", $"n")
+          .orderBy($"rank")
+      },
+      Some("""SELECT rank, pair, n FROM (
+             |  SELECT pair, count(*) AS n,
+             |    row_number() OVER (ORDER BY count(*) DESC, pair) AS rank
+             |  FROM (
+             |    SELECT substr(word, i, 2) AS pair
+             |    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+             |          FROM documents) w,
+             |         unnest(range(1, length(word))) AS t(i)
+             |    WHERE length(word) >= 2)
+             |  GROUP BY pair)
+             |WHERE rank <= 20 ORDER BY rank""".stripMargin),
+      doc = "BPE merge-candidate scoring: adjacent char-pair counts + top-20")
   )
 }

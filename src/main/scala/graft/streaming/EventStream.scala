@@ -108,6 +108,20 @@ object EventStream {
     spark.readStream.schema(RawSchema).parquet(dir)
   }
 
+  /** Rate-limited source — `maxFilesPerTrigger` is the file source's
+    * backpressure knob: each micro-batch admits at most that many files,
+    * so ingest bursts (a backfill directory landing at once) are spread
+    * across triggers instead of materializing as one giant batch whose
+    * state update exceeds executor memory. Same plan as [[readStream]];
+    * only admission control differs. */
+  def readStreamThrottled(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(RawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+  }
+
   /** Batch source with the identical schema (parity testing + backfill). */
   def readBatch(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

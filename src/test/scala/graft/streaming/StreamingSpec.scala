@@ -146,4 +146,29 @@ class StreamingSpec extends AnyFunSuite {
       .readBatch(spark, s"$sfDir/events.parquet").count()
     assert(n == expected, s"deduped stream $n != unique events $expected")
   }
+
+  test("maxFilesPerTrigger throttles a burst into bounded micro-batches") {
+    // a 4-file backfill burst lands at once; with maxFilesPerTrigger=1
+    // the source must admit it as 4 micro-batches, none larger than the
+    // biggest single file — the backpressure contract — with no row
+    // lost or duplicated across triggers
+    val streamDir = java.nio.file.Files.createTempDirectory("evt-throttle")
+    val batch = EventStream.readBatch(spark, s"$sfDir/events.parquet")
+    batch.repartition(4).write.mode("overwrite")
+      .parquet(streamDir.toString)
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val query = EventStream
+      .readStreamThrottled(spark, streamDir.toString, maxFilesPerTrigger = 1)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }; ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    val total = batch.count()
+    assert(batchSizes.size == 4,
+      s"expected 4 single-file micro-batches, got ${batchSizes.size}")
+    assert(batchSizes.sum == total, "throttling lost or duplicated rows")
+    assert(batchSizes.max < total, "a single trigger absorbed the whole burst")
+  }
 }
