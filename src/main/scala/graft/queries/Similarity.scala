@@ -141,22 +141,29 @@ object Similarity extends Registry {
   // IVF-style coarse assignment: 8 fixed centroids (vec_id < 8), every
   // vector routed to its argmax-cosine cell via broadcast join.
   // ------------------------------------------------------------------
-  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
+  /** Argmax-cosine cell assignment — the single point of truth for the
+    * IVF routing contract (8 fixed centroids, 4-decimal rounding, cell
+    * tie-break): q52 aggregates it, q54 refines it. Returns one row per
+    * corpus vector: (vec_id, v, cell, cosine). */
+  private def assignCells(c: DataFrame): DataFrame = {
     val cents = c.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("cell").asc)
     c.join(broadcast(cents))
-      .select(col("vec_id"), col("cell"),
+      .select(col("vec_id"), col("v"), col("cell"),
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 4)
           .as("cosine"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  def ivfAssign(s: SparkSession, dir: String): DataFrame =
+    assignCells(corpus(s, dir))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"),
         round(avg(col("cosine")), 4).as("avg_cosine"))
       .orderBy(col("cell"))
-  }
 
   // ------------------------------------------------------------------
   // q54: one k-means (Lloyd) iteration on top of the IVF assignment —
@@ -168,16 +175,7 @@ object Similarity extends Registry {
   // and DuckDB float-sum orders can't diverge the result.
   // ------------------------------------------------------------------
   def kmeansIter(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
-    val cents = c.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("cell").asc)
-    val assigned = c.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cell"),
-        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 4)
-          .as("cosine"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val assigned = assignCells(corpus(s, dir))
     // member count rides the per-dim aggregate (every dim of a cell has
     // the same row count), so ONE branch computes everything — a
     // separate .groupBy(cell).count() would re-expand the whole

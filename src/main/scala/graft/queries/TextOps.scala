@@ -366,8 +366,11 @@ object TextOps extends Registry {
         table(s, dir, "documents")
           // planted docs are rebuilt as their first-10-word phrase
           // repeated to roughly original length → dup3 ≈ 0.9, far from
-          // the 0.2 gate at any doc length (an appended constant-size
-          // phrase would vanish into long docs)
+          // the 0.2 gate for any doc of ≥3 words (an appended
+          // constant-size phrase would vanish into long docs; 1-2-word
+          // docs degenerate to dup3 = 0 and would escape — the corpus
+          // generator emits ≥10 words at every sf, and both engines
+          // agree on the degenerate branch either way)
           .withColumn("phrase", concat_ws(" ", slice(words($"text"), 1, 10)))
           .withColumn("k",
             greatest(ceil(size(words($"text")) / lit(10.0)), lit(2))

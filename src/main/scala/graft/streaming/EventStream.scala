@@ -103,10 +103,8 @@ object EventStream {
   }
 
   /** Streaming source over a directory of event parquet files. */
-  def readStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(RawSchema).parquet(dir)
-  }
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    buildStream(spark, dir, maxFilesPerTrigger = None)
 
   /** Rate-limited source — `maxFilesPerTrigger` is the file source's
     * backpressure knob: each micro-batch admits at most that many files,
@@ -115,11 +113,17 @@ object EventStream {
     * state update exceeds executor memory. Same plan as [[readStream]];
     * only admission control differs. */
   def readStreamThrottled(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int): DataFrame = {
+      maxFilesPerTrigger: Int): DataFrame =
+    buildStream(spark, dir, Some(maxFilesPerTrigger))
+
+  /** One source builder so the throttled and unthrottled forms cannot
+    * drift in schema or conf. */
+  private def buildStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(RawSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
+    val reader = spark.readStream.schema(RawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
   }
 
   /** Batch source with the identical schema (parity testing + backfill). */

@@ -105,7 +105,7 @@ class Round4OpsSpec extends AnyFunSuite {
     val perUser = out.groupBy("user_id").agg(
       sum(when(col("active_at_snapshot"), 1).otherwise(0)).as("n_active"),
       sum(when(col("valid_to").isNull, 1).otherwise(0)).as("n_open"),
-      min(when(col("duration_ms") < 0, 1).otherwise(0)).as("neg")
+      max(when(col("duration_ms") < 0, 1).otherwise(0)).as("neg")
     ).collect()
     perUser.foreach { r =>
       assert(r.getAs[Long]("n_active") <= 1L)
