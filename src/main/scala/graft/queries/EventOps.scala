@@ -207,6 +207,73 @@ object EventOps extends Registry {
              |FROM events WHERE user_id < 20
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY user_id, valid_from, event_id""".stripMargin),
-      doc = "SCD2 interval build (lead-closed validity windows + snapshot flag)")
+      doc = "SCD2 interval build (lead-closed validity windows + snapshot flag)"),
+
+    // ------------------------------------------------------------------
+    // q66: ordered behavioral funnel — how many users progress through
+    // view → click → purchase IN THAT ORDER. Stage flags are carried
+    // per user with strictly-prior window maxima over one (user_id, ts)
+    // sort: ONE shuffle, three window passes sharing the same sort order
+    // (Spark plans them in a single Window operator chain without
+    // re-sorting), then a constant-size conditional aggregate. The
+    // standard product-analytics op, point-in-time-correct by
+    // construction — no self-joins, no per-pair range explosion.
+    QueryDef(
+      "q66_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val prior = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+          .rowsBetween(Long.MinValue, -1)
+        events(s, dir)
+          .select($"user_id", $"event_id", $"ts", $"event_type")
+          .withColumn("saw_view",
+            coalesce(max(when($"event_type" === "view", 1)).over(prior),
+              lit(0)))
+          .withColumn("saw_view_click",
+            coalesce(max(when($"event_type" === "click" && $"saw_view" === 1,
+              1)).over(prior), lit(0)))
+          .groupBy($"user_id")
+          .agg(
+            max(when($"event_type" === "view", 1).otherwise(0)).as("viewed"),
+            max(when($"event_type" === "click" && $"saw_view" === 1, 1)
+              .otherwise(0)).as("clicked_after_view"),
+            max(when($"event_type" === "purchase" && $"saw_view_click" === 1,
+              1).otherwise(0)).as("purchased_after_click"))
+          .agg(
+            count(lit(1)).as("n_users"),
+            sum($"viewed").cast("long").as("n_viewed"),
+            sum($"clicked_after_view").cast("long").as("n_clicked"),
+            sum($"purchased_after_click").cast("long").as("n_purchased"))
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    coalesce(max(CASE WHEN event_type = 'view' THEN 1 END)
+             |      OVER prior, 0) AS saw_view
+             |  FROM events
+             |  WINDOW prior AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |g AS (
+             |  SELECT user_id, event_type, saw_view,
+             |    coalesce(max(CASE WHEN event_type = 'click' AND saw_view = 1
+             |      THEN 1 END) OVER prior, 0) AS saw_view_click
+             |  FROM f
+             |  WINDOW prior AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |u AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      AS viewed,
+             |    max(CASE WHEN event_type = 'click' AND saw_view = 1
+             |        THEN 1 ELSE 0 END) AS clicked_after_view,
+             |    max(CASE WHEN event_type = 'purchase' AND saw_view_click = 1
+             |        THEN 1 ELSE 0 END) AS purchased_after_click
+             |  FROM g GROUP BY user_id)
+             |SELECT count(*) AS n_users,
+             |  CAST(sum(viewed) AS BIGINT) AS n_viewed,
+             |  CAST(sum(clicked_after_view) AS BIGINT) AS n_clicked,
+             |  CAST(sum(purchased_after_click) AS BIGINT) AS n_purchased
+             |FROM u""".stripMargin),
+      doc = "Ordered view→click→purchase funnel (strictly-prior window flags)")
   )
 }

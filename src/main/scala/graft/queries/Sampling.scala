@@ -290,6 +290,57 @@ object Sampling extends Registry {
              |  CAST(sum(n_chars) AS BIGINT) AS chars_out,
              |  CAST(max(epoch) AS INT) AS max_epoch
              |FROM e GROUP BY source ORDER BY source""".stripMargin),
-      doc = "Deterministic weighted dataset mixing (epoch replication + hash-fraction)")
+      doc = "Deterministic weighted dataset mixing (epoch replication + hash-fraction)"),
+
+    // ------------------------------------------------------------------
+    // q79: Z-order clustering layout — interleave the low 16 bits of two
+    // scan-predicate columns into one locality key, range-partition and
+    // sort the write by it, and prove the layout: files must carry
+    // DISJOINT z-ranges (that disjointness is exactly what lets a
+    // two-dimensional predicate skip whole files on min/max stats, the
+    // multi-dim analogue of q77's partition pruning). The z-value is a
+    // pure bit expression (codegen, both engines agree bit-for-bit); the
+    // oracle recomputes count and z-checksum and pins the layout claims.
+    QueryDef(
+      "q79_zorder_layout",
+      (s, dir) => {
+        import s.implicits._
+        def zExpr(a: String, b: String): String =
+          (0 until 16).map(i =>
+            s"(((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1}))")
+            .mkString(" | ")
+        val out = Tables.scratchDir("q79_zorder")
+        val z = expr(zExpr("l_partkey", "l_suppkey")).as("z")
+        table(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey", $"l_suppkey", z)
+          .repartitionByRange(8, $"z")
+          .sortWithinPartitions($"z")
+          .write.mode("overwrite").parquet(out)
+        val back = s.read.parquet(out)
+        // per-file z ranges from the files themselves
+        val ranges = back
+          .select(input_file_name().as("f"), $"z")
+          .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"))
+          .orderBy($"lo")
+          .collect()
+        val disjoint = ranges.sliding(2).forall {
+          case Array(a, b) => a.getAs[Long]("hi") <= b.getAs[Long]("lo")
+          case _ => true
+        }
+        val agg = back.agg(count(lit(1)).as("n"), sum($"z").as("zsum"))
+          .collect().head
+        Seq((agg.getLong(0), agg.getLong(1), ranges.length > 1, disjoint))
+          .toDF("n_rows", "z_checksum", "multi_file", "ranges_disjoint")
+      },
+      Some {
+        val zSql = (0 until 16).map(i =>
+          s"((((l_partkey >> $i) & 1) << ${2 * i}) | (((l_suppkey >> $i) & 1) << ${2 * i + 1}))")
+          .mkString(" | ")
+        s"""SELECT count(*) AS n_rows,
+           |  CAST(sum($zSql) AS BIGINT) AS z_checksum,
+           |  true AS multi_file, true AS ranges_disjoint
+           |FROM lineitem""".stripMargin
+      },
+      doc = "Z-order layout: bit-interleaved locality key, range write, disjoint file ranges")
   )
 }

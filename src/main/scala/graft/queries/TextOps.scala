@@ -508,6 +508,98 @@ object TextOps extends Registry {
              |    WHERE length(word) >= 2)
              |  GROUP BY pair)
              |WHERE rank <= 20 ORDER BY rank""".stripMargin),
-      doc = "BPE merge-candidate scoring: adjacent char-pair counts + top-20")
+      doc = "BPE merge-candidate scoring: adjacent char-pair counts + top-20"),
+
+    // ------------------------------------------------------------------
+    // q95: per-language length-outlier removal — the quantile-gating
+    // pass (drop docs below p05 / above p95 token length per language)
+    // every corpus build runs. Two-pass shape: the per-lang percentile
+    // aggregate is tiny (|langs| rows) and joins back broadcast; the
+    // gate itself is a narrow filter. Thresholds are rounded to 4
+    // decimals on BOTH sides before comparison so the integer word
+    // counts compare against bit-identical boundaries in either engine.
+    QueryDef(
+      "q95_length_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select($"doc_id", $"lang", size(words($"text")).as("n_words"))
+        val bounds = docs.groupBy($"lang")
+          .agg(round(expr("percentile(n_words, 0.05D)"), 4).as("lo"),
+            round(expr("percentile(n_words, 0.95D)"), 4).as("hi"))
+        docs.join(broadcast(bounds), Seq("lang"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"n_words" < $"lo", 1).otherwise(0)).as("n_too_short"),
+            sum(when($"n_words" > $"hi", 1).otherwise(0)).as("n_too_long"),
+            sum(when($"n_words" >= $"lo" && $"n_words" <= $"hi", 1)
+              .otherwise(0)).as("n_kept"),
+            min($"lo").as("lo"), min($"hi").as("hi"))
+          .orderBy($"lang")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS INT) AS n_words
+             |  FROM documents),
+             |b AS (
+             |  SELECT lang, round(quantile_cont(n_words, 0.05), 4) AS lo,
+             |    round(quantile_cont(n_words, 0.95), 4) AS hi
+             |  FROM d GROUP BY lang)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN n_words < lo THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_too_short,
+             |  CAST(sum(CASE WHEN n_words > hi THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_too_long,
+             |  CAST(sum(CASE WHEN n_words >= lo AND n_words <= hi
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  min(lo) AS lo, min(hi) AS hi
+             |FROM d JOIN b USING (lang)
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "Per-language p05/p95 length-outlier gate (tiny stats broadcast back)"),
+
+    // ------------------------------------------------------------------
+    // q3e: text canonicalization — tabs/newlines/NBSP to space, runs of
+    // whitespace collapsed, ends trimmed: the normalization pass that
+    // runs before any hashing/dedup so byte-level noise doesn't defeat
+    // content identity. The corpus is already clean, so a deterministic
+    // planted mess (tab + NBSP + double spaces, q3b's honesty pattern)
+    // exercises every rule; the operator is a narrow codegen regex
+    // projection either way.
+    QueryDef(
+      "q3e_canonicalize",
+      (s, dir) => {
+        import s.implicits._
+        val nbsp = "\u00A0"
+        table(s, dir, "documents")
+          .withColumn("messy",
+            concat($"text", lit(s"\tnoise$nbsp"), lit("  padded  ")))
+          .withColumn("canon",
+            trim(regexp_replace(
+              regexp_replace($"messy", s"[\\t\\r\\n$nbsp]", " "),
+              " {2,}", " ")))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length($"messy").cast("long")).as("chars_in"),
+            sum(length($"canon").cast("long")).as("chars_out"),
+            sum(when(length($"canon") < length($"messy"), 1).otherwise(0))
+              .as("n_changed"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(length(messy)) AS BIGINT) AS chars_in,
+             |  CAST(sum(length(canon)) AS BIGINT) AS chars_out,
+             |  CAST(sum(CASE WHEN length(canon) < length(messy)
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+             |FROM (
+             |  SELECT lang, messy,
+             |    trim(regexp_replace(
+             |      regexp_replace(messy, '[\t\r\n' || chr(160) || ']', ' ', 'g'),
+             |      ' {2,}', ' ', 'g')) AS canon
+             |  FROM (SELECT lang,
+             |          text || chr(9) || 'noise' || chr(160) || '  padded  '
+             |            AS messy
+             |        FROM documents) t1) t2
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "Whitespace/NBSP canonicalization (planted mess, narrow regex projection)")
   )
 }

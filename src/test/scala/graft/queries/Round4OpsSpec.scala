@@ -96,6 +96,39 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q66: funnel stages are monotonically non-increasing") {
+    val r = run("q66_funnel").collect().head
+    val (users, viewed, clicked, purchased) =
+      (r.getAs[Long]("n_users"), r.getAs[Long]("n_viewed"),
+        r.getAs[Long]("n_clicked"), r.getAs[Long]("n_purchased"))
+    assert(users >= viewed && viewed >= clicked && clicked >= purchased)
+    assert(viewed > 0, "no user ever viewed — funnel is vacuous")
+  }
+
+  test("q95: outlier partition is exhaustive and bounds are ordered") {
+    run("q95_length_outliers").collect().foreach { r =>
+      assert(r.getAs[Long]("n_too_short") + r.getAs[Long]("n_too_long") +
+        r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+      // p05/p95 keeps the bulk
+      assert(r.getAs[Long]("n_kept") * 10 >= r.getAs[Long]("n_docs") * 8)
+    }
+  }
+
+  test("q3e: canonicalization strictly shrinks every planted doc") {
+    run("q3e_canonicalize").collect().foreach { r =>
+      assert(r.getAs[Long]("n_changed") == r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("chars_out") < r.getAs[Long]("chars_in"))
+    }
+  }
+
+  test("q79: layout claims hold and content survives the rewrite") {
+    val r = run("q79_zorder_layout").collect().head
+    assert(r.getAs[Boolean]("multi_file") && r.getAs[Boolean]("ranges_disjoint"))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    assert(r.getAs[Long]("n_rows") == li.count())
+  }
+
   test("q65: one interval per event, ≤1 active interval per user") {
     val out = run("q65_scd2_intervals")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
