@@ -323,8 +323,10 @@ object Sampling extends Registry {
           .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"))
           .orderBy($"lo")
           .collect()
+        // strict <: a shared boundary z-value would mean BOTH files hold
+        // that key, so neither could be skipped by a z=v predicate
         val disjoint = ranges.sliding(2).forall {
-          case Array(a, b) => a.getAs[Long]("hi") <= b.getAs[Long]("lo")
+          case Array(a, b) => a.getAs[Long]("hi") < b.getAs[Long]("lo")
           case _ => true
         }
         val agg = back.agg(count(lit(1)).as("n"), sum($"z").as("zsum"))

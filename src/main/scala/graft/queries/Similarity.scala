@@ -57,7 +57,7 @@ object Similarity extends Registry {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
 
   /** Salted two-phase top-k per q_id (same pattern as q07). */
-  private def topKPerQuery(scored: DataFrame): DataFrame = {
+  private[queries] def topKPerQuery(scored: DataFrame): DataFrame = {
     val ord = Seq(col("cosine").desc, col("neighbor_id").asc)
     val salted = scored.withColumn("salt",
       pmod(xxhash64(col("neighbor_id")), lit(TopKSalts)))

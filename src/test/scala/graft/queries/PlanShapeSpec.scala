@@ -29,10 +29,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q02_filter_topn")
     assert(p.contains("PushedFilters: ["), "no filter pushdown at the scan")
     // projection pruning: the lineitem scan must not read all 16 columns
+    // count top-level fields by ':' — splitting on ',' would miscount
+    // parameterized types like decimal(12,2)
     val readSchemas = "ReadSchema: struct<([^>]*)>".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(readSchemas.nonEmpty &&
-      readSchemas.forall(_.split(",").length <= 8),
+      readSchemas.forall(_.count(_ == ':') <= 8),
       s"scan reads an unpruned schema: $readSchemas")
   }
 
@@ -78,7 +80,9 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchangeInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(exchangeInputs.nonEmpty)
-    assert(!exchangeInputs.exists(_.contains(" v#")),
+    // boundary-aware: " v#" alone would miss v# as the FIRST list entry
+    val vCol = "(^|[\\[, ])v#".r
+    assert(!exchangeInputs.exists(in => vCol.findFirstIn(in).isDefined),
       s"the 64-float vector column is shuffled where only (cell, cosine) " +
         s"are needed: $exchangeInputs")
   }
