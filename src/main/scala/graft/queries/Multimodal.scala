@@ -29,8 +29,20 @@ object Multimodal extends Registry {
     * for a codec/model call (e.g. mapInArrow over payload batches)
     * without changing the plan shape. */
   private def fakeFeature(content: Column, i: Int): Column =
+    fakeFeatureK(content, i).cast("double") / lit(4294967296.0)
+
+  /** The feature's EXACT integer form (feature = k / 2^32). Averages
+    * must sum THIS and divide once: averaging per-row doubles
+    * accumulates in engine-specific order, and a 1-ulp sum difference
+    * vs the DuckDB oracle flips the 4th rounded decimal (observed on
+    * q83 at sf0.001 before it switched to integer sums). */
+  private def fakeFeatureK(content: Column, i: Int): Column =
     conv(substring(md5(concat(content, lit(s"|$i"))), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
+      .cast("long")
+
+  /** round(avg(feature), 4) via the exact-integer path. */
+  private def avgFeature(content: Column, i: Int): Column =
+    round(sum(fakeFeatureK(content, i)) / (count(lit(1)) * lit(4294967296.0)), 4)
 
   private val modality =
     when(pmod(col("doc_id"), lit(3)) === 0, "image")
@@ -58,6 +70,8 @@ object Multimodal extends Registry {
 
   val FrameChars = 64
   val MaxFrames = 8
+  val WindowChars = 32
+  val MaxWindows = 16
 
   /** Frame sampling (video modality): fixed-stride slices of the asset,
     * capped at MaxFrames — the standard keyframe-subsample shape. */
@@ -99,17 +113,17 @@ object Multimodal extends Registry {
         .groupBy(col("modality"))
         .agg(count(lit(1)).as("n_assets"),
           round(avg(col("meta")("n_bytes")), 2).as("avg_bytes"),
-          round(avg(fakeFeature(col("text"), 0)), 4).as("f0"),
-          round(avg(fakeFeature(col("text"), 1)), 4).as("f1"))
+          avgFeature(col("text"), 0).as("f0"),
+          avgFeature(col("text"), 1).as("f1"))
         .orderBy(col("modality")),
       Some("""SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
              |            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
              |  count(*) AS n_assets,
              |  round(avg(octet_length(encode(text))), 2) AS avg_bytes,
-             |  round(avg(CAST(('0x' || substr(md5(text || '|0'), 1, 8)) AS BIGINT)
-             |        / 4294967296.0), 4) AS f0,
-             |  round(avg(CAST(('0x' || substr(md5(text || '|1'), 1, 8)) AS BIGINT)
-             |        / 4294967296.0), 4) AS f1
+             |  round(sum(CAST(('0x' || substr(md5(text || '|0'), 1, 8)) AS BIGINT))
+             |        / (count(*) * 4294967296.0), 4) AS f0,
+             |  round(sum(CAST(('0x' || substr(md5(text || '|1'), 1, 8)) AS BIGINT))
+             |        / (count(*) * 4294967296.0), 4) AS f1
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "Binary payload + typed meta + stubbed decode/feature extract"),
 
@@ -119,7 +133,7 @@ object Multimodal extends Registry {
       (s, dir) => frames(corpus(s, dir).filter(col("modality") === "video"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_frames"),
-          round(avg(fakeFeature(col("frame"), 0)), 4).as("avg_frame_f0"))
+          avgFeature(col("frame"), 0).as("avg_frame_f0"))
         .orderBy(col("doc_id")),
       Some(s"""WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
              |f AS (SELECT doc_id,
@@ -128,8 +142,8 @@ object Multimodal extends Registry {
              |                  (length(text) - 1) // $FrameChars + 1))]) AS frame
              |      FROM v)
              |SELECT doc_id, count(*) AS n_frames,
-             |  round(avg(CAST(('0x' || substr(md5(frame || '|0'), 1, 8)) AS BIGINT)
-             |        / 4294967296.0), 4) AS avg_frame_f0
+             |  round(sum(CAST(('0x' || substr(md5(frame || '|0'), 1, 8)) AS BIGINT))
+             |        / (count(*) * 4294967296.0), 4) AS avg_frame_f0
              |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "Frame sampling (fixed-stride slices, capped) + per-frame features"),
 
@@ -153,6 +167,64 @@ object Multimodal extends Registry {
              |           * ((h * 224) // greatest(w, h))) // (w * h)
              |    AS resized_bytes
              |FROM m ORDER BY doc_id""".stripMargin),
-      doc = "Image resize: integer box-fit + byte-count resample (narrow per-asset)")
+      doc = "Image resize: integer box-fit + byte-count resample (narrow per-asset)"),
+
+    // ------------------------------------------------------------------
+    // q83: audio windowing + voice-activity gating — the audio
+    // counterpart of q81's frame sampling: slice each asset into fixed
+    // windows, score a per-window energy (STUB: md5-derived, a real
+    // deployment swaps in an RMS/VAD model over payload batches), drop
+    // sub-threshold windows, aggregate per asset. Slicing + scoring are
+    // narrow; the only shuffle is the per-asset aggregate — the VAD
+    // pre-filter shape that cuts an audio corpus before any expensive
+    // model sees it.
+    QueryDef(
+      "q83_audio_windows",
+      (s, dir) => {
+        val audio = corpus(s, dir).filter(col("modality") === "audio")
+        val nWin = least(lit(MaxWindows),
+          ((length(col("text")) - 1) / WindowChars).cast("int") + 1)
+        // energy is kept as the EXACT md5 integer k (energy = k / 2^32);
+        // the voiced average sums integers and divides ONCE, because
+        // averaging per-window doubles accumulates in engine-specific
+        // order — a 1-ulp sum difference flips the 4th rounded decimal
+        // (observed at sf0.001) while sum(k) is bit-exact everywhere
+        val win = audio
+          .select(col("doc_id"), col("text"), nWin.as("n"))
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), col("n") - 1),
+              i => col("text").substr(i * WindowChars + 1, lit(WindowChars)))))
+          .withColumnRenamed("col", "window")
+          .withColumn("k",
+            conv(substring(md5(concat(col("window"), lit("|2"))), 1, 8), 16, 10)
+              .cast("long"))
+          .withColumn("voiced", (col("k") / lit(4294967296.0) >= 0.2).cast("int"))
+        win.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(col("voiced")).as("n_voiced"),
+            coalesce(
+              round(sum(when(col("voiced") === 1, col("k"))) /
+                (sum(col("voiced")) * lit(4294967296.0)), 4),
+              lit(-1.0)).as("avg_voiced_energy"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+             |w AS (SELECT doc_id,
+             |        CAST(('0x' || substr(md5(win || '|2'), 1, 8)) AS BIGINT) AS k
+             |      FROM (SELECT doc_id,
+             |              unnest([substr(text, i * $WindowChars + 1, $WindowChars)
+             |                      for i in range(0, least($MaxWindows,
+             |                        (length(text) - 1) // $WindowChars + 1))]) AS win
+             |            FROM a) t)
+             |SELECT doc_id, count(*) AS n_windows,
+             |  CAST(sum(CASE WHEN k / 4294967296.0 >= 0.2 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_voiced,
+             |  coalesce(round(
+             |    CAST(sum(CASE WHEN k / 4294967296.0 >= 0.2 THEN k END) AS DOUBLE)
+             |      / (sum(CASE WHEN k / 4294967296.0 >= 0.2 THEN 1 ELSE 0 END)
+             |         * 4294967296.0), 4),
+             |    -1.0) AS avg_voiced_energy
+             |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "Audio windowing + VAD-style energy gate (stub energy, real plumbing)")
   )
 }
