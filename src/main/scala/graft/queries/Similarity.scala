@@ -160,9 +160,14 @@ object Similarity extends Registry {
 
   def ivfAssign(s: SparkSession, dir: String): DataFrame =
     assignCells(corpus(s, dir))
+      // cosine is 4-decimal-rounded, so cosine*10000 rounds to an EXACT
+      // long; summing integers and dividing once keeps the average
+      // bit-identical to the oracle (averaging doubles accumulates in
+      // engine-specific order — the 1-ulp/4th-decimal failure q83 hit)
+      .withColumn("ck", round(col("cosine") * 10000).cast("long"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"),
-        round(avg(col("cosine")), 4).as("avg_cosine"))
+        round(sum(col("ck")) / (count(lit(1)) * 10000.0), 4).as("avg_cosine"))
       .orderBy(col("cell"))
 
   // ------------------------------------------------------------------
@@ -305,7 +310,8 @@ object Similarity extends Registry {
              |                   cell) AS rn
              |      FROM n JOIN c ON true)
              |SELECT cell, count(*) AS n_vectors,
-             |  round(avg(cosine), 4) AS avg_cosine
+             |  round(sum(CAST(round(cosine * 10000) AS BIGINT))
+             |        / (count(*) * 10000.0), 4) AS avg_cosine
              |FROM s WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin),
       doc = "IVF coarse-quantizer assignment (broadcast centroids, argmax cell)"),
 
