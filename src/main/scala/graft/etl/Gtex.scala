@@ -189,29 +189,30 @@ object Gtex {
   /** E2 end-to-end: all six NDJSON outputs (gtex_fhirizer.py:410-423). */
   def runAll(spark: SparkSession, fixtureDir: String, outDir: String): Unit = {
     import graft.sinks.Ndjson
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
     // subjects feeds two transforms, samples feeds two — cache both for
     // the job. All six sinks are independent outputs (GTEx's Group reads
     // fixtures, not own output), so they run as CONCURRENT Spark jobs;
     // caches release after every consumer finishes.
     val subjects = readTsv(spark, s"$fixtureDir/gtex_subjects.tsv").persist()
     val samples = readTsv(spark, s"$fixtureDir/gtex_samples.tsv").persist()
-    val sinks = Seq(
-      Future(Ndjson.write(patients(subjects), outDir, "Patient")),
-      Future(Ndjson.write(researchSubjects(subjects), outDir, "ResearchSubject")),
-      Future(Ndjson.write(specimens(samples), outDir, "Specimen")),
-      Future(Ndjson.write(researchStudy(spark), outDir, "ResearchStudy")),
-      Future(Ndjson.write(documentReferences(
-        readFileList(spark, s"$fixtureDir/gtex_filelist.json")),
-        outDir, "DocumentReference")),
-      Future(Ndjson.write(group(
-        readTsv(spark, s"$fixtureDir/gtex_sample_attrs.tsv"), samples),
-        outDir, "Group")))
-    Await.result(Future.sequence(sinks), Duration.Inf)
-    subjects.unpersist()
-    samples.unpersist()
+    try {
+      Etl.awaitAll(Seq(
+        Future(Ndjson.write(patients(subjects), outDir, "Patient")),
+        Future(Ndjson.write(researchSubjects(subjects), outDir, "ResearchSubject")),
+        Future(Ndjson.write(specimens(samples), outDir, "Specimen")),
+        Future(Ndjson.write(researchStudy(spark), outDir, "ResearchStudy")),
+        Future(Ndjson.write(documentReferences(
+          readFileList(spark, s"$fixtureDir/gtex_filelist.json")),
+          outDir, "DocumentReference")),
+        Future(Ndjson.write(group(
+          readTsv(spark, s"$fixtureDir/gtex_sample_attrs.tsv"), samples),
+          outDir, "Group"))))
+    } finally {
+      subjects.unpersist()
+      samples.unpersist()
+    }
   }
 
   // ------------------------------------------------------------------

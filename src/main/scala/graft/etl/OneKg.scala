@@ -249,9 +249,8 @@ object OneKg {
     * (S7 over its prior output). */
   def runAll(spark: SparkSession, fixtureDir: String, outDir: String): Unit = {
     import graft.sinks.Ndjson
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
     // three transforms share one TSV scan — cache it for the job
     val si = readSampleInfo(spark, s"$fixtureDir/onekg_sample_info.tsv")
       .persist()
@@ -260,17 +259,17 @@ object OneKg {
     // their stages across idle cores). Only Group must wait: it re-reads
     // the Specimen.ndjson this very job writes (the reference's own
     // S7-over-own-output flow).
-    val independent = Seq(
-      Future(Ndjson.write(patients(si), outDir, "Patient")),
-      Future(Ndjson.write(researchSubjects(si), outDir, "ResearchSubject")),
-      Future(Ndjson.write(specimens(si), outDir, "Specimen")),
-      Future(Ndjson.write(researchStudy(spark), outDir, "ResearchStudy")),
-      Future(Ndjson.createOrExtend(spark,
-        documentReferences(
-          readFtpListing(spark, s"$fixtureDir/onekg_ftp_listing.tsv")),
-        outDir, "DocumentReference")))
-    Await.result(Future.sequence(independent), Duration.Inf)
-    si.unpersist()
+    try {
+      Etl.awaitAll(Seq(
+        Future(Ndjson.write(patients(si), outDir, "Patient")),
+        Future(Ndjson.write(researchSubjects(si), outDir, "ResearchSubject")),
+        Future(Ndjson.write(specimens(si), outDir, "Specimen")),
+        Future(Ndjson.write(researchStudy(spark), outDir, "ResearchStudy")),
+        Future(Ndjson.createOrExtend(spark,
+          documentReferences(
+            readFtpListing(spark, s"$fixtureDir/onekg_ftp_listing.tsv")),
+          outDir, "DocumentReference"))))
+    } finally si.unpersist()
     Ndjson.createOrExtend(spark,
       group(spark,
         readHeaderSampleIds(spark, s"$fixtureDir/onekg_vcf_header.txt"),

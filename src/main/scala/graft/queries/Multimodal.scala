@@ -40,9 +40,14 @@ object Multimodal extends Registry {
     conv(substring(md5(concat(content, lit(s"|$i"))), 1, 8), 16, 10)
       .cast("long")
 
-  /** round(avg(feature), 4) via the exact-integer path. */
+  /** round(avg(feature), 4) via the exact-integer path. The sum runs
+    * in decimal(38,0) (mirroring the oracle's HUGEINT): a LongType sum
+    * of 32-bit values would hit ANSI ARITHMETIC_OVERFLOW past ~2^31
+    * rows per group — q80's groups are a third of the corpus each, so
+    * that is a real ceiling at target scale, not a theoretical one. */
   private def avgFeature(content: Column, i: Int): Column =
-    round(sum(fakeFeatureK(content, i)) / (count(lit(1)) * lit(4294967296.0)), 4)
+    round(sum(fakeFeatureK(content, i).cast("decimal(38,0)")).cast("double") /
+      (count(lit(1)) * lit(4294967296.0)), 4)
 
   private val modality =
     when(pmod(col("doc_id"), lit(3)) === 0, "image")
@@ -73,19 +78,26 @@ object Multimodal extends Registry {
   val WindowChars = 32
   val MaxWindows = 16
 
-  /** Frame sampling (video modality): fixed-stride slices of the asset,
-    * capped at MaxFrames — the standard keyframe-subsample shape. */
-  def frames(video: DataFrame): DataFrame = {
-    val nFrames = least(lit(MaxFrames),
-      ((length(col("text")) - 1) / FrameChars).cast("int") + 1)
-    video
-      .select(col("doc_id"), col("text"), nFrames.as("n"))
+  /** Fixed-stride asset slicing, capped — ONE definition of the
+    * slice-count/boundary contract shared by frame sampling (q81) and
+    * audio windowing (q83); a fix to the formula lands in both. */
+  private def slices(assets: DataFrame, sliceChars: Int, maxSlices: Int,
+      name: String): DataFrame = {
+    val n = least(lit(maxSlices),
+      ((length(col("text")) - 1) / sliceChars).cast("int") + 1)
+    assets
+      .select(col("doc_id"), col("text"), n.as("n"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), col("n") - 1),
-          i => col("text").substr(i * FrameChars + 1, lit(FrameChars)))))
-      .withColumnRenamed("pos", "frame_idx")
-      .withColumnRenamed("col", "frame")
+          i => col("text").substr(i * sliceChars + 1, lit(sliceChars)))))
+      .withColumnRenamed("pos", s"${name}_idx")
+      .withColumnRenamed("col", name)
   }
+
+  /** Frame sampling (video modality): fixed-stride slices of the asset,
+    * capped at MaxFrames — the standard keyframe-subsample shape. */
+  def frames(video: DataFrame): DataFrame =
+    slices(video, FrameChars, MaxFrames, "frame")
 
   val ResizeTarget = 224
 
@@ -182,22 +194,13 @@ object Multimodal extends Registry {
       "q83_audio_windows",
       (s, dir) => {
         val audio = corpus(s, dir).filter(col("modality") === "audio")
-        val nWin = least(lit(MaxWindows),
-          ((length(col("text")) - 1) / WindowChars).cast("int") + 1)
         // energy is kept as the EXACT md5 integer k (energy = k / 2^32);
         // the voiced average sums integers and divides ONCE, because
         // averaging per-window doubles accumulates in engine-specific
         // order — a 1-ulp sum difference flips the 4th rounded decimal
         // (observed at sf0.001) while sum(k) is bit-exact everywhere
-        val win = audio
-          .select(col("doc_id"), col("text"), nWin.as("n"))
-          .select(col("doc_id"),
-            posexplode(transform(sequence(lit(0), col("n") - 1),
-              i => col("text").substr(i * WindowChars + 1, lit(WindowChars)))))
-          .withColumnRenamed("col", "window")
-          .withColumn("k",
-            conv(substring(md5(concat(col("window"), lit("|2"))), 1, 8), 16, 10)
-              .cast("long"))
+        val win = slices(audio, WindowChars, MaxWindows, "window")
+          .withColumn("k", fakeFeatureK(col("window"), 2))
           .withColumn("voiced", (col("k") / lit(4294967296.0) >= 0.2).cast("int"))
         win.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_windows"),
