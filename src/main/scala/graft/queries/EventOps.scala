@@ -274,6 +274,40 @@ object EventOps extends Registry {
              |  CAST(sum(clicked_after_view) AS BIGINT) AS n_clicked,
              |  CAST(sum(purchased_after_click) AS BIGINT) AS n_purchased
              |FROM u""".stripMargin),
-      doc = "Ordered view→click→purchase funnel (strictly-prior window flags)")
+      doc = "Ordered view→click→purchase funnel (strictly-prior window flags)"),
+
+    // ------------------------------------------------------------------
+    // q67: cohort retention matrix — users grouped by first-activity
+    // week (cohort), counted in each later week they return. Two
+    // aggregates: first-seen per user (one shuffle on user_id), then
+    // distinct users per (cohort, week-offset) — the classic product-
+    // analytics rollup whose output is |weeks|² regardless of event
+    // volume. Weeks are epoch-day/7 buckets (not ISO weeks) so both
+    // engines bucket identically with pure integer arithmetic.
+    QueryDef(
+      "q67_retention_cohorts",
+      (s, dir) => {
+        import s.implicits._
+        val week = (datediff($"ts".cast("date"), lit("1970-01-01").cast("date"))
+          / 7).cast("long")
+        val ev = events(s, dir).select($"user_id", week.as("w"))
+        val cohorts = ev.groupBy($"user_id").agg(min($"w").as("cohort_w"))
+        ev.join(cohorts, Seq("user_id"))
+          .groupBy($"cohort_w", ($"w" - $"cohort_w").as("week_offset"))
+          .agg(countDistinct($"user_id").as("n_active"))
+          .orderBy($"cohort_w", $"week_offset")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id,
+             |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+             |         AS BIGINT) AS w
+             |  FROM events),
+             |c AS (SELECT user_id, min(w) AS cohort_w FROM e GROUP BY user_id)
+             |SELECT cohort_w, w - cohort_w AS week_offset,
+             |  count(DISTINCT user_id) AS n_active
+             |FROM e JOIN c USING (user_id)
+             |GROUP BY cohort_w, week_offset
+             |ORDER BY cohort_w, week_offset""".stripMargin),
+      doc = "Weekly cohort retention matrix (first-seen week × return offset)")
   )
 }

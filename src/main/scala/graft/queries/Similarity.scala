@@ -341,6 +341,60 @@ object Similarity extends Registry {
              |SELECT cell, max(n) AS n_members, count(*) AS n_dims,
              |  round(sum(m * m), 4) AS centroid_norm2
              |FROM m GROUP BY cell ORDER BY cell""".stripMargin),
-      doc = "One k-means Lloyd iteration: argmax assign + per-dim centroid recompute")
+      doc = "One k-means Lloyd iteration: argmax assign + per-dim centroid recompute"),
+
+    // ------------------------------------------------------------------
+    // q55: product-quantization assignment — the vector-compression
+    // step of a PQ/IVF-PQ index: each 64-dim vector splits into 8
+    // subspaces of 8 dims, and every sub-vector is assigned the
+    // nearest (squared-L2) codeword from that subspace's codebook
+    // (derived from the vec_id<8 seed vectors, like q52's cells). The
+    // codebook is k×m sub-vectors — KBs — so it broadcasts and the
+    // corpus never shuffles to encode; at scale each vector compresses
+    // 64 floats → 8 codes map-side. Sub-vector dots run over 8
+    // float32-derived doubles, so the distances are order-exact.
+    QueryDef(
+      "q55_pq_assign",
+      (s, dir) => {
+        val c = corpus(s, dir)
+        // sub is long to line up with the oracle's range() output type
+        def subVecs = array((0 until 8).map { i =>
+          struct(lit(i.toLong).as("sub"), slice(col("v"), i * 8 + 1, 8).as("sv"))
+        }: _*)
+        val split = c.select(col("vec_id"), explode(subVecs).as("e"))
+          .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+        val codebook = split.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("code"), col("sub").as("csub"),
+            col("sv").as("cv"))
+        val d2 = round(
+          dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cv")) +
+            dot(col("cv"), col("cv")), 6)
+        val w = Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("d2").asc, col("code").asc)
+        split.join(broadcast(codebook), col("sub") === col("csub"))
+          .select(col("vec_id"), col("sub"), col("code"), d2.as("d2"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy(col("sub"), col("code"))
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy(col("sub"), col("code"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |sv AS (SELECT vec_id, s.sub, n.e[s.sub*8+1 : s.sub*8+8] AS sv
+             |       FROM n, (SELECT unnest(range(0,8)) AS sub) s),
+             |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sv
+             |       WHERE vec_id < 8),
+             |d AS (SELECT v.vec_id, v.sub, cb.code,
+             |        row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+             |          round(list_dot_product(v.sv, v.sv)
+             |                - 2*list_dot_product(v.sv, cb.cv)
+             |                + list_dot_product(cb.cv, cb.cv), 6),
+             |          cb.code) AS rn
+             |      FROM sv v JOIN cb USING (sub))
+             |SELECT sub, code, count(*) AS n_vectors FROM d WHERE rn = 1
+             |GROUP BY sub, code ORDER BY sub, code""".stripMargin),
+      doc = "Product-quantization encode: per-subspace nearest codeword (broadcast codebook)")
   )
 }
