@@ -210,6 +210,21 @@ object Dedup extends Registry {
     }
   }
 
+  /** Scored bounded bigram pair set (doc_a < doc_b, both < 300 — a
+    * constant-size key range at any sf, see q44's rationale): sorted
+    * 64-bit shingle hashes + codegen merge-Jaccard. Shared by q44
+    * (standalone exact-Jaccard op) and q48 (edge source for duplicate
+    * clustering) so the two stay definitionally in sync. */
+  private[queries] def boundedBigramPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
+    val shs = table(s, dir, "documents").filter($"doc_id" < 300)
+      .select($"doc_id", expr("shingle_hashes(text, 2)").as("sh"))
+    shs.as("a").join(shs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        expr("jaccard_sorted(a.sh, b.sh)").as("j"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q40: exact dedup — union the corpus with itself (simulating a
@@ -351,17 +366,12 @@ object Dedup extends Registry {
       "q44_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
-        graft.GraftExtensions.ensureRegistered(s)
         // sorted 64-bit shingle hashes + merge-Jaccard (codegen kernel,
         // ShingleJaccard): identical values to string-array
         // intersect/union — injective modulo 2⁻⁶⁵ hash collisions — at a
         // fraction of the cost (the interpreted-HOF + string-compare
         // form was 19s of the sf0.1 bench for this constant-size job)
-        val shs = table(s, dir, "documents").filter($"doc_id" < 300)
-          .select($"doc_id", expr("shingle_hashes(text, 2)").as("sh"))
-        shs.as("a").join(shs.as("b"), $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-            expr("jaccard_sorted(a.sh, b.sh)").as("j"))
+        boundedBigramPairs(s, dir)
           .filter($"j" >= 0.3)
           .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
           .orderBy($"doc_a", $"doc_b")
@@ -379,6 +389,72 @@ object Dedup extends Registry {
              |WHERE len(list_intersect(a.sg, b.sg))::DOUBLE
              |      / len(list_distinct(list_concat(a.sg, b.sg))) >= 0.3
              |ORDER BY doc_a, doc_b""".stripMargin),
-      doc = "Exact bigram Jaccard similarity (bounded pair set)")
+      doc = "Exact bigram Jaccard similarity (bounded pair set)"),
+
+    // ------------------------------------------------------------------
+    // q48: near-dup pairs → duplicate CLUSTERS. Pair emission (q42-q44)
+    // is only half of dedup at corpus scale: "A~B, B~C" must collapse to
+    // ONE keep-group even when A~C was never emitted. Edges here are the
+    // two deterministic, oracle-recomputable pair sources — canonical
+    // word-set duplicates (q41's fingerprint, as star edges to the group
+    // min: one window shuffle, never n² per group) and the bounded exact
+    // bigram-Jaccard pairs (q44's kernel) — resolved into components by
+    // the alternating large-star/small-star algorithm
+    // (graft.operators.ConnectedComponents, O(log n) rounds). The DuckDB
+    // oracle recomputes the same edges and closes them with a recursive
+    // CTE — transitive merging is genuinely exercised: chains like
+    // (45~267 by Jaccard) + (45~413 by word-set) collapse into one
+    // cluster at sf0.01.
+    QueryDef(
+      "q48_dup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select($"doc_id", $"text")
+        val fp = md5(concat_ws(" ",
+          array_sort(array_distinct(split(lower($"text"), " ")))))
+        val wFp = Window.partitionBy($"fp")
+        val canonEdges = docs.select($"doc_id", fp.as("fp"))
+          .withColumn("root", min($"doc_id").over(wFp))
+          .filter($"doc_id" =!= $"root")
+          .select($"doc_id".as("src"), $"root".as("dst"))
+        val jacEdges = boundedBigramPairs(s, dir).filter($"j" >= 0.3)
+          .select($"doc_a".as("src"), $"doc_b".as("dst"))
+        val cc = graft.operators.ConnectedComponents.run(
+          canonEdges.unionAll(jacEdges))
+        val wC = Window.partitionBy($"cluster_id")
+        cc.select($"id".as("doc_id"), $"component".as("cluster_id"))
+          .withColumn("cluster_size", count(lit(1)).over(wC))
+          .orderBy($"cluster_id", $"doc_id")
+      },
+      Some("""WITH RECURSIVE fp AS (
+             |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             |    string_split(lower(text), ' '))), ' ')) AS fp
+             |  FROM documents),
+             |canon AS (SELECT doc_id AS src,
+             |    min(doc_id) OVER (PARTITION BY fp) AS dst FROM fp),
+             |sh AS (
+             |  SELECT doc_id, CASE WHEN len(ws) < 2 THEN [text]
+             |    ELSE list_distinct([array_to_string(ws[i:i+1], ' ')
+             |                        for i in range(1, len(ws))]) END AS sg
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+             |        FROM documents WHERE doc_id < 300) t),
+             |jac AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.sg, b.sg))::DOUBLE
+             |        / len(list_distinct(list_concat(a.sg, b.sg))) >= 0.3),
+             |e0 AS (SELECT src, dst FROM canon WHERE src <> dst
+             |       UNION SELECT src, dst FROM jac),
+             |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |reach(id, r) AS (
+             |  SELECT id, id FROM nodes
+             |  UNION
+             |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+             |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+             |SELECT id AS doc_id, cluster_id,
+             |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+             |FROM comp ORDER BY cluster_id, doc_id""".stripMargin),
+      doc = "Duplicate clusters: large-star/small-star CC over canonical + Jaccard edges")
   )
 }
