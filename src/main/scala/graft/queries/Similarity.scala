@@ -199,6 +199,32 @@ object Similarity extends Registry {
       .orderBy(col("cell"))
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (q55 encode / q56 ADC search): 64 dims → 8
+  // subspaces × 8 dims; codewords are the vec_id<8 seed sub-vectors.
+  // ------------------------------------------------------------------
+  /** One row per (vector, subspace): (vec_id, sub, sv). `sub` is long to
+    * line up with the oracle's range() output type. */
+  private def pqSplit(c: DataFrame): DataFrame = {
+    def subVecs = array((0 until 8).map { i =>
+      struct(lit(i.toLong).as("sub"), slice(col("v"), i * 8 + 1, 8).as("sv"))
+    }: _*)
+    c.select(col("vec_id"), explode(subVecs).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+  }
+
+  /** Per-subspace codebook (code, csub, cv) — k×m sub-vectors, KBs. */
+  private def pqCodebook(split: DataFrame): DataFrame =
+    split.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("code"), col("sub").as("csub"),
+        col("sv").as("cv"))
+
+  /** Squared-L2 between two sub-vector columns, rounded to 6 decimals
+    * (float32-derived 8-dim dots are order-exact, so both engines see
+    * the same double). */
+  private def subD2(a: Column, b: Column): Column =
+    round(dot(a, a) - lit(2) * dot(a, b) + dot(b, b), 6)
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q50_knn_exact",
@@ -356,19 +382,9 @@ object Similarity extends Registry {
     QueryDef(
       "q55_pq_assign",
       (s, dir) => {
-        val c = corpus(s, dir)
-        // sub is long to line up with the oracle's range() output type
-        def subVecs = array((0 until 8).map { i =>
-          struct(lit(i.toLong).as("sub"), slice(col("v"), i * 8 + 1, 8).as("sv"))
-        }: _*)
-        val split = c.select(col("vec_id"), explode(subVecs).as("e"))
-          .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
-        val codebook = split.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("code"), col("sub").as("csub"),
-            col("sv").as("cv"))
-        val d2 = round(
-          dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cv")) +
-            dot(col("cv"), col("cv")), 6)
+        val split = pqSplit(corpus(s, dir))
+        val codebook = pqCodebook(split)
+        val d2 = subD2(col("sv"), col("cv"))
         val w = Window.partitionBy(col("vec_id"), col("sub"))
           .orderBy(col("d2").asc, col("code").asc)
         split.join(broadcast(codebook), col("sub") === col("csub"))
@@ -395,6 +411,89 @@ object Similarity extends Registry {
              |      FROM sv v JOIN cb USING (sub))
              |SELECT sub, code, count(*) AS n_vectors FROM d WHERE rn = 1
              |GROUP BY sub, code ORDER BY sub, code""".stripMargin),
-      doc = "Product-quantization encode: per-subspace nearest codeword (broadcast codebook)")
+      doc = "Product-quantization encode: per-subspace nearest codeword (broadcast codebook)"),
+
+    // ------------------------------------------------------------------
+    // q56: PQ asymmetric-distance (ADC) top-k — the SEARCH half of the
+    // PQ index q55 builds. Each query precomputes a distance lookup
+    // table (its raw sub-vectors vs every codeword: 8 subs × 8 codes,
+    // micro-unit longs — KBs, broadcast); the corpus is scored from its
+    // 8 CODES per vector via LUT probes + integer adds, never touching
+    // the original floats. That's the PQ economics at 100 TB: the float
+    // corpus stays on disk, the scored representation is 8 bytes/vector,
+    // and per-candidate cost drops from a 64-dim float dot to 8 hash
+    // probes. Distances stay exact-summable (6-decimal micro longs), so
+    // Spark and DuckDB rank identically.
+    QueryDef(
+      "q56_pq_adc",
+      (s, dir) => {
+        val split = pqSplit(corpus(s, dir))
+        val cb = pqCodebook(split)
+        // encode: argmin codeword per (vector, subspace) — min over a
+        // (d2, code) struct = argmin with tiebreak, as a partial-agg
+        // groupBy (cheaper than a row_number window: no per-partition
+        // sort, map-side combine)
+        val codes = split.join(broadcast(cb), col("sub") === col("csub"))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min(struct(subD2(col("sv"), col("cv")).as("d2"),
+            col("code"))).as("m"))
+          .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+        // per-query LUT: raw query sub-vector vs every codeword
+        val lut = split.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("sub").as("qsub"),
+            col("sv").as("qv"))
+          .join(cb, col("qsub") === col("csub"))
+          .select(col("q_id"), col("qsub").as("sub"), col("code"),
+            round(subD2(col("qv"), col("cv")) * 1e6).cast("long").as("dmic"))
+        val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("dmic")).as("admic"))
+        // salted two-phase top-k (ascending distance), as topKPerQuery
+        val ord = Seq(col("admic").asc, col("vec_id").asc)
+        val wL = Window.partitionBy(col("q_id"), col("salt")).orderBy(ord: _*)
+        val wG = Window.partitionBy(col("q_id")).orderBy(ord: _*)
+        scored
+          .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(32)))
+          .withColumn("lrn", row_number().over(wL)).filter(col("lrn") <= K)
+          .withColumn("rn", row_number().over(wG)).filter(col("rn") <= K)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            round(col("admic") / 1e6, 6).as("adc_d2"))
+          .orderBy(col("q_id"), col("adc_d2"), col("neighbor_id"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings),
+             |sv AS (SELECT vec_id, s.sub, n.e[s.sub*8+1 : s.sub*8+8] AS sv
+             |       FROM n, (SELECT unnest(range(0,8)) AS sub) s),
+             |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sv
+             |       WHERE vec_id < 8),
+             |cd AS (SELECT vec_id, sub, code FROM (
+             |        SELECT v.vec_id, v.sub, cb.code,
+             |          row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+             |            round(list_dot_product(v.sv, v.sv)
+             |                  - 2*list_dot_product(v.sv, cb.cv)
+             |                  + list_dot_product(cb.cv, cb.cv), 6),
+             |            cb.code) AS rn
+             |        FROM sv v JOIN cb USING (sub)) t WHERE rn = 1),
+             |lut AS (SELECT q.vec_id AS q_id, q.sub, cb.code,
+             |          CAST(round(round(list_dot_product(q.sv, q.sv)
+             |                - 2*list_dot_product(q.sv, cb.cv)
+             |                + list_dot_product(cb.cv, cb.cv), 6) * 1000000)
+             |            AS BIGINT) AS dmic
+             |        FROM sv q JOIN cb USING (sub) WHERE q.vec_id % 100 = 0),
+             |sc AS (SELECT l.q_id, c.vec_id,
+             |         CAST(sum(l.dmic) AS BIGINT) AS admic
+             |       FROM cd c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+             |       WHERE c.vec_id <> l.q_id GROUP BY 1, 2),
+             |r AS (SELECT q_id, vec_id AS neighbor_id,
+             |        round(admic / 1000000.0, 6) AS adc_d2,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY admic, vec_id) AS rn
+             |      FROM sc)
+             |SELECT q_id, neighbor_id, adc_d2 FROM r WHERE rn <= 5
+             |ORDER BY q_id, adc_d2, neighbor_id""".stripMargin),
+      doc = "PQ asymmetric-distance search: broadcast LUT, integer adds over codes")
   )
 }

@@ -600,6 +600,66 @@ object TextOps extends Registry {
              |            AS messy
              |        FROM documents) t1) t2
              |GROUP BY lang ORDER BY lang""".stripMargin),
-      doc = "Whitespace/NBSP canonicalization (planted mess, narrow regex projection)")
+      doc = "Whitespace/NBSP canonicalization (planted mess, narrow regex projection)"),
+
+    // ------------------------------------------------------------------
+    // q3f: boilerplate n-gram removal (the CCNet/C4 inter-document
+    // hygiene pass): the K most document-frequent bigrams form the
+    // boilerplate set — navigation chrome, license footers, cookie
+    // banners in a real web corpus — and every document reports how much
+    // of it is boilerplate. Shape at scale: one shuffle for the
+    // bigram document-frequency count (map-side partial agg over
+    // per-doc-distinct grams), a top-K via TakeOrdered (no full sort),
+    // then the KB-sized boilerplate set broadcasts back against a second
+    // narrow scan — the corpus never shuffles. Per-language rates are
+    // exact integer ratios (sum/sum, one division), so both engines
+    // agree bit-for-bit. At 100 TB the gram strings would be
+    // xxhash64-compressed before the DF shuffle (as q42's sketches do);
+    // strings are kept here so DuckDB can recompute the oracle.
+    QueryDef(
+      "q3f_boilerplate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select($"doc_id", $"lang", $"text", words($"text").as("w"))
+          .select($"doc_id", $"lang",
+            Dedup.shinglesOf($"text", $"w", 2).as("bg"))
+        val grams = docs.select($"doc_id", $"lang",
+          size($"bg").as("n_sh"), explode($"bg").as("g"))
+        val boiler = grams.groupBy($"g")
+          .agg(count(lit(1)).as("df"))
+          .orderBy($"df".desc, $"g".asc).limit(50)
+          .select($"g", lit(1).as("hit"))
+        grams.join(broadcast(boiler), Seq("g"), "left")
+          .groupBy($"doc_id", $"lang", $"n_sh")
+          .agg(sum(coalesce($"hit", lit(0))).as("n_boiler"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_sh".cast("long")).as("tot_grams"),
+            sum($"n_boiler").as("tot_boiler"),
+            round(sum($"n_boiler") / sum($"n_sh".cast("long")), 6)
+              .as("boiler_rate"))
+          .orderBy($"lang")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, lang, CASE WHEN len(ws) < 2 THEN [text]
+             |    ELSE list_distinct([array_to_string(ws[i:i+1], ' ')
+             |                        for i in range(1, len(ws))]) END AS bg
+             |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+             |        FROM documents) t),
+             |e AS (SELECT doc_id, lang, len(bg) AS n_sh, unnest(bg) AS g FROM g),
+             |b AS (SELECT g FROM (SELECT g, count(*) AS df FROM e GROUP BY g)
+             |      ORDER BY df DESC, g LIMIT 50),
+             |pd AS (SELECT doc_id, lang, n_sh,
+             |         sum(CASE WHEN e.g IN (SELECT g FROM b)
+             |             THEN 1 ELSE 0 END) AS nb
+             |       FROM e GROUP BY doc_id, lang, n_sh)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_sh) AS BIGINT) AS tot_grams,
+             |  CAST(sum(nb) AS BIGINT) AS tot_boiler,
+             |  round(CAST(sum(nb) AS BIGINT) / CAST(sum(n_sh) AS BIGINT)::DOUBLE, 6)
+             |    AS boiler_rate
+             |FROM pd GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "Boilerplate bigram hygiene: top-K document-frequent grams, per-lang rate")
   )
 }
