@@ -494,6 +494,125 @@ object Similarity extends Registry {
              |      FROM sc)
              |SELECT q_id, neighbor_id, adc_d2 FROM r WHERE rn <= 5
              |ORDER BY q_id, adc_d2, neighbor_id""".stripMargin),
-      doc = "PQ asymmetric-distance search: broadcast LUT, integer adds over codes")
+      doc = "PQ asymmetric-distance search: broadcast LUT, integer adds over codes"),
+
+    // ------------------------------------------------------------------
+    // q57: IVF-PQ search — the two halves composed the way a real vector
+    // store serves a query: the coarse quantizer routes each query to
+    // its nprobe=2 nearest cells (q52's argmax contract), and only THOSE
+    // cells' members are ADC-scored from their 8-byte codes (q56's LUT).
+    // At 100 TB the corpus is parquet partitioned BY cell, so the probe
+    // is partition pruning (q77's mechanism) and the scored set is
+    // nprobe/k of the corpus; here the probe is a broadcast join on the
+    // cell id — same plan shape, no full-corpus scoring anywhere.
+    QueryDef(
+      "q57_ivfpq_search",
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val cellOf = assignCells(c).select(col("vec_id"), col("cell"))
+        val split = pqSplit(c)
+        val cb = pqCodebook(split)
+        val codes = split.join(broadcast(cb), col("sub") === col("csub"))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min(struct(subD2(col("sv"), col("cv")).as("d2"),
+            col("code"))).as("m"))
+          .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+        // coarse probe: nprobe=2 highest-cosine cells per query
+        val cents = c.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("v").as("cv2"),
+            col("nrm").as("cn2"))
+        val wProbe = Window.partitionBy(col("q_id"))
+          .orderBy(col("ccos").desc, col("cell").asc)
+        val probes = queriesOf(c).join(broadcast(cents))
+          .select(col("q_id"),
+            round(dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 4)
+              .as("ccos"),
+            col("cell"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("q_id"), col("cell"))
+        // candidates = members of probed cells; ADC from codes only
+        val lut = split.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("sub").as("qsub"),
+            col("sv").as("qv2"))
+          .join(cb, col("qsub") === col("csub"))
+          .select(col("q_id"), col("qsub").as("sub"), col("code"),
+            round(subD2(col("qv2"), col("cv")) * 1e6).cast("long").as("dmic"))
+        val cands = cellOf.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"))
+        val scored = cands
+          .join(codes, Seq("vec_id"))
+          .join(broadcast(lut), Seq("q_id", "sub", "code"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("dmic")).as("admic"))
+        val ord = Seq(col("admic").asc, col("vec_id").asc)
+        val wL = Window.partitionBy(col("q_id"), col("salt")).orderBy(ord: _*)
+        val wG = Window.partitionBy(col("q_id")).orderBy(ord: _*)
+        scored
+          .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(32)))
+          .withColumn("lrn", row_number().over(wL)).filter(col("lrn") <= K)
+          .withColumn("rn", row_number().over(wG)).filter(col("rn") <= K)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            round(col("admic") / 1e6, 6).as("adc_d2"))
+          .orderBy(col("q_id"), col("adc_d2"), col("neighbor_id"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |    sqrt(list_dot_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |cent AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n
+             |         WHERE vec_id < 8),
+             |cells AS (SELECT vec_id, cell FROM (
+             |    SELECT n.vec_id, cell,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_dot_product(n.e, ce) / (n.nrm * cn), 4)
+             |          DESC, cell) AS rn
+             |    FROM n JOIN cent ON true) t WHERE rn = 1),
+             |probes AS (SELECT q_id, cell FROM (
+             |    SELECT n.vec_id AS q_id, cell,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_dot_product(n.e, ce) / (n.nrm * cn), 4)
+             |          DESC, cell) AS rn
+             |    FROM n JOIN cent ON true WHERE n.vec_id % 100 = 0) t
+             |  WHERE rn <= 2),
+             |sv AS (SELECT vec_id, s.sub, n.e[s.sub*8+1 : s.sub*8+8] AS sv
+             |       FROM n, (SELECT unnest(range(0,8)) AS sub) s),
+             |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sv
+             |       WHERE vec_id < 8),
+             |cd AS (SELECT vec_id, sub, code FROM (
+             |        SELECT v.vec_id, v.sub, cb.code,
+             |          row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+             |            round(list_dot_product(v.sv, v.sv)
+             |                  - 2*list_dot_product(v.sv, cb.cv)
+             |                  + list_dot_product(cb.cv, cb.cv), 6),
+             |            cb.code) AS rn
+             |        FROM sv v JOIN cb USING (sub)) t WHERE rn = 1),
+             |lut AS (SELECT q.vec_id AS q_id, q.sub, cb.code,
+             |          CAST(round(round(list_dot_product(q.sv, q.sv)
+             |                - 2*list_dot_product(q.sv, cb.cv)
+             |                + list_dot_product(cb.cv, cb.cv), 6) * 1000000)
+             |            AS BIGINT) AS dmic
+             |        FROM sv q JOIN cb USING (sub) WHERE q.vec_id % 100 = 0),
+             |cand AS (SELECT p.q_id, c.vec_id FROM cells c
+             |         JOIN probes p USING (cell) WHERE c.vec_id <> p.q_id),
+             |sc AS (SELECT ca.q_id, ca.vec_id,
+             |         CAST(sum(l.dmic) AS BIGINT) AS admic
+             |       FROM cand ca
+             |       JOIN cd ON cd.vec_id = ca.vec_id
+             |       JOIN lut l ON l.q_id = ca.q_id AND l.sub = cd.sub
+             |                 AND l.code = cd.code
+             |       GROUP BY 1, 2),
+             |r AS (SELECT q_id, vec_id AS neighbor_id,
+             |        round(admic / 1000000.0, 6) AS adc_d2,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY admic, vec_id) AS rn
+             |      FROM sc)
+             |SELECT q_id, neighbor_id, adc_d2 FROM r WHERE rn <= 5
+             |ORDER BY q_id, adc_d2, neighbor_id""".stripMargin),
+      doc = "IVF-PQ search: nprobe=2 cell routing + ADC scoring of probed cells only")
   )
 }

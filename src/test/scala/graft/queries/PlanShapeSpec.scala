@@ -75,6 +75,39 @@ class PlanShapeSpec extends AnyFunSuite {
       "a global single-partition exchange crept into the packing plan")
   }
 
+  test("q79 layout: 2-D predicate skips row groups via min/max stats") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    // build the z-ordered layout (writes the q79 scratch dir)
+    graft.SparkEntry.queries("q79_zorder_layout")(spark, sfDir).collect()
+    val zdir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch", "q79_zorder").toString
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val pred = col("l_partkey") <= 20 && col("l_suppkey") <= 2
+    val zHits = spark.read.parquet(zdir).filter(pred)
+      .select(col("l_orderkey")).collect().map(_.getLong(0)).sorted
+    val rawDf = spark.read.parquet(s"$sfDir/lineitem.parquet").filter(pred)
+    val rawHits = rawDf.select(col("l_orderkey")).collect().map(_.getLong(0)).sorted
+    assert(zHits.sameElements(rawHits), "z-ordered read changed the answer")
+    val total = spark.read.parquet(zdir).count()
+    val zScan = scanned(spark.read.parquet(zdir).filter(pred))
+    // the point of the layout: because files carry disjoint z-ranges,
+    // BOTH interleaved columns have narrow per-file min/max, so the
+    // parquet reader drops most row groups before materializing a row.
+    // The unsorted source file has full-range stats and can skip nothing.
+    assert(zScan < total / 2,
+      s"z-ordered scan materialized $zScan of $total rows — no skipping")
+    val rawScan = scanned(rawDf)
+    assert(zScan < rawScan,
+      s"z-layout ($zScan rows) should scan fewer rows than the unsorted " +
+        s"source ($rawScan)")
+  }
+
   test("q52: dead embedding column does not ride the argmax exchange") {
     val p = plan("q52_ivf_assign")
     val exchangeInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
