@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, SimHash64Expr, VectorDotExpr}
+import graft.expressions.{JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhash64)
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.shingleHashes)
+    ext.injectFunction(GraftExtensions.shingleStrings)
     ext.injectFunction(GraftExtensions.jaccardSorted)
   }
 }
@@ -53,33 +54,43 @@ object GraftExtensions {
     new ExpressionInfo(classOf[VectorDotExpr].getName, "vec_dot"),
     (args: Seq[Expression]) => VectorDotExpr(args(0), args(1)))
 
+  // k must be a compile-time constant but any foldable integral form
+  // is fine (3, 3L, 1+2, CAST(3 AS INT)); k < 1 is meaningless (the
+  // whole-text fallback would silently make every Jaccard 1.0)
+  private def constK(fn: String, e: Expression): Int = {
+    val v = if (e.foldable) e.eval() else null
+    val k = v match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn k must be a constant integer, got $e")
+    }
+    require(k >= 1, s"$fn k must be >= 1, got $k")
+    k
+  }
+
   private val shingleHashes: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("shingle_hashes"),
     new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
-    (args: Seq[Expression]) => {
-      // k must be a compile-time constant but any foldable integral form
-      // is fine (3, 3L, 1+2, CAST(3 AS INT)); k < 1 is meaningless (the
-      // whole-text fallback would silently make every Jaccard 1.0)
-      def constK(e: Expression): Int = {
-        val v = if (e.foldable) e.eval() else null
-        v match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case s: Short => s.toInt
-          case b: Byte => b.toInt
-          case _ => throw new IllegalArgumentException(
-            s"shingle_hashes k must be a constant integer, got $e")
-        }
-      }
-      args match {
-        case Seq(text) => ShingleHashesExpr(text, 3)
-        case Seq(text, kExpr) =>
-          val k = constK(kExpr)
-          require(k >= 1, s"shingle_hashes k must be >= 1, got $k")
-          ShingleHashesExpr(text, k)
-        case _ => throw new IllegalArgumentException("shingle_hashes(text[, k])")
-      }
+    (args: Seq[Expression]) => args match {
+      case Seq(text) => ShingleHashesExpr(text, 3)
+      case Seq(text, kExpr) =>
+        ShingleHashesExpr(text, constK("shingle_hashes", kExpr))
+      case _ => throw new IllegalArgumentException("shingle_hashes(text[, k])")
+    })
+
+  private val shingleStrings: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_strings"),
+    new ExpressionInfo(classOf[ShingleStringsExpr].getName, "shingle_strings"),
+    (args: Seq[Expression]) => args match {
+      case Seq(text) => ShingleStringsExpr(text, 3)
+      case Seq(text, kExpr) =>
+        ShingleStringsExpr(text, constK("shingle_strings", kExpr))
+      case _ => throw new IllegalArgumentException("shingle_strings(text[, k])")
     })
 
   private val jaccardSorted: (FunctionIdentifier, ExpressionInfo,
@@ -93,7 +104,8 @@ object GraftExtensions {
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    for (fn <- Seq(minhashBands, simhash64, vecDot, shingleHashes, jaccardSorted))
+    for (fn <- Seq(minhashBands, simhash64, vecDot, shingleHashes,
+        shingleStrings, jaccardSorted))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
   }

@@ -74,6 +74,37 @@ object ShingleJaccard {
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
   }
+
+  /** Distinct word-k-shingles as STRINGS, first-occurrence order — the
+    * exact value of `array_distinct(transform(sequence(...), slice...))`
+    * (Dedup.shinglesOf) in one codegen-friendly loop instead of an
+    * interpreted higher-order chain. For ops whose downstream needs the
+    * shingle text itself (e.g. an oracle-recomputable document-frequency
+    * count) rather than the 64-bit hashes. */
+  def shingleStrings(text: UTF8String, k: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < k)
+      return new GenericArrayData(Array[Any](text.copy()))
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression {
@@ -91,6 +122,26 @@ case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.expressions.ShingleJaccard.shingleHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ShingleStringsExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_strings requires a string input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleJaccard.shingleStrings(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.ShingleJaccard.shingleStrings($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

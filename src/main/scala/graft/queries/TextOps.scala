@@ -620,10 +620,13 @@ object TextOps extends Registry {
       "q3f_boilerplate",
       (s, dir) => {
         import s.implicits._
+        graft.GraftExtensions.ensureRegistered(s)
+        // shingle_strings = the codegen twin of Dedup.shinglesOf (the
+        // interpreted HOF chain ran twice here — df branch + join
+        // branch — and dominated the query)
         val docs = table(s, dir, "documents")
-          .select($"doc_id", $"lang", $"text", words($"text").as("w"))
           .select($"doc_id", $"lang",
-            Dedup.shinglesOf($"text", $"w", 2).as("bg"))
+            expr("shingle_strings(text, 2)").as("bg"))
         val grams = docs.select($"doc_id", $"lang",
           size($"bg").as("n_sh"), explode($"bg").as("g"))
         val boiler = grams.groupBy($"g")

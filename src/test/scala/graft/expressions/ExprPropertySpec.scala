@@ -49,6 +49,23 @@ class ExprPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shingle_strings == the interpreted shinglesOf chain") {
+    graft.GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    for (seed <- 0 until 20) {
+      val texts = sample(Gen.listOfN(12, text), 500 + seed)
+      val k = Seq(2, 3, 5)(seed % 3)
+      val df = texts.toDF("text")
+      val w = split($"text", " ")
+      val model = when(size(w) < k, array($"text")).otherwise(
+        array_distinct(transform(sequence(lit(1), size(w) - (k - 1)),
+          i => concat_ws(" ", slice(w, i, lit(k))))))
+      val both = df.select(
+        expr(s"shingle_strings(text, $k)").as("fast"), model.as("slow"))
+      assert(both.filter($"fast" =!= $"slow").count() == 0, s"seed=$seed k=$k")
+    }
+  }
+
   test("jaccard_sorted == set-model Jaccard on arbitrary long sets") {
     graft.GraftExtensions.ensureRegistered(spark)
     import spark.implicits._
