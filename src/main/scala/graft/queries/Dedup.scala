@@ -455,6 +455,49 @@ object Dedup extends Registry {
              |SELECT id AS doc_id, cluster_id,
              |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
              |FROM comp ORDER BY cluster_id, doc_id""".stripMargin),
-      doc = "Duplicate clusters: large-star/small-star CC over canonical + Jaccard edges")
+      doc = "Duplicate clusters: large-star/small-star CC over canonical + Jaccard edges"),
+
+    // ------------------------------------------------------------------
+    // q49: incremental ingest dedup — the daily-crawl shape: a new batch
+    // lands and must be deduplicated BOTH within itself and against the
+    // already-ingested corpus, without re-hashing the corpus' texts
+    // (only its digests). Batch = odd doc_ids, corpus = even (a
+    // deterministic stand-in for "yesterday's data"). Plan shape at
+    // 100 TB: within-batch dedup is one digest shuffle with map-side
+    // combine; the against-corpus check is a left-anti join on the
+    // 16-byte digest — the corpus side would come from the stored
+    // digest index, not the raw text, so the join moves digests only.
+    QueryDef(
+      "q49_incremental_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select($"doc_id", $"lang", $"text")
+        val corpusHashes = docs.filter($"doc_id" % 2 === 0)
+          .select(md5($"text").as("h")).distinct()
+        val batch = docs.filter($"doc_id" % 2 === 1)
+          .groupBy(md5($"text").as("h"))
+          .agg(min($"doc_id").as("keeper_id"), min($"lang").as("lang"),
+            count(lit(1)).as("n_copies"))
+        batch.join(corpusHashes.withColumn("hit", lit(1)), Seq("h"), "left")
+          .groupBy($"lang")
+          .agg(sum($"n_copies").as("n_batch_rows"),
+            count(lit(1)).as("n_batch_unique"),
+            sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_new"))
+          .orderBy($"lang")
+      },
+      Some("""WITH b AS (
+             |  SELECT md5(text) AS h, min(doc_id) AS keeper_id,
+             |    min(lang) AS lang, count(*) AS n_copies
+             |  FROM documents WHERE doc_id % 2 = 1 GROUP BY md5(text)),
+             |c AS (SELECT DISTINCT md5(text) AS h FROM documents
+             |      WHERE doc_id % 2 = 0)
+             |SELECT lang,
+             |  CAST(sum(n_copies) AS BIGINT) AS n_batch_rows,
+             |  count(*) AS n_batch_unique,
+             |  CAST(sum(CASE WHEN c.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_new
+             |FROM b LEFT JOIN c ON b.h = c.h
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "Incremental ingest dedup: batch-internal digest dedup + anti-join vs corpus index")
   )
 }

@@ -343,6 +343,66 @@ object Sampling extends Registry {
            |  true AS multi_file, true AS ranges_disjoint
            |FROM lineitem""".stripMargin
       },
-      doc = "Z-order layout: bit-interleaved locality key, range write, disjoint file ranges")
+      doc = "Z-order layout: bit-interleaved locality key, range write, disjoint file ranges"),
+
+    // ------------------------------------------------------------------
+    // q96: curriculum binning — rank every document by the composite
+    // quality score (q32's formula) and cut per-language quartile tiers,
+    // reporting each tier's doc count and token budget: the input a
+    // curriculum/annealing schedule consumes ("highest tier last").
+    // Scale shape = q95's two-pass quantile pattern: a |langs|×3-row
+    // exact-percentile aggregate broadcast back over a narrow second
+    // scan — NO global ntile sort (a global ntile is a single-partition
+    // sort at 100 TB). Tier averages ride 6-decimal micro-longs so both
+    // engines sum exactly.
+    QueryDef(
+      "q96_curriculum",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            size(split($"text", " ")).as("n_words"),
+            TextOps.quality($"text").as("q"))
+        val cuts = docs.groupBy($"lang").agg(
+          round(expr("percentile(q, 0.25D)"), 4).as("t25"),
+          round(expr("percentile(q, 0.5D)"), 4).as("t50"),
+          round(expr("percentile(q, 0.75D)"), 4).as("t75"))
+        docs.join(broadcast(cuts), Seq("lang"))
+          .withColumn("tier", lit(1) +
+            when($"q" > $"t25", 1).otherwise(0) +
+            when($"q" > $"t50", 1).otherwise(0) +
+            when($"q" > $"t75", 1).otherwise(0))
+          .groupBy($"lang", $"tier")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_words".cast("long")).as("tot_tokens"),
+            round(sum(round($"q" * 1000000).cast("long")) /
+              (count(lit(1)) * 1000000.0), 6).as("avg_quality"))
+          .orderBy($"lang", $"tier")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+             |    round(least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
+             |      * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             |               / length(text))
+             |      * (1.0 - len(list_filter(string_split(text, ' '),
+             |            x -> x IN ('the','a','an','of','and','to','in','is','on','for')))::DOUBLE
+             |               / len(string_split(text, ' '))), 6) AS q
+             |  FROM documents),
+             |c AS (SELECT lang, round(quantile_cont(q, 0.25), 4) AS t25,
+             |        round(quantile_cont(q, 0.5), 4) AS t50,
+             |        round(quantile_cont(q, 0.75), 4) AS t75
+             |      FROM d GROUP BY lang)
+             |SELECT lang,
+             |  1 + CASE WHEN q > t25 THEN 1 ELSE 0 END
+             |    + CASE WHEN q > t50 THEN 1 ELSE 0 END
+             |    + CASE WHEN q > t75 THEN 1 ELSE 0 END AS tier,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_words) AS BIGINT) AS tot_tokens,
+             |  round(CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS BIGINT)
+             |        / (count(*) * 1000000.0), 6) AS avg_quality
+             |FROM d JOIN c USING (lang)
+             |GROUP BY lang, tier ORDER BY lang, tier""".stripMargin),
+      doc = "Curriculum quartile tiers per language (two-pass quantiles, no global sort)")
   )
 }

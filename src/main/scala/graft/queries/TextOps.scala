@@ -30,6 +30,21 @@ object TextOps extends Registry {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** q32's composite quality score (length × punctuation × stopword
+    * factors, rounded to 6 decimals) as a reusable column — also the
+    * ranking signal for the curriculum binning op (q96). */
+  def quality(text: Column): Column = {
+    val w = split(text, " ")
+    val nWords = size(w).cast("double")
+    val nStop = size(filter(w, x => x.isin(stopwordsEn: _*))).cast("double")
+    val punct = (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+      .cast("double")
+    round(
+      least(nWords / lit(100.0), lit(1.0)) *
+        (lit(1.0) - punct / length(text).cast("double")) *
+        (lit(1.0) - nStop / nWords), 6)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q30: corpus statistics per language — the basic profiling pass any
@@ -99,10 +114,7 @@ object TextOps extends Registry {
             size(w).as("n_words"),
             round(punct / length($"text").cast("double"), 6).as("punct_ratio"),
             round(nStop / nWords, 6).as("stop_ratio"),
-            round(
-              least(nWords / lit(100.0), lit(1.0)) *
-                (lit(1.0) - punct / length($"text").cast("double")) *
-                (lit(1.0) - nStop / nWords), 6).as("quality"))
+            quality($"text").as("quality"))
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,
