@@ -225,6 +225,89 @@ object Similarity extends Registry {
   private def subD2(a: Column, b: Column): Column =
     round(dot(a, a) - lit(2) * dot(a, b) + dot(b, b), 6)
 
+  /** PQ encode: argmin codeword per (vector, subspace) — min over a
+    * (d2, code) struct = argmin with tiebreak as a partial-agg groupBy
+    * (cheaper than a row_number window: no per-partition sort, map-side
+    * combine). Returns (vec_id, sub, code). */
+  private def pqCodes(split: DataFrame, cb: DataFrame): DataFrame =
+    split.join(broadcast(cb), col("sub") === col("csub"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(subD2(col("sv"), col("cv")).as("d2"),
+        col("code"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+
+  /** Per-query ADC lookup table: raw query sub-vector vs every codeword,
+    * as exact 6-decimal micro-unit longs. 8 subs × 8 codes per query —
+    * KBs, always broadcast. Returns (q_id, sub, code, dmic). */
+  private def pqLut(split: DataFrame, cb: DataFrame): DataFrame =
+    split.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("sub").as("qsub"),
+        col("sv").as("qv2"))
+      .join(cb, col("qsub") === col("csub"))
+      .select(col("q_id"), col("qsub").as("sub"), col("code"),
+        round(subD2(col("qv2"), col("cv")) * 1e6).cast("long").as("dmic"))
+
+  /** ADC scores (q_id, vec_id, admic): every corpus vector against every
+    * query when `candidates` is None, else only the given (q_id, vec_id)
+    * pairs. Scoring touches CODES only — 8 LUT probes + integer adds per
+    * pair, never the float vectors. */
+  private[queries] def adcScores(codes: DataFrame, lut: DataFrame,
+      candidates: Option[DataFrame]): DataFrame = {
+    val scored = candidates match {
+      case None => codes.join(broadcast(lut), Seq("sub", "code"))
+      case Some(c) => c.join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("q_id", "sub", "code"))
+    }
+    scored.filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dmic")).as("admic"))
+  }
+
+  /** Salted two-phase top-k by ascending ADC distance (the distance-
+    * ordered twin of [[topKPerQuery]]). */
+  private def adcTopK(scored: DataFrame): DataFrame = {
+    val ord = Seq(col("admic").asc, col("vec_id").asc)
+    val wL = Window.partitionBy(col("q_id"), col("salt")).orderBy(ord: _*)
+    val wG = Window.partitionBy(col("q_id")).orderBy(ord: _*)
+    scored
+      .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(32)))
+      .withColumn("lrn", row_number().over(wL)).filter(col("lrn") <= K)
+      .withColumn("rn", row_number().over(wG)).filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("admic") / 1e6, 6).as("adc_d2"))
+      .orderBy(col("q_id"), col("adc_d2"), col("neighbor_id"))
+  }
+
+  /** Full-corpus ADC scores for `dir`'s embeddings — exposed so the spec
+    * can assert pruned ≡ full-restricted-to-candidates. */
+  private[queries] def adcFullScores(s: SparkSession, dir: String): DataFrame = {
+    val split = pqSplit(corpus(s, dir))
+    val cb = pqCodebook(split)
+    adcScores(pqCodes(split, cb), pqLut(split, cb), None)
+  }
+
+  /** IVF probe set: (q_id, vec_id) pairs from the nprobe=2 highest-
+    * cosine cells per query — the q57 candidate generator. */
+  private[queries] def ivfpqCandidates(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val cellOf = assignCells(c).select(col("vec_id"), col("cell"))
+    val cents = c.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("v").as("cv2"),
+        col("nrm").as("cn2"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = queriesOf(c).join(broadcast(cents))
+      .select(col("q_id"),
+        round(dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 4)
+          .as("ccos"),
+        col("cell"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("cell"))
+    cellOf.join(broadcast(probes), Seq("cell"))
+      .select(col("q_id"), col("vec_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q50_knn_exact",
@@ -426,41 +509,7 @@ object Similarity extends Registry {
     // Spark and DuckDB rank identically.
     QueryDef(
       "q56_pq_adc",
-      (s, dir) => {
-        val split = pqSplit(corpus(s, dir))
-        val cb = pqCodebook(split)
-        // encode: argmin codeword per (vector, subspace) — min over a
-        // (d2, code) struct = argmin with tiebreak, as a partial-agg
-        // groupBy (cheaper than a row_number window: no per-partition
-        // sort, map-side combine)
-        val codes = split.join(broadcast(cb), col("sub") === col("csub"))
-          .groupBy(col("vec_id"), col("sub"))
-          .agg(min(struct(subD2(col("sv"), col("cv")).as("d2"),
-            col("code"))).as("m"))
-          .select(col("vec_id"), col("sub"), col("m.code").as("code"))
-        // per-query LUT: raw query sub-vector vs every codeword
-        val lut = split.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("q_id"), col("sub").as("qsub"),
-            col("sv").as("qv"))
-          .join(cb, col("qsub") === col("csub"))
-          .select(col("q_id"), col("qsub").as("sub"), col("code"),
-            round(subD2(col("qv"), col("cv")) * 1e6).cast("long").as("dmic"))
-        val scored = codes.join(broadcast(lut), Seq("sub", "code"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .groupBy(col("q_id"), col("vec_id"))
-          .agg(sum(col("dmic")).as("admic"))
-        // salted two-phase top-k (ascending distance), as topKPerQuery
-        val ord = Seq(col("admic").asc, col("vec_id").asc)
-        val wL = Window.partitionBy(col("q_id"), col("salt")).orderBy(ord: _*)
-        val wG = Window.partitionBy(col("q_id")).orderBy(ord: _*)
-        scored
-          .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(32)))
-          .withColumn("lrn", row_number().over(wL)).filter(col("lrn") <= K)
-          .withColumn("rn", row_number().over(wG)).filter(col("rn") <= K)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            round(col("admic") / 1e6, 6).as("adc_d2"))
-          .orderBy(col("q_id"), col("adc_d2"), col("neighbor_id"))
-      },
+      (s, dir) => adcTopK(adcFullScores(s, dir)),
       Some("""WITH n AS (
              |  SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -508,54 +557,10 @@ object Similarity extends Registry {
     QueryDef(
       "q57_ivfpq_search",
       (s, dir) => {
-        val c = corpus(s, dir)
-        val cellOf = assignCells(c).select(col("vec_id"), col("cell"))
-        val split = pqSplit(c)
+        val split = pqSplit(corpus(s, dir))
         val cb = pqCodebook(split)
-        val codes = split.join(broadcast(cb), col("sub") === col("csub"))
-          .groupBy(col("vec_id"), col("sub"))
-          .agg(min(struct(subD2(col("sv"), col("cv")).as("d2"),
-            col("code"))).as("m"))
-          .select(col("vec_id"), col("sub"), col("m.code").as("code"))
-        // coarse probe: nprobe=2 highest-cosine cells per query
-        val cents = c.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cell"), col("v").as("cv2"),
-            col("nrm").as("cn2"))
-        val wProbe = Window.partitionBy(col("q_id"))
-          .orderBy(col("ccos").desc, col("cell").asc)
-        val probes = queriesOf(c).join(broadcast(cents))
-          .select(col("q_id"),
-            round(dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 4)
-              .as("ccos"),
-            col("cell"))
-          .withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= 2)
-          .select(col("q_id"), col("cell"))
-        // candidates = members of probed cells; ADC from codes only
-        val lut = split.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("q_id"), col("sub").as("qsub"),
-            col("sv").as("qv2"))
-          .join(cb, col("qsub") === col("csub"))
-          .select(col("q_id"), col("qsub").as("sub"), col("code"),
-            round(subD2(col("qv2"), col("cv")) * 1e6).cast("long").as("dmic"))
-        val cands = cellOf.join(broadcast(probes), Seq("cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"))
-        val scored = cands
-          .join(codes, Seq("vec_id"))
-          .join(broadcast(lut), Seq("q_id", "sub", "code"))
-          .groupBy(col("q_id"), col("vec_id"))
-          .agg(sum(col("dmic")).as("admic"))
-        val ord = Seq(col("admic").asc, col("vec_id").asc)
-        val wL = Window.partitionBy(col("q_id"), col("salt")).orderBy(ord: _*)
-        val wG = Window.partitionBy(col("q_id")).orderBy(ord: _*)
-        scored
-          .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(32)))
-          .withColumn("lrn", row_number().over(wL)).filter(col("lrn") <= K)
-          .withColumn("rn", row_number().over(wG)).filter(col("rn") <= K)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            round(col("admic") / 1e6, 6).as("adc_d2"))
-          .orderBy(col("q_id"), col("adc_d2"), col("neighbor_id"))
+        adcTopK(adcScores(pqCodes(split, cb), pqLut(split, cb),
+          Some(ivfpqCandidates(s, dir))))
       },
       Some("""WITH n AS (
              |  SELECT vec_id,

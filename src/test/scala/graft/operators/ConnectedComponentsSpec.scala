@@ -70,6 +70,13 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.keySet == ((1L to 20L).toSet + 999L))
   }
 
+  test("empty and self-loop-only edge sets yield no components") {
+    val (got1, _) = ccOf(Seq.empty)
+    assert(got1.isEmpty)
+    val (got2, _) = ccOf(Seq((7L, 7L), (9L, 9L)))
+    assert(got2.isEmpty)
+  }
+
   test("random graphs match a union-find oracle") {
     val rng = new scala.util.Random(4242)
     for (trial <- 1 to 3) {

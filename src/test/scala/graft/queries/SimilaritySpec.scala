@@ -42,6 +42,36 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"recall=$recall%.2f candidates=$ratio%.2f of brute force")
   }
 
+  test("q57 pruned ADC ≡ full ADC restricted to the probed cells") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic self-consistency of the IVF-PQ composition: pruning
+    // must only REMOVE candidates, never change a surviving distance or
+    // rank — so q57's answer must equal the full-corpus ADC scores
+    // (q56's scored set) semi-joined to the probe candidates, top-5.
+    val cands = Similarity.ivfpqCandidates(spark, sfDir)
+    val expected = Similarity.adcFullScores(spark, sfDir)
+      .join(cands, Seq("q_id", "vec_id"), "left_semi")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("admic").asc, col("vec_id").asc)))
+      .filter(col("rn") <= Similarity.K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("admic") / 1e6, 6).as("adc_d2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = graft.SparkEntry.queries("q57_ivfpq_search")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, "pruned search diverged from restricted full ADC")
+
+    // and the probe must actually prune: nprobe=2 of 8 cells
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bruteForcePairs = emb.filter(col("vec_id") % 100 === 0).count() *
+      (emb.count() - 1)
+    val scoredPairs = cands.count()
+    assert(scoredPairs < bruteForcePairs * 6 / 10,
+      s"probe scored $scoredPairs of $bruteForcePairs pairs — no pruning")
+  }
+
   test("q50 exact top-k: every query returns exactly K rows") {
     val counts = Similarity.knnExact(spark, sfDir)
       .groupBy("q_id").count().collect().map(_.getLong(1)).toSet
