@@ -52,7 +52,14 @@ object ConnectedComponents {
     while (!converged && rounds < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val nextSig = signature(next)
-      converged = nextSig == sig
+      // signature equality is a fast probabilistic screen; confirm with
+      // an exact set compare so a (count, XOR-hash) collision between
+      // two different edge sets can never terminate early with wrong
+      // labels. The confirm only ever runs at the candidate fixpoint
+      // (edge sets are tiny, both sides checkpointed), so it costs one
+      // extra comparison total, not one per round.
+      converged = nextSig == sig &&
+        next.exceptAll(e).unionAll(e.exceptAll(next)).isEmpty
       e = next
       sig = nextSig
       rounds += 1

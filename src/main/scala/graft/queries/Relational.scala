@@ -573,8 +573,12 @@ object Relational extends Registry {
     // ------------------------------------------------------------------
     // q1c: analytic window functions (lag/lead/ntile) — the
     // value-carrying complement of the ranking (q07) and frame (q08)
-    // windows. One shuffle on o_custkey for lag/lead; ntile is over a
-    // bounded result set (o_custkey < 100 — constant at any sf).
+    // windows. One shuffle on o_custkey for lag/lead; ntile is
+    // SEMANTICALLY global (a quartile needs total order), so it plans
+    // an unpartitioned WindowExec by design — acceptable ONLY because
+    // its input is filter-bounded (o_custkey < 100, constant rows at
+    // any sf). This is the one deliberate exemption in PlanShapeSpec's
+    // no-unpartitioned-window gate.
     QueryDef(
       "q1c_window_analytics",
       (s, dir) => {
@@ -635,8 +639,8 @@ object Relational extends Registry {
     // Spark's HLL++ and DuckDB's approx sketches differ by construction,
     // so the oracle can't recompute the estimate — instead the query
     // returns the EXACT values plus booleans asserting the sketch landed
-    // inside its error contract (±5% for HLL at rsd 0.02, ±2% for the
-    // approx median at accuracy 1000). The sketch is the 100 TB answer
+    // inside its error contract (±10% ≈ 5σ for HLL at rsd 0.02, ±2% for
+    // the approx median at accuracy 1000). The sketch is the 100 TB answer
     // to count-distinct — mergeable partial state, no distinct shuffle —
     // and this makes its error contract part of the gated surface
     // (previously ApproxSpec-only evidence).
@@ -656,18 +660,22 @@ object Relational extends Registry {
           .select(
             $"exact_parts", $"exact_orders",
             round($"exact_med", 2).as("exact_median"),
-            (abs($"hll_parts" - $"exact_parts") <= $"exact_parts" * 0.05)
-              .as("parts_within_5pct"),
-            (abs($"hll_orders" - $"exact_orders") <= $"exact_orders" * 0.05)
-              .as("orders_within_5pct"),
+            // ±10% ≈ 5σ at rsd 0.02 — HLL error is probabilistic, so
+            // the gate is generous on purpose: a 2.5σ (±5%) bound can
+            // legitimately trip on a different cardinality and would
+            // turn sketch variance into a spurious hash failure
+            (abs($"hll_parts" - $"exact_parts") <= $"exact_parts" * 0.10)
+              .as("parts_within_10pct"),
+            (abs($"hll_orders" - $"exact_orders") <= $"exact_orders" * 0.10)
+              .as("orders_within_10pct"),
             (abs($"approx_med" - $"exact_med") <= $"exact_med" * 0.02)
               .as("median_within_2pct"))
       },
       Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
              |  count(DISTINCT l_orderkey) AS exact_orders,
              |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
-             |  true AS parts_within_5pct,
-             |  true AS orders_within_5pct,
+             |  true AS parts_within_10pct,
+             |  true AS orders_within_10pct,
              |  true AS median_within_2pct
              |FROM lineitem""".stripMargin),
       doc = "HLL count-distinct + approx percentile with gated error bounds")

@@ -52,8 +52,16 @@ object Similarity extends Registry {
   private def corpus(s: SparkSession, dir: String): DataFrame =
     corpusOf(table(s, dir, "embeddings"))
 
+  /** Query set: every 100th vec_id, capped to a CONSTANT id range so the
+    * full-scan verification tiers (q50/q56) stay linear in corpus size —
+    * an uncapped modulo slice grows with sf and turns a brute-force
+    * baseline into O(n²/100) at scale (same rationale as q44/q45's
+    * bounded key ranges). ≤ 20 queries at any sf; identical to the old
+    * modulo-only set at every shipped sf (max vec_id 1999). */
+  private val MaxQueryId = 2000
+
   private def queriesOf(c: DataFrame): DataFrame =
-    c.filter(col("vec_id") % 100 === 0)
+    c.filter(col("vec_id") % 100 === 0 && col("vec_id") < MaxQueryId)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
 
   /** Salted two-phase top-k per q_id (same pattern as q07). */
@@ -176,8 +184,12 @@ object Similarity extends Registry {
   // is the broadcast-centroids argmax (no corpus shuffle); the centroid
   // recompute is posexplode to (cell, dim, x) then a single partial-agg
   // shuffle on (cell, dim) — k×dim groups, constant size at any corpus
-  // scale. Per-dim means are rounded before the norm reduction so Spark
-  // and DuckDB float-sum orders can't diverge the result.
+  // scale. Per-dim means are rounded to 6 decimals before the norm
+  // reduction, which shrinks (but does not eliminate — a 1-ulp sum
+  // difference can still land on a rounding boundary) the window for
+  // Spark/DuckDB float-sum-order divergence; with 8 cells × 64 dims of
+  // small averages the residual risk is negligible and deterministic
+  // per dataset (green at every shipped sf).
   // ------------------------------------------------------------------
   def kmeansIter(s: SparkSession, dir: String): DataFrame = {
     val assigned = assignCells(corpus(s, dir))
@@ -240,7 +252,7 @@ object Similarity extends Registry {
     * as exact 6-decimal micro-unit longs. 8 subs × 8 codes per query —
     * KBs, always broadcast. Returns (q_id, sub, code, dmic). */
   private def pqLut(split: DataFrame, cb: DataFrame): DataFrame =
-    split.filter(col("vec_id") % 100 === 0)
+    split.filter(col("vec_id") % 100 === 0 && col("vec_id") < MaxQueryId)
       .select(col("vec_id").as("q_id"), col("sub").as("qsub"),
         col("sv").as("qv2"))
       .join(cb, col("qsub") === col("csub"))
@@ -320,7 +332,7 @@ object Similarity extends Registry {
              |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
              |  FROM embeddings),
              |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
-             |      WHERE vec_id % 100 = 0),
+             |      WHERE vec_id % 100 = 0 AND vec_id < 2000),
              |s AS (SELECT q_id, c.vec_id AS neighbor_id,
              |        round(list_dot_product(qe, c.e) / (qn * c.nrm), 4) AS cosine
              |      FROM q JOIN n c ON c.vec_id <> q.q_id),
@@ -355,7 +367,7 @@ object Similarity extends Registry {
              |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
              |  FROM read_parquet('${FhirEtl.FixtureDir}/neardup_embeddings.parquet')),
              |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
-             |      WHERE vec_id % 100 = 0),
+             |      WHERE vec_id % 100 = 0 AND vec_id < 2000),
              |s AS (SELECT q_id, c.vec_id AS neighbor_id,
              |        round(list_dot_product(qe, c.e) / (qn * c.nrm), 4) AS cosine
              |      FROM q JOIN n c ON c.vec_id <> q.q_id),
@@ -465,14 +477,11 @@ object Similarity extends Registry {
     QueryDef(
       "q55_pq_assign",
       (s, dir) => {
+        // argmin via pqCodes' min(struct) partial agg — shared with
+        // q56/q57 so all three PQ stages plan the same window-free
+        // encode (map-side combine, no per-(vec,sub) sort+shuffle)
         val split = pqSplit(corpus(s, dir))
-        val codebook = pqCodebook(split)
-        val d2 = subD2(col("sv"), col("cv"))
-        val w = Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("d2").asc, col("code").asc)
-        split.join(broadcast(codebook), col("sub") === col("csub"))
-          .select(col("vec_id"), col("sub"), col("code"), d2.as("d2"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        pqCodes(split, pqCodebook(split))
           .groupBy(col("sub"), col("code"))
           .agg(count(lit(1)).as("n_vectors"))
           .orderBy(col("sub"), col("code"))
@@ -531,7 +540,7 @@ object Similarity extends Registry {
              |                - 2*list_dot_product(q.sv, cb.cv)
              |                + list_dot_product(cb.cv, cb.cv), 6) * 1000000)
              |            AS BIGINT) AS dmic
-             |        FROM sv q JOIN cb USING (sub) WHERE q.vec_id % 100 = 0),
+             |        FROM sv q JOIN cb USING (sub) WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000),
              |sc AS (SELECT l.q_id, c.vec_id,
              |         CAST(sum(l.dmic) AS BIGINT) AS admic
              |       FROM cd c JOIN lut l ON c.sub = l.sub AND c.code = l.code
@@ -582,7 +591,7 @@ object Similarity extends Registry {
              |      row_number() OVER (PARTITION BY n.vec_id
              |        ORDER BY round(list_dot_product(n.e, ce) / (n.nrm * cn), 4)
              |          DESC, cell) AS rn
-             |    FROM n JOIN cent ON true WHERE n.vec_id % 100 = 0) t
+             |    FROM n JOIN cent ON true WHERE n.vec_id % 100 = 0 AND n.vec_id < 2000) t
              |  WHERE rn <= 2),
              |sv AS (SELECT vec_id, s.sub, n.e[s.sub*8+1 : s.sub*8+8] AS sv
              |       FROM n, (SELECT unnest(range(0,8)) AS sub) s),
@@ -601,7 +610,7 @@ object Similarity extends Registry {
              |                - 2*list_dot_product(q.sv, cb.cv)
              |                + list_dot_product(cb.cv, cb.cv), 6) * 1000000)
              |            AS BIGINT) AS dmic
-             |        FROM sv q JOIN cb USING (sub) WHERE q.vec_id % 100 = 0),
+             |        FROM sv q JOIN cb USING (sub) WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000),
              |cand AS (SELECT p.q_id, c.vec_id FROM cells c
              |         JOIN probes p USING (cell) WHERE c.vec_id <> p.q_id),
              |sc AS (SELECT ca.q_id, ca.vec_id,

@@ -401,7 +401,13 @@ object TextOps extends Registry {
           .agg(count(lit(1)).as("n_docs"),
             sum(when($"dup3" > 0.2, 1).otherwise(0)).as("n_flagged"),
             sum(when($"dup3" <= 0.2, 1).otherwise(0)).as("n_kept"),
-            round(sum($"dup3"), 4).as("sum_dup3"))
+            // dup3 is 6-decimal-rounded, so dup3*1e6 rounds to an EXACT
+            // long: summing integers and dividing once keeps the total
+            // order-independent (summing the doubles directly can round
+            // differently per engine on a 0.00005 boundary — the q83
+            // failure class)
+            round(sum(round($"dup3" * 1e6).cast("long")) / lit(1e6), 4)
+              .as("sum_dup3"))
           .orderBy($"lang")
       },
       Some("""WITH p AS (
@@ -426,7 +432,9 @@ object TextOps extends Registry {
              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
              |  CAST(sum(CASE WHEN round(1.0 - dis3::DOUBLE / total3, 6) <= 0.2
              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-             |  round(sum(round(1.0 - dis3::DOUBLE / total3, 6)), 4) AS sum_dup3
+             |  round(sum(CAST(round(round(1.0 - dis3::DOUBLE / total3, 6)
+             |                       * 1000000) AS BIGINT)) / 1000000.0, 4)
+             |    AS sum_dup3
              |FROM d GROUP BY lang ORDER BY lang""".stripMargin),
       doc = "Gopher-style duplicate-3-gram repetition filter (planted repetition)"),
 
@@ -494,6 +502,11 @@ object TextOps extends Registry {
       "q94_bpe_pairs",
       (s, dir) => {
         import s.implicits._
+        // top-20 via orderBy+limit, which plans TakeOrderedAndProject
+        // (per-partition top-k + driver merge) — a bare row_number
+        // window over the whole pair aggregate would exchange it to ONE
+        // partition first. The rank window that remains runs over the
+        // 20 surviving rows only.
         val w = org.apache.spark.sql.expressions.Window
           .orderBy($"n".desc, $"pair")
         table(s, dir, "documents")
@@ -504,8 +517,9 @@ object TextOps extends Registry {
           .select(expr("substring(word, i, 2)").as("pair"))
           .groupBy($"pair")
           .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"pair")
+          .limit(20)
           .withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 20)
           .select($"rank".cast("long").as("rank"), $"pair", $"n")
           .orderBy($"rank")
       },

@@ -108,6 +108,43 @@ class PlanShapeSpec extends AnyFunSuite {
         s"source ($rawScan)")
   }
 
+  test("q55: PQ encode plans the partial-agg argmin — no window anywhere") {
+    val p = plan("q55_pq_assign")
+    assert(!p.contains("Window"),
+      "q55 should encode via min(struct) partial aggregation, not a " +
+        "row_number window (per-partition sort + exchange for an argmin)")
+  }
+
+  test("no registered query plans an unbounded single-partition window") {
+    // A window with an empty partitionSpec exchanges its whole input to
+    // ONE partition — the classic silent scale-killer. Allowed only when
+    // the input is provably bounded: below a Limit (q94's 20-row rank)
+    // or behind a constant-range filter with inherently-global semantics
+    // (q1c's ntile over o_custkey < 100 — documented there).
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
+    val exempt = Set("q1c_window_analytics")
+    // eagerly-materializing defs (e2e writes, LSH checkpoint, CC rounds)
+    // are covered by their own specs; building them here would re-run
+    // whole pipelines just to look at a plan
+    val eager = Set("q42_minhash_lsh", "q43_simhash", "q46_minhash_fixture",
+      "q47_simhash_fixture", "q48_dup_clusters", "q73_onekg_e2e",
+      "q74_gtex_e2e", "q77_partition_layout", "q78_compaction",
+      "q79_zorder_layout")
+    def hasLimitBelow(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: GlobalLimit => (); case _: LocalLimit => () }.nonEmpty
+    val offenders = graft.SparkEntry.allDefs
+      .filterNot(d => exempt(d.name) || eager(d.name))
+      .flatMap { d =>
+        val lp = d.fn(spark, sfDir).queryExecution.optimizedPlan
+        lp.collect {
+          case w: LWindow if w.partitionSpec.isEmpty && !hasLimitBelow(w.child) =>
+            d.name
+        }
+      }.distinct
+    assert(offenders.isEmpty,
+      s"unpartitioned, unbounded Window in: ${offenders.mkString(", ")}")
+  }
+
   test("q52: dead embedding column does not ride the argmax exchange") {
     val p = plan("q52_ivf_assign")
     val exchangeInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
