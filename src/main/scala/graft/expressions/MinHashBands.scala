@@ -1,16 +1,15 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
-import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expression computing the full MinHash-LSH band
   * signature of a document in ONE tight JVM loop:
-  * tokenize → distinct k-shingles → per-shingle xxhash64 → NumHashes
+  * tokenize → distinct k-shingles → per-shingle base hash → NumHashes
   * salted minima → NumBands band hashes.
   *
   * Why an Expression (ladder step (b), SURVEY §7.3): the equivalent
@@ -22,19 +21,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * enclosing projection stays inside whole-stage codegen (a static
   * call, not a UDF's Row boxing).
   *
-  * Bit-compatibility: uses Spark's own XXH64 with the same fold
-  * semantics as the SQL `xxhash64(...)` function (seed 42, per-child
-  * chaining), so results are identical to the expression chain it
-  * replaces — DedupFixtureSpec passes unchanged.
+  * Hash basis ([[Md5Hash64]], = DuckDB `md5_number_lower` masked to 63
+  * bits): every stage is recomputable in plain SQL, so the q42 oracle
+  * replays the ENTIRE pipeline — signatures, bands, bucket caps,
+  * candidates — instead of settling for a rows-only gate. The salt and
+  * band mixes hash small decimal strings ("s:h", "b:m0,m1,m2") because
+  * a decimal string is the one representation both engines produce
+  * identically with zero casting ambiguity:
+  *   minhash_s   = md5_63( s ":" base )     over distinct shingle bases
+  *   band_b      = md5_63( b ":" m0 "," m1 "," ... )
   */
 object MinHashBands {
 
   /** Static entry point referenced from generated code. */
   def compute(text: UTF8String, k: Int, numHashes: Int, numBands: Int): ArrayData = {
     val words = text.toString.split(" ", -1)
+    // distinct shingle BASE hashes; dedup by base is equivalent to dedup
+    // by string for the minima (min ignores duplicates; a 63-bit
+    // collision feeds the same downstream values on both engines anyway)
     val shingleHashes = new java.util.HashSet[java.lang.Long]()
     if (words.length < k) {
-      shingleHashes.add(hashUtf8(text.toString))
+      shingleHashes.add(Md5Hash64.lower63(text.toString))
     } else {
       val sb = new java.lang.StringBuilder(64)
       var i = 0
@@ -46,43 +53,40 @@ object MinHashBands {
           sb.append(words(i + j))
           j += 1
         }
-        shingleHashes.add(hashUtf8(sb.toString))
+        shingleHashes.add(Md5Hash64.lower63(sb.toString))
         i += 1
       }
     }
-    // salted minima; salt seed chain matches xxhash64(lit(s), h)
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    val saltSeeds = Array.tabulate(numHashes)(s => XXH64.hashInt(s, 42L))
+    val sb = new java.lang.StringBuilder(32)
     val it = shingleHashes.iterator()
     while (it.hasNext) {
       val h = it.next().longValue()
       var s = 0
       while (s < numHashes) {
-        val v = XXH64.hashLong(h, saltSeeds(s))
+        sb.setLength(0)
+        sb.append(s).append(':').append(h)
+        val v = Md5Hash64.lower63(sb.toString)
         if (v < mins(s)) mins(s) = v
         s += 1
       }
     }
-    // band hash = xxhash64(mh_b0, mh_b1, ...): fold longs from seed 42
     val rowsPerBand = numHashes / numBands
     val bands = new Array[Long](numBands)
     var b = 0
     while (b < numBands) {
-      var seed = 42L
+      sb.setLength(0)
+      sb.append(b).append(':')
       var r = 0
       while (r < rowsPerBand) {
-        seed = XXH64.hashLong(mins(b * rowsPerBand + r), seed)
+        if (r > 0) sb.append(',')
+        sb.append(mins(b * rowsPerBand + r))
         r += 1
       }
-      bands(b) = seed
+      bands(b) = Md5Hash64.lower63(sb.toString)
       b += 1
     }
     new GenericArrayData(bands)
-  }
-
-  private def hashUtf8(s: String): Long = {
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
   }
 }
 

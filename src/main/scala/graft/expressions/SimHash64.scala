@@ -1,18 +1,19 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
-import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash of a document's word multiset in one pass — replaces
   * a 64-way interpreted `filter` scan per document (one array traversal
   * per bit) with a single loop that hashes each word once and updates
-  * 64 counters. Bit-identical to the built-in chain it replaces: word
-  * hash = `xxhash64(word)` (XXH64, seed 42), bit k set iff strictly
-  * more than half the words have bit k set. */
+  * 64 counters. Word hash = [[Md5Hash64.lower64]] (= DuckDB
+  * `md5_number_lower(word)`), so the q43 oracle recomputes the sketch —
+  * bit sums, majority vote, band keys, Hamming distances — in plain
+  * SQL; bit k of the sketch is set iff strictly more than half the
+  * words have bit k set. */
 object SimHash64 {
 
   def compute(text: UTF8String): Long = {
@@ -20,9 +21,8 @@ object SimHash64 {
     val counts = new Array[Int](64)
     var i = 0
     while (i < words.length) {
-      val bytes = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
-        bytes.length, 42L)
+      val h = Md5Hash64.lower64(
+        words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var k = 0
       while (k < 64) {
         if (((h >>> k) & 1L) == 1L) counts(k) += 1
