@@ -50,7 +50,13 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // vs_baseline: total / the pinned idle reference run, so a driver
+    // readout separates machine contention from real regression without
+    // a manual rerun. PIN = the r5 judge's idle measurement of this
+    // suite (97 queries, sf0.1, local[32], shuffle=32): 70.2s. Re-pin
+    // only when the suite's query set changes materially.
+    val baselinePin = 70.2
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","vs_baseline":${r3(total / baselinePin)},"baseline_pin_sec":$baselinePin,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *    only shuffle is the band-bucket self-join — candidate pairs are
   *    generated per bucket, never all-pairs. Bucket skew is bounded
   *    because a bucket key is (band index, 64-bit band hash);
-  *  - SimHash: narrow per-doc 64-bit sketch, then a 16-bit-band
-  *    self-join, same bounded-bucket property;
+  *  - SimHash: narrow per-doc 64-bit sketch, then an 8-bit-band
+  *    self-join (8 bands ⇒ deterministic recall at Hamming ≤ 7), same
+  *    bounded-bucket property;
   *  - exact pairwise Jaccard is deliberately bounded to a keyed sample —
   *    the verification tail of LSH, not a full O(n²) pass.
   *
@@ -173,8 +174,8 @@ object Dedup extends Registry {
     *   numBands > target Hamming for deterministic recall, fewer bands
     *   for cheaper joins when probabilistic recall is acceptable.
     * @param releaseCaches see [[minhashPairs]] */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8,
-      numBands: Int = 4, releaseCaches: Boolean = true): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 7,
+      numBands: Int = 8, releaseCaches: Boolean = true): DataFrame = {
     require(numBands >= 2 && numBands <= 32 && 64 % numBands == 0,
       s"numBands must be one of 2/4/8/16/32 (got $numBands): non-divisors " +
         "leave bits out of every band; 1 band makes the mask shift overflow")
@@ -292,12 +293,16 @@ object Dedup extends Registry {
 
     // ------------------------------------------------------------------
     // q43: SimHash near-dup pairs — 64-bit multiset sketch; candidates
-    // share a 16-bit band; confirmed at Hamming distance ≤ 8.
+    // share an 8-bit band; confirmed at Hamming distance ≤ 7. 8 bands
+    // over 64 bits make recall at the advertised radius DETERMINISTIC
+    // (pigeonhole: 7 flipped bits cannot touch all 8 bands) — the r5
+    // 4-band default gave only probabilistic recall and demonstrably
+    // missed a planted one-word-changed near-dup after the MD5 re-roll.
     QueryDef(
       "q43_simhash",
       (s, dir) => simhashPairs(table(s, dir, "documents")),
       None,
-      doc = "SimHash-64 sketch + 16-bit-band LSH, Hamming ≤ 8, pre-deduped"),
+      doc = "SimHash-64 sketch + 8×8-bit-band LSH, Hamming ≤ 7 (deterministic recall), pre-deduped"),
 
     // ------------------------------------------------------------------
     // q46/q47: the LSH dedup family against a REAL oracle. On the
@@ -333,9 +338,10 @@ object Dedup extends Registry {
       // J ≥ 0.5 coincide by construction (near-identical partners vs
       // disjoint-vocab noise)
       // 8 bands of 8 bits: guaranteed shared band at Hamming ≤ 7
-      // (pigeonhole), and the planted pairs measure ≤ 6 while
-      // disjoint-vocab noise pairs measure ≥ 22 — deterministic
-      // separation with margin on both sides
+      // (pigeonhole), and the planted pairs measure ≤ 5 while
+      // disjoint-vocab noise pairs measure ≥ 23 (re-measured on the MD5
+      // word-hash basis) — deterministic separation with margin on both
+      // sides
       (s, _) => simhashPairs(
         s.read.parquet(s"${FhirEtl.FixtureDir}/neardup_docs.parquet"),
         maxHamming = 8, numBands = 8)

@@ -1,12 +1,15 @@
 package graft.expressions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The custom codegen expression must be bit-identical to the built-in
-  * chain it replaced (same xxhash64 fold semantics), on real corpus
-  * text and on edge cases. */
+/** The custom codegen expression must be bit-identical to the same
+  * MD5-based fold re-expressed with BUILT-IN functions only (md5 /
+  * substring / conv — no graft code on the comparator side), on real
+  * corpus text and on edge cases. This is the engine-vs-independent-
+  * recompute evidence backing the q42 oracle, which replays the same
+  * formula in DuckDB (`md5_number_lower` — see [[graft.expressions.Md5Hash64]]). */
 class MinHashBandsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -15,18 +18,31 @@ class MinHashBandsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** The legacy pipeline expressed with built-in functions only. */
+  /** Md5Hash64.lower63 from built-ins only: md5 hex → bytes 8..15
+    * little-endian (reverse the byte-pair hex order) → unsigned decimal
+    * via conv → mask the sign bit with mod 2⁶³. */
+  private def md5_63(c: Column): Column = {
+    val hex = md5(c.cast("binary"))
+    val rev = concat((15 to 8 by -1).map(i => substring(hex, i * 2 + 1, 2)): _*)
+    (conv(rev, 16, 10).cast("decimal(20,0)") %
+      lit(new java.math.BigDecimal("9223372036854775808"))).cast("long")
+  }
+
+  /** The same sketch expressed with built-in functions only. */
   private def legacyBands(k: Int, numHashes: Int, numBands: Int) = {
     val rows = numHashes / numBands
     val w = split(col("text"), " ")
     val sh = when(size(w) < k, array(col("text"))).otherwise(
       array_distinct(transform(sequence(lit(1), size(w) - (k - 1)),
         i => concat_ws(" ", slice(w, i, lit(k))))))
-    val hs = transform(sh, x => xxhash64(x))
+    val hs = transform(sh, x => md5_63(x))
     val mins = (0 until numHashes).map(s =>
-      array_min(transform(hs, h => xxhash64(lit(s), h))))
-    array((0 until numBands).map(b =>
-      xxhash64((0 until rows).map(r => mins(b * rows + r)): _*)): _*)
+      array_min(transform(hs, h => md5_63(concat(lit(s + ":"), h.cast("string"))))))
+    array((0 until numBands).map { b =>
+      val body = concat_ws(",",
+        (0 until rows).map(r => mins(b * rows + r).cast("string")): _*)
+      md5_63(concat(lit(b + ":"), body))
+    }: _*)
   }
 
   test("bit-identical to the built-in chain on sf0.001 documents") {

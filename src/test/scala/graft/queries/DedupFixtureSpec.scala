@@ -53,11 +53,14 @@ class DedupFixtureSpec extends AnyFunSuite {
     assert(pairs.keySet == Set((1L, 2L)), s"unexpected pairs: $pairs")
   }
 
-  test("q43 simhash: planted near-dup within Hamming 8, copies collapsed") {
+  test("q43 simhash: planted near-dup within Hamming 7, copies collapsed") {
+    // at the registered default (8 bands of 8 bits, maxHamming=7) recall
+    // is pigeonhole-DETERMINISTIC: this planted pair (Hamming 5 on the
+    // MD5 basis) must be found regardless of where the flipped bits land
     val pairs = Dedup.simhashPairs(docs).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs.contains((1L, 2L)), s"planted pair not found: $pairs")
-    assert(pairs((1L, 2L)) <= 8)
+    assert(pairs((1L, 2L)) <= 7)
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
       "identical copy leaked into simhash pairing")
   }
