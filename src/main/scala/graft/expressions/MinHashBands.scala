@@ -24,14 +24,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * Hash basis ([[Md5Hash64]], = DuckDB `md5_number_lower` masked to 63
   * bits): every stage is recomputable in plain SQL, so the q42 oracle
   * replays the ENTIRE pipeline — signatures, bands, bucket caps,
-  * candidates — instead of settling for a rows-only gate. The salt and
-  * band mixes hash small decimal strings ("s:h", "b:m0,m1,m2") because
-  * a decimal string is the one representation both engines produce
-  * identically with zero casting ambiguity:
-  *   minhash_s   = md5_63( s ":" base )     over distinct shingle bases
+  * candidates — instead of settling for a rows-only gate.
+  *
+  * Each shingle is MD5-hashed ONCE; the per-salt values are cheap
+  * bijective mixes of that base (rotate + xor a salt constant), not
+  * fresh digests — the r5 form digested every shingle numHashes+1
+  * times and MD5 arithmetic was 44% of q42's runtime. Rotate-xor is a
+  * bijection of the base hash (same dispersion for the min), uses only
+  * operators DuckDB also has (masked shifts, xor), and keeps every
+  * value sign-bit-masked so Spark's signed and DuckDB's unsigned
+  * comparisons order identically:
+  *   base        = md5_63( shingle )        (distinct per document)
+  *   minhash_s   = min over bases of
+  *                 ( rotl64(base, 5s+3) XOR md5_63("salt:" s) ) & MAX63
   *   band_b      = md5_63( b ":" m0 "," m1 "," ... )
+  * The band mix hashes a small decimal string because that is the one
+  * representation both engines produce identically with zero casting
+  * ambiguity (it is per-document, not per-shingle, so its MD5 cost is
+  * noise).
   */
 object MinHashBands {
+
+  /** Per-salt xor constants, fixed by the same MD5 basis the oracle
+    * replays. Rotation distances 5s+3 stay in [3, 58] for s ≤ 11, so a
+    * masked-shift rotl never degenerates (r=0) or overflows DuckDB's
+    * checked `<<`; [[MinHashBandsExpr]] enforces the salt bound. */
+  val MaxNumHashes = 12
+  private val SaltXor: Array[Long] =
+    Array.tabulate(MaxNumHashes)(s => Md5Hash64.lower63("salt:" + s))
 
   /** Static entry point referenced from generated code. */
   def compute(text: UTF8String, k: Int, numHashes: Int, numBands: Int): ArrayData = {
@@ -64,9 +84,8 @@ object MinHashBands {
       val h = it.next().longValue()
       var s = 0
       while (s < numHashes) {
-        sb.setLength(0)
-        sb.append(s).append(':').append(h)
-        val v = Md5Hash64.lower63(sb.toString)
+        val v = (java.lang.Long.rotateLeft(h, 5 * s + 3) ^ SaltXor(s)) &
+          Long.MaxValue
         if (v < mins(s)) mins(s) = v
         s += 1
       }
@@ -92,6 +111,9 @@ object MinHashBands {
 
 case class MinHashBandsExpr(child: Expression, k: Int, numHashes: Int,
     numBands: Int) extends UnaryExpression {
+  require(numHashes >= 1 && numHashes <= MinHashBands.MaxNumHashes,
+    s"numHashes must be in [1, ${MinHashBands.MaxNumHashes}] " +
+      s"(got $numHashes): the salt family is sized for 12 rotations")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

@@ -49,14 +49,6 @@ object Dedup extends Registry {
   /** Convenience wrapper when the caller materializes `w` itself. */
   def shingles(text: Column, k: Int): Column = shinglesOf(text, words(text), k)
 
-  /** MinHash signature entry s over pre-hashed shingles: min of
-    * xxhash64(salt, h64). Shingle strings are hashed to 64 bits ONCE
-    * (see bandedSignatures); the 12 per-signature rehashes then run over
-    * fixed 12-byte inputs instead of re-hashing every string 12 times —
-    * the dominant cost of the sketch at corpus scale. */
-  private def minhash(hs: Column, s: Int): Column =
-    array_min(transform(hs, h => xxhash64(lit(s), h)))
-
   val NumHashes = 12
   val NumBands = 4 // 4 bands × 3 rows: catches J≥~0.5 with high prob.
   private val RowsPerBand = NumHashes / NumBands
@@ -283,12 +275,60 @@ object Dedup extends Registry {
     // ------------------------------------------------------------------
     // q42: MinHash + LSH near-duplicate pairs among content classes
     // (identical texts pre-deduped — their groups are q40's output).
-    // Not SQL-expressible → rows-only oracle; DedupFixtureSpec verifies
-    // planted near-duplicates with hand-computed Jaccard.
+    // The oracle replays the ENTIRE pipeline in DuckDB — shingles,
+    // md5_63 bases, rotl-xor salted minima, band hashes, bucket cap,
+    // candidates, exact verify — possible because the hash basis is
+    // md5_number_lower (see expressions.Md5Hash64) and the salt mix is
+    // masked shifts + xor, both engines bit-identical. This closed the
+    // r5 `no_oracle` hole that let a sketch change ship silently.
     QueryDef(
       "q42_minhash_lsh",
       (s, dir) => minhashPairs(table(s, dir, "documents")),
-      None,
+      Some("""WITH reps AS (
+             |  SELECT min(doc_id) AS doc_id, min(text) AS text
+             |  FROM documents GROUP BY md5(text)),
+             |sg AS (
+             |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
+             |    ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+             |                        for i in range(1, len(ws) - 1)]) END AS sgl
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+             |        FROM reps) t),
+             |bases AS (
+             |  SELECT doc_id, list_distinct(list_transform(sgl,
+             |    s -> md5_number_lower(s) & 9223372036854775807::UBIGINT)) AS hs
+             |  FROM sg),
+             |mins AS (
+             |  SELECT doc_id,
+             |    [list_min(list_transform(hs, h ->
+             |       xor(((h & ((1::UBIGINT << (64 - (5*s+3))) - 1::UBIGINT))
+             |              << (5*s+3)) | (h >> (64 - (5*s+3))),
+             |           md5_number_lower('salt:' || s)
+             |             & 9223372036854775807::UBIGINT)
+             |       & 9223372036854775807::UBIGINT))
+             |     FOR s IN range(12)] AS m
+             |  FROM bases),
+             |banded AS (
+             |  SELECT doc_id, b AS band,
+             |    md5_number_lower(b || ':' || m[b*3+1] || ',' || m[b*3+2]
+             |                       || ',' || m[b*3+3])
+             |      & 9223372036854775807::UBIGINT AS bh
+             |  FROM mins, range(4) t(b)),
+             |capped AS (
+             |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bh)
+             |                   AS bsz FROM banded) z
+             |  WHERE bsz <= 64),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM capped a JOIN capped b
+             |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+             |j AS (
+             |  SELECT doc_a, doc_b,
+             |    len(list_intersect(sa.sgl, sb.sgl))::DOUBLE
+             |      / len(list_distinct(list_concat(sa.sgl, sb.sgl))) AS jac
+             |  FROM cand JOIN sg sa ON sa.doc_id = doc_a
+             |            JOIN sg sb ON sb.doc_id = doc_b)
+             |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
+             |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
       doc = "MinHash(12)+LSH(4×3) near-dup pairs, pre-deduped, exact-verified"),
 
     // ------------------------------------------------------------------
@@ -298,10 +338,45 @@ object Dedup extends Registry {
     // (pigeonhole: 7 flipped bits cannot touch all 8 bands) — the r5
     // 4-band default gave only probabilistic recall and demonstrably
     // missed a planted one-word-changed near-dup after the MD5 re-roll.
+    // The oracle replays the sketch bit-for-bit: per-word
+    // md5_number_lower, strict-majority bit vote, 8-bit band keys,
+    // bucket cap, Hamming confirm — so a sketch re-roll like r5's can
+    // never again move q43's output without the driver noticing.
     QueryDef(
       "q43_simhash",
       (s, dir) => simhashPairs(table(s, dir, "documents")),
-      None,
+      Some("""WITH reps AS (
+             |  SELECT min(doc_id) AS doc_id, min(text) AS text
+             |  FROM documents GROUP BY md5(text)),
+             |sk AS (
+             |  SELECT doc_id, list_transform(string_split(text, ' '),
+             |    w -> md5_number_lower(w)) AS hs
+             |  FROM reps),
+             |bits AS (
+             |  SELECT doc_id,
+             |    [CASE WHEN 2 * len(list_filter(hs,
+             |         h -> (h >> k) & 1::UBIGINT = 1::UBIGINT)) > len(hs)
+             |      THEN 1 ELSE 0 END FOR k IN range(64)] AS bits
+             |  FROM sk),
+             |banded AS (
+             |  SELECT doc_id, bits, band,
+             |    list_sum(list_transform(range(8),
+             |      j -> bits[band*8 + j + 1] * (1 << j)))::BIGINT AS key
+             |  FROM bits, range(8) t(band)),
+             |capped AS (
+             |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, key)
+             |                   AS bsz FROM banded) z
+             |  WHERE bsz <= 64)
+             |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  list_sum(list_transform(range(64),
+             |    k -> CASE WHEN a.bits[k+1] <> b.bits[k+1]
+             |         THEN 1 ELSE 0 END))::INT AS hamming
+             |FROM capped a JOIN capped b
+             |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+             |WHERE list_sum(list_transform(range(64),
+             |    k -> CASE WHEN a.bits[k+1] <> b.bits[k+1]
+             |         THEN 1 ELSE 0 END)) <= 7
+             |ORDER BY doc_a, doc_b""".stripMargin),
       doc = "SimHash-64 sketch + 8×8-bit-band LSH, Hamming ≤ 7 (deterministic recall), pre-deduped"),
 
     // ------------------------------------------------------------------

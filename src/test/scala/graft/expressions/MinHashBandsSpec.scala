@@ -36,8 +36,16 @@ class MinHashBandsSpec extends AnyFunSuite {
       array_distinct(transform(sequence(lit(1), size(w) - (k - 1)),
         i => concat_ws(" ", slice(w, i, lit(k))))))
     val hs = transform(sh, x => md5_63(x))
-    val mins = (0 until numHashes).map(s =>
-      array_min(transform(hs, h => md5_63(concat(lit(s + ":"), h.cast("string"))))))
+    // salt s: rotl64(base, 5s+3) XOR md5_63("salt:"+s), sign-bit-masked.
+    // Spark's shiftleft on longs wraps (bitwise, not ANSI arithmetic),
+    // so shiftleft|shiftrightunsigned is an exact 64-bit rotate.
+    val mins = (0 until numHashes).map { s =>
+      val r = 5 * s + 3
+      array_min(transform(hs, h =>
+        shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r))
+          .bitwiseXOR(md5_63(lit("salt:" + s)))
+          .bitwiseAND(lit(Long.MaxValue))))
+    }
     array((0 until numBands).map { b =>
       val body = concat_ws(",",
         (0 until rows).map(r => mins(b * rows + r).cast("string")): _*)
