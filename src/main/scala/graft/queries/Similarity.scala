@@ -96,13 +96,24 @@ object Similarity extends Registry {
   // SimilaritySpec measures recall and candidate reduction honestly;
   // on clustered real embeddings the same plumbing is the standard
   // sub-linear path.
+  //
+  // Plane entries are Rademacher ±1 drawn from the md5 basis
+  // (expressions.Md5Hash64) instead of seeded Gaussians: sign-LSH
+  // collision probabilities are the same family, but ±1 entries and
+  // md5-derived bits are exactly reproducible in DuckDB, which is what
+  // lets the q51 oracle replay planes → signs → band keys → candidates
+  // → rerank in plain SQL (it was a rows-only gate before). Sign
+  // agreement is safe: ±v[d] products are IEEE-exact and both engines
+  // sum the 64 terms in the same order (VectorDot and DuckDB
+  // list_dot_product are both sequential folds — verified bit-exact
+  // over every (vector, plane) pair at sf0.01 and on the fixture).
   // ------------------------------------------------------------------
   val NumBands = 6
   val BitsPerBand = 4
-  private val planes: IndexedSeq[Seq[Double]] = {
-    val rng = new scala.util.Random(42)
-    IndexedSeq.fill(NumBands * BitsPerBand)(Seq.fill(64)(rng.nextGaussian()))
-  }
+  private val planes: IndexedSeq[Seq[Double]] =
+    IndexedSeq.tabulate(NumBands * BitsPerBand)(i => Seq.tabulate(64)(d =>
+      if ((graft.expressions.Md5Hash64.lower64(s"plane:$i:$d") & 1L) == 1L)
+        1.0 else -1.0))
 
   /** (band, key) array for one vector — map-side only. */
   private def bandKeys(v: Column): Column =
@@ -342,11 +353,49 @@ object Similarity extends Registry {
              |ORDER BY q_id, cosine DESC, neighbor_id""".stripMargin),
       doc = "Exact cosine top-5 per query vector (broadcast queries, two-phase top-k)"),
 
+    // The oracle replays the full ANN path: md5-derived ±1 planes, sign
+    // bits via the same sequential dot fold, 4-bit band keys, bucket
+    // candidate join, exact-cosine rerank, top-5 — closing the last
+    // rows-only gate in the ANN family.
     QueryDef(
       "q51_knn_lsh",
       (s, dir) => knnLsh(s, dir),
-      None, // LSH bucket join is not SQL-expressible; recall vs q50 is
-            // asserted in SimilaritySpec
+      Some("""WITH n AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |    sqrt(list_dot_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |pls AS (
+             |  SELECT list([CASE WHEN md5_number_lower('plane:' || i || ':' || d)
+             |                      & 1::UBIGINT = 1::UBIGINT
+             |                THEN 1.0 ELSE -1.0 END
+             |               for d in range(64)] ORDER BY i) AS ps
+             |  FROM range(24) t(i)),
+             |keys AS (
+             |  SELECT vec_id, band,
+             |    list_sum(list_transform(range(4), i ->
+             |      CASE WHEN list_dot_product(e, ps[band*4 + i + 1]) > 0
+             |           THEN (1 << i) ELSE 0 END))::BIGINT AS key
+             |  FROM n, pls, range(6) t(band)),
+             |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+             |      WHERE vec_id % 100 = 0 AND vec_id < 2000),
+             |cand AS (
+             |  SELECT DISTINCT kq.vec_id AS q_id, kc.vec_id AS neighbor_id
+             |  FROM keys kc JOIN keys kq
+             |    ON kc.band = kq.band AND kc.key = kq.key
+             |       AND kc.vec_id <> kq.vec_id
+             |  WHERE kq.vec_id % 100 = 0 AND kq.vec_id < 2000),
+             |s AS (
+             |  SELECT c.q_id, c.neighbor_id,
+             |    round(list_dot_product(q.qe, n.e) / (q.qn * n.nrm), 4) AS cosine
+             |  FROM cand c JOIN q ON q.q_id = c.q_id
+             |              JOIN n ON n.vec_id = c.neighbor_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+             |SELECT q_id, neighbor_id, cosine FROM r WHERE rn <= 5
+             |ORDER BY q_id, cosine DESC, neighbor_id""".stripMargin),
       doc = "Random-projection LSH (6 bands × 4 bits) + exact rerank of candidates"),
 
     QueryDef(
