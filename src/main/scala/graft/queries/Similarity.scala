@@ -309,17 +309,16 @@ object Similarity extends Registry {
     adcScores(pqCodes(split, cb), pqLut(split, cb), None)
   }
 
-  /** IVF probe set: (q_id, vec_id) pairs from the nprobe=2 highest-
-    * cosine cells per query — the q57 candidate generator. */
-  private[queries] def ivfpqCandidates(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
-    val cellOf = assignCells(c).select(col("vec_id"), col("cell"))
+  /** nprobe=2 probe routing (q_id, cell) — the coarse-quantizer half of
+    * IVF-PQ serving. Shared by q57 (logical broadcast-join probe) and
+    * q58 (physical partition-pruned probe) so both route identically. */
+  private[queries] def probeCells(c: DataFrame): DataFrame = {
     val cents = c.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell"), col("v").as("cv2"),
         col("nrm").as("cn2"))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("ccos").desc, col("cell").asc)
-    val probes = queriesOf(c).join(broadcast(cents))
+    queriesOf(c).join(broadcast(cents))
       .select(col("q_id"),
         round(dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 4)
           .as("ccos"),
@@ -327,7 +326,14 @@ object Similarity extends Registry {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= 2)
       .select(col("q_id"), col("cell"))
-    cellOf.join(broadcast(probes), Seq("cell"))
+  }
+
+  /** IVF probe set: (q_id, vec_id) pairs from the nprobe=2 highest-
+    * cosine cells per query — the q57 candidate generator. */
+  private[queries] def ivfpqCandidates(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val cellOf = assignCells(c).select(col("vec_id"), col("cell"))
+    cellOf.join(broadcast(probeCells(c)), Seq("cell"))
       .select(col("q_id"), col("vec_id"))
   }
 
@@ -676,6 +682,132 @@ object Similarity extends Registry {
              |      FROM sc)
              |SELECT q_id, neighbor_id, adc_d2 FROM r WHERE rn <= 5
              |ORDER BY q_id, adc_d2, neighbor_id""".stripMargin),
-      doc = "IVF-PQ search: nprobe=2 cell routing + ADC scoring of probed cells only")
+      doc = "IVF-PQ search: nprobe=2 cell routing + ADC scoring of probed cells only"),
+
+    // ------------------------------------------------------------------
+    // q58: IVF-PQ over the cell-partitioned PHYSICAL layout — q57's
+    // "at 100 TB the probe is partition pruning" claim turned into
+    // evidence. Build: the corpus is written hive-partitioned by its
+    // q52 cell assignment (the layout a disk-resident vector store
+    // maintains). Serve: two queries route to their nprobe=2 cells and
+    // the corpus is re-read with the probed-cell predicate — Catalyst
+    // turns it into PartitionFilters, and the scan's own FileIndex is
+    // asked to list files twice (with and without the predicate) to
+    // PROVE directories were pruned before any IO, q79-style. Scoring
+    // is q56's ADC over the pruned scan only; results must equal q57's
+    // logical-probe answer for the same queries (same routing, same
+    // codes), which the oracle replays in full alongside the layout
+    // claims (cells_scanned = distinct probed cells, strictly fewer
+    // than the assigned-cell count).
+    QueryDef(
+      "q58_ivfpq_partitioned",
+      (s, dir) => {
+        val out = Tables.scratchDir("q58_cells")
+        val c = corpus(s, dir)
+        // build: hive-partition the raw corpus by IVF cell (int dir
+        // values so the read-back partition column needs no cast — a
+        // cast on the partition column would defeat pruning)
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+          .join(assignCells(c).select(col("vec_id"),
+            col("cell").cast("int").as("cell")), Seq("vec_id"))
+          .write.mode("overwrite").partitionBy("cell").parquet(out)
+        // serve: two fixed queries (present at every sf) probe their
+        // cells; the probed set is ≤ 4 values of bounded metadata
+        val served = Seq(0L, 100L)
+        val probes = probeCells(c).filter(col("q_id").isin(served: _*))
+        val servedCells = probes.select(col("cell")).distinct()
+          .collect().map(_.getLong(0).toInt).sorted
+        val pruned = s.read.parquet(out)
+          .filter(col("cell").isin(servedCells.map(Int.box): _*))
+        // physical proof: the scan's FileIndex listing under the plan's
+        // own partition predicate vs the unfiltered listing
+        val scan = pruned.queryExecution.sparkPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.getOrElse(throw new IllegalStateException(
+          "q58: no FileSourceScanExec in the pruned read"))
+        val cellsScanned =
+          scan.relation.location.listFiles(scan.partitionFilters, Nil).length
+        val cellsTotal = scan.relation.location.listFiles(Nil, Nil).length
+        // score: q56's ADC machinery, codes computed from the PRUNED
+        // scan only (the full corpus floats are never touched at serve
+        // time); codebook + LUT come from the seed/query vectors
+        val fullSplit = pqSplit(c)
+        val cb = pqCodebook(fullSplit)
+        val codes = pqCodes(pqSplit(corpusOf(
+          pruned.select(col("vec_id"), col("embedding")))), cb)
+        val lut = pqLut(fullSplit, cb).filter(col("q_id").isin(served: _*))
+        val cands = pruned
+          .select(col("vec_id"), col("cell").cast("long").as("cell"))
+          .join(broadcast(probes), Seq("cell"))
+          .select(col("q_id"), col("vec_id"))
+        adcTopK(adcScores(codes, lut, Some(cands)))
+          .withColumn("cells_scanned", lit(cellsScanned))
+          .withColumn("cells_total", lit(cellsTotal))
+          .withColumn("partition_pruned", lit(cellsScanned < cellsTotal))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |    sqrt(list_dot_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |cent AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n
+             |         WHERE vec_id < 8),
+             |cells AS (SELECT vec_id, cell FROM (
+             |    SELECT n.vec_id, cell,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_dot_product(n.e, ce) / (n.nrm * cn), 4)
+             |          DESC, cell) AS rn
+             |    FROM n JOIN cent ON true) t WHERE rn = 1),
+             |probes AS (SELECT q_id, cell FROM (
+             |    SELECT n.vec_id AS q_id, cell,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_dot_product(n.e, ce) / (n.nrm * cn), 4)
+             |          DESC, cell) AS rn
+             |    FROM n JOIN cent ON true WHERE n.vec_id IN (0, 100)) t
+             |  WHERE rn <= 2),
+             |sv AS (SELECT vec_id, s.sub, n.e[s.sub*8+1 : s.sub*8+8] AS sv
+             |       FROM n, (SELECT unnest(range(0,8)) AS sub) s),
+             |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sv
+             |       WHERE vec_id < 8),
+             |cd AS (SELECT vec_id, sub, code FROM (
+             |        SELECT v.vec_id, v.sub, cb.code,
+             |          row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+             |            round(list_dot_product(v.sv, v.sv)
+             |                  - 2*list_dot_product(v.sv, cb.cv)
+             |                  + list_dot_product(cb.cv, cb.cv), 6),
+             |            cb.code) AS rn
+             |        FROM sv v JOIN cb USING (sub)) t WHERE rn = 1),
+             |lut AS (SELECT q.vec_id AS q_id, q.sub, cb.code,
+             |          CAST(round(round(list_dot_product(q.sv, q.sv)
+             |                - 2*list_dot_product(q.sv, cb.cv)
+             |                + list_dot_product(cb.cv, cb.cv), 6) * 1000000)
+             |            AS BIGINT) AS dmic
+             |        FROM sv q JOIN cb USING (sub) WHERE q.vec_id IN (0, 100)),
+             |cand AS (SELECT p.q_id, c.vec_id FROM cells c
+             |         JOIN probes p USING (cell) WHERE c.vec_id <> p.q_id),
+             |sc AS (SELECT ca.q_id, ca.vec_id,
+             |         CAST(sum(l.dmic) AS BIGINT) AS admic
+             |       FROM cand ca
+             |       JOIN cd ON cd.vec_id = ca.vec_id
+             |       JOIN lut l ON l.q_id = ca.q_id AND l.sub = cd.sub
+             |                 AND l.code = cd.code
+             |       GROUP BY 1, 2),
+             |r AS (SELECT q_id, vec_id AS neighbor_id,
+             |        round(admic / 1000000.0, 6) AS adc_d2,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY admic, vec_id) AS rn
+             |      FROM sc),
+             |lay AS (SELECT
+             |    CAST((SELECT count(DISTINCT cell) FROM probes) AS INT)
+             |      AS cells_scanned,
+             |    CAST((SELECT count(DISTINCT cell) FROM cells) AS INT)
+             |      AS cells_total)
+             |SELECT q_id, neighbor_id, adc_d2, cells_scanned, cells_total,
+             |  cells_scanned < cells_total AS partition_pruned
+             |FROM r, lay WHERE rn <= 5
+             |ORDER BY q_id, adc_d2, neighbor_id""".stripMargin),
+      doc = "IVF-PQ serving over a cell-partitioned layout: probe = physical partition pruning, proven from the scan's FileIndex")
   )
 }
