@@ -87,4 +87,26 @@ object Ndjson {
     Files.createDirectories(Paths.get(dir))
     Files.move(part, path, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Streaming form of the K1/K3 tail: drain a stream of resources into
+    * the same single-file NDJSON artifact by running [[createOrExtend]]
+    * once per micro-batch (`foreachBatch` — micro-batches are serialized
+    * by the engine, so the read-modify-write upsert never races itself).
+    *
+    * Because the per-batch operation is an id-keyed upsert rather than
+    * an append, the sink is idempotent under the file source's
+    * at-least-once replay: a re-delivered resource lands on its existing
+    * id and the file converges to exactly what one batch [[write]] of
+    * the full input produces (StreamingSpec proves the parity).
+    * `updateExisting` keeps its batch meaning per micro-batch: later
+    * triggers overwrite earlier ids instead of keeping the first. */
+  def writeStreamTo(stream: DataFrame, dir: String, resourceType: String,
+      updateExisting: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        createOrExtend(batch.sparkSession, batch, dir, resourceType,
+          updateExisting)
+      }
+      .start()
 }

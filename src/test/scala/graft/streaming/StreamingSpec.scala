@@ -171,4 +171,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchSizes.sum == total, "throttling lost or duplicated rows")
     assert(batchSizes.max < total, "a single trigger absorbed the whole burst")
   }
+
+  test("streaming NDJSON sink drains to the exact batch-write artifact") {
+    // the E1 output tail as a stream: Patient resources arrive across
+    // two micro-batches (one file per trigger) and the foreachBatch
+    // upsert sink must converge to the same single NDJSON file a batch
+    // write of the full input produces
+    val pat = graft.SparkEntry.queries("q20_onekg_patient")(
+      spark, "/root/testdata/sf0.001")
+    val batchDir = java.nio.file.Files.createTempDirectory("ndj-batch").toString
+    graft.sinks.Ndjson.write(pat, batchDir, "Patient")
+
+    val stageDir = java.nio.file.Files.createTempDirectory("ndj-stage").toString
+    pat.repartition(2).write.mode("overwrite").parquet(stageDir)
+    val streamDir = java.nio.file.Files.createTempDirectory("ndj-stream").toString
+    val query = graft.sinks.Ndjson.writeStreamTo(
+      spark.readStream.schema(pat.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir),
+      streamDir, "Patient")
+    try query.processAllAvailable() finally query.stop()
+
+    def lines(dir: String): Seq[String] = {
+      val src = scala.io.Source.fromFile(s"$dir/Patient.ndjson")
+      try src.getLines().toVector.sorted finally src.close()
+    }
+    val got = lines(streamDir)
+    val want = lines(batchDir)
+    assert(got.nonEmpty && got == want,
+      s"streamed NDJSON (${got.size} lines) != batch NDJSON (${want.size})")
+  }
+
+  test("streaming NDJSON sink is idempotent under at-least-once replay") {
+    // the same resources delivered TWICE (two triggers) — the id-keyed
+    // upsert must land re-deliveries on their existing ids, not append
+    val pat = graft.SparkEntry.queries("q20_onekg_patient")(
+      spark, "/root/testdata/sf0.001")
+    val stageDir = java.nio.file.Files.createTempDirectory("ndj-replay").toString
+    pat.coalesce(1).write.mode("overwrite").parquet(s"$stageDir/a")
+    pat.coalesce(1).write.mode("overwrite").parquet(s"$stageDir/b")
+    val outDir = java.nio.file.Files.createTempDirectory("ndj-replay-out").toString
+    val query = graft.sinks.Ndjson.writeStreamTo(
+      spark.readStream.schema(pat.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stageDir/*"),
+      outDir, "Patient")
+    try query.processAllAvailable() finally query.stop()
+    val src = scala.io.Source.fromFile(s"$outDir/Patient.ndjson")
+    val n = try src.getLines().size finally src.close()
+    assert(n == pat.count(),
+      s"replayed stream wrote $n lines for ${pat.count()} unique resources")
+  }
 }
