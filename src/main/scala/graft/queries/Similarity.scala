@@ -808,6 +808,80 @@ object Similarity extends Registry {
              |  cells_scanned < cells_total AS partition_pruned
              |FROM r, lay WHERE rn <= 5
              |ORDER BY q_id, adc_d2, neighbor_id""".stripMargin),
-      doc = "IVF-PQ serving over a cell-partitioned layout: probe = physical partition pruning, proven from the scan's FileIndex")
+      doc = "IVF-PQ serving over a cell-partitioned layout: probe = physical partition pruning, proven from the scan's FileIndex"),
+
+    // ------------------------------------------------------------------
+    // q59: semantic dedup at corpus scale — cluster-then-verify (the
+    // SemDeDup shape): every vector is blocked into its top-2 coarse
+    // cells and exact cosine runs only WITHIN a shared cell. This is
+    // the unbounded-corpus form of q45 (whose exact pair scan is
+    // deliberately key-bounded): the quadratic term shrinks from n² to
+    // k·(n/k)², and k grows with the corpus to hold cell size constant
+    // (the same codebook scaling every IVF system does).
+    //
+    // Plan shape: the blocking is ONE map-side projection — the 8-entry
+    // codebook is collected (bounded: it IS the broadcast state of a
+    // real index) and inlined as literals, per-row cell scores become a
+    // sorted struct array, slice(…,1,2) keeps the top-2 — no window, no
+    // pre-join shuffle (PlanShapeSpec gates this). The only shuffle is
+    // the cell-bucket self-join. Top-2 (not top-1) blocking is the
+    // standard recall guard for near-boundary pairs. The sort key is
+    // (2 − cosine, cell): strictly positive, so the ±0.0 IEEE ordering
+    // trap can't bite, and ascending order on it == (cosine DESC, cell
+    // ASC), which the oracle's row_number replays exactly.
+    QueryDef(
+      "q59_semantic_dedup",
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val centRows = c.filter(col("vec_id") < 8)
+          .select(col("vec_id"), col("v"), col("nrm")).collect()
+        val scoredCells = array(centRows.sortBy(_.getLong(0)).map { r =>
+          val cv = r.getSeq[Double](1)
+          struct(
+            (lit(2.0) - round(dot(col("v"), typedLit(cv)) /
+              (col("nrm") * lit(r.getDouble(2))), 4)).as("key"),
+            lit(r.getLong(0)).as("cell"))
+        }: _*)
+        val keyed = c
+          .select(col("vec_id"), col("v"), col("nrm"),
+            explode(slice(sort_array(scoredCells), 1, 2)).as("bk"))
+          .select(col("vec_id"), col("v"), col("nrm"),
+            col("bk.cell").as("cell"))
+        keyed.as("a")
+          .join(keyed.as("b"),
+            col("a.cell") === col("b.cell") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            round(dot(col("a.v"), col("b.v")) /
+              (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
+          .filter(col("cosine") >= 0.4)
+          .distinct()
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |    sqrt(list_dot_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |cent AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n
+             |         WHERE vec_id < 8),
+             |k AS (SELECT vec_id, cell FROM (
+             |    SELECT n.vec_id, cell,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY round(list_dot_product(n.e, ce) / (n.nrm * cn), 4)
+             |          DESC, cell) AS rn
+             |    FROM n JOIN cent ON true) t WHERE rn <= 2)
+             |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 4)
+             |    AS cosine
+             |FROM k a JOIN k b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |JOIN n na ON na.vec_id = a.vec_id
+             |JOIN n nb ON nb.vec_id = b.vec_id
+             |WHERE round(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 4)
+             |      >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin),
+      doc = "SemDeDup-style semantic dedup: top-2-cell blocking (map-side, windowless) + exact cosine within shared cells")
   )
 }

@@ -145,6 +145,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unpartitioned, unbounded Window in: ${offenders.mkString(", ")}")
   }
 
+  test("q59: top-2-cell blocking is map-side — no window before the bucket join") {
+    // the SemDeDup blocking must be a projection (inlined codebook,
+    // sorted struct array, slice), not a row_number window: a window
+    // would shuffle the whole corpus BY vec_id before the cell join
+    // shuffles it again by cell
+    val p = plan("q59_semantic_dedup")
+    assert(!p.contains("Window"),
+      "q59 blocking fell back to a window — the corpus now shuffles twice")
+  }
+
   test("q52: dead embedding column does not ride the argmax exchange") {
     val p = plan("q52_ivf_assign")
     val exchangeInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
