@@ -346,6 +346,73 @@ object Sampling extends Registry {
       doc = "Z-order layout: bit-interleaved locality key, range write, disjoint file ranges"),
 
     // ------------------------------------------------------------------
+    // q7a: bucketed co-located join — the OTHER half of the shuffle-
+    // elimination story (q77 prunes scans; this removes the join
+    // exchange entirely). Both fact tables are written bucketed on the
+    // join key into the session catalog; the sort-merge join then reads
+    // bucket i against bucket i with ZERO exchanges below the join —
+    // the layout a 100 TB warehouse maintains so its biggest recurring
+    // join never shuffles. Proven from the plan, not asserted: the
+    // whole aggregate-over-join plan must contain exactly ONE shuffle
+    // (the final groupBy), and that count rides the result row for the
+    // oracle to pin. The merge hint keeps the demonstration honest at
+    // small sf (a broadcast join would also show zero join exchanges,
+    // but for the wrong reason — broadcast stops working when both
+    // sides are huge; bucketing is precisely for that case).
+    QueryDef(
+      "q7a_bucketed_join",
+      (s, dir) => {
+        import s.implicits._
+        val nBuckets = 8
+        def stage(name: String, src: String, key: String,
+            cols: Seq[String]): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          table(s, dir, src).select(cols.map(col): _*)
+            .write.mode("overwrite")
+            .option("path", Tables.scratchDir(s"q7a_$name"))
+            .bucketBy(nBuckets, key).sortBy(key)
+            .saveAsTable(name)
+        }
+        stage("g_orders_b", "orders", "o_orderkey",
+          Seq("o_orderkey", "o_orderpriority"))
+        stage("g_lineitem_b", "lineitem", "l_orderkey",
+          Seq("l_orderkey", "l_extendedprice"))
+        val j = s.table("g_lineitem_b")
+          .join(s.table("g_orders_b").hint("merge"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum($"l_extendedprice"), 2).as("revenue"))
+          .orderBy($"o_orderpriority")
+        // exchanges are inserted by EnsureRequirements, so inspect the
+        // prepared plan (unwrapping AQE's root) and count shuffles in
+        // the join's SUBTREE: bucketing means the sort-merge join reads
+        // both sides pre-partitioned — zero exchanges below it (the
+        // final groupBy/orderBy above the join still shuffle, as they
+        // must)
+        val prepared = j.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val smj = prepared.collectFirst {
+          case jn: org.apache.spark.sql.execution.joins.SortMergeJoinExec => jn
+        }.getOrElse(throw new IllegalStateException(
+          "q7a: expected a sort-merge join over the bucketed tables"))
+        val joinExchanges = smj.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+        j.withColumn("join_exchanges", lit(joinExchanges))
+          .withColumn("join_shuffle_free", lit(joinExchanges == 0))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |  round(sum(l_extendedprice), 2) AS revenue,
+             |  0 AS join_exchanges, true AS join_shuffle_free
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      doc = "Bucketed co-located fact-fact join: zero exchanges below the sort-merge join, proven from the plan"),
+
+    // ------------------------------------------------------------------
     // q96: curriculum binning — rank every document by the composite
     // quality score (q32's formula) and cut per-language quartile tiers,
     // reporting each tier's doc count and token budget: the input a

@@ -129,7 +129,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val eager = Set("q42_minhash_lsh", "q43_simhash", "q46_minhash_fixture",
       "q47_simhash_fixture", "q48_dup_clusters", "q73_onekg_e2e",
       "q74_gtex_e2e", "q77_partitioned_scan", "q78_compaction",
-      "q79_zorder_layout", "q58_ivfpq_partitioned")
+      "q79_zorder_layout", "q58_ivfpq_partitioned", "q7a_bucketed_join")
     def hasLimitBelow(p: LogicalPlan): Boolean =
       p.collectFirst { case _: GlobalLimit => (); case _: LocalLimit => () }.nonEmpty
     val offenders = graft.SparkEntry.allDefs
