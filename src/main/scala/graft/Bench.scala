@@ -52,10 +52,10 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // vs_baseline: total / the pinned idle reference run, so a driver
     // readout separates machine contention from real regression without
-    // a manual rerun. PIN = the r5 judge's idle measurement of this
-    // suite (97 queries, sf0.1, local[32], shuffle=32): 70.2s. Re-pin
-    // only when the suite's query set changes materially.
-    val baselinePin = 70.2
+    // a manual rerun. PIN = the r7 idle measurement of this suite
+    // (100 queries incl. q58/q59/q7a, sf0.1, local[32], shuffle=32):
+    // 61.1s. Re-pin only when the suite's query set changes materially.
+    val baselinePin = 61.1
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","vs_baseline":${r3(total / baselinePin)},"baseline_pin_sec":$baselinePin,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
