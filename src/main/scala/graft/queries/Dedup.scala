@@ -218,6 +218,27 @@ object Dedup extends Registry {
         expr("jaccard_sorted(a.sh, b.sh)").as("j"))
   }
 
+  /** (doc_id, cluster_id) duplicate-cluster assignments over the two
+    * deterministic edge sources (canonical word-set star edges + bounded
+    * exact bigram-Jaccard pairs), closed by alternating large-star/
+    * small-star connected components. Single point of truth shared by
+    * q48 (reports the clusters) and q4a (applies them to the corpus). */
+  private[queries] def dupClusterAssignments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents").select($"doc_id", $"text")
+    val fp = md5(concat_ws(" ",
+      array_sort(array_distinct(split(lower($"text"), " ")))))
+    val wFp = Window.partitionBy($"fp")
+    val canonEdges = docs.select($"doc_id", fp.as("fp"))
+      .withColumn("root", min($"doc_id").over(wFp))
+      .filter($"doc_id" =!= $"root")
+      .select($"doc_id".as("src"), $"root".as("dst"))
+    val jacEdges = boundedBigramPairs(s, dir).filter($"j" >= 0.3)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    graft.operators.ConnectedComponents.run(canonEdges.unionAll(jacEdges))
+      .select($"id".as("doc_id"), $"component".as("cluster_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q40: exact dedup — union the corpus with itself (simulating a
@@ -490,20 +511,8 @@ object Dedup extends Registry {
       "q48_dup_clusters",
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents").select($"doc_id", $"text")
-        val fp = md5(concat_ws(" ",
-          array_sort(array_distinct(split(lower($"text"), " ")))))
-        val wFp = Window.partitionBy($"fp")
-        val canonEdges = docs.select($"doc_id", fp.as("fp"))
-          .withColumn("root", min($"doc_id").over(wFp))
-          .filter($"doc_id" =!= $"root")
-          .select($"doc_id".as("src"), $"root".as("dst"))
-        val jacEdges = boundedBigramPairs(s, dir).filter($"j" >= 0.3)
-          .select($"doc_a".as("src"), $"doc_b".as("dst"))
-        val cc = graft.operators.ConnectedComponents.run(
-          canonEdges.unionAll(jacEdges))
         val wC = Window.partitionBy($"cluster_id")
-        cc.select($"id".as("doc_id"), $"component".as("cluster_id"))
+        dupClusterAssignments(s, dir)
           .withColumn("cluster_size", count(lit(1)).over(wC))
           .orderBy($"cluster_id", $"doc_id")
       },
@@ -537,6 +546,73 @@ object Dedup extends Registry {
              |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
              |FROM comp ORDER BY cluster_id, doc_id""".stripMargin),
       doc = "Duplicate clusters: large-star/small-star CC over canonical + Jaccard edges"),
+
+    // ------------------------------------------------------------------
+    // q4a: the clusters APPLIED — the deliverable a dedup pipeline
+    // actually ships: one canonical survivor (min doc_id) per duplicate
+    // cluster, everything else dropped, reported per language with a
+    // retained-id checksum so the oracle pins the exact survivor set,
+    // not just counts. Plan shape: the removal set is cluster members
+    // minus keepers (a per-cluster min + filter — clusters are tiny by
+    // construction), then ONE left-anti join against the corpus by
+    // doc_id; the corpus is never joined against itself here. At 100 TB
+    // the cluster assignment comes from the stored q48 output, and this
+    // query is the cheap second pass.
+    QueryDef(
+      "q4a_dedup_apply",
+      (s, dir) => {
+        import s.implicits._
+        val cc = dupClusterAssignments(s, dir)
+        val removed = cc
+          .withColumn("keeper",
+            min($"doc_id").over(Window.partitionBy($"cluster_id")))
+          .filter($"doc_id" =!= $"keeper")
+          .select($"doc_id")
+        table(s, dir, "documents").select($"doc_id", $"lang")
+          .join(removed, Seq("doc_id"), "left_anti")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_retained"),
+            sum($"doc_id").as("retained_id_checksum"))
+          .orderBy($"lang")
+      },
+      Some("""WITH RECURSIVE fp AS (
+             |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             |    string_split(lower(text), ' '))), ' ')) AS fp
+             |  FROM documents),
+             |canon AS (SELECT doc_id AS src,
+             |    min(doc_id) OVER (PARTITION BY fp) AS dst FROM fp),
+             |sh AS (
+             |  SELECT doc_id, CASE WHEN len(ws) < 2 THEN [text]
+             |    ELSE list_distinct([array_to_string(ws[i:i+1], ' ')
+             |                        for i in range(1, len(ws))]) END AS sg
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+             |        FROM documents WHERE doc_id < 300) t),
+             |jac AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.sg, b.sg))::DOUBLE
+             |        / len(list_distinct(list_concat(a.sg, b.sg))) >= 0.3),
+             |e0 AS (SELECT src, dst FROM canon WHERE src <> dst
+             |       UNION SELECT src, dst FROM jac),
+             |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |reach(id, r) AS (
+             |  SELECT id, id FROM nodes
+             |  UNION
+             |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+             |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+             |removed AS (
+             |  SELECT id AS doc_id FROM (
+             |    SELECT id, min(id) OVER (PARTITION BY cluster_id) AS keeper
+             |    FROM comp) t
+             |  WHERE id <> keeper)
+             |SELECT lang, count(*) AS n_retained,
+             |  CAST(sum(doc_id) AS BIGINT) AS retained_id_checksum
+             |FROM documents d
+             |WHERE NOT EXISTS (SELECT 1 FROM removed r
+             |                  WHERE r.doc_id = d.doc_id)
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "Dedup applied: one min-id survivor per cluster, per-lang retention with survivor-set checksum"),
 
     // ------------------------------------------------------------------
     // q49: incremental ingest dedup — the daily-crawl shape: a new batch

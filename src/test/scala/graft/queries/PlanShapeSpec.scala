@@ -127,7 +127,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // are covered by their own specs; building them here would re-run
     // whole pipelines just to look at a plan
     val eager = Set("q42_minhash_lsh", "q43_simhash", "q46_minhash_fixture",
-      "q47_simhash_fixture", "q48_dup_clusters", "q73_onekg_e2e",
+      "q47_simhash_fixture", "q48_dup_clusters", "q4a_dedup_apply",
+      "q73_onekg_e2e",
       "q74_gtex_e2e", "q77_partitioned_scan", "q78_compaction",
       "q79_zorder_layout", "q58_ivfpq_partitioned", "q7a_bucketed_join")
     def hasLimitBelow(p: LogicalPlan): Boolean =
