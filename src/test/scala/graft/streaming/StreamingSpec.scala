@@ -220,4 +220,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == pat.count(),
       s"replayed stream wrote $n lines for ${pat.count()} unique resources")
   }
+
+  test("streaming NDJSON sink updateExisting: later trigger wins per id") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two triggers carry the same id with different payloads; with
+    // updateExisting the second trigger's version must replace the
+    // first's (K3's update semantics, per micro-batch), at the id's
+    // ORIGINAL file position
+    val stageDir = java.nio.file.Files.createTempDirectory("ndj-upd").toString
+    def batch(v: String) = Seq(("id-1", v), ("id-2", v))
+      .toDF("id", "payload")
+    batch("v1").coalesce(1).write.mode("overwrite").parquet(s"$stageDir/a")
+    batch("v2").coalesce(1).write.mode("overwrite").parquet(s"$stageDir/b")
+    // order the two files deterministically for the source (mtime)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$stageDir/a"))
+        .filter(_.getFileName.toString.startsWith("part-")).findFirst().get(),
+      java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    val outDir = java.nio.file.Files.createTempDirectory("ndj-upd-out").toString
+    val query = graft.sinks.Ndjson.writeStreamTo(
+      spark.readStream.schema(batch("x").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stageDir/*"),
+      outDir, "Patient", updateExisting = true)
+    try query.processAllAvailable() finally query.stop()
+    val src = scala.io.Source.fromFile(s"$outDir/Patient.ndjson")
+    val lines = try src.getLines().toVector finally src.close()
+    assert(lines.size == 2, s"expected 2 upserted lines, got ${lines.size}")
+    assert(lines.forall(_.contains("\"v2\"")),
+      s"updateExisting did not let the later trigger win: $lines")
+  }
 }
