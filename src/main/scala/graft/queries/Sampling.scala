@@ -367,7 +367,12 @@ object Sampling extends Registry {
         def stage(name: String, src: String, key: String,
             cols: Seq[String]): Unit = {
           s.sql(s"DROP TABLE IF EXISTS $name")
+          // repartition BY the bucket key first: without it every write
+          // task emits its own file per bucket (tasks × buckets small
+          // files), and multi-file buckets force the reader to re-sort;
+          // aligned, each bucket is one sorted file
           table(s, dir, src).select(cols.map(col): _*)
+            .repartition(nBuckets, col(key))
             .write.mode("overwrite")
             .option("path", Tables.scratchDir(s"q7a_$name"))
             .bucketBy(nBuckets, key).sortBy(key)
