@@ -210,6 +210,60 @@ object EventOps extends Registry {
       doc = "SCD2 interval build (lead-closed validity windows + snapshot flag)"),
 
     // ------------------------------------------------------------------
+    // q68: point-in-interval RANGE JOIN — enrich each purchase with the
+    // click-context interval that was active when it happened. Spark has
+    // no native range-join operator; the scalable expression is an
+    // EQUI-join on the entity key with the range predicate as a residual
+    // condition: Catalyst extracts user_id as the hash/merge key and
+    // evaluates ts∈[valid_from, valid_to) per matched pair — one keyed
+    // shuffle, never a BroadcastNestedLoopJoin/cartesian (PlanShapeSpec
+    // gates this), never a per-pair time explosion. Intervals are built
+    // from the click stream with lead() (q65's SCD2 shape); purchases
+    // with no prior click survive via the left join with a null
+    // context. Bounded to user_id < 20 like q65.
+    QueryDef(
+      "q68_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = events(s, dir).filter($"user_id" < 20)
+        val ivals = ev.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"event_id".as("ctx_id"),
+            $"ts".as("valid_from"))
+          .withColumn("valid_to",
+            lead($"valid_from", 1).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy($"c_user")
+                .orderBy($"valid_from".asc, $"ctx_id".asc)))
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"ts".as("purchase_ts"))
+          .join(ivals,
+            $"user_id" === $"c_user" &&
+              $"purchase_ts" >= $"valid_from" &&
+              ($"valid_to".isNull || $"purchase_ts" < $"valid_to"),
+            "left")
+          .select($"user_id", $"event_id", $"purchase_ts",
+            $"ctx_id", $"valid_from".as("ctx_from"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+             |iv AS (
+             |  SELECT user_id AS c_user, event_id AS ctx_id,
+             |    ts AS valid_from,
+             |    lead(ts) OVER (PARTITION BY user_id
+             |                   ORDER BY ts, event_id) AS valid_to
+             |  FROM ev WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id, ts AS purchase_ts FROM ev
+             |      WHERE event_type = 'purchase')
+             |SELECT p.user_id, p.event_id, p.purchase_ts,
+             |  iv.ctx_id, iv.valid_from AS ctx_from
+             |FROM p LEFT JOIN iv
+             |  ON p.user_id = iv.c_user
+             |  AND p.purchase_ts >= iv.valid_from
+             |  AND (iv.valid_to IS NULL OR p.purchase_ts < iv.valid_to)
+             |ORDER BY p.user_id, p.event_id""".stripMargin),
+      doc = "Point-in-interval range join: equi key + range residual, no cartesian"),
+
+    // ------------------------------------------------------------------
     // q66: ordered behavioral funnel — how many users progress through
     // view → click → purchase IN THAT ORDER. Stage flags are carried
     // per user with strictly-prior window maxima over one (user_id, ts)

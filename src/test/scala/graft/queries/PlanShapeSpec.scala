@@ -146,6 +146,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unpartitioned, unbounded Window in: ${offenders.mkString(", ")}")
   }
 
+  test("q68: range join is an equi join with a range residual — no cartesian") {
+    val p = plan("q68_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "range predicate planned as a nested-loop/cartesian join — the " +
+        "user_id equi key was not extracted")
+    assert(p.contains("Join"), "expected a join in the plan")
+  }
+
   test("q59: top-2-cell blocking is map-side — no window before the bucket join") {
     // the SemDeDup blocking must be a projection (inlined codebook,
     // sorted struct array, slice), not a row_number window: a window
