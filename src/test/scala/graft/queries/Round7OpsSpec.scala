@@ -61,6 +61,29 @@ class Round7OpsSpec extends AnyFunSuite {
       s"pairs not in the exact scan (or rescored): ${invented.take(3)}")
   }
 
+  test("q68 interval join agrees with q63's as-of join where both defined") {
+    // two different plans for the same temporal semantics: the interval
+    // containing a purchase is opened by exactly the latest click at or
+    // before it, so q68's ctx_from must equal q63's last_click_ts for
+    // every purchase of the bounded user set
+    import org.apache.spark.sql.functions.col
+    def tsOrNull(r: org.apache.spark.sql.Row, i: Int) =
+      if (r.isNullAt(i)) null else r.getTimestamp(i)
+    val got = run("q68_interval_join")
+      .select("event_id", "ctx_from").collect()
+      .map(r => r.getLong(0) -> tsOrNull(r, 1)).toMap
+    val want = run("q63_asof_join")
+      .filter(col("user_id") < 20)
+      .select("event_id", "last_click_ts").collect()
+      .map(r => r.getLong(0) -> tsOrNull(r, 1)).toMap
+    assert(got.nonEmpty && got.keySet == want.keySet)
+    val disagree = got.collect {
+      case (id, ts) if want(id) != ts => (id, ts, want(id))
+    }
+    assert(disagree.isEmpty,
+      s"interval join and as-of join disagree: ${disagree.take(3)}")
+  }
+
   test("q7a: bucketed join carries its zero-exchange proof in the result") {
     val r = run("q7a_bucketed_join").collect()
     assert(r.nonEmpty)
