@@ -33,10 +33,21 @@ object Bench {
         .agg(sum("rn")).collect()
     } catch { case _: Throwable => () }
     // sorted for a stable, comparable readout across rounds
+    //
+    // Two timed passes per query, report the MIN: the r7 driver run
+    // recorded 2.23× the idle pin purely from co-tenant load (q79 28.1s
+    // driver vs 1.40s idle), so a single-pass readout can falsely
+    // breach the perf gate. min-of-2 discards one contention spike per
+    // query while staying honest about real regressions (a genuinely
+    // slow plan is slow on both passes); load_avg below carries the
+    // co-tenancy evidence into the artifact itself.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     // Keep the JSON line compact: the harness captures only a bounded tail
     // of stdout, and with ~80 queries full names + full-precision doubles
@@ -52,11 +63,17 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // vs_baseline: total / the pinned idle reference run, so a driver
     // readout separates machine contention from real regression without
-    // a manual rerun. PIN = the r7 idle measurement of this suite
-    // (100 queries incl. q58/q59/q7a, sf0.1, local[32], shuffle=32):
-    // 61.1s. Re-pin only when the suite's query set changes materially.
-    val baselinePin = 61.1
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","vs_baseline":${r3(total / baselinePin)},"baseline_pin_sec":$baselinePin,"queries":$qs,"sf":"$sfDir"}""")
+    // a manual rerun. PIN = the r8 idle measurement of this suite
+    // (107 queries incl. the r8 additions q4b/q5a/q69/q7b/q84, sf0.1,
+    // local[32], shuffle=32, min-of-2 timing): 57.9s. Re-pin only when
+    // the suite's query set changes materially.
+    val baselinePin = 57.9
+    // 1-minute system load average — co-tenancy evidence riding the
+    // artifact, so a high vs_baseline under driver-side contention is
+    // self-explaining instead of needing a manual idle rerun
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","vs_baseline":${r3(total / baselinePin)},"baseline_pin_sec":$baselinePin,"load_avg":${r3(loadAvg)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -264,6 +264,44 @@ object EventOps extends Registry {
       doc = "Point-in-interval range join: equi key + range residual, no cartesian"),
 
     // ------------------------------------------------------------------
+    // q69: the STREAM-STREAM form of temporal enrichment — purchases
+    // joined to every same-user click in the preceding hour, via
+    // EventStream.intervalJoin: ONE transform whose streaming run is a
+    // watermarked stream-stream join with engine-bounded click state
+    // (evicted at watermark past click_ts + horizon) and whose batch
+    // run — registered here — is the oracle-checkable form.
+    // StreamingSpec proves the drained two-source stream equals this
+    // result, including across a trigger split. Bounded to user_id < 20
+    // like q65/q68. Note the deliberate semantic difference vs q68:
+    // fixed 1h horizon (streaming-expressible, emits ALL clicks in
+    // range) vs lead()-closed intervals (batch-only, emits exactly one).
+    QueryDef(
+      "q69_stream_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = table(s, dir, "events").filter($"user_id" < 20)
+        graft.streaming.EventStream.intervalJoin(
+          ev.filter($"event_type" === "click"),
+          ev.filter($"event_type" === "purchase"))
+          .orderBy($"user_id", $"event_id", $"click_id")
+      },
+      Some("""WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+             |c AS (SELECT user_id AS c_user, event_id AS click_id,
+             |        ts AS click_ts
+             |      FROM ev WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id, ts AS purchase_ts FROM ev
+             |      WHERE event_type = 'purchase')
+             |SELECT p.user_id, p.event_id, p.purchase_ts,
+             |  c.click_id, c.click_ts
+             |FROM p JOIN c
+             |  ON p.user_id = c.c_user
+             |  AND p.purchase_ts >= c.click_ts
+             |  AND p.purchase_ts < c.click_ts + INTERVAL '1 hour'
+             |ORDER BY p.user_id, p.event_id, c.click_id""".stripMargin),
+      doc = "Stream-stream watermarked interval join (batch-parity form; bounded click state)"),
+
+    // ------------------------------------------------------------------
     // q66: ordered behavioral funnel — how many users progress through
     // view → click → purchase IN THAT ORDER. Stage flags are carried
     // per user with strictly-prior window maxima over one (user_id, ts)

@@ -99,14 +99,33 @@ object Ndjson {
     * id and the file converges to exactly what one batch [[write]] of
     * the full input produces (StreamingSpec proves the parity).
     * `updateExisting` keeps its batch meaning per micro-batch: later
-    * triggers overwrite earlier ids instead of keeping the first. */
+    * triggers overwrite earlier ids instead of keeping the first.
+    *
+    * Cost model: every micro-batch REWRITES the whole accumulated
+    * NDJSON file (read existing + upsert + write), so IO is quadratic
+    * over the stream's lifetime — inherent to the reference's
+    * single-file interchange format, acceptable for the bounded
+    * resource files it exists for; engine-internal streaming storage
+    * is the parquet/console path, not this sink.
+    *
+    * @param checkpointLocation durable progress tracking. Without it
+    *   Spark uses a fresh temp checkpoint, so a RESTARTED query replays
+    *   the entire input and convergence rests solely on the upsert's
+    *   idempotence; pass a real path in any run that can restart.
+    * @param trigger optional trigger (e.g. `Trigger.AvailableNow()` for
+    *   drain-and-stop maintenance runs); default = micro-batch ASAP. */
   def writeStreamTo(stream: DataFrame, dir: String, resourceType: String,
-      updateExisting: Boolean = false)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+      updateExisting: Boolean = false,
+      checkpointLocation: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         createOrExtend(batch.sparkSession, batch, dir, resourceType,
           updateExisting)
       }
-      .start()
+    checkpointLocation.foreach(p => w.option("checkpointLocation", p))
+    trigger.foreach(w.trigger)
+    w.start()
+  }
 }

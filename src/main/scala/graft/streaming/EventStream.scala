@@ -102,6 +102,46 @@ object EventStream {
         timestamp_micros(col("click_us")).as("last_click_ts"))
   }
 
+  // ------------------------------------------------------------------
+  // Stream-stream watermarked interval join (SURVEY §2.7 — the last
+  // big Structured Streaming operator family): every purchase enriched
+  // with the clicks by the same user in the preceding `horizon`. The
+  // batch declarative twin with lead()-built intervals is EventOps q68;
+  // lead() is not streaming-expressible, so the streaming form uses the
+  // canonical fixed-horizon interval condition — an equi key plus an
+  // event-time range — which is exactly what Spark's stream-stream join
+  // needs to BOUND STATE: with both sides watermarked and the range
+  // condition `click_ts ∈ (purchase_ts - horizon, purchase_ts]`, the
+  // engine derives a state-retention window and evicts clicks once the
+  // global watermark passes click_ts + horizon — no unbounded buffer on
+  // either side. Inner join: every emitted pair is final under append
+  // mode (no watermark-dependent null emission), so batch and drained-
+  // stream answers are set-equal (StreamingSpec proves it, including
+  // across a trigger split where purchases arrive after their clicks'
+  // trigger).
+  // ------------------------------------------------------------------
+  /** The shared transform: takes the two event streams RAW (long-nanos
+    * ts, same schema as the source) and returns matched
+    * (user_id, event_id, purchase_ts, click_id, click_ts) pairs. Works
+    * on batch AND streaming frames — watermarks are no-ops in batch. */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        timestamp_micros(expr("ts div 1000")).as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL '$horizon'"))
+      .select(col("user_id"), col("event_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Streaming source over a directory of event parquet files. */
   def readStream(spark: SparkSession, dir: String): DataFrame =
     buildStream(spark, dir, maxFilesPerTrigger = None)

@@ -69,9 +69,13 @@ class Round7OpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     def tsOrNull(r: org.apache.spark.sql.Row, i: Int) =
       if (r.isNullAt(i)) null else r.getTimestamp(i)
-    val got = run("q68_interval_join")
+    val rows = run("q68_interval_join")
       .select("event_id", "ctx_from").collect()
-      .map(r => r.getLong(0) -> tsOrNull(r, 1)).toMap
+    val got = rows.map(r => r.getLong(0) -> tsOrNull(r, 1)).toMap
+    // one interval per purchase: a duplicate match (purchase inside two
+    // intervals) would be silently collapsed by toMap — catch it first
+    assert(rows.length == got.size,
+      s"${rows.length - got.size} purchases matched by >1 interval")
     val want = run("q63_asof_join")
       .filter(col("user_id") < 20)
       .select("event_id", "last_click_ts").collect()

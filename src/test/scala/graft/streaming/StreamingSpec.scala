@@ -123,6 +123,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(crossing > 0, "split produced no state-crossing purchases")
   }
 
+  test("stream-stream interval join == batch form, incl. across triggers") {
+    import org.apache.spark.sql.functions._
+    // two real streaming sources (clicks / purchases), purchases split
+    // at the median timestamp into two files with one file per trigger:
+    // purchases arriving in the SECOND trigger must still match clicks
+    // buffered in join state since the first — the state-retention path
+    // a single drained batch never exercises. Inner join ⇒ every match
+    // is final under append mode, so the drained set must equal the
+    // batch run of the same transform (which is also q69's registered,
+    // DuckDB-oracled form).
+    val all = EventStream.readBatch(spark, s"$sfDir/events.parquet")
+      .filter(col("user_id") < 20)
+    val clicks = all.filter(col("event_type") === "click")
+    val purchases = all.filter(col("event_type") === "purchase")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3),
+        r.getTimestamp(4))
+    val want = EventStream.intervalJoin(clicks, purchases)
+      .collect().map(key).toSet
+    assert(want.nonEmpty, "batch interval join found no pairs to test with")
+    // split purchases at the median MATCHED purchase time, so the second
+    // trigger is guaranteed to hold purchases whose clicks arrived (and
+    // were buffered in join state) a trigger earlier
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val matchedUs = want.map { case (_, _, p, _, _) => us(p) }.toSeq.sorted
+    val midUs = matchedUs(matchedUs.size / 2)
+    val midNs = midUs * 1000L
+
+    def stage(df: org.apache.spark.sql.DataFrame, dir: java.nio.file.Path,
+        name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ssj").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+      val dst = dir.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val clickDir = java.nio.file.Files.createTempDirectory("ssj-clicks")
+    val purchDir = java.nio.file.Files.createTempDirectory("ssj-purch")
+    stage(clicks, clickDir, "clicks.parquet", 1000000L)
+    stage(purchases.filter(col("ts") < midNs), purchDir,
+      "a-first.parquet", 1000000L)
+    stage(purchases.filter(col("ts") >= midNs), purchDir,
+      "b-second.parquet", 2000000L)
+
+    def src(dir: java.nio.file.Path) = spark.readStream
+      .schema(EventStream.RawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val query = EventStream.intervalJoin(src(clickDir), src(purchDir))
+      .writeStream.format("memory").queryName("evt_ssj")
+      .outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+
+    val got = spark.table("evt_ssj").collect().map(key).toSet
+    assert(got == want && got.nonEmpty,
+      s"stream ${got.size} pairs != batch ${want.size}")
+    // evidence the split actually exercised cross-trigger state: all
+    // clicks arrive in trigger 1, so every matched purchase at/after
+    // the split (≥ half of the matched set, by median construction)
+    // was joined against click state retained from an earlier trigger
+    val crossing = want.count { case (_, _, p, _, _) => us(p) >= midUs }
+    assert(crossing > 0, "split produced no state-crossing matches")
+  }
+
   test("streaming dedup within watermark drops re-delivered events") {
     import org.apache.spark.sql.functions._
     // simulate at-least-once delivery: the same file arrives twice
