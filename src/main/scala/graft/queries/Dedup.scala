@@ -239,6 +239,98 @@ object Dedup extends Registry {
       .select($"id".as("doc_id"), $"component".as("cluster_id"))
   }
 
+  /** q4b: FUZZY incremental ingest — the daily-crawl near-dup check:
+    * the new batch (odd doc_ids) is MinHash-sketched and joined against
+    * a STORED signature index of the corpus (even doc_ids), emitting
+    * exact-verified batch-vs-corpus near-dup pairs. The corpus is never
+    * re-sketched: its banded signatures are written to parquet once (at
+    * scale, by yesterday's run; here per run only because the harness
+    * keeps no cross-run state) and the serve path reads them back —
+    * (doc_id, band, bh) triples, ~4 rows × 16 bytes per content class,
+    * a tiny fraction of corpus bytes. Buckets are capped PER SIDE at
+    * [[MaxBucketSize]], bounding the join fanout of any bucket at 64×64
+    * (same degenerate-band rationale as q42; dropped buckets cost
+    * recall only — every emitted pair is exact-verified). Verification
+    * re-reads texts for CANDIDATE docs only (semi-join reduction), so
+    * at 100 TB the daily cost is sketch(batch) + index join + verify
+    * (candidates), never touch-the-corpus. */
+  def minhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
+    val docs = table(s, dir, "documents").select($"doc_id", $"text")
+    val corpusReps = contentClassReps(docs.filter($"doc_id" % 2 === 0))
+    val batchReps = contentClassReps(docs.filter($"doc_id" % 2 === 1))
+    val indexDir = Tables.scratchDir("q4b_sigindex")
+    capBuckets(bandedSignatures(corpusReps), Seq("band", "bh"))
+      .write.mode("overwrite").parquet(indexDir)
+    val index = s.read.parquet(indexDir)
+      .select($"doc_id".as("corpus_doc"), $"band", $"bh")
+    val batchSigs = capBuckets(bandedSignatures(batchReps), Seq("band", "bh"))
+      .select($"doc_id".as("batch_doc"), $"band", $"bh")
+    val cands = batchSigs.join(index, Seq("band", "bh"))
+      .select($"batch_doc", $"corpus_doc")
+      .dropDuplicates("batch_doc", "corpus_doc").persist()
+    val shB = batchReps
+      .join(cands.select($"batch_doc".as("doc_id")), Seq("doc_id"), "left_semi")
+      .select($"doc_id".as("batch_doc"),
+        expr("shingle_hashes(text, 3)").as("sh_b"))
+    val shC = corpusReps
+      .join(cands.select($"corpus_doc".as("doc_id")), Seq("doc_id"), "left_semi")
+      .select($"doc_id".as("corpus_doc"),
+        expr("shingle_hashes(text, 3)").as("sh_c"))
+    val result = cands.join(shB, "batch_doc").join(shC, "corpus_doc")
+      .withColumn("jaccard", expr("jaccard_sorted(sh_b, sh_c)"))
+      .filter($"jaccard" >= 0.5)
+      .select($"batch_doc", $"corpus_doc", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"batch_doc", $"corpus_doc")
+      .localCheckpoint(true) // release the candidate cache (see minhashPairs)
+    cands.unpersist()
+    result
+  }
+
+  /** One side of the q4b oracle: q42's full sketch replay (shingles →
+    * md5_63 bases → rotl-xor salted minima → band hashes → per-side
+    * bucket cap), restricted to one doc_id parity and suffixed so the
+    * corpus and batch chains coexist in one WITH clause. Kept textually
+    * in lockstep with q42's oracle — same basis, same mixing. Returned
+    * UN-stripped (margins intact): the caller's single .stripMargin
+    * does the one and only strip — stripping here too would eat the
+    * leading pipe of `||`-continuation lines on the second pass. */
+  private def q4bSideSql(sfx: String, parity: Int): String =
+    s"""reps_$sfx AS (
+       |  SELECT min(doc_id) AS doc_id, min(text) AS text
+       |  FROM documents WHERE doc_id % 2 = $parity GROUP BY md5(text)),
+       |sg_$sfx AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN [text]
+       |    ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+       |                        for i in range(1, len(ws) - 1)]) END AS sgl
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |        FROM reps_$sfx) t),
+       |bases_$sfx AS (
+       |  SELECT doc_id, list_distinct(list_transform(sgl,
+       |    s -> md5_number_lower(s) & 9223372036854775807::UBIGINT)) AS hs
+       |  FROM sg_$sfx),
+       |mins_$sfx AS (
+       |  SELECT doc_id,
+       |    [list_min(list_transform(hs, h ->
+       |       xor(((h & ((1::UBIGINT << (64 - (5*s+3))) - 1::UBIGINT))
+       |              << (5*s+3)) | (h >> (64 - (5*s+3))),
+       |           md5_number_lower('salt:' || s)
+       |             & 9223372036854775807::UBIGINT)
+       |       & 9223372036854775807::UBIGINT))
+       |     FOR s IN range(12)] AS m
+       |  FROM bases_$sfx),
+       |banded_$sfx AS (
+       |  SELECT doc_id, b AS band,
+       |    md5_number_lower(b || ':' || m[b*3+1] || ',' || m[b*3+2]
+       |                       || ',' || m[b*3+3])
+       |      & 9223372036854775807::UBIGINT AS bh
+       |  FROM mins_$sfx, range(4) t(b)),
+       |capped_$sfx AS (
+       |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bh)
+       |                   AS bsz FROM banded_$sfx) z
+       |  WHERE bsz <= $MaxBucketSize)"""
+
   def defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q40: exact dedup — union the corpus with itself (simulating a
@@ -655,6 +747,32 @@ object Dedup extends Registry {
              |    AS n_new
              |FROM b LEFT JOIN c ON b.h = c.h
              |GROUP BY lang ORDER BY lang""".stripMargin),
-      doc = "Incremental ingest dedup: batch-internal digest dedup + anti-join vs corpus index")
+      doc = "Incremental ingest dedup: batch-internal digest dedup + anti-join vs corpus index"),
+
+    // ------------------------------------------------------------------
+    // q4b: the FUZZY counterpart of q49 — batch-vs-corpus NEAR-dup
+    // candidates via a stored MinHash signature index (see
+    // minhashIncremental). The oracle replays BOTH sides' sketches from
+    // scratch on the md5 basis (q42's replay, parity-split), so neither
+    // the index build nor the serve join can drift from the registered
+    // sketch definition without the driver noticing.
+    QueryDef(
+      "q4b_incremental_neardup",
+      (s, dir) => minhashIncremental(s, dir),
+      Some(s"""WITH ${q4bSideSql("c", 0)},
+             |${q4bSideSql("b", 1)},
+             |cand AS (
+             |  SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+             |  FROM capped_b b JOIN capped_c c
+             |    ON b.band = c.band AND b.bh = c.bh),
+             |j AS (
+             |  SELECT batch_doc, corpus_doc,
+             |    len(list_intersect(sa.sgl, sb.sgl))::DOUBLE
+             |      / len(list_distinct(list_concat(sa.sgl, sb.sgl))) AS jac
+             |  FROM cand JOIN sg_b sa ON sa.doc_id = batch_doc
+             |            JOIN sg_c sb ON sb.doc_id = corpus_doc)
+             |SELECT batch_doc, corpus_doc, round(jac, 4) AS jaccard FROM j
+             |WHERE jac >= 0.5 ORDER BY batch_doc, corpus_doc""".stripMargin),
+      doc = "Fuzzy incremental ingest: batch sketches vs stored MinHash index, exact-verified")
   )
 }

@@ -223,6 +223,183 @@ object Similarity extends Registry {
   }
 
   // ------------------------------------------------------------------
+  // q5a: k-means to CONVERGENCE — the loop an IVF index build actually
+  // runs, extending q54's single Lloyd iteration. Per iteration:
+  // squared-L2 argmin assignment against the current centroids (pure
+  // map-side: centroids travel as k×dim literals, the MLlib pattern —
+  // the corpus never shuffles to be assigned), then ONE partial-agg
+  // shuffle on (cell, dim) for the per-dim means. Driver state is the
+  // k×dim centroid grid as exact micro-unit longs (8×64 = 512 longs,
+  // bounded at any corpus size); because each iteration's plan is
+  // rebuilt from the cached corpus + fresh literals, lineage does NOT
+  // grow with iterations and no per-iteration checkpoint is needed
+  // (unlike q48's CC, whose frontier feeds the next round's plan).
+  //
+  // Convergence is EXACT-INTEGER: means are rounded to 6 decimals and
+  // carried as micro-longs, the shift is Σ(Δmicro)² summed as integers
+  // (order-free, so Spark and the oracle agree bit-for-bit), and the
+  // loop stops at shift ≤ KmeansEpsMicroSq or MaxLloydIters. The only
+  // residual cross-engine risk is q54's accepted one: a 1-ulp avg()
+  // difference flipping a 6th decimal (negligible, deterministic per
+  // dataset). The oracle unrolls MaxLloydIters iterations in SQL and
+  // selects the first converged one — same stop rule, same arithmetic.
+  // Empty cells (impossible with corpus-seeded centroids, but defined):
+  // keep the previous centroid, report 0 members.
+  // ------------------------------------------------------------------
+  val MaxLloydIters = 4
+  /** Stop when Σ over the k×dim grid of (Δ centroid micro-units)² is at
+    * or below this. 1e6 micro² = a total centroid movement of 1e-6 in
+    * squared 6-decimal units — far below the ~1e9-1e11 shifts the first
+    * iterations produce, so the stop fires only on real stabilization. */
+  val KmeansEpsMicroSq = 1000000L
+
+  private type Grid = Map[(Long, Int), Long] // (cell, dim) -> micro-units
+
+  /** Assignment of every corpus vector to its argmin-squared-L2 cell
+    * for the given centroid grid: (vec_id, v, cell, d2) with d2 rounded
+    * to 6 decimals. Centroid dots are precomputed driver-side with the
+    * same sequential fold as vec_dot/list_dot_product, so both engines
+    * see identical d2 doubles. */
+  private def lloydAssign(c: DataFrame, grid: Grid): DataFrame = {
+    val cells = grid.keys.map(_._1).toSeq.distinct.sorted
+    val alts = cells.map { cell =>
+      val arr = IndexedSeq.tabulate(64)(d => grid((cell, d)).toDouble / 1e6)
+      var cdot = 0.0
+      var i = 0
+      while (i < 64) { cdot += arr(i) * arr(i); i += 1 }
+      struct(
+        round(col("dd") - lit(2) * dot(col("v"), typedLit(arr)) + lit(cdot), 6)
+          .as("d2"),
+        lit(cell).as("cell"))
+    }
+    // array_min over (d2, cell) structs = argmin with cell tiebreak —
+    // lexicographic struct comparison, no window, stays map-side
+    c.select(col("vec_id"), col("v"), array_min(array(alts: _*)).as("m"))
+      .select(col("vec_id"), col("v"), col("m.cell").as("cell"),
+        col("m.d2").as("d2"))
+  }
+
+  def kmeansConverge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+      .select(col("vec_id"), col("v"), dot(col("v"), col("v")).as("dd"))
+      .persist()
+    def microGrid(df: DataFrame): Grid = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val seed: Grid = microGrid(c.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("cell"), col("dim"),
+        round(col("x") * 1e6).cast("long").as("mi")))
+
+    var grid = seed
+    var prev = seed // centroids the final assignment was computed against
+    var iters = 0
+    var converged = false
+    while (iters < MaxLloydIters && !converged) {
+      iters += 1
+      prev = grid
+      val means = microGrid(lloydAssign(c, grid)
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(round(avg(col("x")) * 1e6).cast("long").as("mi")))
+      // empty-cell guard: carry the previous centroid for any (cell,dim)
+      // the assignment produced no rows for
+      grid = prev.map { case (k, old) => k -> means.getOrElse(k, old) }
+      val shift = grid.map { case (k, mi) =>
+        val d = mi - prev(k); d * d
+      }.sum
+      converged = shift <= KmeansEpsMicroSq
+    }
+
+    // final report: per-cell member count + inertia from the LAST
+    // assignment (wrt the centroids it was assigned against), centroid
+    // norms from the FINAL means — all micro-exact except the 4-decimal
+    // norm rounding, which both engines apply to the same 64 summands
+    val ine = lloydAssign(c, prev).groupBy($"cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum(round($"d2" * 1e6).cast("long")).as("inertia_micro"))
+    val gdf = grid.toSeq.map { case ((cell, dim), mi) => (cell, dim, mi) }
+      .toDF("cell", "dim", "mi")
+    val result = gdf.groupBy($"cell")
+      .agg(count(lit(1)).as("n_dims"),
+        round(sum(($"mi" / 1e6) * ($"mi" / 1e6)), 4).as("centroid_norm2"))
+      .join(ine, Seq("cell"), "left")
+      .select($"cell", coalesce($"n_members", lit(0L)).as("n_members"),
+        $"n_dims", $"centroid_norm2",
+        coalesce($"inertia_micro", lit(0L)).as("inertia_micro"),
+        lit(iters).as("n_iters"), lit(converged).as("converged"))
+      .orderBy($"cell")
+      .localCheckpoint(true) // materialize 8 rows, then free the corpus cache
+    c.unpersist()
+    result
+  }
+
+  /** The q5a oracle: MaxLloydIters Lloyd iterations unrolled as chained
+    * CTEs (assignment → means → carried grid → integer shift), then the
+    * first iteration at or below the shift threshold is selected — the
+    * same stop rule the Scala loop applies, in pure SQL. */
+  private def kmeansConvergeOracle: String = {
+    val iters = (1 to MaxLloydIters).map { t =>
+      val p = t - 1
+      s"""c${p}v AS (SELECT cell, list(mi / 1000000.0 ORDER BY dim) AS cv
+         |        FROM g$p GROUP BY cell),
+         |a$t AS (SELECT vec_id, cell, d2 FROM (
+         |    SELECT nd.vec_id, c.cell,
+         |      round(nd.dd - 2*list_dot_product(nd.e, c.cv)
+         |            + list_dot_product(c.cv, c.cv), 6) AS d2,
+         |      row_number() OVER (PARTITION BY nd.vec_id ORDER BY
+         |        round(nd.dd - 2*list_dot_product(nd.e, c.cv)
+         |              + list_dot_product(c.cv, c.cv), 6), c.cell) AS rn
+         |    FROM ndd nd JOIN c${p}v c ON true) z WHERE rn = 1),
+         |m$t AS (SELECT a.cell, x.dim,
+         |          CAST(round(avg(x.x)*1000000) AS BIGINT) AS mi
+         |        FROM a$t a JOIN nx x USING (vec_id) GROUP BY a.cell, x.dim),
+         |g$t AS (SELECT p.cell, p.dim, coalesce(m.mi, p.mi) AS mi
+         |        FROM g$p p LEFT JOIN m$t m
+         |          ON m.cell = p.cell AND m.dim = p.dim),
+         |s$t AS (SELECT CAST(sum((g.mi - p.mi)*(g.mi - p.mi)) AS BIGINT) AS v
+         |        FROM g$t g JOIN g$p p ON g.cell = p.cell AND g.dim = p.dim)"""
+        .stripMargin
+    }.mkString(",\n")
+    val pickCases = (1 until MaxLloydIters).map(t =>
+      s"WHEN (SELECT v FROM s$t) <= $KmeansEpsMicroSq THEN $t")
+      .mkString(" ")
+    val allG = (1 to MaxLloydIters).map(t =>
+      s"SELECT $t AS t, cell, dim, mi FROM g$t").mkString(" UNION ALL ")
+    val allA = (1 to MaxLloydIters).map(t =>
+      s"SELECT $t AS t, cell, d2 FROM a$t").mkString(" UNION ALL ")
+    s"""WITH n AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |nx AS (SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS x
+       |       FROM n),
+       |ndd AS (SELECT vec_id, e, list_dot_product(e, e) AS dd FROM n),
+       |g0 AS (SELECT vec_id AS cell, generate_subscripts(e, 1) AS dim,
+       |         CAST(round(unnest(e)*1000000) AS BIGINT) AS mi
+       |       FROM n WHERE vec_id < 8),
+       |$iters,
+       |pick AS (SELECT CASE $pickCases ELSE $MaxLloydIters END AS t),
+       |allg AS ($allG),
+       |alla AS ($allA),
+       |fin AS (SELECT cell, count(*) AS n_dims,
+       |          round(sum((mi/1000000.0)*(mi/1000000.0)), 4) AS centroid_norm2
+       |        FROM allg WHERE t = (SELECT t FROM pick) GROUP BY cell),
+       |ine AS (SELECT cell, count(*) AS n_members,
+       |          CAST(sum(CAST(round(d2*1000000) AS BIGINT)) AS BIGINT)
+       |            AS inertia_micro
+       |        FROM alla WHERE t = (SELECT t FROM pick) GROUP BY cell)
+       |SELECT f.cell, coalesce(i.n_members, 0) AS n_members,
+       |  CAST(f.n_dims AS BIGINT) AS n_dims, f.centroid_norm2,
+       |  coalesce(i.inertia_micro, 0) AS inertia_micro,
+       |  CAST((SELECT t FROM pick) AS INTEGER) AS n_iters,
+       |  CASE WHEN (SELECT t FROM pick) < $MaxLloydIters THEN true
+       |       WHEN (SELECT v FROM s$MaxLloydIters) <= $KmeansEpsMicroSq
+       |       THEN true ELSE false END AS converged
+       |FROM fin f LEFT JOIN ine i USING (cell) ORDER BY f.cell""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Product quantization (q55 encode / q56 ADC search): 64 dims → 8
   // subspaces × 8 dims; codewords are the vec_id<8 seed sub-vectors.
   // ------------------------------------------------------------------
@@ -518,6 +695,13 @@ object Similarity extends Registry {
              |  round(sum(m * m), 4) AS centroid_norm2
              |FROM m GROUP BY cell ORDER BY cell""".stripMargin),
       doc = "One k-means Lloyd iteration: argmax assign + per-dim centroid recompute"),
+
+    QueryDef(
+      "q5a_kmeans_converge",
+      (s, dir) => kmeansConverge(s, dir),
+      Some(kmeansConvergeOracle),
+      doc = "k-means to convergence: Lloyd loop w/ exact-integer shift stop, " +
+        "literal-broadcast centroids, bounded driver state"),
 
     // ------------------------------------------------------------------
     // q55: product-quantization assignment — the vector-compression
