@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr}
+import graft.expressions.{JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleHashes)
     ext.injectFunction(GraftExtensions.shingleStrings)
     ext.injectFunction(GraftExtensions.jaccardSorted)
+    ext.injectFunction(GraftExtensions.wavEncode)
+    ext.injectFunction(GraftExtensions.wavSamples)
+    ext.injectFunction(GraftExtensions.wavRate)
   }
 }
 
@@ -99,13 +102,31 @@ object GraftExtensions {
     new ExpressionInfo(classOf[JaccardSortedExpr].getName, "jaccard_sorted"),
     (args: Seq[Expression]) => JaccardSortedExpr(args(0), args(1)))
 
+  private val wavEncode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("wav_pcm16_encode"),
+    new ExpressionInfo(classOf[WavPcm16EncodeExpr].getName, "wav_pcm16_encode"),
+    (args: Seq[Expression]) => WavPcm16EncodeExpr(args(0), args(1)))
+
+  private val wavSamples: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("wav_pcm16_samples"),
+    new ExpressionInfo(classOf[WavPcm16SamplesExpr].getName, "wav_pcm16_samples"),
+    (args: Seq[Expression]) => WavPcm16SamplesExpr(args.head))
+
+  private val wavRate: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("wav_sample_rate"),
+    new ExpressionInfo(classOf[WavSampleRateExpr].getName, "wav_sample_rate"),
+    (args: Seq[Expression]) => WavSampleRateExpr(args.head))
+
   /** Idempotent per-session registration for sessions not created with
     * the extensions config (e.g. the driver harness's own session). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     for (fn <- Seq(minhashBands, simhash64, vecDot, shingleHashes,
-        shingleStrings, jaccardSorted))
+        shingleStrings, jaccardSorted, wavEncode, wavSamples, wavRate))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
   }

@@ -77,6 +77,12 @@ object Multimodal extends Registry {
   val MaxFrames = 8
   val WindowChars = 32
   val MaxWindows = 16
+  /** q84: PCM16 samples per energy window, and the Σs² threshold a
+    * window must reach to count as voiced (full 16-sample windows of
+    * typical text-derived samples land well above it; short tail
+    * windows below — a deterministic mixed population). */
+  val WavWindowSamples = 16
+  val VoicedEnergyMin = 8000000000L
 
   /** Fixed-stride asset slicing, capped — ONE definition of the
     * slice-count/boundary contract shared by frame sampling (q81) and
@@ -228,6 +234,77 @@ object Multimodal extends Registry {
              |         * 4294967296.0), 4),
              |    -1.0) AS avg_voiced_energy
              |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      doc = "Audio windowing + VAD-style energy gate (stub energy, real plumbing)")
+      doc = "Audio windowing + VAD-style energy gate (stub energy, real plumbing)"),
+
+    // ------------------------------------------------------------------
+    // q84: q83's energy gate over REAL decoded samples — the one
+    // modality where the decode step is a true codec, not a stub
+    // (expressions.WavPcm16): each audio asset is packed into a valid
+    // RIFF/WAVE PCM16 container in-engine (payload bytes = the data
+    // chunk; the testdata ships no media files), then DECODED by a real
+    // parser that walks the chunk list, validates magics + fmt (PCM,
+    // mono, 16-bit) and sign-extends little-endian samples. Per-window
+    // energy is Σ s² over 16-sample windows (exact longs — no float
+    // path at all), with a voiced gate and per-asset totals. The oracle
+    // recomputes the SAME samples from hex(encode(text)) byte pairs in
+    // SQL — the decoder's arithmetic is replayed, not trusted. Narrow
+    // per-asset work end-to-end; the only shuffle is the final sort.
+    QueryDef(
+      "q84_wav_pcm16",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        val nWin = least(lit(MaxWindows),
+          ((size(col("smp")) - 1) / lit(WavWindowSamples)).cast("int") + 1)
+        corpus(s, dir).filter(col("modality") === "audio")
+          .select(col("doc_id"),
+            expr("wav_pcm16_encode(payload, 16000)").as("wav"))
+          .select(col("doc_id"),
+            expr("wav_sample_rate(wav)").as("sample_rate"),
+            expr("wav_pcm16_samples(wav)").as("smp"))
+          .filter(size(col("smp")) > 0)
+          .withColumn("es", transform(sequence(lit(0), nWin - 1), i =>
+            aggregate(slice(col("smp"), i * lit(WavWindowSamples) + 1,
+              lit(WavWindowSamples)),
+              lit(0L), (acc, x) => acc + x.cast("long") * x)))
+          .select(col("doc_id"), col("sample_rate"),
+            size(col("smp")).as("n_samples"),
+            size(col("es")).as("n_windows"),
+            size(filter(col("es"), e => e >= lit(VoicedEnergyMin)))
+              .cast("long").as("n_voiced"),
+            aggregate(col("es"), lit(0L), _ + _).as("total_energy"),
+            array_max(col("es")).as("max_window_energy"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH a AS (
+             |  SELECT doc_id, encode(text) AS b FROM documents
+             |  WHERE doc_id % 3 = 1),
+             |s AS (
+             |  SELECT doc_id,
+             |    [CASE WHEN v > 32767 THEN v - 65536 ELSE v END
+             |     FOR v IN [CAST(('0x' || substr(hex(b), 4*i+3, 2)
+             |                          || substr(hex(b), 4*i+1, 2)) AS INT)
+             |               for i in range(0, octet_length(b) // 2)]] AS smp
+             |  FROM a),
+             |w AS (
+             |  SELECT doc_id, smp,
+             |    least($MaxWindows,
+             |          (len(smp) - 1) // $WavWindowSamples + 1) AS nw
+             |  FROM s WHERE len(smp) > 0),
+             |e AS (
+             |  SELECT doc_id, len(smp) AS n_samples, nw,
+             |    [list_sum(list_transform(
+             |       smp[i*$WavWindowSamples+1 : (i+1)*$WavWindowSamples],
+             |       x -> CAST(x AS BIGINT) * x))
+             |     for i in range(0, nw)] AS es
+             |  FROM w)
+             |SELECT doc_id, 16000 AS sample_rate,
+             |  CAST(n_samples AS INTEGER) AS n_samples,
+             |  CAST(nw AS INTEGER) AS n_windows,
+             |  CAST(len(list_filter(es, x -> x >= $VoicedEnergyMin)) AS BIGINT)
+             |    AS n_voiced,
+             |  CAST(list_sum(es) AS BIGINT) AS total_energy,
+             |  CAST(list_max(es) AS BIGINT) AS max_window_energy
+             |FROM e ORDER BY doc_id""".stripMargin),
+      doc = "Real WAV PCM16 decode (RIFF walk + fmt validate) + exact-integer energy windows")
   )
 }
