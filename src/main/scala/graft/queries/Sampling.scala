@@ -30,6 +30,28 @@ object Sampling extends Registry {
   /** Stable per-row bucket in [0, 100). */
   def bucket100(key: Column): Column = md5Prefix16(key) % 100
 
+  /** Count ShuffleExchangeExec nodes BELOW the first sort-merge join of
+    * `df`'s prepared physical plan (AQE root unwrapped) — the
+    * zero-exchange proof shared by q7a (bucketed join) and q7b
+    * (bucket-preserving compaction). Exchanges are inserted by
+    * EnsureRequirements, so the executedPlan is the one to inspect;
+    * throws if no sort-merge join is present (a broadcast join would
+    * show zero exchanges for the wrong reason — see q7a's merge hint). */
+  private def smjExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    val prepared = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val smj = prepared.collectFirst {
+      case jn: org.apache.spark.sql.execution.joins.SortMergeJoinExec => jn
+    }.getOrElse(throw new IllegalStateException(
+      "expected a sort-merge join over the bucketed tables"))
+    smj.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q36: stratified quota sampling — per-language keep-rates (e.g.
@@ -389,24 +411,10 @@ object Sampling extends Registry {
           .agg(count(lit(1)).as("n_items"),
             round(sum($"l_extendedprice"), 2).as("revenue"))
           .orderBy($"o_orderpriority")
-        // exchanges are inserted by EnsureRequirements, so inspect the
-        // prepared plan (unwrapping AQE's root) and count shuffles in
-        // the join's SUBTREE: bucketing means the sort-merge join reads
-        // both sides pre-partitioned — zero exchanges below it (the
-        // final groupBy/orderBy above the join still shuffle, as they
-        // must)
-        val prepared = j.queryExecution.executedPlan match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            a.executedPlan
-          case p => p
-        }
-        val smj = prepared.collectFirst {
-          case jn: org.apache.spark.sql.execution.joins.SortMergeJoinExec => jn
-        }.getOrElse(throw new IllegalStateException(
-          "q7a: expected a sort-merge join over the bucketed tables"))
-        val joinExchanges = smj.collect {
-          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-        }.size
+        // bucketing means the sort-merge join reads both sides
+        // pre-partitioned — zero exchanges below it (the final
+        // groupBy/orderBy above the join still shuffle, as they must)
+        val joinExchanges = smjExchanges(j)
         j.withColumn("join_exchanges", lit(joinExchanges))
           .withColumn("join_shuffle_free", lit(joinExchanges == 0))
       },
@@ -416,6 +424,81 @@ object Sampling extends Registry {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       doc = "Bucketed co-located fact-fact join: zero exchanges below the sort-merge join, proven from the plan"),
+
+    // ------------------------------------------------------------------
+    // q7b: bucket-layout MAINTENANCE — q78's compaction composed with
+    // q7a's bucketing: a deliberately fragmented bucketed table (8
+    // round-robin writer tasks each emitting a file per bucket — the
+    // shape streaming ingest leaves behind: up to tasks×buckets small
+    // files) is compacted by a PER-BUCKET rewrite that KEEPS the bucket
+    // metadata: read the bucketed table, co-locate each bucket's rows
+    // with repartition(n, key), rewrite with the same bucketBy/sortBy
+    // into the catalog. The payoff is proven, not asserted: after
+    // compaction each bucket is ONE sorted file (file count == bucket
+    // count, counted on disk) AND the fact-fact join still plans with
+    // ZERO exchanges below the sort-merge join — compaction that lost
+    // the bucket spec would reintroduce both shuffles. A naive
+    // compaction (q78's, plain repartition+write) right-sizes files but
+    // silently degrades every future join; this is the maintenance job
+    // a 100 TB warehouse actually needs.
+    QueryDef(
+      "q7b_bucketed_compaction",
+      (s, dir) => {
+        import s.implicits._
+        val nBuckets = 8
+        def parquetFiles(d: String): Int =
+          Option(new java.io.File(d).listFiles()).toSeq.flatten
+            .count(_.getName.endsWith(".parquet")) // local-FS demo, like q78
+        def bucketedWrite(df: org.apache.spark.sql.DataFrame, name: String,
+            path: String, key: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          df.write.mode("overwrite").option("path", path)
+            .bucketBy(nBuckets, key).sortBy(key).saveAsTable(name)
+        }
+        val ordersPath = Tables.scratchDir("q7b_orders")
+        bucketedWrite(table(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority")
+          .repartition(nBuckets, $"o_orderkey"),
+          "g_orders_c", ordersPath, "o_orderkey")
+        // the fragmented side: round-robin repartition (NOT by the
+        // bucket key) fans every bucket's rows across all writer tasks
+        val fragPath = Tables.scratchDir("q7b_frag")
+        bucketedWrite(table(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice").repartition(8),
+          "g_lineitem_frag", fragPath, "l_orderkey")
+        val filesBefore = parquetFiles(fragPath)
+        // the maintenance pass under test. Input is the PATH scan, not
+        // the catalog table: a bucketed-table read advertises the very
+        // hash partitioning the rewrite asks for, so the explicit
+        // repartition is elided as redundant and writer tasks come from
+        // the (fragmented, maxPartitionBytes-sized) scan — each emitting
+        // a file per bucket again. The path scan (what a compaction job
+        // reads anyway: files) keeps the repartition, aligning task i
+        // with bucket i so each bucket lands as ONE sorted file.
+        val compactPath = Tables.scratchDir("q7b_compact")
+        bucketedWrite(s.read.parquet(fragPath)
+          .repartition(nBuckets, $"l_orderkey"),
+          "g_lineitem_compact", compactPath, "l_orderkey")
+        val filesAfter = parquetFiles(compactPath)
+        val j = s.table("g_lineitem_compact")
+          .join(s.table("g_orders_c").hint("merge"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum($"l_extendedprice"), 2).as("revenue"))
+          .orderBy($"o_orderpriority")
+        val joinExchanges = smjExchanges(j)
+        j.withColumn("join_exchanges", lit(joinExchanges))
+          .withColumn("compaction_reduced_files", lit(filesAfter < filesBefore))
+          .withColumn("one_file_per_bucket", lit(filesAfter == nBuckets))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |  round(sum(l_extendedprice), 2) AS revenue,
+             |  0 AS join_exchanges, true AS compaction_reduced_files,
+             |  true AS one_file_per_bucket
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      doc = "Bucket-preserving compaction: one sorted file per bucket after rewrite, join still exchange-free"),
 
     // ------------------------------------------------------------------
     // q96: curriculum binning — rank every document by the composite
