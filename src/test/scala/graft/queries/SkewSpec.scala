@@ -63,4 +63,70 @@ class SkewSpec extends AnyFunSuite {
     assert(groups.max < mean * 2,
       s"salt distribution badly unbalanced: max=${groups.max}, mean=$mean")
   }
+
+  test("AQE skew-join splits the hot partition and keeps the exact answer") {
+    // the OTHER half of the skew story (salting covers aggregations/
+    // top-k): for a skewed JOIN, Spark's AQE runtime re-plan is the
+    // production mechanism — OptimizeSkewedJoin splits the oversized
+    // partition into multiple tasks reading sub-ranges of the map
+    // output, joined against a replicated other side. Proven from the
+    // final adaptive plan (isSkewJoin on the sort-merge join), not
+    // assumed from config, and gated on the result still being exact.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 300k facts, one key owning 5/6 of them; dim covers every key
+      val fact = spark.range(300000)
+        .select(when($"id" < 250000, 0L).otherwise($"id" % 100).as("k"),
+          $"id".as("v"))
+      val dim = spark.range(100).select($"id".as("k"), ($"id" * 10).as("w"))
+      val joined = fact.join(dim, "k")
+      // collect THIS dataframe (not an agg on top): AQE finalizes the
+      // adaptive plan per action, so the skew-split evidence lives in
+      // the executed plan of the collected query
+      val rows = joined.collect()
+      // exact answer: every fact row matches exactly one dim row
+      assert(rows.length == 300000)
+      assert(rows.map(_.getAs[Long]("v")).sum == (0L until 300000L).sum)
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      // QueryStageExec nodes report no children (AQE freezes materialized
+      // stages), so plain collect() stops at stage boundaries — recurse
+      // through each stage's plan explicitly
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case _ => p.children
+        }
+        p +: kids.flatMap(allNodes)
+      }
+      val smjs = allNodes(finalPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smjs.nonEmpty, s"expected a sort-merge join, got:\n$finalPlan")
+      assert(smjs.exists(_.isSkewJoin),
+        s"AQE did not mark the join as skew-optimized:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
