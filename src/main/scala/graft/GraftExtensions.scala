@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wavEncode)
     ext.injectFunction(GraftExtensions.wavSamples)
     ext.injectFunction(GraftExtensions.wavRate)
+    ext.injectFunction(GraftExtensions.bmpEncode)
+    ext.injectFunction(GraftExtensions.bmpPixels)
+    ext.injectFunction(GraftExtensions.bmpWidth)
+    ext.injectFunction(GraftExtensions.bmpHeight)
   }
 }
 
@@ -120,13 +124,38 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WavSampleRateExpr].getName, "wav_sample_rate"),
     (args: Seq[Expression]) => WavSampleRateExpr(args.head))
 
+  private val bmpEncode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("bmp_rgb24_encode"),
+    new ExpressionInfo(classOf[BmpRgb24EncodeExpr].getName, "bmp_rgb24_encode"),
+    (args: Seq[Expression]) => BmpRgb24EncodeExpr(args(0), args(1)))
+
+  private val bmpPixels: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("bmp_rgb24_pixels"),
+    new ExpressionInfo(classOf[BmpRgb24PixelsExpr].getName, "bmp_rgb24_pixels"),
+    (args: Seq[Expression]) => BmpRgb24PixelsExpr(args.head))
+
+  private val bmpWidth: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("bmp_width"),
+    new ExpressionInfo(classOf[BmpWidthExpr].getName, "bmp_width"),
+    (args: Seq[Expression]) => BmpWidthExpr(args.head))
+
+  private val bmpHeight: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("bmp_height"),
+    new ExpressionInfo(classOf[BmpHeightExpr].getName, "bmp_height"),
+    (args: Seq[Expression]) => BmpHeightExpr(args.head))
+
   /** Idempotent per-session registration for sessions not created with
     * the extensions config (e.g. the driver harness's own session). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     for (fn <- Seq(minhashBands, simhash64, vecDot, shingleHashes,
-        shingleStrings, jaccardSorted, wavEncode, wavSamples, wavRate))
+        shingleStrings, jaccardSorted, wavEncode, wavSamples, wavRate,
+        bmpEncode, bmpPixels, bmpWidth, bmpHeight))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
   }

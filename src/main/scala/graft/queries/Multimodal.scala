@@ -305,6 +305,73 @@ object Multimodal extends Registry {
              |  CAST(list_sum(es) AS BIGINT) AS total_energy,
              |  CAST(list_max(es) AS BIGINT) AS max_window_energy
              |FROM e ORDER BY doc_id""".stripMargin),
-      doc = "Real WAV PCM16 decode (RIFF walk + fmt validate) + exact-integer energy windows")
+      doc = "Real WAV PCM16 decode (RIFF walk + fmt validate) + exact-integer energy windows"),
+
+    // ------------------------------------------------------------------
+    // q85: REAL image decode for the image modality — BMP/RGB24
+    // (expressions.BmpRgb24), making two of the three modalities
+    // true-codec paths. The decoder reconstructs the logical top-down
+    // BGR stream from BMP's bottom-up padded rows; per-asset outputs
+    // are exact-integer channel sums plus an ORDER-SENSITIVE positional
+    // checksum (Σ byteᵢ·((i mod 1000)+1)) — channel sums alone are
+    // order-blind, so a decoder that ignored the bottom-up rule would
+    // still pass them; the positional checksum is what fails it. The
+    // oracle recomputes everything from hex byte pairs (the zero-filled
+    // tail of the last row contributes 0 to every statistic, so the
+    // payload bytes suffice). Pixel stream explode → ONE grouped agg:
+    // a shuffle of (doc_id, pos, byte) triples for bounded assets.
+    QueryDef(
+      "q85_bmp_rgb24",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        val width = 16
+        corpus(s, dir).filter(col("modality") === "image")
+          .select(col("doc_id"),
+            expr(s"bmp_rgb24_encode(payload, $width)").as("bmp"))
+          .select(col("doc_id"),
+            expr("bmp_width(bmp)").as("width"),
+            expr("bmp_height(bmp)").as("height"),
+            expr("bmp_rgb24_pixels(bmp)").as("px"))
+          .select(col("doc_id"), col("width"), col("height"),
+            posexplode(col("px")).as(Seq("pos", "b")))
+          .groupBy(col("doc_id"), col("width"), col("height"))
+          .agg(
+            sum(when(pmod(col("pos"), lit(3)) === 0, col("b"))
+              .otherwise(0).cast("long")).as("b_sum"),
+            sum(when(pmod(col("pos"), lit(3)) === 1, col("b"))
+              .otherwise(0).cast("long")).as("g_sum"),
+            sum(when(pmod(col("pos"), lit(3)) === 2, col("b"))
+              .otherwise(0).cast("long")).as("r_sum"),
+            sum((col("b") * (pmod(col("pos"), lit(1000)) + 1)).cast("long"))
+              .as("pos_checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS bl FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |bytes AS (
+             |  SELECT doc_id, octet_length(bl) AS n,
+             |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(bl))] AS bs
+             |  FROM a),
+             |st AS (
+             |  SELECT doc_id, n, bs,
+             |    (n + 2) // 3 AS n_px
+             |  FROM bytes)
+             |SELECT doc_id, 16 AS width,
+             |  CAST(greatest(1, (n_px + 15) // 16) AS INTEGER) AS height,
+             |  CAST(list_sum(list_transform(range(len(bs)),
+             |    i -> CASE WHEN i % 3 = 0 THEN bs[i+1] ELSE 0 END))
+             |    AS BIGINT) AS b_sum,
+             |  CAST(list_sum(list_transform(range(len(bs)),
+             |    i -> CASE WHEN i % 3 = 1 THEN bs[i+1] ELSE 0 END))
+             |    AS BIGINT) AS g_sum,
+             |  CAST(list_sum(list_transform(range(len(bs)),
+             |    i -> CASE WHEN i % 3 = 2 THEN bs[i+1] ELSE 0 END))
+             |    AS BIGINT) AS r_sum,
+             |  CAST(list_sum(list_transform(range(len(bs)),
+             |    i -> bs[i+1] * ((i % 1000) + 1))) AS BIGINT) AS pos_checksum
+             |FROM st ORDER BY doc_id""".stripMargin),
+      doc = "Real BMP/RGB24 decode (bottom-up padded rows) + order-sensitive pixel checksum")
   )
 }

@@ -177,7 +177,22 @@ class StreamingSpec extends AnyFunSuite {
     val query = EventStream.intervalJoin(src(clickDir), src(purchDir))
       .writeStream.format("memory").queryName("evt_ssj")
       .outputMode("append").start()
-    try query.processAllAvailable() finally query.stop()
+    var finalStateRows = -1L
+    try {
+      query.processAllAvailable()
+      finalStateRows = Option(query.lastProgress).toSeq
+        .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+    } finally query.stop()
+    // the BOUNDED-state claim as evidence: the watermark must have
+    // evicted old click/purchase rows from join state — with all clicks
+    // landing in trigger 1 and the split at the matched-purchase median,
+    // the final watermark sits far past the oldest clicks + horizon, so
+    // retained state must be a strict subset of the click stream
+    val totalClicks = clicks.count()
+    assert(finalStateRows > 0, "no stream-stream join state reported")
+    assert(finalStateRows < totalClicks,
+      s"watermark evicted nothing: $finalStateRows state rows >= " +
+        s"$totalClicks clicks")
 
     val got = spark.table("evt_ssj").collect().map(key).toSet
     assert(got == want && got.nonEmpty,
