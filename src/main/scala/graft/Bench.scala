@@ -64,10 +64,10 @@ object Bench {
     // vs_baseline: total / the pinned idle reference run, so a driver
     // readout separates machine contention from real regression without
     // a manual rerun. PIN = the r8 idle measurement of this suite
-    // (107 queries incl. the r8 additions q4b/q5a/q69/q7b/q84, sf0.1,
-    // local[32], shuffle=32, min-of-2 timing): 57.9s. Re-pin only when
-    // the suite's query set changes materially.
-    val baselinePin = 57.9
+    // (108 queries incl. the r8 additions q4b/q5a/q69/q7b/q84/q85,
+    // sf0.1, local[32], shuffle=32, min-of-2 timing): 55.7s. Re-pin
+    // only when the suite's query set changes materially.
+    val baselinePin = 55.7
     // 1-minute system load average — co-tenancy evidence riding the
     // artifact, so a high vs_baseline under driver-side contention is
     // self-explaining instead of needing a manual idle rerun
