@@ -253,14 +253,14 @@ object Similarity extends Registry {
     * iterations produce, so the stop fires only on real stabilization. */
   val KmeansEpsMicroSq = 1000000L
 
-  private type Grid = Map[(Long, Int), Long] // (cell, dim) -> micro-units
+  private[queries] type Grid = Map[(Long, Int), Long] // (cell, dim) -> micro
 
   /** Assignment of every corpus vector to its argmin-squared-L2 cell
     * for the given centroid grid: (vec_id, v, cell, d2) with d2 rounded
     * to 6 decimals. Centroid dots are precomputed driver-side with the
     * same sequential fold as vec_dot/list_dot_product, so both engines
     * see identical d2 doubles. */
-  private def lloydAssign(c: DataFrame, grid: Grid): DataFrame = {
+  private[queries] def lloydAssign(c: DataFrame, grid: Grid): DataFrame = {
     val cells = grid.keys.map(_._1).toSeq.distinct.sorted
     val alts = cells.map { cell =>
       val arr = IndexedSeq.tabulate(64)(d => grid((cell, d)).toDouble / 1e6)
@@ -279,17 +279,43 @@ object Similarity extends Registry {
         col("m.d2").as("d2"))
   }
 
-  def kmeansConverge(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val c = corpus(s, dir)
+  private def microGrid(df: DataFrame): Grid = df.collect()
+    .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  /** The (vec_id, v, dd) corpus projection the Lloyd loop iterates
+    * over. Caller persists/unpersists. */
+  private[queries] def lloydCorpus(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
       .select(col("vec_id"), col("v"), dot(col("v"), col("v")).as("dd"))
-      .persist()
-    def microGrid(df: DataFrame): Grid = df.collect()
-      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
-    val seed: Grid = microGrid(c.filter(col("vec_id") < 8)
+
+  /** Seed centroid grid: the vec_id<8 vectors as micro-unit longs. */
+  private[queries] def seedGrid(c: DataFrame): Grid =
+    microGrid(c.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("cell"), col("dim"),
         round(col("x") * 1e6).cast("long").as("mi")))
+
+  /** One Lloyd step: per-dim 6-decimal means of the argmin assignment,
+    * with the previous centroid carried for empty (cell,dim) groups. */
+  private[queries] def lloydMeans(c: DataFrame, grid: Grid): Grid = {
+    val means = microGrid(lloydAssign(c, grid)
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(avg(col("x")) * 1e6).cast("long").as("mi")))
+    grid.map { case (k, old) => k -> means.getOrElse(k, old) }
+  }
+
+  /** Total assignment cost under `grid`, as the exact micro-unit sum of
+    * 6-decimal-rounded squared distances (order-free integer). */
+  private[queries] def inertiaMicro(c: DataFrame, grid: Grid): Long =
+    lloydAssign(c, grid)
+      .agg(sum(round(col("d2") * 1e6).cast("long")))
+      .collect().head.getLong(0)
+
+  def kmeansConverge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = lloydCorpus(s, dir).persist()
+    val seed = seedGrid(c)
 
     var grid = seed
     var prev = seed // centroids the final assignment was computed against
@@ -298,13 +324,7 @@ object Similarity extends Registry {
     while (iters < MaxLloydIters && !converged) {
       iters += 1
       prev = grid
-      val means = microGrid(lloydAssign(c, grid)
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(round(avg(col("x")) * 1e6).cast("long").as("mi")))
-      // empty-cell guard: carry the previous centroid for any (cell,dim)
-      // the assignment produced no rows for
-      grid = prev.map { case (k, old) => k -> means.getOrElse(k, old) }
+      grid = lloydMeans(c, grid)
       val shift = grid.map { case (k, mi) =>
         val d = mi - prev(k); d * d
       }.sum
