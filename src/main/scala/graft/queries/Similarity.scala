@@ -253,14 +253,14 @@ object Similarity extends Registry {
     * iterations produce, so the stop fires only on real stabilization. */
   val KmeansEpsMicroSq = 1000000L
 
-  private[queries] type Grid = Map[(Long, Int), Long] // (cell, dim) -> micro
+  private[graft] type Grid = Map[(Long, Int), Long] // (cell, dim) -> micro
 
   /** Assignment of every corpus vector to its argmin-squared-L2 cell
     * for the given centroid grid: (vec_id, v, cell, d2) with d2 rounded
     * to 6 decimals. Centroid dots are precomputed driver-side with the
     * same sequential fold as vec_dot/list_dot_product, so both engines
     * see identical d2 doubles. */
-  private[queries] def lloydAssign(c: DataFrame, grid: Grid): DataFrame = {
+  private[graft] def lloydAssign(c: DataFrame, grid: Grid): DataFrame = {
     val cells = grid.keys.map(_._1).toSeq.distinct.sorted
     val alts = cells.map { cell =>
       val arr = IndexedSeq.tabulate(64)(d => grid((cell, d)).toDouble / 1e6)
@@ -284,12 +284,12 @@ object Similarity extends Registry {
 
   /** The (vec_id, v, dd) corpus projection the Lloyd loop iterates
     * over. Caller persists/unpersists. */
-  private[queries] def lloydCorpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def lloydCorpus(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir)
       .select(col("vec_id"), col("v"), dot(col("v"), col("v")).as("dd"))
 
   /** Seed centroid grid: the vec_id<8 vectors as micro-unit longs. */
-  private[queries] def seedGrid(c: DataFrame): Grid =
+  private[graft] def seedGrid(c: DataFrame): Grid =
     microGrid(c.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("cell"), col("dim"),
