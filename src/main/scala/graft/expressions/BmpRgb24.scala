@@ -28,12 +28,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType}
   */
 object BmpRgb24 {
 
-  private def u32le(v: Int): Array[Byte] =
-    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-
-  private def u16le(v: Int): Array[Byte] =
-    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  import LeBytes.{u16le, u32le, readU16, readU32}
 
   private val PixelOffset = 54 // 14 file header + 40 info header
 
@@ -74,34 +69,36 @@ object BmpRgb24 {
     out.toByteArray
   }
 
-  private def readU32(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-
-  private def readU16(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"bmp_rgb24: $msg")
 
-  /** Validate the container and return (pixelOffset, width, height). */
+  /** Validate the container and return (pixelOffset, width, height).
+    * All u32 fields are range-checked BEFORE any arithmetic that could
+    * overflow Int — a hostile header (negative-as-signed offset, or a
+    * width whose *3 wraps) must produce the documented rejection, not
+    * an ArrayIndexOutOfBounds/NegativeArraySize crash. */
   private def header(bmp: Array[Byte]): (Int, Int, Int) = {
     if (bmp.length < PixelOffset) fail(s"container too short (${bmp.length})")
     if (bmp(0) != 'B' || bmp(1) != 'M') fail("missing BM magic")
     val pixelOff = readU32(bmp, 10)
+    if (pixelOff < PixelOffset || pixelOff > bmp.length)
+      fail(s"pixel offset $pixelOff outside the container")
     val infoSize = readU32(bmp, 14)
     if (infoSize < 40) fail(s"info header too short ($infoSize)")
     val width = readU32(bmp, 18)
     val height = readU32(bmp, 22)
-    if (width <= 0) fail(s"non-positive width $width")
-    if (height <= 0) fail(s"expected bottom-up (positive height), got $height")
+    // 2^20 px per axis is far beyond any sane uncompressed BMP and
+    // keeps every later product inside Int
+    if (width <= 0 || width > (1 << 20)) fail(s"width $width out of range")
+    if (height <= 0 || height > (1 << 20))
+      fail(s"expected bottom-up height in range, got $height")
     if (readU16(bmp, 26) != 1) fail("planes must be 1")
     val bpp = readU16(bmp, 28)
     if (bpp != 24) fail(s"expected 24 bpp, got $bpp")
     val compression = readU32(bmp, 30)
     if (compression != 0) fail(s"expected uncompressed (BI_RGB), got $compression")
-    val rowSize = (width * 3 + 3) & ~3
-    if (pixelOff.toLong + rowSize.toLong * height > bmp.length)
+    val rowSize = (width.toLong * 3 + 3) & ~3L
+    if (pixelOff + rowSize * height > bmp.length)
       fail("pixel array overruns the container")
     (pixelOff, width, height)
   }

@@ -1,0 +1,21 @@
+package graft.expressions
+
+/** Little-endian byte helpers shared by the container codecs
+  * ([[WavPcm16]], [[BmpRgb24]]) — one definition so a bounds or
+  * signedness fix cannot silently apply to only one format. */
+private[expressions] object LeBytes {
+
+  def u32le(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  def u16le(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  def readU32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  def readU16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+}

@@ -33,12 +33,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType}
   */
 object WavPcm16 {
 
-  private def u32le(v: Int): Array[Byte] =
-    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-
-  private def u16le(v: Int): Array[Byte] =
-    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  import LeBytes.{u16le, u32le, readU16, readU32}
 
   /** Build a valid mono PCM16 WAV whose data chunk is `payload` (minus
     * a trailing odd byte). */
@@ -61,13 +56,6 @@ object WavPcm16 {
     out.write(payload, 0, dataLen)
     out.toByteArray
   }
-
-  private def readU32(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-
-  private def readU16(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
   private def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, StandardCharsets.US_ASCII)

@@ -360,17 +360,17 @@ object Multimodal extends Registry {
              |  FROM bytes)
              |SELECT doc_id, 16 AS width,
              |  CAST(greatest(1, (n_px + 15) // 16) AS INTEGER) AS height,
-             |  CAST(list_sum(list_transform(range(len(bs)),
-             |    i -> CASE WHEN i % 3 = 0 THEN bs[i+1] ELSE 0 END))
+             |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
+             |    i -> CASE WHEN i % 3 = 0 THEN bs[i+1] ELSE 0 END)), 0)
              |    AS BIGINT) AS b_sum,
-             |  CAST(list_sum(list_transform(range(len(bs)),
-             |    i -> CASE WHEN i % 3 = 1 THEN bs[i+1] ELSE 0 END))
+             |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
+             |    i -> CASE WHEN i % 3 = 1 THEN bs[i+1] ELSE 0 END)), 0)
              |    AS BIGINT) AS g_sum,
-             |  CAST(list_sum(list_transform(range(len(bs)),
-             |    i -> CASE WHEN i % 3 = 2 THEN bs[i+1] ELSE 0 END))
+             |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
+             |    i -> CASE WHEN i % 3 = 2 THEN bs[i+1] ELSE 0 END)), 0)
              |    AS BIGINT) AS r_sum,
-             |  CAST(list_sum(list_transform(range(len(bs)),
-             |    i -> bs[i+1] * ((i % 1000) + 1))) AS BIGINT) AS pos_checksum
+             |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
+             |    i -> bs[i+1] * ((i % 1000) + 1))), 0) AS BIGINT) AS pos_checksum
              |FROM st ORDER BY doc_id""".stripMargin),
       doc = "Real BMP/RGB24 decode (bottom-up padded rows) + order-sensitive pixel checksum")
   )

@@ -37,7 +37,8 @@ object Sampling extends Registry {
     * EnsureRequirements, so the executedPlan is the one to inspect;
     * throws if no sort-merge join is present (a broadcast join would
     * show zero exchanges for the wrong reason — see q7a's merge hint). */
-  private def smjExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+  private def smjExchanges(name: String,
+      df: org.apache.spark.sql.DataFrame): Int = {
     val prepared = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
@@ -46,7 +47,7 @@ object Sampling extends Registry {
     val smj = prepared.collectFirst {
       case jn: org.apache.spark.sql.execution.joins.SortMergeJoinExec => jn
     }.getOrElse(throw new IllegalStateException(
-      "expected a sort-merge join over the bucketed tables"))
+      s"$name: expected a sort-merge join over the bucketed tables"))
     smj.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.size
@@ -414,7 +415,7 @@ object Sampling extends Registry {
         // bucketing means the sort-merge join reads both sides
         // pre-partitioned — zero exchanges below it (the final
         // groupBy/orderBy above the join still shuffle, as they must)
-        val joinExchanges = smjExchanges(j)
+        val joinExchanges = smjExchanges("q7a", j)
         j.withColumn("join_exchanges", lit(joinExchanges))
           .withColumn("join_shuffle_free", lit(joinExchanges == 0))
       },
@@ -487,7 +488,7 @@ object Sampling extends Registry {
           .agg(count(lit(1)).as("n_items"),
             round(sum($"l_extendedprice"), 2).as("revenue"))
           .orderBy($"o_orderpriority")
-        val joinExchanges = smjExchanges(j)
+        val joinExchanges = smjExchanges("q7b", j)
         j.withColumn("join_exchanges", lit(joinExchanges))
           .withColumn("compaction_reduced_files", lit(filesAfter < filesBefore))
           .withColumn("one_file_per_bucket", lit(filesAfter == nBuckets))
