@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bmpPixels)
     ext.injectFunction(GraftExtensions.bmpWidth)
     ext.injectFunction(GraftExtensions.bmpHeight)
+    ext.injectFunction(GraftExtensions.bpeMergeWord)
   }
 }
 
@@ -148,6 +149,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[BmpHeightExpr].getName, "bmp_height"),
     (args: Seq[Expression]) => BmpHeightExpr(args.head))
 
+  private val bpeMergeWord: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_merge_word"),
+    new ExpressionInfo(classOf[BpeMergeWordExpr].getName, "bpe_merge_word"),
+    (args: Seq[Expression]) => BpeMergeWordExpr(args(0), args(1), args(2)))
+
   /** Idempotent per-session registration for sessions not created with
     * the extensions config (e.g. the driver harness's own session). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -155,7 +162,7 @@ object GraftExtensions {
       .sessionState.functionRegistry
     for (fn <- Seq(minhashBands, simhash64, vecDot, shingleHashes,
         shingleStrings, jaccardSorted, wavEncode, wavSamples, wavRate,
-        bmpEncode, bmpPixels, bmpWidth, bmpHeight))
+        bmpEncode, bmpPixels, bmpWidth, bmpHeight, bpeMergeWord))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
   }

@@ -689,6 +689,125 @@ object TextOps extends Registry {
              |  round(CAST(sum(nb) AS BIGINT) / CAST(sum(n_sh) AS BIGINT)::DOUBLE, 6)
              |    AS boiler_rate
              |FROM pd GROUP BY lang ORDER BY lang""".stripMargin),
-      doc = "Boilerplate bigram hygiene: top-K document-frequent grams, per-lang rate")
+      doc = "Boilerplate bigram hygiene: top-K document-frequent grams, per-lang rate"),
+
+    // ------------------------------------------------------------------
+    // q97: BPE vocabulary TRAINING — the greedy merge loop a tokenizer
+    // build actually runs, extending q94's single pair-scoring pass.
+    // The standard algorithm trains on the WORD-FREQUENCY table, never
+    // the raw corpus: each round is (1) adjacent-pair counts over the
+    // distinct-word vocab weighted by word count — one partial-agg
+    // shuffle whose group count is bounded by vocab char-pairs, (2) a
+    // deterministic top-1 (count desc, pair asc — both engines compare
+    // UTF-8 bytes), (3) the merge applied per word by the codegen
+    // bpe_merge_word expression, a narrow projection. Driver state is
+    // the chosen merge rules (3 strings/round); the vocab is
+    // localCheckpoint'ed per round so the next round's counts scan
+    // materialized tokens instead of re-deriving the whole chain (the
+    // q48/q5a loop-hygiene pattern). At 100 TB the corpus appears ONLY
+    // in the initial word count — everything after runs on the
+    // (corpus-size-independent) vocab. The oracle unrolls all rounds:
+    // pair counts, the same top-1, and the merge replayed per word by a
+    // leftmost-repeat recursive CTE (provably equivalent to the
+    // expression's single left-to-right scan).
+    QueryDef(
+      "q97_bpe_train",
+      (s, dir) => bpeTrain(s, dir),
+      Some(bpeTrainOracle),
+      doc = "BPE training loop: 3 greedy merges over the weighted word vocab, oracle-replayed")
   )
+
+  val BpeRounds = 3
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
+    val words = table(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    // chars via substr (code-point semantics, = DuckDB's w[i:i]); the
+    // interpreted lambda runs once per DISTINCT word, not per corpus row
+    var vocab = words
+      .withColumn("tokens", transform(sequence(lit(1), length($"word")),
+        i => $"word".substr(i, lit(1))))
+      .localCheckpoint(true)
+    val rows = Seq.newBuilder[(Int, String, String, Long, Long, Long)]
+    for (r <- 1 to BpeRounds) {
+      val top = vocab
+        .filter(size($"tokens") >= 2) // sequence(1,0) would count down
+        .select($"cnt", explode(transform(
+          sequence(lit(1), size($"tokens") - 1),
+          i => struct(element_at($"tokens", i).as("a"),
+            element_at($"tokens", i + 1).as("b")))).as("p"))
+        .groupBy($"p.a", $"p.b").agg(sum($"cnt").as("n"))
+        .orderBy($"n".desc, $"a".asc, $"b".asc)
+        .limit(1).collect().head
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      vocab = vocab.withColumn("tokens",
+        call_function("bpe_merge_word", $"tokens", lit(a), lit(b)))
+        .localCheckpoint(true)
+      val tot = vocab.agg(
+        sum(size($"tokens")).cast("long"),
+        sum($"cnt" * size($"tokens")).cast("long")).collect().head
+      rows += ((r, a, b, n, tot.getLong(0), tot.getLong(1)))
+    }
+    rows.result().toDF("round", "token_a", "token_b", "pair_n",
+      "vocab_tokens_after", "corpus_tokens_after")
+  }
+
+  /** The q97 oracle: BpeRounds unrolled (pair counts → deterministic
+    * top-1 → leftmost-repeat merge via recursive CTE → totals). The
+    * chosen pair reaches the recursion's lambda via a cross join —
+    * subqueries are not allowed inside DuckDB lambdas. */
+  private def bpeTrainOracle: String = {
+    def roundBlock(t: Int): String = {
+      val prev = s"v${t - 1}"
+      s"""pc$t AS (
+         |  SELECT p.a, p.b, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt, unnest([{'a': tokens[i], 'b': tokens[i+1]}
+         |                            for i in range(1, len(tokens))]) AS p
+         |        FROM $prev) z
+         |  GROUP BY p.a, p.b),
+         |top$t AS (SELECT a, b, n FROM pc$t ORDER BY n DESC, a, b LIMIT 1),
+         |m$t(word, cnt, tokens) AS (
+         |  SELECT word, cnt, tokens FROM $prev
+         |  UNION ALL
+         |  SELECT word, cnt,
+         |    list_concat(list_concat(tokens[1:idx-1],
+         |                            [tokens[idx] || tokens[idx+1]]),
+         |                tokens[idx+2:])
+         |  FROM (SELECT word, cnt, tokens,
+         |          list_filter(range(1, len(tokens)), i ->
+         |            tokens[i] = ta AND tokens[i+1] = tb)[1] AS idx
+         |        FROM m$t, (SELECT a AS ta, b AS tb FROM top$t) pr) z
+         |  WHERE idx IS NOT NULL),
+         |v$t AS (
+         |  SELECT word, cnt, tokens FROM (
+         |    SELECT word, cnt, tokens,
+         |      row_number() OVER (PARTITION BY word ORDER BY len(tokens)) AS rn
+         |    FROM m$t) f WHERE rn = 1),
+         |s$t AS (SELECT CAST(sum(len(tokens)) AS BIGINT) AS vocab_tokens,
+         |                CAST(sum(cnt * len(tokens)) AS BIGINT) AS corpus_tokens
+         |         FROM v$t)"""
+    }
+    val blocks = (1 to BpeRounds).map(roundBlock).mkString(",\n")
+    val selects = (1 to BpeRounds).map { t =>
+      s"""SELECT $t AS round, (SELECT a FROM top$t) AS token_a,
+         |  (SELECT b FROM top$t) AS token_b,
+         |  (SELECT n FROM top$t) AS pair_n,
+         |  (SELECT vocab_tokens FROM s$t) AS vocab_tokens_after,
+         |  (SELECT corpus_tokens FROM s$t) AS corpus_tokens_after"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE w AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) z
+       |  WHERE len(word) > 0 GROUP BY word),
+       |v0 AS (SELECT word, cnt,
+       |         [word[i:i] for i in range(1, len(word)+1)] AS tokens
+       |       FROM w),
+       |$blocks
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
 }
