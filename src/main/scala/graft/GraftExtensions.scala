@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bmpWidth)
     ext.injectFunction(GraftExtensions.bmpHeight)
     ext.injectFunction(GraftExtensions.bpeMergeWord)
+    ext.injectFunction(GraftExtensions.aviEncode)
+    ext.injectFunction(GraftExtensions.aviFrames)
   }
 }
 
@@ -155,6 +157,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[BpeMergeWordExpr].getName, "bpe_merge_word"),
     (args: Seq[Expression]) => BpeMergeWordExpr(args(0), args(1), args(2)))
 
+  private val aviEncode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("avi_dib_encode"),
+    new ExpressionInfo(classOf[AviDibEncodeExpr].getName, "avi_dib_encode"),
+    (args: Seq[Expression]) => AviDibEncodeExpr(args(0), args(1)))
+
+  private val aviFrames: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("avi_dib_frames"),
+    new ExpressionInfo(classOf[AviDibFramesExpr].getName, "avi_dib_frames"),
+    (args: Seq[Expression]) => AviDibFramesExpr(args.head))
+
   /** Idempotent per-session registration for sessions not created with
     * the extensions config (e.g. the driver harness's own session). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -162,7 +176,8 @@ object GraftExtensions {
       .sessionState.functionRegistry
     for (fn <- Seq(minhashBands, simhash64, vecDot, shingleHashes,
         shingleStrings, jaccardSorted, wavEncode, wavSamples, wavRate,
-        bmpEncode, bmpPixels, bmpWidth, bmpHeight, bpeMergeWord))
+        bmpEncode, bmpPixels, bmpWidth, bmpHeight, bpeMergeWord,
+        aviEncode, aviFrames))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
   }

@@ -372,6 +372,73 @@ object Multimodal extends Registry {
              |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
              |    i -> bs[i+1] * ((i % 1000) + 1))), 0) AS BIGINT) AS pos_checksum
              |FROM st ORDER BY doc_id""".stripMargin),
-      doc = "Real BMP/RGB24 decode (bottom-up padded rows) + order-sensitive pixel checksum")
+      doc = "Real BMP/RGB24 decode (bottom-up padded rows) + order-sensitive pixel checksum"),
+
+    // ------------------------------------------------------------------
+    // q86: REAL video container decode — the third modality goes
+    // true-codec (expressions.AviDib): each video asset is packed as a
+    // valid RIFF 'AVI ' (hdrl with avih/strl, movi list of '00db' DIB
+    // frames, every frame itself a real BMP), then decoded by walking
+    // the container — frame count cross-checked against the avih
+    // header — and each extracted frame through the format-proven BMP
+    // parser. Per-doc stats are exact integers: channel sums plus a
+    // frame-AND-position-sensitive checksum (Σ byte·(j+1)·((f mod
+    // 97)+1)), so a decoder that reordered frames or misread a chunk
+    // boundary fails the oracle, which replays everything from hex
+    // byte pairs (frameBytes=96 is a multiple of the BMP's 48-byte
+    // logical row pair, so full frames carry no zero tail and payload
+    // index i maps to (frame i/96, offset i%96) exactly).
+    QueryDef(
+      "q86_avi_dib",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        corpus(s, dir).filter(col("modality") === "video")
+          .select(col("doc_id"), expr("avi_dib_encode(payload, 96)").as("avi"))
+          .select(col("doc_id"), expr("avi_dib_frames(avi)").as("frames"))
+          .select(col("doc_id"), size(col("frames")).as("n_frames"),
+            posexplode(col("frames")).as(Seq("f", "fbin")))
+          .select(col("doc_id"), col("n_frames"), col("f"),
+            posexplode(expr("bmp_rgb24_pixels(fbin)")).as(Seq("j", "b")))
+          .groupBy(col("doc_id"), col("n_frames"))
+          .agg(count(lit(1)).as("total_pixel_bytes"),
+            sum(when(pmod(col("j"), lit(3)) === 0, col("b"))
+              .otherwise(0).cast("long")).as("b_sum"),
+            sum(when(pmod(col("j"), lit(3)) === 1, col("b"))
+              .otherwise(0).cast("long")).as("g_sum"),
+            sum(when(pmod(col("j"), lit(3)) === 2, col("b"))
+              .otherwise(0).cast("long")).as("r_sum"),
+            sum((col("b") * (col("j") + 1) * (pmod(col("f"), lit(97)) + 1))
+              .cast("long")).as("frame_checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS bl FROM documents
+             |  WHERE doc_id % 3 = 2),
+             |st AS (
+             |  SELECT doc_id, octet_length(bl) AS n,
+             |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(bl))] AS bs
+             |  FROM a),
+             |d AS (SELECT doc_id, n, (n + 95) // 96 AS nf,
+             |        n - 96 * ((n + 95) // 96 - 1) AS lastlen, bs
+             |      FROM st)
+             |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+             |  CAST(96 * (nf - 1)
+             |       + ((((lastlen + 2) // 3) + 15) // 16) * 48 AS BIGINT)
+             |    AS total_pixel_bytes,
+             |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
+             |    i -> CASE WHEN (i % 96) % 3 = 0 THEN bs[i+1] ELSE 0 END)), 0)
+             |    AS BIGINT) AS b_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
+             |    i -> CASE WHEN (i % 96) % 3 = 1 THEN bs[i+1] ELSE 0 END)), 0)
+             |    AS BIGINT) AS g_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
+             |    i -> CASE WHEN (i % 96) % 3 = 2 THEN bs[i+1] ELSE 0 END)), 0)
+             |    AS BIGINT) AS r_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
+             |    i -> bs[i+1] * ((i % 96) + 1) * ((i // 96) % 97 + 1))), 0)
+             |    AS BIGINT) AS frame_checksum
+             |FROM d ORDER BY doc_id""".stripMargin),
+      doc = "Real AVI/DIB video decode: container walk + per-frame BMP parse, frame-order-sensitive checksum")
   )
 }
