@@ -302,6 +302,44 @@ object EventOps extends Registry {
       doc = "Stream-stream watermarked interval join (batch-parity form; bounded click state)"),
 
     // ------------------------------------------------------------------
+    // q6a: the LEFT OUTER form of q69 — purchases with no click in the
+    // preceding hour survive with null click columns. In streaming this
+    // is the watermark-COMPLETION semantics: the null row may only be
+    // emitted once the watermark proves no in-horizon click can still
+    // arrive (StreamingSpec drives that with a watermark-advancing
+    // sentinel trigger); in batch — registered here — it is a plain
+    // left join the oracle replays. NULLS FIRST is pinned explicitly on
+    // both sides: Spark's default asc ordering is nulls-first while
+    // DuckDB's is nulls-last, and the driver verifies declared
+    // orderings row-for-row.
+    QueryDef(
+      "q6a_stream_interval_outer",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = table(s, dir, "events").filter($"user_id" < 20)
+        graft.streaming.EventStream.intervalJoin(
+          ev.filter($"event_type" === "click"),
+          ev.filter($"event_type" === "purchase"),
+          joinType = "left_outer")
+          .orderBy($"user_id", $"event_id", $"click_id".asc_nulls_first)
+      },
+      Some("""WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+             |c AS (SELECT user_id AS c_user, event_id AS click_id,
+             |        ts AS click_ts
+             |      FROM ev WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id, ts AS purchase_ts FROM ev
+             |      WHERE event_type = 'purchase')
+             |SELECT p.user_id, p.event_id, p.purchase_ts,
+             |  c.click_id, c.click_ts
+             |FROM p LEFT JOIN c
+             |  ON p.user_id = c.c_user
+             |  AND p.purchase_ts >= c.click_ts
+             |  AND p.purchase_ts < c.click_ts + INTERVAL '1 hour'
+             |ORDER BY p.user_id, p.event_id, c.click_id NULLS FIRST""".stripMargin),
+      doc = "Stream-stream interval join, left-outer: watermark-completed null emission"),
+
+    // ------------------------------------------------------------------
     // q66: ordered behavioral funnel — how many users progress through
     // view → click → purchase IN THAT ORDER. Stage flags are carried
     // per user with strictly-prior window maxima over one (user_id, ts)

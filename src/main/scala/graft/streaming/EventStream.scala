@@ -123,9 +123,18 @@ object EventStream {
   /** The shared transform: takes the two event streams RAW (long-nanos
     * ts, same schema as the source) and returns matched
     * (user_id, event_id, purchase_ts, click_id, click_ts) pairs. Works
-    * on batch AND streaming frames — watermarks are no-ops in batch. */
+    * on batch AND streaming frames — watermarks are no-ops in batch.
+    *
+    * @param joinType "inner" (q69: every emitted pair final under
+    *   append mode) or "left_outer" (q6a: a purchase with NO click in
+    *   the horizon is still emitted, with null click columns — in
+    *   streaming, the null row is emitted only once the watermark
+    *   proves no matching click can still arrive, which is the
+    *   watermark-driven completion semantics StreamingSpec exercises
+    *   with a watermark-advancing sentinel). */
   def intervalJoin(clicks: DataFrame, purchases: DataFrame,
-      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+      horizon: String = "1 hour", watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         timestamp_micros(expr("ts div 1000")).as("click_ts"))
@@ -137,7 +146,8 @@ object EventStream {
     p.join(c,
       col("user_id") === col("c_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL '$horizon'"))
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL '$horizon'"),
+      joinType)
       .select(col("user_id"), col("event_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"))
   }

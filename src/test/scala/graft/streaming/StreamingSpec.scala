@@ -205,6 +205,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(crossing > 0, "split produced no state-crossing matches")
   }
 
+  test("stream-stream LEFT OUTER interval join completes nulls under watermark") {
+    import org.apache.spark.sql.functions._
+    // outer results can only be emitted once the watermark PROVES no
+    // in-horizon click can still arrive, and Spark evaluates that
+    // eviction at the start of a subsequent batch — so a far-future
+    // sentinel event lands in BOTH sources as a second trigger, pushing
+    // the global watermark past every real event + horizon. After the
+    // sentinel rows are filtered back out, the drained stream must
+    // equal the batch left-outer run (q6a's registered form): matched
+    // pairs AND null-completed purchases.
+    val all = EventStream.readBatch(spark, s"$sfDir/events.parquet")
+      .filter(col("user_id") < 20)
+    val clicks = all.filter(col("event_type") === "click")
+    val purchases = all.filter(col("event_type") === "purchase")
+    val maxTs = all.agg(max(col("ts"))).collect().head.getLong(0)
+    val sentinelTs = maxTs + 365L * 24 * 3600 * 1000000000L // +1 year (ns)
+    def sentinel(eventType: String) = {
+      import spark.implicits._
+      Seq((999999L, sentinelTs, 9999L, eventType, 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    def stage(df: org.apache.spark.sql.DataFrame, dir: java.nio.file.Path,
+        name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ssjo").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+      val dst = dir.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val clickDir = java.nio.file.Files.createTempDirectory("ssjo-clicks")
+    val purchDir = java.nio.file.Files.createTempDirectory("ssjo-purch")
+    stage(clicks, clickDir, "a-clicks.parquet", 1000000L)
+    stage(sentinel("click"), clickDir, "b-sentinel.parquet", 2000000L)
+    stage(purchases, purchDir, "a-purch.parquet", 1000000L)
+    stage(sentinel("purchase"), purchDir, "b-sentinel.parquet", 2000000L)
+
+    def src(dir: java.nio.file.Path) = spark.readStream
+      .schema(EventStream.RawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val query = EventStream
+      .intervalJoin(src(clickDir), src(purchDir), joinType = "left_outer")
+      .writeStream.format("memory").queryName("evt_ssjo")
+      .outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getTimestamp(4))
+    val got = spark.table("evt_ssjo").collect().map(key)
+      .filterNot(_._1 == 9999L).toSet
+    val want = EventStream
+      .intervalJoin(clicks, purchases, joinType = "left_outer")
+      .collect().map(key).toSet
+    assert(got == want && got.nonEmpty,
+      s"outer stream ${got.size} rows != batch ${want.size}")
+    // the interesting rows: purchases with NO in-horizon click, which
+    // only the watermark could have completed
+    val nullCompleted = want.count(_._4 == -1L)
+    assert(nullCompleted > 0, "fixture has no null-completed purchases")
+  }
+
   test("streaming dedup within watermark drops re-delivered events") {
     import org.apache.spark.sql.functions._
     // simulate at-least-once delivery: the same file arrives twice
