@@ -773,6 +773,63 @@ object Dedup extends Registry {
              |            JOIN sg_c sb ON sb.doc_id = corpus_doc)
              |SELECT batch_doc, corpus_doc, round(jac, 4) AS jaccard FROM j
              |WHERE jac >= 0.5 ORDER BY batch_doc, corpus_doc""".stripMargin),
-      doc = "Fuzzy incremental ingest: batch sketches vs stored MinHash index, exact-verified")
+      doc = "Fuzzy incremental ingest: batch sketches vs stored MinHash index, exact-verified"),
+
+    // ------------------------------------------------------------------
+    // q4c: cross-document VERBATIM span detection — the memorization-
+    // hygiene pass (shared word-for-word runs between different
+    // documents, the thing near-dup Jaccard is blind to when two long
+    // documents share one paragraph). Each content class emits
+    // 32-char windows at stride 16 (any shared run ≥ 47 chars is
+    // guaranteed to contain at least one aligned window on one side —
+    // and both sides align because a VERBATIM copy preserves offsets
+    // only modulo the stride, so the gate asks for ≥ 2 shared windows
+    // from the SAME grouped window text, catching copies at any
+    // alignment that share ≥ 2 stride-grid windows). Plan shape =
+    // q42's bucket join with exact window TEXT as the key (no hash, no
+    // collisions): narrow window explode, one shuffle of (window,
+    // doc_id), per-window groups capped at MaxBucketSize (ubiquitous
+    // boilerplate windows are a skew bomb, same guard as LSH), pair
+    // counts aggregated. At 100 TB the shuffle carries 32-char keys —
+    // constant per window — and caps bound every group.
+    QueryDef(
+      "q4c_verbatim_spans",
+      (s, dir) => {
+        import s.implicits._
+        val reps = contentClassReps(table(s, dir, "documents"))
+        val wins = reps.filter(length($"text") >= 32)
+          .select($"doc_id", explode(transform(
+            sequence(lit(0), ((length($"text") - 32) / lit(16)).cast("int")),
+            i => $"text".substr(i * 16 + 1, lit(32)))).as("win"))
+          // distinct per doc: n_shared_windows counts DISTINCT shared
+          // window texts, not within-document repetition multiplicity
+          .dropDuplicates("doc_id", "win")
+        val capped = capBuckets(wins, Seq("win"))
+        capped.as("a").join(capped.as("b"),
+          $"a.win" === $"b.win" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .agg(count(lit(1)).as("n_shared_windows"))
+          .filter($"n_shared_windows" >= 2)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH reps AS (
+             |  SELECT min(doc_id) AS doc_id, min(text) AS text
+             |  FROM documents GROUP BY md5(text)),
+             |w AS (
+             |  SELECT DISTINCT doc_id, win FROM (
+             |    SELECT doc_id, unnest([substr(text, 16*i + 1, 32)
+             |      for i in range(0, (len(text) - 32) // 16 + 1)]) AS win
+             |    FROM reps WHERE len(text) >= 32) t),
+             |capped AS (
+             |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY win)
+             |                   AS bsz FROM w) z
+             |  WHERE bsz <= 64)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  count(*) AS n_shared_windows
+             |FROM capped a JOIN capped b
+             |  ON a.win = b.win AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 2
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "Cross-document verbatim spans: stride-16 32-char windows, capped exact-text bucket join")
   )
 }
