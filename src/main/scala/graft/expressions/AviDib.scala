@@ -29,7 +29,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType}
   */
 object AviDib {
 
-  import LeBytes.{u16le, u32le, readU32}
+  import LeBytes.{u16le, u32le, readU32, fourcc}
 
   private def fourccBytes(s: String): Array[Byte] =
     s.getBytes(StandardCharsets.US_ASCII)
@@ -97,8 +97,13 @@ object AviDib {
     }
     val hdrl = list("hdrl", chunk("avih", avih) ++
       list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val movi = list("movi",
-      frames.map(f => chunk("00db", f)).reduce(_ ++ _))
+    val movi = {
+      // linear assembly — frames.reduce(_ ++ _) recopies the prefix
+      // per frame (O(F²) bytes)
+      val o = new java.io.ByteArrayOutputStream()
+      frames.foreach(f => o.write(chunk("00db", f)))
+      list("movi", o.toByteArray)
+    }
     val body = fourccBytes("AVI ") ++ hdrl ++ movi
     fourccBytes("RIFF") ++ u32le(body.length) ++ body
   }
@@ -106,8 +111,6 @@ object AviDib {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"avi_dib: $msg")
 
-  private def fourcc(b: Array[Byte], off: Int): String =
-    new String(b, off, 4, StandardCharsets.US_ASCII)
 
   /** Extract the DIB frame payloads by walking the container; validates
     * RIFF/'AVI ' magics and the avih frame count. */
@@ -117,13 +120,16 @@ object AviDib {
     if (fourcc(avi, 8) != "AVI ") fail("missing 'AVI ' form type")
     val riffEnd = math.min(avi.length.toLong, 8L + readU32(avi, 4))
     val out = new java.util.ArrayList[Array[Byte]]()
-    var declared = -1
+    var declared = -1L
+    var sawAvih = false
     var off = 12
     while (off + 8 <= riffEnd) {
       val cid = fourcc(avi, off)
       val size = readU32(avi, off + 4)
-      if (size < 0 || off + 8L + size > avi.length)
-        fail(s"chunk '$cid' overruns the container")
+      // bound against the DECLARED riff extent, not the raw array:
+      // trailing bytes past the declared size are not container content
+      if (size < 0 || off + 8L + size > riffEnd)
+        fail(s"chunk '$cid' overruns the declared RIFF extent")
       if (cid == "LIST" && size >= 4) {
         val listType = fourcc(avi, off + 8)
         if (listType == "movi") {
@@ -152,7 +158,10 @@ object AviDib {
               fail(s"hdrl chunk '$hid' overruns its list")
             if (hid == "avih") {
               if (hsize < 24) fail(s"avih too short ($hsize)")
-              declared = readU32(avi, sub + 8 + 16) // dwTotalFrames
+              // u32: read unsigned so a count >= 2^31 reports as a
+              // frame-count mismatch, not a bogus missing-header error
+              declared = readU32(avi, sub + 8 + 16) & 0xffffffffL
+              sawAvih = true
               found = true
             }
             sub += 8 + hsize + (hsize & 1)
@@ -161,8 +170,8 @@ object AviDib {
       }
       off += 8 + size + (size & 1)
     }
-    if (declared < 0) fail("no avih main header")
-    if (out.size != declared)
+    if (!sawAvih) fail("no avih main header")
+    if (out.size.toLong != declared)
       fail(s"avih declares $declared frames, movi carries ${out.size}")
     new GenericArrayData(out.toArray)
   }

@@ -36,9 +36,14 @@ object BmpRgb24 {
     * `payload` (BGR triples; the last row's surplus pixel slots are
     * zero-filled). */
   def encode(payload: Array[Byte], width: Int): Array[Byte] = {
-    require(width > 0, s"bmp_rgb24: width must be positive, got $width")
+    // the encoder's domain mirrors the decoder's validation caps, so
+    // encode→pixels can never fail on the codec's own output
+    require(width > 0 && width <= (1 << 20),
+      s"bmp_rgb24: width must be in (0, 2^20], got $width")
     val nPx = (payload.length + 2) / 3
     val height = math.max(1, (nPx + width - 1) / width)
+    require(height <= (1 << 20),
+      s"bmp_rgb24: payload needs height $height > 2^20 at width $width")
     val rowBytes = width * 3
     val rowSize = (rowBytes + 3) & ~3 // stored rows pad to 4-byte boundary
     val imageSize = rowSize * height

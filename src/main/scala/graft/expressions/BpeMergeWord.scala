@@ -26,7 +26,12 @@ object BpeMergeWord {
     var i = 0
     while (i < n) {
       val t = tokens.getUTF8String(i)
-      if (i + 1 < n && t.equals(a) && tokens.getUTF8String(i + 1).equals(b)) {
+      // null elements pass through unmerged (null matches no pair);
+      // t.equals(null-lookahead) is already false for UTF8String
+      if (t != null && i + 1 < n && t.equals(a) && {
+            val next = tokens.getUTF8String(i + 1)
+            next != null && next.equals(b)
+          }) {
         out.add(UTF8String.concat(a, b))
         i += 2
       } else {
@@ -48,7 +53,11 @@ case class BpeMergeWordExpr(first: Expression, second: Expression,
       s"bpe_merge_word requires (array<string>, string, string), got " +
         s"${first.dataType} / ${second.dataType} / ${third.dataType}")
   }
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = first.dataType match {
+    // null elements pass through, so nullability mirrors the input
+    case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = false)
+  }
   override def prettyName: String = "bpe_merge_word"
   override protected def nullSafeEval(t: Any, a: Any, b: Any): Any =
     BpeMergeWord.merge(t.asInstanceOf[ArrayData],

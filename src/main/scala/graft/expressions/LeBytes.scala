@@ -18,4 +18,8 @@ private[expressions] object LeBytes {
 
   def readU16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Four-character chunk tag at `off` (RIFF-family containers). */
+  def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 }

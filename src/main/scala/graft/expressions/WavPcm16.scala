@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType}
   */
 object WavPcm16 {
 
-  import LeBytes.{u16le, u32le, readU16, readU32}
+  import LeBytes.{u16le, u32le, readU16, readU32, fourcc}
 
   /** Build a valid mono PCM16 WAV whose data chunk is `payload` (minus
     * a trailing odd byte). */
@@ -57,8 +57,6 @@ object WavPcm16 {
     out.toByteArray
   }
 
-  private def fourcc(b: Array[Byte], off: Int): String =
-    new String(b, off, 4, StandardCharsets.US_ASCII)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"wav_pcm16: $msg")

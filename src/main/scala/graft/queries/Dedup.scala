@@ -780,12 +780,15 @@ object Dedup extends Registry {
     // hygiene pass (shared word-for-word runs between different
     // documents, the thing near-dup Jaccard is blind to when two long
     // documents share one paragraph). Each content class emits
-    // 32-char windows at stride 16 (any shared run ≥ 47 chars is
-    // guaranteed to contain at least one aligned window on one side —
-    // and both sides align because a VERBATIM copy preserves offsets
-    // only modulo the stride, so the gate asks for ≥ 2 shared windows
-    // from the SAME grouped window text, catching copies at any
-    // alignment that share ≥ 2 stride-grid windows). Plan shape =
+    // 32-char windows at stride 16. Detection contract, stated
+    // honestly: a copy whose offset shift is ≡ 0 (mod 16) shares the
+    // whole run's windows and is caught deterministically (the common
+    // cases — full-document copies and copies at position 0 — are
+    // always stride-aligned); an arbitrary-phase copy is caught only
+    // when the two stride grids happen to land ≥ 2 common windows.
+    // Full phase-independence costs stride-1 windows on one side (16×
+    // the rows) or content-defined winnowing — the standard
+    // cost/recall dial, and the stride is the knob. Plan shape =
     // q42's bucket join with exact window TEXT as the key (no hash, no
     // collisions): narrow window explode, one shuffle of (window,
     // doc_id), per-window groups capped at MaxBucketSize (ubiquitous

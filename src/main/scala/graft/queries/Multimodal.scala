@@ -387,7 +387,9 @@ object Multimodal extends Registry {
     // boundary fails the oracle, which replays everything from hex
     // byte pairs (frameBytes=96 is a multiple of the BMP's 48-byte
     // logical row pair, so full frames carry no zero tail and payload
-    // index i maps to (frame i/96, offset i%96) exactly).
+    // index i maps to (frame i/96, offset i%96) exactly; the empty-doc
+    // corner — encode emits ONE all-zero frame — is mirrored by the
+    // greatest(1, ·) guards on both frame count and frame height).
     QueryDef(
       "q86_avi_dib",
       (s, dir) => {
@@ -419,12 +421,13 @@ object Multimodal extends Registry {
              |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
              |     for i in range(0, octet_length(bl))] AS bs
              |  FROM a),
-             |d AS (SELECT doc_id, n, (n + 95) // 96 AS nf,
-             |        n - 96 * ((n + 95) // 96 - 1) AS lastlen, bs
+             |d AS (SELECT doc_id, n, greatest(1, (n + 95) // 96) AS nf,
+             |        n - 96 * (greatest(1, (n + 95) // 96) - 1) AS lastlen, bs
              |      FROM st)
              |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
              |  CAST(96 * (nf - 1)
-             |       + ((((lastlen + 2) // 3) + 15) // 16) * 48 AS BIGINT)
+             |       + greatest(1, (((lastlen + 2) // 3) + 15) // 16) * 48
+             |       AS BIGINT)
              |    AS total_pixel_bytes,
              |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
              |    i -> CASE WHEN (i % 96) % 3 = 0 THEN bs[i+1] ELSE 0 END)), 0)
