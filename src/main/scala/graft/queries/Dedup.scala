@@ -288,6 +288,30 @@ object Dedup extends Registry {
     result
   }
 
+  /** q4c's pair detector over any (doc_id, text) frame — factored so
+    * the spec can prove alignment-independence on planted shifted
+    * copies. See the q4c QueryDef for the full design rationale. */
+  private[queries] def verbatimSpanPairs(reps: DataFrame): DataFrame = {
+    import reps.sparkSession.implicits._
+    val wins = reps.filter(length($"text") >= 32)
+      .select($"doc_id", explode(filter(transform(
+        sequence(lit(1), length($"text") - 31),
+        i => when(
+          Sampling.md5Prefix16($"text".substr(i, lit(4))) % 8 === 0,
+          $"text".substr(i, lit(32)))),
+        w => w.isNotNull)).as("win"))
+      // distinct per doc: n_shared_windows counts DISTINCT shared
+      // window texts, not within-document repetition multiplicity
+      .dropDuplicates("doc_id", "win")
+    val capped = capBuckets(wins, Seq("win"))
+    capped.as("a").join(capped.as("b"),
+      $"a.win" === $"b.win" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .filter($"n_shared_windows" >= 2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** One side of the q4b oracle: q42's full sketch replay (shingles →
     * md5_63 bases → rotl-xor salted minima → band hashes → per-side
     * bucket cap), restricted to one doc_id parity and suffixed so the
@@ -779,50 +803,41 @@ object Dedup extends Registry {
     // q4c: cross-document VERBATIM span detection — the memorization-
     // hygiene pass (shared word-for-word runs between different
     // documents, the thing near-dup Jaccard is blind to when two long
-    // documents share one paragraph). Each content class emits
-    // 32-char windows at stride 16. Detection contract, stated
-    // honestly: a copy whose offset shift is ≡ 0 (mod 16) shares the
-    // whole run's windows and is caught deterministically (the common
-    // cases — full-document copies and copies at position 0 — are
-    // always stride-aligned); an arbitrary-phase copy is caught only
-    // when the two stride grids happen to land ≥ 2 common windows.
-    // Full phase-independence costs stride-1 windows on one side (16×
-    // the rows) or content-defined winnowing — the standard
-    // cost/recall dial, and the stride is the knob. Plan shape =
-    // q42's bucket join with exact window TEXT as the key (no hash, no
-    // collisions): narrow window explode, one shuffle of (window,
-    // doc_id), per-window groups capped at MaxBucketSize (ubiquitous
+    // documents share one paragraph). Windows are CONTENT-DEFINED
+    // (winnowing/CDC-style), not stride-gridded: position i anchors a
+    // 32-char window iff md5 of the 4-gram AT i lands in the 1-in-8
+    // residue class. Because the anchor decision is a pure function of
+    // local content, both copies of a shared run select IDENTICAL
+    // anchor positions regardless of where the run sits in each
+    // document — detection is alignment-independent by construction
+    // (a stride grid, the obvious alternative, silently misses any
+    // copy shifted off-phase). Expected anchor density is len/8; a
+    // shared run is caught iff its content carries ≥ 2 anchors —
+    // deterministic per content, the density/recall knob is the
+    // residue modulus. Plan shape = q42's bucket join with exact
+    // window TEXT as the key (no hash collisions): narrow anchor
+    // selection + window explode, one shuffle of (window, doc_id),
+    // per-window groups capped at MaxBucketSize (ubiquitous
     // boilerplate windows are a skew bomb, same guard as LSH), pair
     // counts aggregated. At 100 TB the shuffle carries 32-char keys —
     // constant per window — and caps bound every group.
     QueryDef(
       "q4c_verbatim_spans",
-      (s, dir) => {
-        import s.implicits._
-        val reps = contentClassReps(table(s, dir, "documents"))
-        val wins = reps.filter(length($"text") >= 32)
-          .select($"doc_id", explode(transform(
-            sequence(lit(0), ((length($"text") - 32) / lit(16)).cast("int")),
-            i => $"text".substr(i * 16 + 1, lit(32)))).as("win"))
-          // distinct per doc: n_shared_windows counts DISTINCT shared
-          // window texts, not within-document repetition multiplicity
-          .dropDuplicates("doc_id", "win")
-        val capped = capBuckets(wins, Seq("win"))
-        capped.as("a").join(capped.as("b"),
-          $"a.win" === $"b.win" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-          .agg(count(lit(1)).as("n_shared_windows"))
-          .filter($"n_shared_windows" >= 2)
-          .orderBy($"doc_a", $"doc_b")
-      },
+      (s, dir) => verbatimSpanPairs(contentClassReps(
+        table(s, dir, "documents"))),
       Some("""WITH reps AS (
              |  SELECT min(doc_id) AS doc_id, min(text) AS text
              |  FROM documents GROUP BY md5(text)),
              |w AS (
              |  SELECT DISTINCT doc_id, win FROM (
-             |    SELECT doc_id, unnest([substr(text, 16*i + 1, 32)
-             |      for i in range(0, (len(text) - 32) // 16 + 1)]) AS win
-             |    FROM reps WHERE len(text) >= 32) t),
+             |    SELECT doc_id,
+             |      unnest([CASE WHEN CAST('0x' ||
+             |            substr(md5(substr(text, i, 4)), 1, 4) AS BIGINT)
+             |            % 8 = 0
+             |        THEN substr(text, i, 32) END
+             |        for i in range(1, len(text) - 30)]) AS win
+             |    FROM reps WHERE len(text) >= 32) t
+             |  WHERE win IS NOT NULL),
              |capped AS (
              |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY win)
              |                   AS bsz FROM w) z
@@ -833,6 +848,6 @@ object Dedup extends Registry {
              |  ON a.win = b.win AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 HAVING count(*) >= 2
              |ORDER BY doc_a, doc_b""".stripMargin),
-      doc = "Cross-document verbatim spans: stride-16 32-char windows, capped exact-text bucket join")
+      doc = "Cross-document verbatim spans: content-defined anchor windows (alignment-independent), capped exact-text bucket join")
   )
 }

@@ -74,6 +74,27 @@ class Round8OpsSpec extends AnyFunSuite {
     } finally c.unpersist()
   }
 
+  test("q4c catches a verbatim copy at ANY alignment (content anchors)") {
+    import spark.implicits._
+    // the same 300-char paragraph planted in three documents at
+    // mutually off-phase offsets (0, 7, 13 — no stride grid aligns
+    // them), surrounded by unrelated filler; plus a control document
+    // with no shared content. Content-defined anchors must pair all
+    // three copies with each other and never the control.
+    val para = (1 to 60).map(i => s"tok$i").mkString(" ").take(300)
+    def filler(seed: String, n: Int) =
+      Iterator.tabulate(n)(i => s"$seed$i").mkString(" ").take(n)
+    val docs = Seq(
+      (1L, para + " " + filler("aa", 100)),
+      (2L, filler("bb", 7) + " " + para + " " + filler("cc", 50)),
+      (3L, filler("dd", 13) + " " + para),
+      (4L, filler("ee", 400))).toDF("doc_id", "text")
+    val pairs = Dedup.verbatimSpanPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected exactly the three copy pairs, got $pairs")
+  }
+
   test("q5a output shape: n_iters in range, members partition the corpus") {
     val rows = run("q5a_kmeans_converge").collect()
     assert(rows.length == 8)
