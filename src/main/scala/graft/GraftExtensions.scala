@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bpeMergeWord)
     ext.injectFunction(GraftExtensions.aviEncode)
     ext.injectFunction(GraftExtensions.aviFrames)
+    ext.injectFunction(GraftExtensions.anchorWindows)
   }
 }
 
@@ -169,6 +170,19 @@ object GraftExtensions {
     new ExpressionInfo(classOf[AviDibFramesExpr].getName, "avi_dib_frames"),
     (args: Seq[Expression]) => AviDibFramesExpr(args.head))
 
+  private val anchorWindows: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("anchor_windows"),
+    new ExpressionInfo(classOf[AnchorWindowsExpr].getName, "anchor_windows"),
+    (args: Seq[Expression]) => args match {
+      case Seq(text) => AnchorWindowsExpr(text, 4, 32, 8)
+      case Seq(text, k, w, m) => AnchorWindowsExpr(text,
+        constK("anchor_windows", k), constK("anchor_windows", w),
+        constK("anchor_windows", m))
+      case _ => throw new IllegalArgumentException(
+        "anchor_windows(text[, k, w, mod])")
+    })
+
   /** Idempotent per-session registration for sessions not created with
     * the extensions config (e.g. the driver harness's own session). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -177,7 +191,7 @@ object GraftExtensions {
     for (fn <- Seq(minhashBands, simhash64, vecDot, shingleHashes,
         shingleStrings, jaccardSorted, wavEncode, wavSamples, wavRate,
         bmpEncode, bmpPixels, bmpWidth, bmpHeight, bpeMergeWord,
-        aviEncode, aviFrames))
+        aviEncode, aviFrames, anchorWindows))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
   }

@@ -293,13 +293,13 @@ object Dedup extends Registry {
     * copies. See the q4c QueryDef for the full design rationale. */
   private[queries] def verbatimSpanPairs(reps: DataFrame): DataFrame = {
     import reps.sparkSession.implicits._
+    graft.GraftExtensions.ensureRegistered(reps.sparkSession)
+    // anchor selection + window emission as ONE codegen pass
+    // (expressions.AnchorWindows) — the per-position transform/filter
+    // built-in form is interpreted and was 4.1s of the sf0.1 bench
     val wins = reps.filter(length($"text") >= 32)
-      .select($"doc_id", explode(filter(transform(
-        sequence(lit(1), length($"text") - 31),
-        i => when(
-          Sampling.md5Prefix16($"text".substr(i, lit(4))) % 8 === 0,
-          $"text".substr(i, lit(32)))),
-        w => w.isNotNull)).as("win"))
+      .select($"doc_id",
+        explode(expr("anchor_windows(text, 4, 32, 8)")).as("win"))
       // distinct per doc: n_shared_windows counts DISTINCT shared
       // window texts, not within-document repetition multiplicity
       .dropDuplicates("doc_id", "win")
@@ -831,9 +831,8 @@ object Dedup extends Registry {
              |w AS (
              |  SELECT DISTINCT doc_id, win FROM (
              |    SELECT doc_id,
-             |      unnest([CASE WHEN CAST('0x' ||
-             |            substr(md5(substr(text, i, 4)), 1, 4) AS BIGINT)
-             |            % 8 = 0
+             |      unnest([CASE WHEN (md5_number_lower(substr(text, i, 4))
+             |            & 9223372036854775807::UBIGINT) % 8 = 0
              |        THEN substr(text, i, 32) END
              |        for i in range(1, len(text) - 30)]) AS win
              |    FROM reps WHERE len(text) >= 32) t
