@@ -76,9 +76,9 @@ object GraftExtensions {
       case s: Short => s.toInt
       case b: Byte => b.toInt
       case _ => throw new IllegalArgumentException(
-        s"$fn k must be a constant integer, got $e")
+        s"$fn requires constant integer arguments, got $e")
     }
-    require(k >= 1, s"$fn k must be >= 1, got $k")
+    require(k >= 1, s"$fn arguments must be >= 1, got $k")
     k
   }
 

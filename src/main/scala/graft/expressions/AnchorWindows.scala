@@ -20,16 +20,27 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object AnchorWindows {
   def eval(text: UTF8String, k: Int, w: Int, mod: Int): ArrayData = {
+    // code-point byte offsets in ONE pass: UTF8String.substring rescans
+    // from byte 0 per call, which would make this loop O(n²) per
+    // document — precomputing offsets keeps it linear (plus the MD5s)
+    val bytes = text.getBytes
     val n = text.numChars()
+    val offsets = new Array[Int](n + 1)
+    var b = 0
+    var j = 0
+    while (j < n) {
+      offsets(j) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      j += 1
+    }
+    offsets(n) = bytes.length
     val out = new java.util.ArrayList[UTF8String]()
-    if (n >= w) {
-      var i = 0
-      while (i + w <= n) {
-        val gram = text.substring(i, i + k) // 0-based code points, exclusive
-        if ((Md5Hash64.lower64(gram.getBytes) & Long.MaxValue) % mod == 0)
-          out.add(text.substring(i, i + w))
-        i += 1
-      }
+    var i = 0
+    while (i + w <= n) {
+      val gOff = offsets(i)
+      if (Md5Hash64.lower63(bytes, gOff, offsets(i + k) - gOff) % mod == 0)
+        out.add(UTF8String.fromBytes(bytes, gOff, offsets(i + w) - gOff))
+      i += 1
     }
     new GenericArrayData(out.toArray)
   }

@@ -27,14 +27,25 @@ object Md5Hash64 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def lower64(bytes: Array[Byte]): Long = {
-    val m = md.get()
-    m.reset()
-    val d = m.digest(bytes)
+  private def assemble(d: Array[Byte]): Long =
     ((d(15) & 0xffL) << 56) | ((d(14) & 0xffL) << 48) |
       ((d(13) & 0xffL) << 40) | ((d(12) & 0xffL) << 32) |
       ((d(11) & 0xffL) << 24) | ((d(10) & 0xffL) << 16) |
       ((d(9) & 0xffL) << 8) | (d(8) & 0xffL)
+
+  def lower64(bytes: Array[Byte]): Long = {
+    val m = md.get()
+    m.reset()
+    assemble(m.digest(bytes))
+  }
+
+  /** Range form — hash `len` bytes at `off` without slicing a copy
+    * (the AnchorWindows hot loop hashes one k-gram per position). */
+  def lower64(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val m = md.get()
+    m.reset()
+    m.update(bytes, off, len)
+    assemble(m.digest())
   }
 
   def lower64(s: String): Long =
@@ -43,4 +54,9 @@ object Md5Hash64 {
   /** Sign-bit-masked variant: non-negative, = DuckDB
     * `(md5_number_lower(s) & 9223372036854775807)::BIGINT`. */
   def lower63(s: String): Long = lower64(s) & Long.MaxValue
+
+  /** Range form of [[lower63]] — ONE definition of the sign-mask
+    * convention for byte-range callers too. */
+  def lower63(bytes: Array[Byte], off: Int, len: Int): Long =
+    lower64(bytes, off, len) & Long.MaxValue
 }

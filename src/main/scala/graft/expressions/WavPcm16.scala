@@ -72,8 +72,10 @@ object WavPcm16 {
     while (off + 8 <= riffEnd) {
       val cid = fourcc(wav, off)
       val size = readU32(wav, off + 4)
-      if (size < 0 || off + 8L + size > wav.length)
-        fail(s"chunk '$cid' overruns the container")
+      // bound against the DECLARED riff extent (same rule as AviDib):
+      // trailing bytes past the declared size are not container content
+      if (size < 0 || off + 8L + size > riffEnd)
+        fail(s"chunk '$cid' overruns the declared RIFF extent")
       if (cid == id) return (off + 8, size)
       off += 8 + size + (size & 1) // odd-sized chunks carry a pad byte
     }

@@ -77,10 +77,13 @@ class Round8OpsSpec extends AnyFunSuite {
   test("q4c catches a verbatim copy at ANY alignment (content anchors)") {
     import spark.implicits._
     // the same 300-char paragraph planted in three documents at
-    // mutually off-phase offsets (0, 7, 13 — no stride grid aligns
-    // them), surrounded by unrelated filler; plus a control document
-    // with no shared content. Content-defined anchors must pair all
-    // three copies with each other and never the control.
+    // different offsets (0, 8, and 14 counting the joining space —
+    // mutually off-phase for the stride-16 grid this detector
+    // replaced), surrounded by unrelated filler; plus a control
+    // document with no shared content. Content-defined anchors derive
+    // the same anchor set from the paragraph ITSELF, so all three
+    // copies must pair with each other and never with the control,
+    // regardless of offset.
     val para = (1 to 60).map(i => s"tok$i").mkString(" ").take(300)
     def filler(seed: String, n: Int) =
       Iterator.tabulate(n)(i => s"$seed$i").mkString(" ").take(n)
