@@ -37,4 +37,32 @@ class BpeMergeWordSpec extends AnyFunSuite {
   test("multibyte tokens merge by code point, not bytes") {
     assert(m(Seq("的", "是", "的"), "的", "是") == Seq("的是", "的"))
   }
+
+  test("single L2R scan == leftmost-repeat reference on random streams") {
+    // the oracle replays the leftmost-repeat form; the kernel runs one
+    // left-to-right scan — the equivalence argument (a merged token is
+    // strictly longer than either input) is here checked by brute force
+    // on dense random streams over a tiny alphabet with self-pairs
+    def leftmostRepeat(tokens: List[String], a: String,
+        b: String): List[String] = {
+      val idx =
+        if (tokens.size < 2) -1
+        else tokens.zip(tokens.tail).indexWhere {
+          case (x, y) => x == a && y == b
+        }
+      if (idx < 0) tokens
+      else leftmostRepeat(
+        tokens.take(idx) ++ ((a + b) :: tokens.drop(idx + 2)), a, b)
+    }
+    val rnd = new scala.util.Random(11)
+    val alphabet = Vector("a", "b", "ab", "aa")
+    for (trial <- 1 to 200) {
+      val tokens = List.fill(rnd.nextInt(12))(
+        alphabet(rnd.nextInt(alphabet.length)))
+      val a = alphabet(rnd.nextInt(alphabet.length))
+      val b = alphabet(rnd.nextInt(alphabet.length))
+      assert(m(tokens, a, b) == leftmostRepeat(tokens, a, b),
+        s"trial $trial: tokens=$tokens pair=($a,$b)")
+    }
+  }
 }
