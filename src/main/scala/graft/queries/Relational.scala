@@ -678,6 +678,62 @@ object Relational extends Registry {
              |  true AS orders_within_10pct,
              |  true AS median_within_2pct
              |FROM lineitem""".stripMargin),
-      doc = "HLL count-distinct + approx percentile with gated error bounds")
+      doc = "HLL count-distinct + approx percentile with gated error bounds"),
+
+    // ------------------------------------------------------------------
+    // q1e: native RECURSIVE CTE (Spark 4's WITH RECURSIVE) — the
+    // hierarchical-traversal family (org charts, BOMs, entity
+    // lineage): ancestors of every entity in the heterogeneous
+    // order→customer→nation→region graph, computed by a
+    // depth-INDEPENDENT recursive program (the query does not know the
+    // graph is 3 levels deep — the recursion discovers it). Spark's
+    // recursive CTE supports UNION ALL only, so this is the DAG form;
+    // cyclic closure (duplicate clusters) is q48's large-star/
+    // small-star CC operator, which is also the 100 TB path for
+    // unbounded-diameter graphs — native recursion ships one join+
+    // shuffle per LEVEL, perfect for shallow hierarchies, wrong for
+    // deep components. The oracle runs the IDENTICAL recursive program
+    // in DuckDB — independent recursive evaluation, same fixpoint.
+    QueryDef(
+      "q1e_recursive_hierarchy",
+      (s, dir) => {
+        import s.implicits._
+        val edges = table(s, dir, "orders")
+          .select(concat(lit("o:"), $"o_orderkey").as("child"),
+            concat(lit("c:"), $"o_custkey").as("parent"))
+          .unionAll(table(s, dir, "customer")
+            .select(concat(lit("c:"), $"c_custkey"),
+              concat(lit("n:"), $"c_nationkey")))
+          .unionAll(table(s, dir, "nation")
+            .select(concat(lit("n:"), $"n_nationkey"),
+              concat(lit("r:"), $"n_regionkey")))
+        edges.createOrReplaceTempView("g_entity_edges")
+        s.sql("""WITH RECURSIVE anc(child, ancestor, depth) AS (
+                |  SELECT child, parent, 1 FROM g_entity_edges
+                |  UNION ALL
+                |  SELECT a.child, e.parent, a.depth + 1
+                |  FROM anc a JOIN g_entity_edges e ON a.ancestor = e.child)
+                |SELECT depth, count(*) AS n_paths,
+                |  sum(CASE WHEN ancestor LIKE 'r:%' THEN 1 ELSE 0 END)
+                |    AS n_to_region
+                |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT 'o:' || o_orderkey AS child,
+             |         'c:' || o_custkey AS parent FROM orders
+             |  UNION ALL
+             |  SELECT 'c:' || c_custkey, 'n:' || c_nationkey FROM customer
+             |  UNION ALL
+             |  SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation),
+             |anc(child, ancestor, depth) AS (
+             |  SELECT child, parent, 1 FROM e
+             |  UNION ALL
+             |  SELECT a.child, e.parent, a.depth + 1
+             |  FROM anc a JOIN e ON a.ancestor = e.child)
+             |SELECT depth, count(*) AS n_paths,
+             |  CAST(sum(CASE WHEN ancestor LIKE 'r:%' THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_to_region
+             |FROM anc GROUP BY depth ORDER BY depth""".stripMargin),
+      doc = "Native recursive CTE: depth-independent ancestor traversal of the entity DAG")
   )
 }
