@@ -111,10 +111,15 @@ object WavPcm16 {
     new GenericArrayData(out)
   }
 
-  /** Sample rate parsed from the fmt chunk. */
+  /** Sample rate parsed from the fmt chunk. Range-checked: readU32
+    * returns a signed Int, so a rate ≥ 2³¹ would otherwise surface as a
+    * negative number instead of the descriptive rejection every other
+    * out-of-range header field gets. */
   def sampleRate(wav: Array[Byte]): Int = {
     val off = checkFmt(wav)
-    readU32(wav, off + 4)
+    val rate = readU32(wav, off + 4)
+    if (rate <= 0) fail(s"sample rate out of range ($rate)")
+    rate
   }
 }
 

@@ -270,22 +270,25 @@ object Dedup extends Registry {
     val cands = batchSigs.join(index, Seq("band", "bh"))
       .select($"batch_doc", $"corpus_doc")
       .dropDuplicates("batch_doc", "corpus_doc").persist()
-    val shB = batchReps
-      .join(cands.select($"batch_doc".as("doc_id")), Seq("doc_id"), "left_semi")
-      .select($"doc_id".as("batch_doc"),
-        expr("shingle_hashes(text, 3)").as("sh_b"))
-    val shC = corpusReps
-      .join(cands.select($"corpus_doc".as("doc_id")), Seq("doc_id"), "left_semi")
-      .select($"doc_id".as("corpus_doc"),
-        expr("shingle_hashes(text, 3)").as("sh_c"))
-    val result = cands.join(shB, "batch_doc").join(shC, "corpus_doc")
-      .withColumn("jaccard", expr("jaccard_sorted(sh_b, sh_c)"))
-      .filter($"jaccard" >= 0.5)
-      .select($"batch_doc", $"corpus_doc", round($"jaccard", 4).as("jaccard"))
-      .orderBy($"batch_doc", $"corpus_doc")
-      .localCheckpoint(true) // release the candidate cache (see minhashPairs)
-    cands.unpersist()
-    result
+    // try/finally: if anything between persist() and the eager
+    // localCheckpoint throws, the candidate cache must not leak for the
+    // session lifetime
+    try {
+      val shB = batchReps
+        .join(cands.select($"batch_doc".as("doc_id")), Seq("doc_id"), "left_semi")
+        .select($"doc_id".as("batch_doc"),
+          expr("shingle_hashes(text, 3)").as("sh_b"))
+      val shC = corpusReps
+        .join(cands.select($"corpus_doc".as("doc_id")), Seq("doc_id"), "left_semi")
+        .select($"doc_id".as("corpus_doc"),
+          expr("shingle_hashes(text, 3)").as("sh_c"))
+      cands.join(shB, "batch_doc").join(shC, "corpus_doc")
+        .withColumn("jaccard", expr("jaccard_sorted(sh_b, sh_c)"))
+        .filter($"jaccard" >= 0.5)
+        .select($"batch_doc", $"corpus_doc", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"batch_doc", $"corpus_doc")
+        .localCheckpoint(true) // release the candidate cache (see minhashPairs)
+    } finally cands.unpersist()
   }
 
   /** q4c's pair detector over any (doc_id, text) frame — factored so
@@ -421,7 +424,7 @@ object Dedup extends Registry {
     QueryDef(
       "q42_minhash_lsh",
       (s, dir) => minhashPairs(table(s, dir, "documents")),
-      Some("""WITH reps AS (
+      Some(s"""WITH reps AS (
              |  SELECT min(doc_id) AS doc_id, min(text) AS text
              |  FROM documents GROUP BY md5(text)),
              |sg AS (
@@ -453,7 +456,7 @@ object Dedup extends Registry {
              |capped AS (
              |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bh)
              |                   AS bsz FROM banded) z
-             |  WHERE bsz <= 64),
+             |  WHERE bsz <= $MaxBucketSize),
              |cand AS (
              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              |  FROM capped a JOIN capped b
@@ -482,7 +485,7 @@ object Dedup extends Registry {
     QueryDef(
       "q43_simhash",
       (s, dir) => simhashPairs(table(s, dir, "documents")),
-      Some("""WITH reps AS (
+      Some(s"""WITH reps AS (
              |  SELECT min(doc_id) AS doc_id, min(text) AS text
              |  FROM documents GROUP BY md5(text)),
              |sk AS (
@@ -503,7 +506,7 @@ object Dedup extends Registry {
              |capped AS (
              |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, key)
              |                   AS bsz FROM banded) z
-             |  WHERE bsz <= 64)
+             |  WHERE bsz <= $MaxBucketSize)
              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |  list_sum(list_transform(range(64),
              |    k -> CASE WHEN a.bits[k+1] <> b.bits[k+1]
@@ -825,7 +828,7 @@ object Dedup extends Registry {
       "q4c_verbatim_spans",
       (s, dir) => verbatimSpanPairs(contentClassReps(
         table(s, dir, "documents"))),
-      Some("""WITH reps AS (
+      Some(s"""WITH reps AS (
              |  SELECT min(doc_id) AS doc_id, min(text) AS text
              |  FROM documents GROUP BY md5(text)),
              |w AS (
@@ -840,7 +843,7 @@ object Dedup extends Registry {
              |capped AS (
              |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY win)
              |                   AS bsz FROM w) z
-             |  WHERE bsz <= 64)
+             |  WHERE bsz <= $MaxBucketSize)
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |  count(*) AS n_shared_windows
              |FROM capped a JOIN capped b

@@ -733,8 +733,9 @@ object TextOps extends Registry {
         i => $"word".substr(i, lit(1))))
       .localCheckpoint(true)
     val rows = Seq.newBuilder[(Int, String, String, Long, Long, Long)]
-    for (r <- 1 to BpeRounds) {
-      val top = vocab
+    var exhausted = false
+    for (r <- 1 to BpeRounds if !exhausted) {
+      val topOpt = vocab
         .filter(size($"tokens") >= 2) // sequence(1,0) would count down
         .select($"cnt", explode(transform(
           sequence(lit(1), size($"tokens") - 1),
@@ -742,15 +743,22 @@ object TextOps extends Registry {
             element_at($"tokens", i + 1).as("b")))).as("p"))
         .groupBy($"p.a", $"p.b").agg(sum($"cnt").as("n"))
         .orderBy($"n".desc, $"a".asc, $"b".asc)
-        .limit(1).collect().head
-      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      vocab = vocab.withColumn("tokens",
-        call_function("bpe_merge_word", $"tokens", lit(a), lit(b)))
-        .localCheckpoint(true)
-      val tot = vocab.agg(
-        sum(size($"tokens")).cast("long"),
-        sum($"cnt" * size($"tokens")).cast("long")).collect().head
-      rows += ((r, a, b, n, tot.getLong(0), tot.getLong(1)))
+        .limit(1).collect().headOption
+      topOpt match {
+        case None =>
+          // degenerate corpus: every word is a single token already — no
+          // pair left to merge; stop cleanly with < BpeRounds merges
+          exhausted = true
+        case Some(top) =>
+          val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+          vocab = vocab.withColumn("tokens",
+            call_function("bpe_merge_word", $"tokens", lit(a), lit(b)))
+            .localCheckpoint(true)
+          val tot = vocab.agg(
+            sum(size($"tokens")).cast("long"),
+            sum($"cnt" * size($"tokens")).cast("long")).collect().head
+          rows += ((r, a, b, n, tot.getLong(0), tot.getLong(1)))
+      }
     }
     rows.result().toDF("round", "token_a", "token_b", "pair_n",
       "vocab_tokens_after", "corpus_tokens_after")

@@ -125,6 +125,16 @@ object EventStream {
     * (user_id, event_id, purchase_ts, click_id, click_ts) pairs. Works
     * on batch AND streaming frames — watermarks are no-ops in batch.
     *
+    * Precision: `ts div 1000` TRUNCATES nanos to micros before the
+    * range predicate (Spark timestamps are µs). The q69/q6a DuckDB
+    * oracles see the identical truncation — DuckDB's parquet scan maps
+    * INT64 TIMESTAMP(NANOS) to its µs TIMESTAMP by integer truncation
+    * at read time (verified: .999999999 ns reads as .999999), so both
+    * engines evaluate the predicate and emit output at the same µs
+    * grain for ANY ns value, aligned or not. (The driver-generated
+    * events fixture happens to be µs-aligned anyway; neither engine
+    * depends on that.)
+    *
     * @param joinType "inner" (q69: every emitted pair final under
     *   append mode) or "left_outer" (q6a: a purchase with NO click in
     *   the horizon is still emitted, with null click columns — in
