@@ -33,6 +33,13 @@ object Similarity extends Registry {
   val K = 5
   private val TopKSalts = 32
 
+  /** Default coarse-centroid / PQ-codeword seed: the vec_id<8 vectors.
+    * Parameterized (q5b routes the FIXTURE by its planted cluster
+    * centers; q5c scales k with corpus size) — the seed set is the
+    * codebook of the index, and its quality is exactly what the recall
+    * contract measures. */
+  private val DefaultSeedPred: Column = col("vec_id") < 8
+
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Codegen dot product (graft.expressions.VectorDotExpr) — the
@@ -79,8 +86,13 @@ object Similarity extends Registry {
   }
 
   /** Exact brute-force scorer: corpus ⨯ broadcast queries. */
-  def knnExact(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
+  def knnExact(s: SparkSession, dir: String): DataFrame =
+    knnExactOn(corpus(s, dir))
+
+  /** Exact top-k over any (vec_id, v, nrm) corpus — the ground-truth
+    * side of the q5b recall contract (fixture and sf forms share it
+    * with q50). */
+  def knnExactOn(c: DataFrame): DataFrame = {
     val scored = c.join(broadcast(queriesOf(c)), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4)
@@ -164,8 +176,9 @@ object Similarity extends Registry {
     * IVF routing contract (8 fixed centroids, 4-decimal rounding, cell
     * tie-break): q52 aggregates it, q54 refines it. Returns one row per
     * corpus vector: (vec_id, v, cell, cosine). */
-  private def assignCells(c: DataFrame): DataFrame = {
-    val cents = c.filter(col("vec_id") < 8)
+  private def assignCells(c: DataFrame,
+      seed: Column = DefaultSeedPred): DataFrame = {
+    val cents = c.filter(seed)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("cell").asc)
@@ -434,8 +447,9 @@ object Similarity extends Registry {
   }
 
   /** Per-subspace codebook (code, csub, cv) — k×m sub-vectors, KBs. */
-  private def pqCodebook(split: DataFrame): DataFrame =
-    split.filter(col("vec_id") < 8)
+  private def pqCodebook(split: DataFrame,
+      seed: Column = DefaultSeedPred): DataFrame =
+    split.filter(seed)
       .select(col("vec_id").as("code"), col("sub").as("csub"),
         col("sv").as("cv"))
 
@@ -509,8 +523,9 @@ object Similarity extends Registry {
   /** nprobe=2 probe routing (q_id, cell) — the coarse-quantizer half of
     * IVF-PQ serving. Shared by q57 (logical broadcast-join probe) and
     * q58 (physical partition-pruned probe) so both route identically. */
-  private[queries] def probeCells(c: DataFrame): DataFrame = {
-    val cents = c.filter(col("vec_id") < 8)
+  private[queries] def probeCells(c: DataFrame,
+      seed: Column = DefaultSeedPred): DataFrame = {
+    val cents = c.filter(seed)
       .select(col("vec_id").as("cell"), col("v").as("cv2"),
         col("nrm").as("cn2"))
     val wProbe = Window.partitionBy(col("q_id"))
@@ -527,12 +542,231 @@ object Similarity extends Registry {
 
   /** IVF probe set: (q_id, vec_id) pairs from the nprobe=2 highest-
     * cosine cells per query — the q57 candidate generator. */
-  private[queries] def ivfpqCandidates(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
-    val cellOf = assignCells(c).select(col("vec_id"), col("cell"))
-    cellOf.join(broadcast(probeCells(c)), Seq("cell"))
+  private[queries] def ivfpqCandidates(s: SparkSession, dir: String): DataFrame =
+    ivfpqCandidatesOn(corpus(s, dir))
+
+  private def ivfpqCandidatesOn(c: DataFrame,
+      seed: Column = DefaultSeedPred): DataFrame = {
+    val cellOf = assignCells(c, seed).select(col("vec_id"), col("cell"))
+    cellOf.join(broadcast(probeCells(c, seed)), Seq("cell"))
       .select(col("q_id"), col("vec_id"))
   }
+
+  /** IVF-PQ search over any corpus with the given codebook seed — q57's
+    * body, factored so the q5b recall contract can route the committed
+    * fixture by its planted cluster centers (a non-degenerate codebook:
+    * the fixture's vec_id<8 vectors are all members of ONE cluster). */
+  def ivfpqTopkOn(c: DataFrame,
+      seed: Column = DefaultSeedPred): DataFrame = {
+    val split = pqSplit(c)
+    val cb = pqCodebook(split, seed)
+    adcTopK(adcScores(pqCodes(split, cb), pqLut(split, cb),
+      Some(ivfpqCandidatesOn(c, seed))))
+  }
+
+  // ------------------------------------------------------------------
+  // q5b: the ANN recall CONTRACT — the one quality dimension the
+  // plan-shape and hash gates cannot see. Both engines replay the same
+  // sketch math, so a band/nprobe/codebook change that silently degrades
+  // search quality still hash-matches its own oracle; this query closes
+  // that hole by computing recall@5 of each pruned search against the
+  // exact top-5 and REQUIRING it above a pinned floor driver-side — a
+  // quality regression errors the query (the driver records err) even
+  // when query and oracle were updated in lockstep.
+  //
+  // Three rows: the committed clustered fixture routed by its planted
+  // cluster centers (the machinery gate — recall is a deterministic
+  // constant there, 0.62: PQ collapses within-cluster so sibling order
+  // differs from exact; pinned at 0.6), and the sf-table LSH/IVF-PQ
+  // recalls (the honest near-uniform-corpus numbers: LSH 0.64-0.70
+  // across shipped sfs, IVF-PQ 0.08-0.16 — nprobe=2 of 8 cells on a
+  // corpus with NO cluster structure necessarily misses, which is
+  // exactly why real stores train the codebook with q5a's loop).
+  // ------------------------------------------------------------------
+  val AnnRecallPinLsh = 0.6
+  val AnnRecallPinIvfPqSf = 0.05
+  val AnnRecallPinIvfPqFixture = 0.6
+
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val fc = corpusOf(s.read.parquet(
+      s"${FhirEtl.FixtureDir}/neardup_embeddings.parquet"))
+    val centerSeed = col("vec_id") % 100 === 0
+    def famRow(family: String, pin: Double, ann: DataFrame,
+        ex: DataFrame): DataFrame = {
+      val exPairs = ex.select(col("q_id"), col("neighbor_id"))
+      val hits = ann.select(col("q_id"), col("neighbor_id"))
+        .join(exPairs, Seq("q_id", "neighbor_id"), "left_semi")
+      exPairs
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("possible"))
+        .crossJoin(hits.agg(count(lit(1)).as("hits"))) // two 1-row aggs
+        .select(lit(family).as("family"), col("n_queries"), col("hits"),
+          col("possible"),
+          round(col("hits").cast("double") / col("possible"), 4)
+            .as("recall"),
+          lit(pin).as("min_recall"))
+    }
+    val rows = famRow("ivfpq_fixture", AnnRecallPinIvfPqFixture,
+        ivfpqTopkOn(fc, centerSeed), knnExactOn(fc))
+      .unionAll(famRow("ivfpq_sf", AnnRecallPinIvfPqSf,
+        ivfpqTopkOn(c), knnExactOn(c)))
+      .unionAll(famRow("lsh_sf", AnnRecallPinLsh, knnLshOn(c),
+        knnExactOn(c)))
+      .orderBy(col("family"))
+      .localCheckpoint(true) // 3 rows — also feeds the require() below
+    rows.collect().foreach { r =>
+      require(r.getDouble(4) >= r.getDouble(5),
+        s"ANN recall contract violated: ${r.getString(0)} recall " +
+          s"${r.getDouble(4)} < pinned ${r.getDouble(5)}")
+    }
+    rows
+  }
+
+  /** q5b oracle fragment: norms + query set + exact top-5 over `src`,
+    * CTE names prefixed with `pfx` so the sf and fixture chains coexist
+    * in one WITH clause. Returned UN-stripped — the caller's single
+    * .stripMargin does the one and only strip (q4bSideSql precedent). */
+  private def annNormSql(pfx: String, src: String): String =
+    s"""${pfx}n AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+       |    sqrt(list_dot_product(
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+       |  FROM $src),
+       |${pfx}q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM ${pfx}n
+       |      WHERE vec_id % 100 = 0 AND vec_id < 2000),
+       |${pfx}t50 AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.q_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_dot_product(q.qe, c.e) / (q.qn * c.nrm), 4)
+       |          DESC, c.vec_id) AS rn
+       |    FROM ${pfx}q q JOIN ${pfx}n c ON c.vec_id <> q.q_id) z
+       |  WHERE rn <= 5)"""
+
+  /** q5b oracle fragment: the full IVF-PQ serve chain (coarse routing,
+    * PQ encode, ADC LUT, probe-restricted scoring, top-5) over the
+    * `pfx`-prefixed norm CTEs with codebook seed `seedSql` — q57's
+    * oracle text, parameterized. UN-stripped like [[annNormSql]]. */
+  private def annIvfpqSql(pfx: String, seedSql: String): String =
+    s"""${pfx}cent AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM ${pfx}n
+       |         WHERE $seedSql),
+       |${pfx}cells AS (SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY round(list_dot_product(n.e, ce) / (n.nrm * cn), 4)
+       |          DESC, cell) AS rn
+       |    FROM ${pfx}n n JOIN ${pfx}cent ON true) t WHERE rn = 1),
+       |${pfx}probes AS (SELECT q_id, cell FROM (
+       |    SELECT q.q_id, cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_dot_product(q.qe, ce) / (q.qn * cn), 4)
+       |          DESC, cell) AS rn
+       |    FROM ${pfx}q q JOIN ${pfx}cent ON true) t
+       |  WHERE rn <= 2),
+       |${pfx}sv AS (SELECT vec_id, s.sub, n.e[s.sub*8+1 : s.sub*8+8] AS sv
+       |       FROM ${pfx}n n, (SELECT unnest(range(0,8)) AS sub) s),
+       |${pfx}cb AS (SELECT vec_id AS code, sub, sv AS cv FROM ${pfx}sv
+       |       WHERE $seedSql),
+       |${pfx}cd AS (SELECT vec_id, sub, code FROM (
+       |        SELECT v.vec_id, v.sub, cb.code,
+       |          row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+       |            round(list_dot_product(v.sv, v.sv)
+       |                  - 2*list_dot_product(v.sv, cb.cv)
+       |                  + list_dot_product(cb.cv, cb.cv), 6),
+       |            cb.code) AS rn
+       |        FROM ${pfx}sv v JOIN ${pfx}cb cb USING (sub)) t WHERE rn = 1),
+       |${pfx}lut AS (SELECT q.q_id, sv.sub, cb.code,
+       |          CAST(round(round(list_dot_product(sv.sv, sv.sv)
+       |                - 2*list_dot_product(sv.sv, cb.cv)
+       |                + list_dot_product(cb.cv, cb.cv), 6) * 1000000)
+       |            AS BIGINT) AS dmic
+       |        FROM ${pfx}q q JOIN ${pfx}sv sv ON sv.vec_id = q.q_id
+       |             JOIN ${pfx}cb cb USING (sub)),
+       |${pfx}cand AS (SELECT p.q_id, c.vec_id FROM ${pfx}cells c
+       |         JOIN ${pfx}probes p USING (cell) WHERE c.vec_id <> p.q_id),
+       |${pfx}tivf AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT sc.q_id, sc.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY sc.q_id
+       |        ORDER BY sc.admic, sc.vec_id) AS rn
+       |    FROM (SELECT ca.q_id, ca.vec_id,
+       |            CAST(sum(l.dmic) AS BIGINT) AS admic
+       |          FROM ${pfx}cand ca
+       |          JOIN ${pfx}cd cd ON cd.vec_id = ca.vec_id
+       |          JOIN ${pfx}lut l ON l.q_id = ca.q_id AND l.sub = cd.sub
+       |                    AND l.code = cd.code
+       |          GROUP BY 1, 2) sc) z
+       |  WHERE rn <= 5)"""
+
+  /** q5b oracle fragment: LSH candidate generation + exact-cosine rerank
+    * top-5 over the unprefixed sf CTEs — q51's oracle text, emitting
+    * only (q_id, neighbor_id). UN-stripped like [[annNormSql]]. */
+  private def annLshSql: String =
+    s"""pls AS (
+       |  SELECT list([CASE WHEN md5_number_lower('plane:' || i || ':' || d)
+       |                      & 1::UBIGINT = 1::UBIGINT
+       |                THEN 1.0 ELSE -1.0 END
+       |               for d in range(64)] ORDER BY i) AS ps
+       |  FROM range(24) t(i)),
+       |keys AS (
+       |  SELECT vec_id, band,
+       |    list_sum(list_transform(range(4), i ->
+       |      CASE WHEN list_dot_product(e, ps[band*4 + i + 1]) > 0
+       |           THEN (1 << i) ELSE 0 END))::BIGINT AS key
+       |  FROM n, pls, range(6) t(band)),
+       |cand51 AS (
+       |  SELECT DISTINCT kq.vec_id AS q_id, kc.vec_id AS neighbor_id
+       |  FROM keys kc JOIN keys kq
+       |    ON kc.band = kq.band AND kc.key = kq.key
+       |       AND kc.vec_id <> kq.vec_id
+       |  WHERE kq.vec_id % 100 = 0 AND kq.vec_id < 2000),
+       |t51 AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT c.q_id, c.neighbor_id,
+       |      row_number() OVER (PARTITION BY c.q_id
+       |        ORDER BY round(list_dot_product(q.qe, n2.e) / (q.qn * n2.nrm), 4)
+       |          DESC, c.neighbor_id) AS rn
+       |    FROM cand51 c JOIN q ON q.q_id = c.q_id
+       |                 JOIN n n2 ON n2.vec_id = c.neighbor_id) z
+       |  WHERE rn <= 5)"""
+
+  /** The q5b oracle: exact/LSH/IVF-PQ top-5 fully replayed over the sf
+    * table AND the fixture (center-seeded), then recall@5 per family
+    * with the same pinned floors the Spark side requires. */
+  private def annRecallOracle: String =
+    s"""WITH ${annNormSql("", "embeddings")},
+       |$annLshSql,
+       |${annIvfpqSql("", "vec_id < 8")},
+       |${annNormSql("f",
+          s"read_parquet('${FhirEtl.FixtureDir}/neardup_embeddings.parquet')")},
+       |${annIvfpqSql("f", "vec_id % 100 = 0")}
+       |SELECT family, n_queries, hits, possible,
+       |  round(CAST(hits AS DOUBLE) / possible, 4) AS recall, min_recall
+       |FROM (
+       |  SELECT 'ivfpq_fixture' AS family,
+       |    (SELECT count(DISTINCT q_id) FROM ft50) AS n_queries,
+       |    (SELECT count(*) FROM ftivf a JOIN ft50 b
+       |       USING (q_id, neighbor_id)) AS hits,
+       |    (SELECT count(*) FROM ft50) AS possible,
+       |    CAST($AnnRecallPinIvfPqFixture AS DOUBLE) AS min_recall
+       |  UNION ALL
+       |  SELECT 'ivfpq_sf',
+       |    (SELECT count(DISTINCT q_id) FROM t50),
+       |    (SELECT count(*) FROM tivf a JOIN t50 b
+       |       USING (q_id, neighbor_id)),
+       |    (SELECT count(*) FROM t50),
+       |    CAST($AnnRecallPinIvfPqSf AS DOUBLE)
+       |  UNION ALL
+       |  SELECT 'lsh_sf',
+       |    (SELECT count(DISTINCT q_id) FROM t50),
+       |    (SELECT count(*) FROM t51 a JOIN t50 b
+       |       USING (q_id, neighbor_id)),
+       |    (SELECT count(*) FROM t50),
+       |    CAST($AnnRecallPinLsh AS DOUBLE)
+       |) z ORDER BY family""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -723,6 +957,13 @@ object Similarity extends Registry {
       doc = "k-means to convergence: Lloyd loop w/ exact-integer shift stop, " +
         "literal-broadcast centroids, bounded driver state"),
 
+    QueryDef(
+      "q5b_ann_recall",
+      (s, dir) => annRecall(s, dir),
+      Some(annRecallOracle),
+      doc = "ANN recall contract: recall@5 of LSH and IVF-PQ vs exact, " +
+        "pinned floors enforced driver-side (errors on quality regression)"),
+
     // ------------------------------------------------------------------
     // q55: product-quantization assignment — the vector-compression
     // step of a PQ/IVF-PQ index: each 64-dim vector splits into 8
@@ -824,12 +1065,7 @@ object Similarity extends Registry {
     // cell id — same plan shape, no full-corpus scoring anywhere.
     QueryDef(
       "q57_ivfpq_search",
-      (s, dir) => {
-        val split = pqSplit(corpus(s, dir))
-        val cb = pqCodebook(split)
-        adcTopK(adcScores(pqCodes(split, cb), pqLut(split, cb),
-          Some(ivfpqCandidates(s, dir))))
-      },
+      (s, dir) => ivfpqTopkOn(corpus(s, dir)),
       Some("""WITH n AS (
              |  SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,

@@ -77,4 +77,23 @@ class SimilaritySpec extends AnyFunSuite {
       .groupBy("q_id").count().collect().map(_.getLong(1)).toSet
     assert(counts == Set(Similarity.K.toLong))
   }
+
+  test("q5b recall contract: fixture IVF-PQ recall is the pinned constant," +
+    " all families clear their floors") {
+    val rows = Similarity.annRecall(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("ivfpq_fixture", "ivfpq_sf", "lsh_sf"))
+    val byFam = rows.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // the fixture is committed bytes + deterministic math → recall is an
+    // exact constant; any machinery change (routing, encode, ADC, top-k
+    // tiebreak) moves it
+    assert(byFam("ivfpq_fixture") == 0.62,
+      s"fixture IVF-PQ recall drifted: ${byFam("ivfpq_fixture")}")
+    rows.foreach(r => assert(r.getDouble(4) >= r.getDouble(5)))
+    // every family reports the same denominator geometry: K rows per query
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) * Similarity.K,
+        s"${r.getString(0)}: possible ${r.getLong(3)} != n_queries*K")
+    }
+  }
 }
