@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.aviEncode)
     ext.injectFunction(GraftExtensions.aviFrames)
     ext.injectFunction(GraftExtensions.anchorWindows)
+    ext.injectFunction(GraftExtensions.pngEncode)
+    ext.injectFunction(GraftExtensions.pngPixels)
+    ext.injectFunction(GraftExtensions.pngFilterTypes)
+    ext.injectFunction(GraftExtensions.pngWidth)
+    ext.injectFunction(GraftExtensions.pngHeight)
   }
 }
 
@@ -183,6 +188,36 @@ object GraftExtensions {
         "anchor_windows(text[, k, w, mod])")
     })
 
+  private val pngEncode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_gray8_encode"),
+    new ExpressionInfo(classOf[PngGray8EncodeExpr].getName, "png_gray8_encode"),
+    (args: Seq[Expression]) => PngGray8EncodeExpr(args(0), args(1)))
+
+  private val pngPixels: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_gray8_pixels"),
+    new ExpressionInfo(classOf[PngGray8PixelsExpr].getName, "png_gray8_pixels"),
+    (args: Seq[Expression]) => PngGray8PixelsExpr(args.head))
+
+  private val pngFilterTypes: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_filter_types"),
+    new ExpressionInfo(classOf[PngFilterTypesExpr].getName, "png_filter_types"),
+    (args: Seq[Expression]) => PngFilterTypesExpr(args.head))
+
+  private val pngWidth: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_width"),
+    new ExpressionInfo(classOf[PngWidthExpr].getName, "png_width"),
+    (args: Seq[Expression]) => PngWidthExpr(args.head))
+
+  private val pngHeight: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_height"),
+    new ExpressionInfo(classOf[PngHeightExpr].getName, "png_height"),
+    (args: Seq[Expression]) => PngHeightExpr(args.head))
+
   /** Idempotent per-session registration for sessions not created with
     * the extensions config (e.g. the driver harness's own session). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -191,7 +226,8 @@ object GraftExtensions {
     for (fn <- Seq(minhashBands, simhash64, vecDot, shingleHashes,
         shingleStrings, jaccardSorted, wavEncode, wavSamples, wavRate,
         bmpEncode, bmpPixels, bmpWidth, bmpHeight, bpeMergeWord,
-        aviEncode, aviFrames, anchorWindows))
+        aviEncode, aviFrames, anchorWindows, pngEncode, pngPixels,
+        pngFilterTypes, pngWidth, pngHeight))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
   }

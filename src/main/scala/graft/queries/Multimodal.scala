@@ -375,6 +375,70 @@ object Multimodal extends Registry {
       doc = "Real BMP/RGB24 decode (bottom-up padded rows) + order-sensitive pixel checksum"),
 
     // ------------------------------------------------------------------
+    // q87: REAL PNG decode — the first COMPRESSED codec in the family
+    // (expressions.PngGray8). Unlike q84-q86's uncompressed containers,
+    // the pixel bytes here only exist after a true zlib inflate
+    // (java.util.zip.Inflater) and per-row unfiltering; the encoder
+    // assigns filter type row%5, so every asset of ≥5 rows exercises
+    // ALL FIVE unfilters (None/Sub/Up/Average/Paeth) structurally — and
+    // the emitted n_filter_types column (distinct filter bytes read
+    // back from the container) PROVES it per asset, pinned by the
+    // oracle's least(height, 5). The IDAT stream is deliberately split
+    // across two chunks, so a decoder that reads only the first chunk
+    // fails. Stats are exact integers; the order-sensitive positional
+    // checksum fails any misread filter, chunk boundary, or inflate.
+    // The oracle replays everything from hex byte pairs of the payload
+    // (the decode round-trips to payload + zero tail, which contributes
+    // 0 to every statistic). Independence from the encoder is proven in
+    // PngGray8Spec by cross-decoding against the JDK's ImageIO PNG
+    // codec in both directions. Narrow per-asset work; the only shuffle
+    // is the final grouped agg.
+    QueryDef(
+      "q87_png_gray8",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        val width = 16
+        corpus(s, dir).filter(col("modality") === "image")
+          .select(col("doc_id"),
+            expr(s"png_gray8_encode(payload, $width)").as("png"))
+          .select(col("doc_id"),
+            expr("png_width(png)").as("width"),
+            expr("png_height(png)").as("height"),
+            size(array_distinct(expr("png_filter_types(png)")))
+              .as("n_filter_types"),
+            expr("png_gray8_pixels(png)").as("px"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("n_filter_types"), posexplode(col("px")).as(Seq("pos", "b")))
+          .groupBy(col("doc_id"), col("width"), col("height"),
+            col("n_filter_types"))
+          .agg(count(lit(1)).as("n_pixels"),
+            sum(col("b").cast("long")).as("px_sum"),
+            sum((col("b") * (pmod(col("pos"), lit(1000)) + 1)).cast("long"))
+              .as("pos_checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS bl FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |st AS (
+             |  SELECT doc_id, octet_length(bl) AS n,
+             |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(bl))] AS bs
+             |  FROM a),
+             |g AS (SELECT doc_id, n, bs,
+             |        greatest(1, (n + 15) // 16) AS h
+             |      FROM st)
+             |SELECT doc_id, 16 AS width, CAST(h AS INTEGER) AS height,
+             |  CAST(least(h, 5) AS INTEGER) AS n_filter_types,
+             |  CAST(h * 16 AS BIGINT) AS n_pixels,
+             |  CAST(coalesce(list_sum(bs), 0) AS BIGINT) AS px_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
+             |    i -> bs[i+1] * ((i % 1000) + 1))), 0) AS BIGINT)
+             |    AS pos_checksum
+             |FROM g ORDER BY doc_id""".stripMargin),
+      doc = "Real PNG gray8 decode: chunk walk + CRC + zlib inflate + all-five unfilters, coverage proven in-band"),
+
+    // ------------------------------------------------------------------
     // q86: REAL video container decode — the third modality goes
     // true-codec (expressions.AviDib): each video asset is packed as a
     // valid RIFF 'AVI ' (hdrl with avih/strl, movi list of '00db' DIB

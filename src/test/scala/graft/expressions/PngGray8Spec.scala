@@ -1,0 +1,130 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Format-correctness gates for the PNG gray8 codec. The decisive tests
+  * cross-decode against the JDK's own ImageIO PNG codec in BOTH
+  * directions — our encoder must be readable by a codec we didn't
+  * write, and our decoder must read a stream we didn't produce (ImageIO
+  * picks its own filters and compression, so this exercises decode
+  * paths independent of our encoder's row%5 policy). A matched
+  * encoder/decoder bug pair cannot survive either direction. */
+class PngGray8Spec extends AnyFunSuite {
+
+  private def det(seed: Int, n: Int): Array[Byte] = {
+    // deterministic pseudo-random payload (no Random: repeatability)
+    val out = new Array[Byte](n)
+    var x = seed * 2654435761L + 1
+    var i = 0
+    while (i < n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out(i) = (x >>> 33).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def ints(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+    a.toIntArray().toSeq
+
+  test("round-trip: decode(encode(payload)) == payload + zero tail") {
+    for ((n, w) <- Seq((0, 16), (1, 16), (15, 16), (16, 16), (17, 16),
+        (160, 16), (161, 16), (1000, 7), (4096, 64))) {
+      val p = det(n * 31 + w, n)
+      val png = PngGray8.encode(p, w)
+      val h = math.max(1, (n + w - 1) / w)
+      assert(PngGray8.width(png) == w)
+      assert(PngGray8.height(png) == h)
+      val px = ints(PngGray8.pixels(png))
+      assert(px.length == h * w)
+      assert(px.take(n) == p.toSeq.map(_ & 0xff))
+      assert(px.drop(n).forall(_ == 0), "zero tail expected")
+    }
+  }
+
+  test("encode assigns filter row%5 — any image of ≥5 rows exercises all five") {
+    val png = PngGray8.encode(det(1, 16 * 7), 16)
+    assert(ints(PngGray8.filterTypes(png)) == Seq(0, 1, 2, 3, 4, 0, 1))
+  }
+
+  test("JDK ImageIO decodes our encoder's output to the same pixels") {
+    for (n <- Seq(1, 80, 1000, 4099)) {
+      val p = det(n, n)
+      val png = PngGray8.encode(p, 16)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img != null, "ImageIO could not parse our PNG")
+      assert(img.getWidth == 16)
+      val ours = ints(PngGray8.pixels(png))
+      val theirs = for (y <- 0 until img.getHeight; x <- 0 until 16)
+        yield img.getRaster.getSample(x, y, 0)
+      assert(theirs == ours, s"pixel mismatch at n=$n")
+    }
+  }
+
+  test("our decoder reads a PNG the JDK encoder produced (independent filters/compression)") {
+    for (n <- Seq(33, 257, 2048)) {
+      val p = det(n + 7, n)
+      val h = (n + 15) / 16
+      val img = new java.awt.image.BufferedImage(16, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until 16) {
+        val i = y * 16 + x
+        img.getRaster.setSample(x, y, 0, if (i < n) p(i) & 0xff else 0)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", buf))
+      val px = ints(PngGray8.pixels(buf.toByteArray))
+      val expected = (0 until h * 16).map(i => if (i < n) p(i) & 0xff else 0)
+      assert(px == expected, s"decode mismatch at n=$n")
+    }
+  }
+
+  test("malformed containers are rejected with descriptive errors") {
+    val good = PngGray8.encode(det(5, 100), 16)
+    def rejects(mutate: Array[Byte] => Array[Byte], what: String): Unit = {
+      val bad = mutate(good.clone())
+      val e = intercept[IllegalArgumentException](PngGray8.pixels(bad))
+      assert(e.getMessage.startsWith("png_gray8:"), s"$what: ${e.getMessage}")
+    }
+    rejects(b => { b(0) = 'X'; b }, "bad signature")
+    rejects(b => { b(20) = (b(20) ^ 1).toByte; b }, "IHDR corruption -> CRC")
+    rejects(b => b.take(b.length - 4), "truncated container")
+    rejects(b => b ++ Array[Byte](0), "trailing bytes after IEND")
+    // color type: flip IHDR byte 17 (offset 8+8+9=25) and fix the CRC so
+    // the failure is the documented color-type rejection, not CRC
+    rejects({ b =>
+      b(25) = 2 // truecolor
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 12, 4 + 13)
+      val v = crc.getValue.toInt
+      b(29) = (v >> 24).toByte; b(30) = (v >> 16).toByte
+      b(31) = (v >> 8).toByte; b(32) = v.toByte
+      b
+    }, "wrong color type")
+  }
+
+  test("decoder requires the concatenated IDAT stream (not just the first chunk)") {
+    // drop the second IDAT chunk and fix nothing else: the inflate must
+    // fail on the truncated stream rather than return partial pixels
+    val png = PngGray8.encode(det(9, 1000), 16)
+    def chunks(b: Array[Byte]): Seq[(String, Int, Int)] = {
+      var off = 8
+      val out = Seq.newBuilder[(String, Int, Int)]
+      while (off < b.length) {
+        val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+          ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        out += ((new String(b, off + 4, 4, "US-ASCII"), off, 12 + len))
+        off += 12 + len
+      }
+      out.result()
+    }
+    val cs = chunks(png)
+    assert(cs.count(_._1 == "IDAT") == 2, "encoder must split IDAT in two")
+    val (_, off, sz) = cs.filter(_._1 == "IDAT")(1)
+    val cut = png.take(off) ++ png.drop(off + sz)
+    val e = intercept[IllegalArgumentException](PngGray8.pixels(cut))
+    assert(e.getMessage.contains("deflate") ||
+      e.getMessage.contains("inflated"))
+  }
+}
