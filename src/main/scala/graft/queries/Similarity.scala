@@ -768,6 +768,121 @@ object Similarity extends Registry {
        |    CAST($AnnRecallPinLsh AS DOUBLE)
        |) z ORDER BY family""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q5c: SemDeDup with a corpus-SCALED codebook — q59 freezes k = 8 and
+  // documents that k must grow with the corpus to hold cell size
+  // constant; this query turns that comment into evidence. k derives
+  // from the corpus count (the ONE scalar every index build already
+  // knows): k = clamp(8, 128, ceil(n / 64)), so the shipped sf dirs
+  // exercise TWO different k against the same oracle text (sf0.01:
+  // n=500 → k=8; sf0.1: n=2000 → k=32), which re-derives k from
+  // count(*) in SQL. The top-2-cell blocking and in-cell cosine verify
+  // are q59's exact shape at the scaled k; codebook literals stay
+  // codegen-bounded (k ≤ 128 ⇒ ≤ 128×64 doubles of broadcast state —
+  // beyond that a real system serves from the q58 partitioned layout
+  // instead of inline literals). The result row EMITS the cell-size
+  // bound as a gated column — max blocked cell ≤ slack × (2n/k),
+  // REQUIRED driver-side like q5b's recall floors — so a future
+  // k-formula or seed change that silently unbalances cells errors the
+  // query rather than hash-matching its own updated oracle.
+  // ------------------------------------------------------------------
+  val SemDedupTargetCell = 64
+  val SemDedupMaxK = 128
+  /** Measured max/avg cell-size ratio is ≤1.15 on every shipped sf
+    * (near-uniform corpus); 2.0 leaves real margin while still failing
+    * on any genuinely degenerate codebook (one cell absorbing the
+    * corpus would read ~k/2 × the cap). */
+  val SemDedupCellSlack = 2.0
+
+  def chooseCodebookK(n: Long): Int =
+    math.max(8, math.min(SemDedupMaxK,
+      math.ceil(n / SemDedupTargetCell.toDouble).toInt))
+
+  def semdedupScaledK(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val n = c.count()
+    val k = chooseCodebookK(n)
+    // the codebook IS the broadcast state of a real index: k×64 doubles
+    val centRows = c.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+    val scoredCells = array(centRows.sortBy(_.getLong(0)).map { r =>
+      val cv = r.getSeq[Double](1)
+      struct(
+        (lit(2.0) - round(dot(col("v"), typedLit(cv)) /
+          (col("nrm") * lit(r.getDouble(2))), 4)).as("key"),
+        lit(r.getLong(0)).as("cell"))
+    }: _*)
+    val keyed = c
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(slice(sort_array(scoredCells), 1, 2)).as("bk"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bk.cell").as("cell"))
+    val cap = math.ceil(SemDedupCellSlack * 2.0 * n / k).toLong
+    val cellAgg = keyed.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")).as("max_cell_size"))
+    val pairs = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .select(col("id_a"), col("id_b")).distinct()
+    val pairAgg = pairs.agg(count(lit(1)).as("n_dup_pairs"),
+      coalesce(sum(col("id_a") * lit(1000003L) + col("id_b")), lit(0L))
+        .as("pair_checksum"))
+    val row = cellAgg.crossJoin(pairAgg) // two 1-row aggs
+      .select(lit(k).as("k_used"), lit(n).as("n_vectors"),
+        col("max_cell_size"), lit(cap).as("cell_cap"),
+        (col("max_cell_size") <= cap).as("cell_bound_ok"),
+        col("n_dup_pairs"), col("pair_checksum"))
+      .localCheckpoint(true) // 1 row — also feeds the require() below
+    row.collect().foreach { r =>
+      require(r.getBoolean(4),
+        s"semantic-dedup cell-size bound violated: max cell " +
+          s"${r.getLong(2)} > cap ${r.getLong(3)} at k=${r.getInt(0)}")
+    }
+    row
+  }
+
+  private def semdedupScaledKOracle: String =
+    s"""WITH n AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+       |    sqrt(list_dot_product(
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |kk AS (SELECT GREATEST(8, LEAST($SemDedupMaxK,
+       |         CAST(ceil(count(*) / $SemDedupTargetCell.0) AS INT))) AS k,
+       |       count(*) AS n_vec FROM n),
+       |cent AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n
+       |         WHERE vec_id < (SELECT k FROM kk)),
+       |k2 AS (SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY round(list_dot_product(n.e, ce) / (n.nrm * cn), 4)
+       |          DESC, cell) AS rn
+       |    FROM n JOIN cent ON true) t WHERE rn <= 2),
+       |cs AS (SELECT max(cnt) AS max_cell_size FROM (
+       |    SELECT cell, count(*) AS cnt FROM k2 GROUP BY cell) z),
+       |pr AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |       FROM k2 a JOIN k2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |       JOIN n na ON na.vec_id = a.vec_id
+       |       JOIN n nb ON nb.vec_id = b.vec_id
+       |       WHERE round(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 4)
+       |             >= 0.4),
+       |pa AS (SELECT count(*) AS n_dup_pairs,
+       |         CAST(COALESCE(sum(id_a * 1000003 + id_b), 0) AS BIGINT)
+       |           AS pair_checksum FROM pr)
+       |SELECT kk.k AS k_used, kk.n_vec AS n_vectors, cs.max_cell_size,
+       |  CAST(ceil($SemDedupCellSlack * 2 * kk.n_vec / kk.k) AS BIGINT)
+       |    AS cell_cap,
+       |  cs.max_cell_size <=
+       |    CAST(ceil($SemDedupCellSlack * 2 * kk.n_vec / kk.k) AS BIGINT)
+       |    AS cell_bound_ok,
+       |  pa.n_dup_pairs, pa.pair_checksum
+       |FROM kk, cs, pa""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q50_knn_exact",
@@ -1322,6 +1437,16 @@ object Similarity extends Registry {
              |WHERE round(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 4)
              |      >= 0.4
              |ORDER BY id_a, id_b""".stripMargin),
-      doc = "SemDeDup-style semantic dedup: top-2-cell blocking (map-side, windowless) + exact cosine within shared cells")
+      doc = "SemDeDup-style semantic dedup: top-2-cell blocking (map-side, windowless) + exact cosine within shared cells"),
+
+    // q5c: the corpus-scaled-codebook form of q59 — see semdedupScaledK
+    // above for the full design note (two k values across shipped sfs,
+    // driver-gated cell-size bound).
+    QueryDef(
+      "q5c_semdedup_scaled_k",
+      (s, dir) => semdedupScaledK(s, dir),
+      Some(semdedupScaledKOracle),
+      doc = "SemDeDup at corpus-scaled codebook k (k = clamp(8, 128, ceil(n/64))) " +
+        "with a driver-enforced cell-size bound")
   )
 }

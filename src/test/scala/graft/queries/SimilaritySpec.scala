@@ -96,4 +96,29 @@ class SimilaritySpec extends AnyFunSuite {
         s"${r.getString(0)}: possible ${r.getLong(3)} != n_queries*K")
     }
   }
+
+  test("q5c codebook k scales with corpus count and clamps at both ends") {
+    assert(Similarity.chooseCodebookK(0) == 8)
+    assert(Similarity.chooseCodebookK(500) == 8) // sf0.01 shape
+    assert(Similarity.chooseCodebookK(513) == 9) // first step past the floor
+    assert(Similarity.chooseCodebookK(2000) == 32) // sf0.1 shape
+    assert(Similarity.chooseCodebookK(1000000) == Similarity.SemDedupMaxK)
+  }
+
+  test("q5c at k=8 reproduces q59's exact pair set (checksum cross-check)") {
+    // sf0.01 has 500 vectors ⇒ chooseCodebookK = 8 = q59's frozen k, so
+    // the scaled query must find the IDENTICAL dup-pair set — checksum
+    // and count pin it against the independently-written q59 plan
+    val q59 = graft.SparkEntry.queries("q59_semantic_dedup")(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectedChecksum = q59.map { case (a, b) => a * 1000003L + b }.sum
+    val row = Similarity.semdedupScaledK(spark, sfDir).collect().head
+    assert(row.getInt(0) == 8, s"expected k=8 at sf0.01, got ${row.getInt(0)}")
+    assert(row.getLong(5) == q59.length.toLong,
+      s"pair count ${row.getLong(5)} != q59's ${q59.length}")
+    assert(row.getLong(6) == expectedChecksum,
+      s"pair checksum ${row.getLong(6)} != q59-derived $expectedChecksum")
+    assert(row.getBoolean(4), "cell-size bound not satisfied")
+  }
 }
