@@ -340,6 +340,40 @@ object EventOps extends Registry {
       doc = "Stream-stream interval join, left-outer: watermark-completed null emission"),
 
     // ------------------------------------------------------------------
+    // q6b: streaming SCD2/CDC maintenance, batch-parity form — the CDC
+    // state machine (EventStream.scd2Cdc: each event closes its user's
+    // open validity interval and opens its own) drained through the
+    // upsert last-wins rule (EventStream.scd2Compact). The oracle is
+    // the DECLARATIVE lead()-built SCD2 (q65's shape) — a genuinely
+    // independent second implementation, so a hash match proves the
+    // stateful fold ≡ the window plan. StreamingSpec additionally
+    // proves the streaming run of the same transform through the REAL
+    // id-keyed NDJSON upsert sink across a trigger split. Raw ts is
+    // passed to the state machine (it divides to µs itself); the oracle
+    // sees the identical µs truncation via DuckDB's nanos→µs parquet
+    // read (q69's documented contract).
+    QueryDef(
+      "q6b_scd2_cdc",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = table(s, dir, "events").filter($"user_id" < 20)
+        graft.streaming.EventStream.scd2Compact(
+          graft.streaming.EventStream.scd2Cdc(ev))
+          .select($"user_id", $"event_id", $"event_type",
+            $"valid_from", $"valid_to", $"is_current")
+          .orderBy($"user_id", $"valid_from", $"event_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, ts AS valid_from,
+             |  lead(ts) OVER w AS valid_to,
+             |  lead(ts) OVER w IS NULL AS is_current
+             |FROM events WHERE user_id < 20
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, valid_from, event_id""".stripMargin),
+      doc = "Streaming SCD2/CDC maintenance (batch-parity form): stateful " +
+        "close-and-open CDC fold + upsert compaction vs the lead-built oracle"),
+
+    // ------------------------------------------------------------------
     // q66: ordered behavioral funnel — how many users progress through
     // view → click → purchase IN THAT ORDER. Stage flags are carried
     // per user with strictly-prior window maxima over one (user_id, ts)

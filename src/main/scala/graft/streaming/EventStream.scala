@@ -162,6 +162,80 @@ object EventStream {
         col("click_id"), col("click_ts"))
   }
 
+  // ------------------------------------------------------------------
+  // Streaming SCD2/CDC maintenance — the warehouse workload the batch
+  // interval build (EventOps q65) only computes once: each incoming
+  // event for a key is a new dimension VERSION that CLOSES the key's
+  // open validity interval (valid_to = the new event's time) and OPENS
+  // its own [ts, null). State per user is the ONE open interval
+  // (constant size, watermark-free like asofJoin). Every emitted row is
+  // a CDC upsert record keyed by (user_id, event_id): the OPEN version
+  // first, superseded by its CLOSED version once the user's next event
+  // arrives — possibly triggers later. Composed with the id-keyed
+  // NDJSON upsert sink (updateExisting=true), the drained stream's sink
+  // state converges to exactly the lead()-built batch SCD2 table —
+  // StreamingSpec proves it through the REAL sink across a trigger
+  // split. Within one micro-batch the close row is emitted after its
+  // open row by the same group iterator (same partition, narrow tail),
+  // so the sink's in-batch last-occurrence-wins rule picks the close —
+  // CDC log position IS the iterator order. The batch run of the same
+  // transform plus [[scd2Compact]] is the registered, DuckDB-oracled
+  // form (q6b). Cross-trigger correctness holds when triggers advance
+  // in event time — same contract as asofJoin above.
+  // ------------------------------------------------------------------
+  case class ScdEvent(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String)
+  case class ScdState(validFromUs: Long, eventId: Long, eventType: String)
+  case class ScdOut(user_id: Long, event_id: Long, event_type: String,
+      valid_from_us: Long, valid_to_us: Option[Long])
+
+  private def scd2StateFn(userId: Long, rows: Iterator[ScdEvent],
+      state: GroupState[ScdState]): Iterator[ScdOut] = {
+    val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+    var open = state.getOption
+    val out = IndexedSeq.newBuilder[ScdOut]
+    sorted.foreach { e =>
+      open.foreach { o => // close the running version at the new event's ts
+        out += ScdOut(userId, o.eventId, o.eventType, o.validFromUs,
+          Some(e.ts_us))
+      }
+      out += ScdOut(userId, e.event_id, e.event_type, e.ts_us, None)
+      open = Some(ScdState(e.ts_us, e.event_id, e.event_type))
+    }
+    open.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** The CDC update stream: one OPEN row per event plus one CLOSE row
+    * for the version it supersedes. Works on batch AND streaming frames
+    * (batch runs each key once with empty state). */
+  def scd2Cdc(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed: Dataset[ScdEvent] = events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type")).as[ScdEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(scd2StateFn)
+      .toDF()
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("valid_from_us")).as("valid_from"),
+        timestamp_micros(col("valid_to_us")).as("valid_to"))
+  }
+
+  /** The upsert sink's last-wins rule applied in-frame (for the batch/
+    * oracle form): per (user_id, event_id) version, the CLOSE supersedes
+    * the OPEN — max(valid_to) ignores the open row's null, and the other
+    * columns are identical between the two versions of one event. ONE
+    * shuffle. */
+  def scd2Compact(updates: DataFrame): DataFrame =
+    updates
+      .groupBy(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from"))
+      .agg(max(col("valid_to")).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+
   /** Streaming source over a directory of event parquet files. */
   def readStream(spark: SparkSession, dir: String): DataFrame =
     buildStream(spark, dir, maxFilesPerTrigger = None)
