@@ -43,4 +43,15 @@ object Tables {
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
+
+  /** Like [[scratchDir]] but NEVER deletes — for content-addressed
+    * cross-run state (e.g. q4b's signature index) whose validity is
+    * decided by the caller's own key, not by run boundaries. Bounded:
+    * one small directory per distinct content key. */
+  def persistentScratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch", name)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
 }
