@@ -714,7 +714,79 @@ object TextOps extends Registry {
       "q97_bpe_train",
       (s, dir) => bpeTrain(s, dir),
       Some(bpeTrainOracle),
-      doc = "BPE training loop: 3 greedy merges over the weighted word vocab, oracle-replayed")
+      doc = "BPE training loop: 3 greedy merges over the weighted word vocab, oracle-replayed"),
+
+    // ------------------------------------------------------------------
+    // q98: BM25 top-k retrieval — the RANKED complement of q39's boolean
+    // decontamination: a paraphrased near-copy of an eval document
+    // keeps scoring high after exact 8-grams die, which is the fuzzy
+    // membership test a decontamination pipeline runs second. Plan
+    // shape (the scan-once serving path): the query's terms are
+    // filtered MAP-SIDE before any aggregation — the same groupBy
+    // without the filter is the offline inverted-postings build — doc
+    // length rides the explode so tf needs no join back to the corpus,
+    // df joins back by broadcast (≤ |query| rows), and the corpus-level
+    // (N, Σdl) scalars arrive as a 1-row aggregate cross-joined in (a
+    // 1-row broadcast side: the scalar-subquery plan, constant work per
+    // row). Per-(doc,term) contributions are rounded to exact micro-
+    // unit longs and summed order-free (q52's integer-checksum
+    // pattern), so both engines rank identically; the only cross-engine
+    // float risk is ln() (not IEEE-required correctly rounded — q54's
+    // accepted residual). Top-k is TakeOrderedAndProject, no global
+    // sort. Constants are written as literals on BOTH sides (2.2, not
+    // k1+1) so neither engine folds them differently.
+    QueryDef(
+      "q98_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        val queryTerms = Seq("spark", "window", "merge", "vector", "stream")
+        val docs = table(s, dir, "documents")
+          .select($"doc_id", split(lower($"text"), " ").as("ws"))
+          .select($"doc_id", $"ws", size($"ws").cast("long").as("dl"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"),
+          sum($"dl").as("sum_dl")) // exact longs: avgdl = sum_dl/N divides once
+        val tf = docs
+          .select($"doc_id", $"dl", explode($"ws").as("term"))
+          .filter($"term".isin(queryTerms: _*))
+          .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val avgdl = $"sum_dl".cast("double") / $"n_docs"
+        tf.join(broadcast(dfreq), "term").crossJoin(stats)
+          .withColumn("idf",
+            log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+          .withColumn("tfn",
+            ($"tf" * lit(2.2)) /
+              ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / avgdl)))
+          .withColumn("cmic",
+            round(($"idf" * $"tfn") * lit(1000000.0)).cast("long"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_terms_matched"),
+            sum($"cmic").as("score_micro"))
+          .orderBy($"score_micro".desc, $"doc_id")
+          .limit(10)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+             |           FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+             |st AS (SELECT count(*) AS n_docs,
+             |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+             |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+             |    SELECT doc_id, dl, unnest(ws) AS term FROM dl) t
+             |  WHERE term IN ('spark','window','merge','vector','stream')
+             |  GROUP BY doc_id, dl, term),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |sc AS (SELECT tf.doc_id,
+             |    CAST(round((ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+             |      * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
+             |          (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))))
+             |      * 1000000.0, 0) AS BIGINT) AS cmic
+             |  FROM tf JOIN df ON tf.term = df.term, st)
+             |SELECT doc_id, count(*) AS n_terms_matched,
+             |  CAST(sum(cmic) AS BIGINT) AS score_micro
+             |FROM sc GROUP BY doc_id
+             |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin),
+      doc = "BM25 top-k retrieval: map-side query-term filter, broadcast df, " +
+        "micro-unit exact scoring, TakeOrderedAndProject top-k")
   )
 
   val BpeRounds = 3
