@@ -101,6 +101,32 @@ class FnsSpec extends AnyFunSuite {
     assert(eval1(f8.map(_._1), Fns.birthYearRange(_)) == f8.map(_._2))
   }
 
+  test("F5 minting golden pins: first line of EVERY reference META type") {
+    // ids copied from /root/reference/fhir_etl/{oneKgenomes,GTEx}/META/
+    // <Type>.ndjson line 1 — one pin per resource type per pipeline, so
+    // a drift in any minting chain (system string, frozen quirk, uuid5
+    // surgery) fails here before the golden-tree specs localize it
+    import graft.etl.{Gtex, OneKg}
+    val m = IdMinter.oneKg
+    assert(OneKg.StudyId == "4502d1f5-5275-5be7-9942-21f7fb8a6f70")
+    assert(OneKg.GroupId == "43140b49-1fa8-522e-85d3-1724b1ac2898")
+    assert(m.mintIdentifier("ResearchSubject", OneKg.MintSystem, "HG00096") ==
+      "f38d36dd-c381-5ba2-b543-29d0158e0109")
+    assert(m.mintIdentifier("Specimen", OneKg.MintSystem, "HG00096") ==
+      "9fc4db7b-3e52-5ada-ae23-38823c0175ee")
+    assert(m.mintIdentifier("DocumentReference", OneKg.FtpDirectory,
+      "ALL.chr1.phase3_shapeit2_mvncall_integrated_v5_extra_anno" +
+        ".20130502.genotypes.vcf.gz") ==
+      "ab70079e-b395-5de6-817d-f5a26e7f2cfe")
+    val g = IdMinter.gtex
+    assert(Gtex.StudyId == "262baf63-be05-5a41-8a2d-6c73346032c2")
+    assert(g.mintIdentifier("ResearchSubject", Gtex.MetaSystem, "GTEX-1117F") ==
+      "1b272f0c-b99d-5361-a45b-f56d21bac063")
+    assert(g.mintIdentifier("DocumentReference", Gtex.MetaSystem,
+      "GTEx_Analysis_v8_Annotations_SampleAttributesDD.xlsx") ==
+      "86359ce2-a677-521d-8ba9-12c64c887483")
+  }
+
   test("GTEx minter golden pins (q2a/q2b literal table cross-check)") {
     // the same values literal-pinned in the q2a/q2b oracles — if the
     // minting chain drifts, this fails before the driver gate does

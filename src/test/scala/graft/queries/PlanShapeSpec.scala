@@ -165,6 +165,41 @@ class PlanShapeSpec extends AnyFunSuite {
       "q59 blocking fell back to a window — the corpus now shuffles twice")
   }
 
+  test("q98: BM25 serve path — broadcast df, top-k without a global sort") {
+    val p = plan("q98_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k materialized a global sort instead of TakeOrderedAndProject")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤|query|-row df side did not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a bounded side fell back to a shuffle join")
+    // the query-term filter must run BELOW every aggregate: the only
+    // corpus-side work is scan → explode → filter, never a full
+    // postings build (checked structurally — formatted text prints the
+    // tree top-down, so string positions invert execution order)
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter}
+    val lp = graft.SparkEntry.queries("q98_bm25_topk")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val inFilters = lp.collect {
+      case f: LFilter if f.condition.exists {
+        case _: In | _: InSet => true; case _ => false } => f
+    }
+    assert(inFilters.nonEmpty, "query-term IN filter vanished from the plan")
+    // and the corpus side below it is pure scan → explode: no aggregate
+    // ever runs on unfiltered terms
+    assert(inFilters.forall(f =>
+      f.child.collect { case a: Aggregate => a }.isEmpty),
+      "an aggregate runs below the query-term filter — a full postings " +
+        "build snuck in")
+  }
+
+  test("q6b: the CDC fold's user bound is pushed to the events scan") {
+    val p = plan("q6b_scd2_cdc")
+    assert(p.contains("LessThan(user_id,20)"),
+      "user_id bound did not reach PushedFilters through the typed fold")
+  }
+
   test("q52: dead embedding column does not ride the argmax exchange") {
     val p = plan("q52_ivf_assign")
     val exchangeInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
