@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.anchorWindows)
     ext.injectFunction(GraftExtensions.pngEncode)
     ext.injectFunction(GraftExtensions.pngPixels)
+    ext.injectFunction(GraftExtensions.pngRgbEncode)
+    ext.injectFunction(GraftExtensions.pngRgbPixels)
     ext.injectFunction(GraftExtensions.pngFilterTypes)
     ext.injectFunction(GraftExtensions.pngWidth)
     ext.injectFunction(GraftExtensions.pngHeight)
@@ -206,6 +208,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[PngFilterTypesExpr].getName, "png_filter_types"),
     (args: Seq[Expression]) => PngFilterTypesExpr(args.head))
 
+  private val pngRgbEncode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_rgb24_encode"),
+    new ExpressionInfo(classOf[PngRgb24EncodeExpr].getName, "png_rgb24_encode"),
+    (args: Seq[Expression]) => PngRgb24EncodeExpr(args(0), args(1)))
+
+  private val pngRgbPixels: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_rgb24_pixels"),
+    new ExpressionInfo(classOf[PngRgb24PixelsExpr].getName, "png_rgb24_pixels"),
+    (args: Seq[Expression]) => PngRgb24PixelsExpr(args.head))
+
   private val pngWidth: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("png_width"),
@@ -227,7 +241,7 @@ object GraftExtensions {
         shingleStrings, jaccardSorted, wavEncode, wavSamples, wavRate,
         bmpEncode, bmpPixels, bmpWidth, bmpHeight, bpeMergeWord,
         aviEncode, aviFrames, anchorWindows, pngEncode, pngPixels,
-        pngFilterTypes, pngWidth, pngHeight))
+        pngRgbEncode, pngRgbPixels, pngFilterTypes, pngWidth, pngHeight))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
   }

@@ -6,17 +6,21 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType}
 
-/** REAL PNG (8-bit grayscale, non-interlaced) codec — the first
-  * COMPRESSED format in the multimodal family: unlike the uncompressed
-  * containers ([[WavPcm16]] PCM, [[BmpRgb24]] RGB24, [[AviDib]] DIB),
-  * the pixel data here rides a zlib DEFLATE stream behind PNG's
-  * per-scanline prediction filters, so the decoder must run a true
-  * entropy decode (`java.util.zip.Inflater`) AND invert all five filter
-  * types before a single pixel byte exists.
+/** REAL PNG (8-bit, non-interlaced; grayscale AND truecolor RGB24)
+  * codec — the first COMPRESSED format in the multimodal family: unlike
+  * the uncompressed containers ([[WavPcm16]] PCM, [[BmpRgb24]] RGB24,
+  * [[AviDib]] DIB), the pixel data here rides a zlib DEFLATE stream
+  * behind PNG's per-scanline prediction filters, so the decoder must
+  * run a true entropy decode (`java.util.zip.Inflater`) AND invert all
+  * five filter types before a single pixel byte exists. The RGB24 form
+  * (color type 2) additionally exercises the filters' BYTES-WITH-BPP-
+  * STRIDE semantics — `left`/`up-left` references are 3 bytes back —
+  * which the grayscale form (stride 1) structurally cannot.
   *
   * [[PngGray8.pixels]] validates the 8-byte signature, walks the chunk
   * list verifying every CRC-32, parses IHDR (bit depth 8, color type 0
-  * grayscale, deflate, filter method 0, non-interlaced, range-checked
+  * grayscale or 2 truecolor — each decode entry point pins the type it
+  * serves, deflate, filter method 0, non-interlaced, range-checked
   * dimensions), CONCATENATES all IDAT payloads (the stream may be split
   * across chunks — [[PngGray8.encode]] deliberately splits it in two so
   * a decoder that reads only the first IDAT fails), inflates, checks
@@ -68,29 +72,51 @@ object PngGray8 {
     out.write(u32be(crc32(tag, data, off, n)))
   }
 
+  /** Bytes per pixel for the two supported color types: 0 = grayscale
+    * (1), 2 = truecolor RGB (3). PNG filters operate on BYTES with a
+    * bpp STRIDE — the `left`/`up-left` references are bpp bytes back —
+    * so the RGB path exercises stride logic the gray path (stride 1)
+    * structurally cannot. */
+  private def bppOf(ct: Int): Int = ct match {
+    case 0 => 1
+    case 2 => 3
+    case t => fail(s"unsupported color type $t")
+  }
+
   /** Build a valid 8-bit grayscale PNG whose logical pixel stream is
     * `payload` (zero-filled tail in the last row); row r is stored
     * under filter type r % 5, so decode exercises every unfilter. */
-  def encode(payload: Array[Byte], width: Int): Array[Byte] = {
-    require(width > 0 && width <= (1 << 20),
-      s"png_gray8: width must be in (0, 2^20], got $width")
-    val height = math.max(1, (payload.length + width - 1) / width)
+  def encode(payload: Array[Byte], width: Int): Array[Byte] =
+    encodeCore(payload, width, 0)
+
+  /** RGB24 (color type 2) form: `payload` is the interleaved R,G,B byte
+    * stream, `widthPx` the width in PIXELS (3·widthPx bytes per row). */
+  def encodeRgb24(payload: Array[Byte], widthPx: Int): Array[Byte] =
+    encodeCore(payload, widthPx, 2)
+
+  private def encodeCore(payload: Array[Byte], widthPx: Int,
+      ct: Int): Array[Byte] = {
+    val bpp = bppOf(ct)
+    require(widthPx > 0 && widthPx <= (1 << 20),
+      s"png: width must be in (0, 2^20], got $widthPx")
+    val rowBytes = widthPx * bpp
+    val height = math.max(1, (payload.length + rowBytes - 1) / rowBytes)
     require(height <= (1 << 20),
-      s"png_gray8: payload needs height $height > 2^20 at width $width")
-    val px = new Array[Byte](height * width)
+      s"png: payload needs height $height > 2^20 at width $widthPx")
+    val px = new Array[Byte](height * rowBytes)
     System.arraycopy(payload, 0, px, 0, payload.length)
-    // filtered scanlines: 1 filter byte + width filtered bytes per row
-    val raw = new Array[Byte](height * (width + 1))
+    // filtered scanlines: 1 filter byte + rowBytes filtered bytes per row
+    val raw = new Array[Byte](height * (rowBytes + 1))
     var r = 0
     while (r < height) {
       val f = r % 5
-      raw(r * (width + 1)) = f.toByte
+      raw(r * (rowBytes + 1)) = f.toByte
       var i = 0
-      while (i < width) {
-        val x = px(r * width + i) & 0xff
-        val a = if (i > 0) px(r * width + i - 1) & 0xff else 0 // left
-        val b = if (r > 0) px((r - 1) * width + i) & 0xff else 0 // up
-        val c = if (r > 0 && i > 0) px((r - 1) * width + i - 1) & 0xff
+      while (i < rowBytes) {
+        val x = px(r * rowBytes + i) & 0xff
+        val a = if (i >= bpp) px(r * rowBytes + i - bpp) & 0xff else 0 // left
+        val b = if (r > 0) px((r - 1) * rowBytes + i) & 0xff else 0 // up
+        val c = if (r > 0 && i >= bpp) px((r - 1) * rowBytes + i - bpp) & 0xff
           else 0 // up-left
         val filtered = f match {
           case 0 => x
@@ -99,7 +125,7 @@ object PngGray8 {
           case 3 => x - (a + b) / 2
           case 4 => x - paeth(a, b, c)
         }
-        raw(r * (width + 1) + 1 + i) = (filtered & 0xff).toByte
+        raw(r * (rowBytes + 1) + 1 + i) = (filtered & 0xff).toByte
         i += 1
       }
       r += 1
@@ -114,9 +140,9 @@ object PngGray8 {
     deflater.end()
     val z = zbuf.toByteArray
     val ihdr = new java.io.ByteArrayOutputStream(13)
-    ihdr.write(u32be(width)); ihdr.write(u32be(height))
+    ihdr.write(u32be(widthPx)); ihdr.write(u32be(height))
     ihdr.write(8) // bit depth
-    ihdr.write(0) // color type: grayscale
+    ihdr.write(ct) // color type: 0 grayscale / 2 truecolor
     ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate/filter0/no interlace
     val out = new java.io.ByteArrayOutputStream(z.length + 128)
     out.write(Signature)
@@ -139,12 +165,12 @@ object PngGray8 {
   }
 
   private def fail(msg: String): Nothing =
-    throw new IllegalArgumentException(s"png_gray8: $msg")
+    throw new IllegalArgumentException(s"png: $msg")
 
   /** Walk the chunk list (verifying length bounds and every CRC-32),
-    * parse + validate IHDR, and return (width, height, concatenated
-    * IDAT bytes). */
-  private def parse(png: Array[Byte]): (Int, Int, Array[Byte]) = {
+    * parse + validate IHDR, and return (width, height, colorType,
+    * concatenated IDAT bytes). */
+  private def parse(png: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     if (png.length < Signature.length + 12) fail("container too short")
     var i = 0
     while (i < Signature.length) {
@@ -154,6 +180,7 @@ object PngGray8 {
     var off = Signature.length
     var width = -1
     var height = -1
+    var colorType = -1
     var seenIhdr = false
     var seenIend = false
     val idat = new java.io.ByteArrayOutputStream(png.length)
@@ -179,8 +206,9 @@ object PngGray8 {
             fail(s"height $height out of range")
           if ((png(off + 16) & 0xff) != 8)
             fail(s"expected bit depth 8, got ${png(off + 16) & 0xff}")
-          if ((png(off + 17) & 0xff) != 0)
-            fail(s"expected grayscale (color type 0), got ${png(off + 17) & 0xff}")
+          colorType = png(off + 17) & 0xff
+          if (colorType != 0 && colorType != 2)
+            fail(s"expected color type 0 (gray) or 2 (rgb), got $colorType")
           if ((png(off + 18) & 0xff) != 0) fail("bad compression method")
           if ((png(off + 19) & 0xff) != 0) fail("bad filter method")
           if ((png(off + 20) & 0xff) != 0)
@@ -201,7 +229,7 @@ object PngGray8 {
     }
     if (!seenIhdr) fail("missing IHDR")
     if (off != png.length) fail("trailing bytes after IEND")
-    (width, height, idat.toByteArray)
+    (width, height, colorType, idat.toByteArray)
   }
 
   /** Inflate the IDAT stream and return the raw (filter byte +
@@ -231,23 +259,34 @@ object PngGray8 {
     out
   }
 
-  /** Decoded pixel stream (0-255 ints, row-major top-down): signature →
-    * chunk walk → inflate → per-row unfilter (all five types). */
-  def pixels(png: Array[Byte]): ArrayData = {
-    val (width, height, z) = parse(png)
-    val raw = inflate(z, height * (width + 1))
-    val px = new Array[Int](height * width)
+  /** Decoded grayscale pixel stream (0-255 ints, row-major top-down):
+    * signature → chunk walk → inflate → per-row unfilter (all five
+    * types). Rejects a truecolor container — the caller asked for gray. */
+  def pixels(png: Array[Byte]): ArrayData = decodeCore(png, 0)
+
+  /** Decoded RGB24 BYTE stream (interleaved R,G,B as 0-255 ints,
+    * row-major top-down). Rejects a grayscale container. */
+  def pixelsRgb24(png: Array[Byte]): ArrayData = decodeCore(png, 2)
+
+  private def decodeCore(png: Array[Byte], expectCt: Int): ArrayData = {
+    val (width, height, ct, z) = parse(png)
+    if (ct != expectCt)
+      fail(s"expected color type $expectCt, container has $ct")
+    val bpp = bppOf(ct)
+    val rowBytes = width * bpp
+    val raw = inflate(z, height * (rowBytes + 1))
+    val px = new Array[Int](height * rowBytes)
     var r = 0
     while (r < height) {
-      val f = raw(r * (width + 1)) & 0xff
+      val f = raw(r * (rowBytes + 1)) & 0xff
       if (f > 4) fail(s"unknown filter type $f in row $r")
       var i = 0
-      while (i < width) {
-        val x = raw(r * (width + 1) + 1 + i) & 0xff
-        val a = if (i > 0) px(r * width + i - 1) else 0
-        val b = if (r > 0) px((r - 1) * width + i) else 0
-        val c = if (r > 0 && i > 0) px((r - 1) * width + i - 1) else 0
-        px(r * width + i) = (f match {
+      while (i < rowBytes) {
+        val x = raw(r * (rowBytes + 1) + 1 + i) & 0xff
+        val a = if (i >= bpp) px(r * rowBytes + i - bpp) else 0
+        val b = if (r > 0) px((r - 1) * rowBytes + i) else 0
+        val c = if (r > 0 && i >= bpp) px((r - 1) * rowBytes + i - bpp) else 0
+        px(r * rowBytes + i) = (f match {
           case 0 => x
           case 1 => x + a
           case 2 => x + b
@@ -262,14 +301,16 @@ object PngGray8 {
   }
 
   /** Per-row filter-type bytes (pre-unfilter) — lets a query PROVE all
-    * five filter paths were exercised instead of asserting it. */
+    * five filter paths were exercised instead of asserting it. Works
+    * for either color type. */
   def filterTypes(png: Array[Byte]): ArrayData = {
-    val (width, height, z) = parse(png)
-    val raw = inflate(z, height * (width + 1))
+    val (width, height, ct, z) = parse(png)
+    val rowBytes = width * bppOf(ct)
+    val raw = inflate(z, height * (rowBytes + 1))
     val fs = new Array[Int](height)
     var r = 0
     while (r < height) {
-      val f = raw(r * (width + 1)) & 0xff
+      val f = raw(r * (rowBytes + 1)) & 0xff
       if (f > 4) fail(s"unknown filter type $f in row $r")
       fs(r) = f
       r += 1
@@ -328,6 +369,41 @@ case class PngFilterTypesExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, png =>
       s"graft.expressions.PngGray8.filterTypes($png)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PngRgb24EncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"png_rgb24_encode requires (binary, int), got " +
+        s"${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_rgb24_encode"
+  override protected def nullSafeEval(p: Any, w: Any): Any =
+    PngGray8.encodeRgb24(p.asInstanceOf[Array[Byte]], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, w) =>
+      s"graft.expressions.PngGray8.encodeRgb24($p, $w)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+case class PngRgb24PixelsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"png_rgb24_pixels requires binary input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "png_rgb24_pixels"
+  override protected def nullSafeEval(png: Any): Any =
+    PngGray8.pixelsRgb24(png.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, png =>
+      s"graft.expressions.PngGray8.pixelsRgb24($png)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

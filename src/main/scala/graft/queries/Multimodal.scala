@@ -439,6 +439,78 @@ object Multimodal extends Registry {
       doc = "Real PNG gray8 decode: chunk walk + CRC + zlib inflate + all-five unfilters, coverage proven in-band"),
 
     // ------------------------------------------------------------------
+    // q88: PNG TRUECOLOR (color type 2) decode — the same compressed
+    // container as q87 at the bpp=3 byte stride PNG's filters actually
+    // run at in the wild: Sub/Average/Paeth reference the byte THREE
+    // positions back, so a decoder that hardcodes stride 1 (correct for
+    // q87's grayscale) corrupts every filtered RGB row. Width is 8
+    // PIXELS = 24 bytes/row; the logical byte stream is still exactly
+    // the payload + zero tail, so the oracle replays stats from hex
+    // byte pairs — per-channel sums (payload index i is channel i%3)
+    // catch a channel-order bug, the positional checksum catches any
+    // stride/filter/boundary misread. Filter coverage is in-band like
+    // q87 (row%5 ⇒ least(h,5) distinct types). Cross-codec independence
+    // (ImageIO both directions, TYPE_3BYTE_BGR order-flip pinned) is in
+    // PngGray8Spec.
+    QueryDef(
+      "q88_png_rgb24",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        val widthPx = 8 // 24 bytes per row
+        corpus(s, dir).filter(col("modality") === "image")
+          .select(col("doc_id"),
+            expr(s"png_rgb24_encode(payload, $widthPx)").as("png"))
+          .select(col("doc_id"),
+            expr("png_width(png)").as("width"),
+            expr("png_height(png)").as("height"),
+            size(array_distinct(expr("png_filter_types(png)")))
+              .as("n_filter_types"),
+            expr("png_rgb24_pixels(png)").as("px"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("n_filter_types"), posexplode(col("px")).as(Seq("pos", "b")))
+          .groupBy(col("doc_id"), col("width"), col("height"),
+            col("n_filter_types"))
+          .agg(count(lit(1)).as("n_pixel_bytes"),
+            sum(when(pmod(col("pos"), lit(3)) === 0, col("b"))
+              .otherwise(0).cast("long")).as("r_sum"),
+            sum(when(pmod(col("pos"), lit(3)) === 1, col("b"))
+              .otherwise(0).cast("long")).as("g_sum"),
+            sum(when(pmod(col("pos"), lit(3)) === 2, col("b"))
+              .otherwise(0).cast("long")).as("b_sum"),
+            sum((col("b") * (pmod(col("pos"), lit(1000)) + 1)).cast("long"))
+              .as("pos_checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS bl FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |st AS (
+             |  SELECT doc_id, octet_length(bl) AS n,
+             |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(bl))] AS bs
+             |  FROM a),
+             |g AS (SELECT doc_id, n, bs,
+             |        greatest(1, (n + 23) // 24) AS h
+             |      FROM st)
+             |SELECT doc_id, 8 AS width, CAST(h AS INTEGER) AS height,
+             |  CAST(least(h, 5) AS INTEGER) AS n_filter_types,
+             |  CAST(h * 24 AS BIGINT) AS n_pixel_bytes,
+             |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
+             |    i -> CASE WHEN i % 3 = 0 THEN bs[i+1] ELSE 0 END)), 0)
+             |    AS BIGINT) AS r_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
+             |    i -> CASE WHEN i % 3 = 1 THEN bs[i+1] ELSE 0 END)), 0)
+             |    AS BIGINT) AS g_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
+             |    i -> CASE WHEN i % 3 = 2 THEN bs[i+1] ELSE 0 END)), 0)
+             |    AS BIGINT) AS b_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
+             |    i -> bs[i+1] * ((i % 1000) + 1))), 0) AS BIGINT)
+             |    AS pos_checksum
+             |FROM g ORDER BY doc_id""".stripMargin),
+      doc = "Real PNG truecolor decode: the bpp=3 filter stride + per-channel sums, stats replayed from payload hex"),
+
+    // ------------------------------------------------------------------
     // q86: REAL video container decode — the third modality goes
     // true-codec (expressions.AviDib): each video asset is packed as a
     // valid RIFF 'AVI ' (hdrl with avih/strl, movi list of '00db' DIB

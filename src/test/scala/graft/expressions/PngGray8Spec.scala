@@ -85,7 +85,7 @@ class PngGray8Spec extends AnyFunSuite {
     def rejects(mutate: Array[Byte] => Array[Byte], what: String): Unit = {
       val bad = mutate(good.clone())
       val e = intercept[IllegalArgumentException](PngGray8.pixels(bad))
-      assert(e.getMessage.startsWith("png_gray8:"), s"$what: ${e.getMessage}")
+      assert(e.getMessage.startsWith("png:"), s"$what: ${e.getMessage}")
     }
     rejects(b => { b(0) = 'X'; b }, "bad signature")
     rejects(b => { b(20) = (b(20) ^ 1).toByte; b }, "IHDR corruption -> CRC")
@@ -102,6 +102,70 @@ class PngGray8Spec extends AnyFunSuite {
       b(31) = (v >> 8).toByte; b(32) = v.toByte
       b
     }, "wrong color type")
+  }
+
+  test("RGB24 round-trip: decode(encode(payload)) == payload + zero tail") {
+    for ((n, w) <- Seq((0, 8), (1, 8), (23, 8), (24, 8), (25, 8),
+        (240, 8), (1000, 5))) {
+      val p = det(n * 17 + w, n)
+      val png = PngGray8.encodeRgb24(p, w)
+      val rowBytes = w * 3
+      val h = math.max(1, (n + rowBytes - 1) / rowBytes)
+      assert(PngGray8.width(png) == w)
+      assert(PngGray8.height(png) == h)
+      val px = ints(PngGray8.pixelsRgb24(png))
+      assert(px.length == h * rowBytes)
+      assert(px.take(n) == p.toSeq.map(_ & 0xff))
+      assert(px.drop(n).forall(_ == 0), "zero tail expected")
+    }
+  }
+
+  test("RGB24: ImageIO reads our truecolor PNG to the same channels") {
+    // ≥5 rows (all five filters at the bpp=3 stride) + ragged tail;
+    // getRGB sidesteps the raster's internal BGR band order entirely
+    val n = 24 * 7 + 5
+    val p = det(99, n)
+    val png = PngGray8.encodeRgb24(p, 8)
+    assert(ints(PngGray8.filterTypes(png)).take(5) == Seq(0, 1, 2, 3, 4))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO could not parse our truecolor PNG")
+    assert(img.getWidth == 8)
+    val ours = ints(PngGray8.pixelsRgb24(png))
+    for (y <- 0 until img.getHeight; x <- 0 until 8) {
+      val v = img.getRGB(x, y)
+      val i = (y * 8 + x) * 3
+      assert(((v >> 16) & 0xff) == ours(i) &&
+        ((v >> 8) & 0xff) == ours(i + 1) && (v & 0xff) == ours(i + 2),
+        s"channel mismatch at ($x,$y)")
+    }
+  }
+
+  test("RGB24: our decoder reads a JDK-encoded truecolor PNG " +
+    "(independent filters/compression/stride)") {
+    val n = 3 * 8 * 9
+    val p = det(7, n)
+    val h = n / 24
+    val img = new java.awt.image.BufferedImage(8, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until 8) {
+      val i = (y * 8 + x) * 3
+      img.setRGB(x, y, ((p(i) & 0xff) << 16) | ((p(i + 1) & 0xff) << 8) |
+        (p(i + 2) & 0xff))
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    val px = ints(PngGray8.pixelsRgb24(buf.toByteArray))
+    assert(px == p.toSeq.map(_ & 0xff), "JDK-encoded RGB decode mismatch")
+  }
+
+  test("color-type pinning: each decode entry rejects the other's container") {
+    val gray = PngGray8.encode(det(3, 64), 16)
+    val rgb = PngGray8.encodeRgb24(det(4, 72), 8)
+    val e1 = intercept[IllegalArgumentException](PngGray8.pixelsRgb24(gray))
+    assert(e1.getMessage.contains("color type"))
+    val e2 = intercept[IllegalArgumentException](PngGray8.pixels(rgb))
+    assert(e2.getMessage.contains("color type"))
   }
 
   test("decoder requires the concatenated IDAT stream (not just the first chunk)") {
