@@ -607,12 +607,16 @@ object Similarity extends Registry {
             .as("recall"),
           lit(pin).as("min_recall"))
     }
+    // the sf exact top-5 grounds BOTH sf families; Spark shares no
+    // common subplans across union branches, so without materializing
+    // it the brute-force scorer (the expensive subtree) runs twice in
+    // the one action. It is ≤ 20 queries × K rows — checkpoint it once.
+    val exSf = knnExactOn(c).localCheckpoint(true)
     val rows = famRow("ivfpq_fixture", AnnRecallPinIvfPqFixture,
         ivfpqTopkOn(fc, centerSeed), knnExactOn(fc))
       .unionAll(famRow("ivfpq_sf", AnnRecallPinIvfPqSf,
-        ivfpqTopkOn(c), knnExactOn(c)))
-      .unionAll(famRow("lsh_sf", AnnRecallPinLsh, knnLshOn(c),
-        knnExactOn(c)))
+        ivfpqTopkOn(c), exSf))
+      .unionAll(famRow("lsh_sf", AnnRecallPinLsh, knnLshOn(c), exSf))
       .orderBy(col("family"))
       .localCheckpoint(true) // 3 rows — also feeds the require() below
     rows.collect().foreach { r =>
