@@ -737,34 +737,9 @@ object TextOps extends Registry {
     // k1+1) so neither engine folds them differently.
     QueryDef(
       "q98_bm25_topk",
-      (s, dir) => {
-        import s.implicits._
-        val queryTerms = Seq("spark", "window", "merge", "vector", "stream")
-        val docs = table(s, dir, "documents")
-          .select($"doc_id", split(lower($"text"), " ").as("ws"))
-          .select($"doc_id", $"ws", size($"ws").cast("long").as("dl"))
-        val stats = docs.agg(count(lit(1)).as("n_docs"),
-          sum($"dl").as("sum_dl")) // exact longs: avgdl = sum_dl/N divides once
-        val tf = docs
-          .select($"doc_id", $"dl", explode($"ws").as("term"))
-          .filter($"term".isin(queryTerms: _*))
-          .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-        val avgdl = $"sum_dl".cast("double") / $"n_docs"
-        tf.join(broadcast(dfreq), "term").crossJoin(stats)
-          .withColumn("idf",
-            log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
-          .withColumn("tfn",
-            ($"tf" * lit(2.2)) /
-              ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / avgdl)))
-          .withColumn("cmic",
-            round(($"idf" * $"tfn") * lit(1000000.0)).cast("long"))
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_terms_matched"),
-            sum($"cmic").as("score_micro"))
-          .orderBy($"score_micro".desc, $"doc_id")
-          .limit(10)
-      },
+      (s, dir) => bm25TopK(
+        table(s, dir, "documents"),
+        Seq("spark", "window", "merge", "vector", "stream"), 10),
       Some("""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
              |           FROM documents),
              |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
@@ -788,6 +763,39 @@ object TextOps extends Registry {
       doc = "BM25 top-k retrieval: map-side query-term filter, broadcast df, " +
         "micro-unit exact scoring, TakeOrderedAndProject top-k")
   )
+
+  /** BM25 top-k over any (doc_id, text) frame — q98's body, factored so
+    * the spec can prove ranking behavior on planted-relevance corpora.
+    * See the q98 QueryDef for the full plan-shape rationale. */
+  def bm25TopK(docsIn: DataFrame, queryTerms: Seq[String],
+      k: Int): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val docs = docsIn
+      .select($"doc_id", split(lower($"text"), " ").as("ws"))
+      .select($"doc_id", $"ws", size($"ws").cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum($"dl").as("sum_dl")) // exact longs: avgdl = sum_dl/N divides once
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"ws").as("term"))
+      .filter($"term".isin(queryTerms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val avgdl = $"sum_dl".cast("double") / $"n_docs"
+    tf.join(broadcast(dfreq), "term").crossJoin(stats)
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("tfn",
+        ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / avgdl)))
+      .withColumn("cmic",
+        round(($"idf" * $"tfn") * lit(1000000.0)).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum($"cmic").as("score_micro"))
+      .orderBy($"score_micro".desc, $"doc_id")
+      .limit(k)
+  }
 
   val BpeRounds = 3
 
