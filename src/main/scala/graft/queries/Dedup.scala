@@ -265,8 +265,10 @@ object Dedup extends Registry {
     val p = java.nio.file.Paths.get(dir, "documents.parquet")
     val (size, mtime) =
       if (java.nio.file.Files.isDirectory(p)) {
-        val parts = java.nio.file.Files.list(p).toArray.toSeq
-          .map(_.asInstanceOf[java.nio.file.Path])
+        val stream = java.nio.file.Files.list(p)
+        val parts =
+          try stream.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          finally stream.close()
         (parts.map(java.nio.file.Files.size).sum,
           parts.map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
             .foldLeft(0L)(math.max))

@@ -96,6 +96,38 @@ class ExprPropertySpec extends AnyFunSuite {
     assert(got == vs.map(m.mint))
   }
 
+  test("png round-trip (gray8 AND rgb24) == payload + zero tail, " +
+    "ImageIO agrees, on arbitrary payload/width") {
+    for (seed <- 0 until 12) {
+      val n = sample(Gen.chooseNum(0, 3000), seed * 7 + 1)
+      val w = sample(Gen.chooseNum(1, 40), seed * 7 + 2)
+      val payload = sample(Gen.listOfN(n, Gen.chooseNum(-128, 127)),
+        seed * 7 + 3).map(_.toByte).toArray
+      val g = PngGray8.encode(payload, w)
+      val gp = PngGray8.pixels(g).toIntArray().toSeq
+      val gh = math.max(1, (n + w - 1) / w)
+      assert(gp.length == gh * w && gp.take(n) == payload.toSeq.map(_ & 0xff)
+        && gp.drop(n).forall(_ == 0), s"gray8 round-trip at n=$n w=$w")
+      val c = PngGray8.encodeRgb24(payload, w)
+      val cp = PngGray8.pixelsRgb24(c).toIntArray().toSeq
+      val rb = w * 3
+      val ch = math.max(1, (n + rb - 1) / rb)
+      assert(cp.length == ch * rb && cp.take(n) == payload.toSeq.map(_ & 0xff)
+        && cp.drop(n).forall(_ == 0), s"rgb24 round-trip at n=$n w=$w")
+      // decoder-independence at arbitrary geometry: the JDK codec must
+      // read our truecolor container to the identical channels
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(c))
+      assert(img != null && img.getWidth == w && img.getHeight == ch)
+      for (y <- 0 until ch; x <- 0 until w) {
+        val v = img.getRGB(x, y)
+        val i = (y * w + x) * 3
+        assert(((v >> 16) & 0xff) == cp(i) && ((v >> 8) & 0xff) == cp(i + 1)
+          && (v & 0xff) == cp(i + 2), s"ImageIO mismatch ($x,$y) n=$n w=$w")
+      }
+    }
+  }
+
   test("simhash64 is word-order-insensitive (bag-of-words sketch)") {
     graft.GraftExtensions.ensureRegistered(spark)
     import spark.implicits._
