@@ -262,19 +262,9 @@ object Dedup extends Registry {
     * with ZERO corpus-side sketch work (Round9OpsSpec proves it from the
     * reused scan's executed plan). */
   private def sigIndexKey(dir: String): String = {
-    val p = java.nio.file.Paths.get(dir, "documents.parquet")
-    val (size, mtime) =
-      if (java.nio.file.Files.isDirectory(p)) {
-        val stream = java.nio.file.Files.list(p)
-        val parts =
-          try stream.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-          finally stream.close()
-        (parts.map(java.nio.file.Files.size).sum,
-          parts.map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
-            .foldLeft(0L)(math.max))
-      } else (java.nio.file.Files.size(p),
-        java.nio.file.Files.getLastModifiedTime(p).toMillis)
-    s"v1|$p|$size|$mtime|h=$NumHashes|b=$NumBands|cap=$MaxBucketSize|even"
+    val p = s"$dir/documents.parquet"
+    s"v1|$p|${Tables.sourceStamp(p)}" +
+      s"|h=$NumHashes|b=$NumBands|cap=$MaxBucketSize|even"
   }
 
   /** The stored signature index for `dir`'s corpus half: reused when the

@@ -45,13 +45,33 @@ object Tables {
   }
 
   /** Like [[scratchDir]] but NEVER deletes — for content-addressed
-    * cross-run state (e.g. q4b's signature index) whose validity is
-    * decided by the caller's own key, not by run boundaries. Bounded:
-    * one small directory per distinct content key. */
+    * cross-run state (e.g. q4b's signature index, q99's postings)
+    * whose validity is decided by the caller's own key, not by run
+    * boundaries. Bounded: one small directory per distinct content
+    * key. */
   def persistentScratchDir(name: String): String = {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_scratch", name)
     java.nio.file.Files.createDirectories(p)
     p.toString
+  }
+
+  /** `size|maxMtime` identity stamp of a parquet source, covering both
+    * single-file and directory layouts — the input half of a
+    * content-addressed index key (q4b signatures, q99 postings). */
+  def sourceStamp(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    val (size, mtime) =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val stream = java.nio.file.Files.list(p)
+        val parts =
+          try stream.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          finally stream.close()
+        (parts.map(java.nio.file.Files.size).sum,
+          parts.map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
+            .foldLeft(0L)(math.max))
+      } else (java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    s"$size|$mtime"
   }
 }

@@ -101,6 +101,68 @@ class Round9OpsSpec extends AnyFunSuite {
     // 100-word doc — exactly the k1/b saturation BM25 exists to apply
   }
 
+  test("q99 serves BM25 from the stored postings: zero corpus reads, " +
+    "bucket-pruned, identical to q98") {
+    import org.apache.spark.sql.functions._
+    val terms = Seq("spark", "window", "merge", "vector", "stream")
+    // clean slate, then build + reuse
+    val (_, _, _, indexDir) = TextOps.loadOrBuildPostings(spark, sfDir)
+    delTree(java.nio.file.Paths.get(indexDir))
+    val (_, _, builtFirst, _) = TextOps.loadOrBuildPostings(spark, sfDir)
+    assert(builtFirst, "fresh dir must trigger a postings build")
+    val (_, _, builtSecond, _) = TextOps.loadOrBuildPostings(spark, sfDir)
+    assert(!builtSecond, "unchanged corpus must reuse the postings")
+
+    // serve-path plan evidence: every SELECTED file (post partition
+    // pruning — inputFiles would list the whole unpruned FileIndex)
+    // lives in the index, documents.parquet is never opened, and only
+    // the query terms' term_bucket directories survive (q58-style
+    // physical pruning)
+    val served = TextOps.bm25Indexed(spark, sfDir, terms, 10)
+    served.collect() // finalize the adaptive plan
+    // AQE nests executed stages as QueryStageExec leaves — descend
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+      }.flatten
+    val scans = allScans(served.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scans in the serve plan")
+    assert(scans.forall(_.relation.location.rootPaths
+        .forall(_.toString.contains(indexDir))),
+      "serve path scans outside the index")
+    val files = scans.flatMap(_.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString))
+    assert(files.nonEmpty && files.forall(_.contains(indexDir)),
+      s"serve path read outside the index")
+    assert(!files.exists(_.contains("documents.parquet")),
+      "serve path re-read the corpus")
+    val expectedBuckets = {
+      import spark.implicits._
+      terms.toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(TextOps.PostingsBuckets)))
+        .distinct().collect().map(_.getLong(0)).toSet
+    }
+    val touchedBuckets = files.flatMap(
+      "term_bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong)).toSet
+    assert(touchedBuckets.nonEmpty && touchedBuckets.subsetOf(expectedBuckets),
+      s"scan touched buckets $touchedBuckets beyond the query's $expectedBuckets")
+    assert(touchedBuckets.size < TextOps.PostingsBuckets,
+      "no directory pruning: every bucket was listed")
+
+    // and the answer is invariant to the materialization
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaIndex = rows(served)
+    val viaScan = rows(graft.SparkEntry.queries("q98_bm25_topk")(spark, sfDir))
+    assert(viaIndex == viaScan && viaIndex.nonEmpty,
+      "indexed serve diverged from the scan-once form")
+  }
+
   test("q6b SCD2/CDC state carries across THREE ts-ordered triggers") {
     import org.apache.spark.sql.functions._
     // the 2-trigger sink test lives in StreamingSpec; this pins the
