@@ -163,6 +163,23 @@ class Round9OpsSpec extends AnyFunSuite {
       "indexed serve diverged from the scan-once form")
   }
 
+  test("torn index writes never serve: missing _SUCCESS forces a rebuild") {
+    // both content-addressed indexes claim a torn write cannot serve —
+    // simulate the tear by deleting the parquet commit marker and
+    // assert the next load REBUILDS instead of reading partial data
+    val (_, _, sigDir) = Dedup.loadOrBuildSigIndex(spark, sfDir)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(sigDir, "data", "_SUCCESS"))
+    val (_, rebuiltSig, _) = Dedup.loadOrBuildSigIndex(spark, sfDir)
+    assert(rebuiltSig, "q4b served a signature index missing _SUCCESS")
+
+    val (_, _, _, postDir) = TextOps.loadOrBuildPostings(spark, sfDir)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(postDir, "postings", "_SUCCESS"))
+    val (_, _, rebuiltPost, _) = TextOps.loadOrBuildPostings(spark, sfDir)
+    assert(rebuiltPost, "q99 served a postings index missing _SUCCESS")
+  }
+
   test("q6b SCD2/CDC state carries across THREE ts-ordered triggers") {
     import org.apache.spark.sql.functions._
     // the 2-trigger sink test lives in StreamingSpec; this pins the
