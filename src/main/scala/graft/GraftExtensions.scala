@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pngPixels)
     ext.injectFunction(GraftExtensions.pngRgbEncode)
     ext.injectFunction(GraftExtensions.pngRgbPixels)
+    ext.injectFunction(GraftExtensions.pngPaletteEncode)
+    ext.injectFunction(GraftExtensions.pngPaletteRgb)
     ext.injectFunction(GraftExtensions.pngFilterTypes)
     ext.injectFunction(GraftExtensions.pngWidth)
     ext.injectFunction(GraftExtensions.pngHeight)
@@ -220,6 +222,19 @@ object GraftExtensions {
     new ExpressionInfo(classOf[PngRgb24PixelsExpr].getName, "png_rgb24_pixels"),
     (args: Seq[Expression]) => PngRgb24PixelsExpr(args.head))
 
+  private val pngPaletteEncode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_palette_encode"),
+    new ExpressionInfo(classOf[PngPaletteEncodeExpr].getName,
+      "png_palette_encode"),
+    (args: Seq[Expression]) => PngPaletteEncodeExpr(args(0), args(1)))
+
+  private val pngPaletteRgb: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_palette_rgb"),
+    new ExpressionInfo(classOf[PngPaletteRgbExpr].getName, "png_palette_rgb"),
+    (args: Seq[Expression]) => PngPaletteRgbExpr(args.head))
+
   private val pngWidth: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("png_width"),
@@ -241,7 +256,8 @@ object GraftExtensions {
         shingleStrings, jaccardSorted, wavEncode, wavSamples, wavRate,
         bmpEncode, bmpPixels, bmpWidth, bmpHeight, bpeMergeWord,
         aviEncode, aviFrames, anchorWindows, pngEncode, pngPixels,
-        pngRgbEncode, pngRgbPixels, pngFilterTypes, pngWidth, pngHeight))
+        pngRgbEncode, pngRgbPixels, pngPaletteEncode, pngPaletteRgb,
+        pngFilterTypes, pngWidth, pngHeight))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
   }

@@ -72,16 +72,29 @@ object PngGray8 {
     out.write(u32be(crc32(tag, data, off, n)))
   }
 
-  /** Bytes per pixel for the two supported color types: 0 = grayscale
-    * (1), 2 = truecolor RGB (3). PNG filters operate on BYTES with a
-    * bpp STRIDE — the `left`/`up-left` references are bpp bytes back —
-    * so the RGB path exercises stride logic the gray path (stride 1)
-    * structurally cannot. */
+  /** Bytes per pixel for the three supported color types: 0 = grayscale
+    * (1), 2 = truecolor RGB (3), 3 = palette-indexed (1). PNG filters
+    * operate on BYTES with a bpp STRIDE — the `left`/`up-left`
+    * references are bpp bytes back — so the RGB path exercises stride
+    * logic the gray path (stride 1) structurally cannot; the palette
+    * path filters INDEX bytes (stride 1) and defers color to the PLTE
+    * lookup AFTER unfiltering. */
   private def bppOf(ct: Int): Int = ct match {
     case 0 => 1
     case 2 => 3
+    case 3 => 1
     case t => fail(s"unsupported color type $t")
   }
+
+  /** The deterministic 256-entry palette the indexed encoder stores in
+    * PLTE: entry i = ((37i+11)%256, (73i+29)%256, (151i+47)%256). The
+    * multipliers are odd, so each channel is a bijection on 0-255 and
+    * all 256 entries are distinct. Entry 0 is deliberately NON-zero
+    * (11,29,47): the zero-filled payload tail maps to non-zero RGB, so
+    * an oracle (or decoder) that skips the palette lookup on the tail
+    * is caught by every channel sum. */
+  def paletteEntry(i: Int): (Int, Int, Int) =
+    ((37 * i + 11) % 256, (73 * i + 29) % 256, (151 * i + 47) % 256)
 
   /** Build a valid 8-bit grayscale PNG whose logical pixel stream is
     * `payload` (zero-filled tail in the last row); row r is stored
@@ -93,6 +106,12 @@ object PngGray8 {
     * stream, `widthPx` the width in PIXELS (3·widthPx bytes per row). */
   def encodeRgb24(payload: Array[Byte], widthPx: Int): Array[Byte] =
     encodeCore(payload, widthPx, 2)
+
+  /** Palette-indexed (color type 3) form: `payload` bytes ARE the
+    * palette indices (1 byte per pixel); the stored PLTE is the full
+    * 256-entry [[paletteEntry]] table. */
+  def encodePalette(payload: Array[Byte], widthPx: Int): Array[Byte] =
+    encodeCore(payload, widthPx, 3)
 
   private def encodeCore(payload: Array[Byte], widthPx: Int,
       ct: Int): Array[Byte] = {
@@ -147,6 +166,18 @@ object PngGray8 {
     val out = new java.io.ByteArrayOutputStream(z.length + 128)
     out.write(Signature)
     chunk(out, "IHDR", ihdr.toByteArray)
+    if (ct == 3) {
+      // PLTE is REQUIRED for color type 3 and must precede IDAT
+      val plte = new Array[Byte](256 * 3)
+      var e = 0
+      while (e < 256) {
+        val (pr, pg, pb) = paletteEntry(e)
+        plte(3 * e) = pr.toByte; plte(3 * e + 1) = pg.toByte
+        plte(3 * e + 2) = pb.toByte
+        e += 1
+      }
+      chunk(out, "PLTE", plte)
+    }
     // split IDAT in two: a decoder must concatenate the stream across
     // chunk boundaries (single-IDAT is the special case, not the rule)
     val cut = z.length / 2
@@ -168,9 +199,10 @@ object PngGray8 {
     throw new IllegalArgumentException(s"png: $msg")
 
   /** Walk the chunk list (verifying length bounds and every CRC-32),
-    * parse + validate IHDR, and return (width, height, colorType,
-    * concatenated IDAT bytes). */
-  private def parse(png: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    * parse + validate IHDR (+ PLTE placement rules), and return
+    * (width, height, colorType, palette bytes — empty unless PLTE
+    * present, concatenated IDAT bytes). */
+  private def parse(png: Array[Byte]): (Int, Int, Int, Array[Byte], Array[Byte]) = {
     if (png.length < Signature.length + 12) fail("container too short")
     var i = 0
     while (i < Signature.length) {
@@ -183,6 +215,8 @@ object PngGray8 {
     var colorType = -1
     var seenIhdr = false
     var seenIend = false
+    var seenIdat = false
+    var palette: Array[Byte] = Array.emptyByteArray
     val idat = new java.io.ByteArrayOutputStream(png.length)
     while (!seenIend) {
       if (off + 12 > png.length) fail("truncated chunk header")
@@ -207,15 +241,27 @@ object PngGray8 {
           if ((png(off + 16) & 0xff) != 8)
             fail(s"expected bit depth 8, got ${png(off + 16) & 0xff}")
           colorType = png(off + 17) & 0xff
-          if (colorType != 0 && colorType != 2)
-            fail(s"expected color type 0 (gray) or 2 (rgb), got $colorType")
+          if (colorType != 0 && colorType != 2 && colorType != 3)
+            fail(s"expected color type 0 (gray), 2 (rgb) or 3 (palette), " +
+              s"got $colorType")
           if ((png(off + 18) & 0xff) != 0) fail("bad compression method")
           if ((png(off + 19) & 0xff) != 0) fail("bad filter method")
           if ((png(off + 20) & 0xff) != 0)
             fail("interlaced PNGs not supported")
           seenIhdr = true
+        case "PLTE" =>
+          if (!seenIhdr) fail("PLTE before IHDR")
+          if (seenIdat) fail("PLTE after IDAT")
+          if (palette.nonEmpty) fail("duplicate PLTE")
+          if (colorType == 0) fail("PLTE not allowed for grayscale")
+          if (len == 0 || len % 3 != 0 || len > 256 * 3)
+            fail(s"PLTE length $len not a multiple of 3 in (0, 768]")
+          palette = java.util.Arrays.copyOfRange(png, off + 8, off + 8 + len)
         case "IDAT" =>
           if (!seenIhdr) fail("IDAT before IHDR")
+          if (colorType == 3 && palette.isEmpty)
+            fail("color type 3 requires a PLTE before IDAT")
+          seenIdat = true
           idat.write(png, off + 8, len)
         case "IEND" =>
           if (len != 0) fail("IEND must be empty")
@@ -228,8 +274,10 @@ object PngGray8 {
       off += 12 + len
     }
     if (!seenIhdr) fail("missing IHDR")
+    if (colorType == 3 && palette.isEmpty)
+      fail("color type 3 requires a PLTE chunk")
     if (off != png.length) fail("trailing bytes after IEND")
-    (width, height, colorType, idat.toByteArray)
+    (width, height, colorType, palette, idat.toByteArray)
   }
 
   /** Inflate the IDAT stream and return the raw (filter byte +
@@ -268,8 +316,15 @@ object PngGray8 {
     * row-major top-down). Rejects a grayscale container. */
   def pixelsRgb24(png: Array[Byte]): ArrayData = decodeCore(png, 2)
 
+  /** Palette (color type 3) decode, RESOLVED through the stored PLTE:
+    * interleaved R,G,B ints (3 per pixel, row-major top-down). The
+    * index stream is unfiltered at stride 1, THEN each index is looked
+    * up in the container's own palette — an index past the stored
+    * palette is a hard error, not a silent clamp. */
+  def pixelsPaletteRgb(png: Array[Byte]): ArrayData = decodeCore(png, 3)
+
   private def decodeCore(png: Array[Byte], expectCt: Int): ArrayData = {
-    val (width, height, ct, z) = parse(png)
+    val (width, height, ct, palette, z) = parse(png)
     if (ct != expectCt)
       fail(s"expected color type $expectCt, container has $ct")
     val bpp = bppOf(ct)
@@ -297,14 +352,29 @@ object PngGray8 {
       }
       r += 1
     }
-    new GenericArrayData(px)
+    if (ct != 3) new GenericArrayData(px)
+    else {
+      val entries = palette.length / 3
+      val rgb = new Array[Int](px.length * 3)
+      var i = 0
+      while (i < px.length) {
+        val idx = px(i)
+        if (idx >= entries)
+          fail(s"palette index $idx out of range (palette has $entries entries)")
+        rgb(3 * i) = palette(3 * idx) & 0xff
+        rgb(3 * i + 1) = palette(3 * idx + 1) & 0xff
+        rgb(3 * i + 2) = palette(3 * idx + 2) & 0xff
+        i += 1
+      }
+      new GenericArrayData(rgb)
+    }
   }
 
   /** Per-row filter-type bytes (pre-unfilter) — lets a query PROVE all
     * five filter paths were exercised instead of asserting it. Works
     * for either color type. */
   def filterTypes(png: Array[Byte]): ArrayData = {
-    val (width, height, ct, z) = parse(png)
+    val (width, height, ct, _, z) = parse(png)
     val rowBytes = width * bppOf(ct)
     val raw = inflate(z, height * (rowBytes + 1))
     val fs = new Array[Int](height)
@@ -404,6 +474,41 @@ case class PngRgb24PixelsExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, png =>
       s"graft.expressions.PngGray8.pixelsRgb24($png)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PngPaletteEncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"png_palette_encode requires (binary, int), got " +
+        s"${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_palette_encode"
+  override protected def nullSafeEval(p: Any, w: Any): Any =
+    PngGray8.encodePalette(p.asInstanceOf[Array[Byte]], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, w) =>
+      s"graft.expressions.PngGray8.encodePalette($p, $w)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+case class PngPaletteRgbExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"png_palette_rgb requires binary input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "png_palette_rgb"
+  override protected def nullSafeEval(png: Any): Any =
+    PngGray8.pixelsPaletteRgb(png.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, png =>
+      s"graft.expressions.PngGray8.pixelsPaletteRgb($png)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -511,6 +511,83 @@ object Multimodal extends Registry {
       doc = "Real PNG truecolor decode: the bpp=3 filter stride + per-channel sums, stats replayed from payload hex"),
 
     // ------------------------------------------------------------------
+    // q89: PNG PALETTE-INDEXED (color type 3) decode — the third PNG
+    // form, and the first whose pixel VALUES do not appear in the IDAT
+    // stream at all: the payload bytes are palette INDICES, unfiltered
+    // at stride 1 and then resolved through the container's own PLTE
+    // chunk (a 256-entry table the encoder stores from the fixed
+    // bijective formula entry i = ((37i+11)%256,(73i+29)%256,
+    // (151i+47)%256)). The decoder reads the STORED palette — never the
+    // formula — while the oracle recomputes every channel sum straight
+    // from the formula applied to payload hex bytes, so a PLTE
+    // parse/placement/lookup bug desynchronizes the two. Palette entry
+    // 0 is deliberately non-zero (11,29,47): the zero-filled tail of
+    // the last row maps to non-zero RGB, forcing BOTH engines to model
+    // the tail explicitly (q87/q88 could ignore theirs). Filter
+    // coverage stays in-band (row%5 ⇒ least(h,5) distinct types); the
+    // positional checksum runs over the RESOLVED RGB stream, so it
+    // catches index-stream misreads and palette misindexing alike.
+    QueryDef(
+      "q89_png_palette",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        val width = 16
+        corpus(s, dir).filter(col("modality") === "image")
+          .select(col("doc_id"),
+            expr(s"png_palette_encode(payload, $width)").as("png"))
+          .select(col("doc_id"),
+            expr("png_width(png)").as("width"),
+            expr("png_height(png)").as("height"),
+            size(array_distinct(expr("png_filter_types(png)")))
+              .as("n_filter_types"),
+            expr("png_palette_rgb(png)").as("px"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("n_filter_types"), posexplode(col("px")).as(Seq("pos", "b")))
+          .groupBy(col("doc_id"), col("width"), col("height"),
+            col("n_filter_types"))
+          .agg(count(lit(1)).as("n_pixel_bytes"),
+            sum(when(pmod(col("pos"), lit(3)) === 0, col("b"))
+              .otherwise(0).cast("long")).as("r_sum"),
+            sum(when(pmod(col("pos"), lit(3)) === 1, col("b"))
+              .otherwise(0).cast("long")).as("g_sum"),
+            sum(when(pmod(col("pos"), lit(3)) === 2, col("b"))
+              .otherwise(0).cast("long")).as("b_sum"),
+            sum((col("b") * (pmod(col("pos"), lit(1000)) + 1)).cast("long"))
+              .as("pos_checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS bl FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |st AS (
+             |  SELECT doc_id, octet_length(bl) AS n,
+             |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(bl))] AS bs
+             |  FROM a),
+             |g AS (SELECT doc_id, n,
+             |        list_concat(bs, [0 for _x in
+             |          range((greatest(1, (n + 15) // 16)) * 16 - n)]) AS ix,
+             |        greatest(1, (n + 15) // 16) AS h
+             |      FROM st)
+             |SELECT doc_id, 16 AS width, CAST(h AS INTEGER) AS height,
+             |  CAST(least(h, 5) AS INTEGER) AS n_filter_types,
+             |  CAST(h * 48 AS BIGINT) AS n_pixel_bytes,
+             |  CAST(list_sum(list_transform(ix,
+             |    v -> (37 * v + 11) % 256)) AS BIGINT) AS r_sum,
+             |  CAST(list_sum(list_transform(ix,
+             |    v -> (73 * v + 29) % 256)) AS BIGINT) AS g_sum,
+             |  CAST(list_sum(list_transform(ix,
+             |    v -> (151 * v + 47) % 256)) AS BIGINT) AS b_sum,
+             |  CAST(list_sum(list_transform(range(len(ix)), p ->
+             |      ((37 * ix[p+1] + 11) % 256) * ((3*p) % 1000 + 1)
+             |    + ((73 * ix[p+1] + 29) % 256) * ((3*p+1) % 1000 + 1)
+             |    + ((151 * ix[p+1] + 47) % 256) * ((3*p+2) % 1000 + 1)))
+             |    AS BIGINT) AS pos_checksum
+             |FROM g ORDER BY doc_id""".stripMargin),
+      doc = "PNG palette decode: stride-1 unfilter + stored-PLTE lookup, " +
+        "oracle recomputes RGB from the palette formula incl. the non-zero tail"),
+
+    // ------------------------------------------------------------------
     // q86: REAL video container decode — the third modality goes
     // true-codec (expressions.AviDib): each video asset is packed as a
     // valid RIFF 'AVI ' (hdrl with avih/strl, movi list of '00db' DIB

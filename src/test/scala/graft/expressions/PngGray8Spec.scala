@@ -191,4 +191,155 @@ class PngGray8Spec extends AnyFunSuite {
     assert(e.getMessage.contains("deflate") ||
       e.getMessage.contains("inflated"))
   }
+
+  // ---------------------------------------------------------------
+  // Palette (color type 3)
+  // ---------------------------------------------------------------
+
+  private def chunkSpans(b: Array[Byte]): Seq[(String, Int, Int)] = {
+    var off = 8
+    val out = Seq.newBuilder[(String, Int, Int)]
+    while (off < b.length) {
+      val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      out += ((new String(b, off + 4, 4, "US-ASCII"), off, 12 + len))
+      off += 12 + len
+    }
+    out.result()
+  }
+
+  private def resolved(indices: Seq[Int]): Seq[Int] =
+    indices.flatMap { i =>
+      val (r, g, b) = PngGray8.paletteEntry(i)
+      Seq(r, g, b)
+    }
+
+  test("palette round-trip: indices resolve through the stored PLTE " +
+    "(tail index 0 is NON-zero RGB)") {
+    for ((n, w) <- Seq((0, 16), (1, 16), (100, 16), (160, 16), (161, 16),
+        (1000, 7))) {
+      val p = det(n * 13 + w, n)
+      val png = PngGray8.encodePalette(p, w)
+      val h = math.max(1, (n + w - 1) / w)
+      assert(PngGray8.width(png) == w && PngGray8.height(png) == h)
+      val px = ints(PngGray8.pixelsPaletteRgb(png))
+      assert(px.length == h * w * 3)
+      val idx = (0 until h * w).map(i => if (i < n) p(i) & 0xff else 0)
+      assert(px == resolved(idx))
+      if (h * w > n)
+        assert(px.takeRight(3) == Seq(11, 29, 47),
+          "zero tail must resolve to the non-zero palette entry 0")
+    }
+  }
+
+  test("palette: filter coverage row%5 holds for the indexed form too") {
+    val png = PngGray8.encodePalette(det(2, 16 * 6), 16)
+    assert(ints(PngGray8.filterTypes(png)) == Seq(0, 1, 2, 3, 4, 0))
+  }
+
+  test("palette: ImageIO resolves our indexed PNG to the same RGB") {
+    val n = 16 * 7 + 3
+    val p = det(55, n)
+    val png = PngGray8.encodePalette(p, 16)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO could not parse our palette PNG")
+    assert(img.getWidth == 16)
+    val ours = ints(PngGray8.pixelsPaletteRgb(png))
+    for (y <- 0 until img.getHeight; x <- 0 until 16) {
+      val v = img.getRGB(x, y)
+      val i = (y * 16 + x) * 3
+      assert(((v >> 16) & 0xff) == ours(i) &&
+        ((v >> 8) & 0xff) == ours(i + 1) && (v & 0xff) == ours(i + 2),
+        s"palette resolution mismatch at ($x,$y)")
+    }
+  }
+
+  test("palette: our decoder reads a JDK-encoded indexed PNG " +
+    "(independent PLTE layout/filters/compression)") {
+    val n = 16 * 5
+    val p = det(77, n)
+    val rs = new Array[Byte](256)
+    val gs = new Array[Byte](256)
+    val bs = new Array[Byte](256)
+    for (i <- 0 until 256) {
+      val (r, g, b) = PngGray8.paletteEntry(i)
+      rs(i) = r.toByte; gs(i) = g.toByte; bs(i) = b.toByte
+    }
+    val icm = new java.awt.image.IndexColorModel(8, 256, rs, gs, bs)
+    val img = new java.awt.image.BufferedImage(16, 5,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until 5; x <- 0 until 16)
+      img.getRaster.setSample(x, y, 0, p(y * 16 + x) & 0xff)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    // the JDK may reorder/trim ITS palette — the RESOLVED RGB stream is
+    // the invariant, and it must equal our formula-resolved indices
+    val px = ints(PngGray8.pixelsPaletteRgb(buf.toByteArray))
+    assert(px == resolved(p.toSeq.map(_ & 0xff)),
+      "JDK-encoded indexed decode mismatch")
+  }
+
+  test("palette: malformed PLTE placement/size and OOR indices rejected") {
+    // payload guaranteed to contain an index beyond a 1-entry palette
+    val p = det(6, 100).zipWithIndex
+      .map { case (b, i) => if (i == 3) 200.toByte else b }
+    val png = PngGray8.encodePalette(p, 16)
+    val cs = chunkSpans(png)
+    val Some((_, poff, psz)) = cs.find(_._1 == "PLTE")
+
+    // (a) strip PLTE entirely → required-chunk error
+    val noPlte = png.take(poff) ++ png.drop(poff + psz)
+    val e1 = intercept[IllegalArgumentException](
+      PngGray8.pixelsPaletteRgb(noPlte))
+    assert(e1.getMessage.contains("PLTE"))
+
+    // (b1) ct-3 stream with PLTE moved after IDAT: the required-before-
+    // IDAT rule fires at the first IDAT (the stricter, earlier error)
+    val plteBytes = png.slice(poff, poff + psz)
+    val Some((_, ioff, isz)) = cs.find(_._1 == "IDAT")
+    val afterIdatEnd = ioff + isz - psz // position in the PLTE-less stream
+    val moved = noPlte.take(afterIdatEnd) ++ plteBytes ++
+      noPlte.drop(afterIdatEnd)
+    val e2 = intercept[IllegalArgumentException](
+      PngGray8.pixelsPaletteRgb(moved))
+    assert(e2.getMessage.contains("requires a PLTE before IDAT"))
+
+    // (b2) the PLTE-after-IDAT placement rule itself, on a truecolor
+    // container (where PLTE is optional, so the ct-3 rule can't mask it)
+    val rgb = PngGray8.encodeRgb24(det(8, 72), 8)
+    val rcs = chunkSpans(rgb)
+    val Some((_, rioff, risz)) = rcs.find(_._1 == "IDAT")
+    val rgbMoved = rgb.take(rioff + risz) ++ plteBytes ++
+      rgb.drop(rioff + risz)
+    val e2b = intercept[IllegalArgumentException](
+      PngGray8.pixelsRgb24(rgbMoved))
+    assert(e2b.getMessage.contains("PLTE after IDAT"))
+
+    // (c) truncate PLTE to ONE entry (length 3, CRC fixed) → the stored
+    // index 200 must fail the range check, not silently clamp
+    val tiny = new java.io.ByteArrayOutputStream()
+    tiny.write(png, 0, poff)
+    tiny.write(Array[Byte](0, 0, 0, 3))
+    tiny.write("PLTE".getBytes("US-ASCII"))
+    tiny.write(png, poff + 8, 3)
+    val crc = new java.util.zip.CRC32
+    crc.update("PLTE".getBytes("US-ASCII"))
+    crc.update(png, poff + 8, 3)
+    val cv = crc.getValue.toInt
+    tiny.write(Array[Byte]((cv >> 24).toByte, (cv >> 16).toByte,
+      (cv >> 8).toByte, cv.toByte))
+    tiny.write(png, poff + psz, png.length - poff - psz)
+    val e3 = intercept[IllegalArgumentException](
+      PngGray8.pixelsPaletteRgb(tiny.toByteArray))
+    assert(e3.getMessage.contains("out of range"))
+
+    // (d) color-type pinning both ways
+    val gray = PngGray8.encode(det(3, 64), 16)
+    val e4 = intercept[IllegalArgumentException](
+      PngGray8.pixelsPaletteRgb(gray))
+    assert(e4.getMessage.contains("color type"))
+    val e5 = intercept[IllegalArgumentException](PngGray8.pixels(png))
+    assert(e5.getMessage.contains("color type"))
+  }
 }
