@@ -754,8 +754,124 @@ object TextOps extends Registry {
         Seq("spark", "window", "merge", "vector", "stream"), 10),
       Some(bm25OracleSql),
       doc = "BM25 from a stored inverted-postings index: content-addressed " +
-        "build-once, term-bucket directory pruning, zero corpus reads on serve")
+        "build-once, term-bucket directory pruning, zero corpus reads on serve"),
+
+    // ------------------------------------------------------------------
+    // q9a: LINEAR-CLASSIFIER TRAINING in the engine — batch perceptron
+    // over integer text features, the third member of the training-loop
+    // family (q5a Lloyd, q97 BPE). The model shape matches how corpus
+    // quality classifiers actually train at scale: the MODEL is tiny
+    // (5 weights) and the DATA is huge, so each round is one map-side
+    // margin filter + a 6-scalar partial aggregate over the cached
+    // feature projection — the corpus never shuffles, driver state is 5
+    // longs, and lineage does not grow with rounds (fresh literals per
+    // round, the q5a pattern). Everything is INTEGER: features are
+    // counts, the label is ±1, the batch update w += Σ_misclassified
+    // y·x is an order-free integer sum — so Spark and DuckDB agree
+    // bit-for-bit with no float residual at all (stronger than q5a/q98,
+    // which accept a rounding/ln ulp). A round with zero misclassified
+    // rows contributes a zero gradient, so converged weights freeze and
+    // the remaining rounds emit unchanged — no special stop logic to
+    // desynchronize. The oracle unrolls every round as scalar CTE
+    // chains (weights ride 1-row CTEs through a cross join, the q5a
+    // oracle technique).
+    QueryDef(
+      "q9a_perceptron_train",
+      (s, dir) => perceptronTrain(s, dir),
+      Some(perceptronOracle),
+      doc = "Batch perceptron training loop: integer features/margins, " +
+        "per-round 6-scalar partial agg, oracle replays all rounds exactly")
   )
+
+  val PerceptronRounds = 5
+
+  /** The (y, x0..x4) integer feature projection: label +1 for lang
+    * 'en' else -1; bias, char count, token count, vowel count, digit
+    * count. All counts — both engines compute them identically. */
+  private def perceptronFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(
+      when($"lang" === "en", 1L).otherwise(-1L).as("y"),
+      lit(1L).as("x0"),
+      length($"text").cast("long").as("x1"),
+      size(filter(split($"text", " "), w => length(w) > 0))
+        .cast("long").as("x2"),
+      (length($"text") - length(regexp_replace($"text", "[aeiou]", "")))
+        .cast("long").as("x3"),
+      (length($"text") - length(regexp_replace($"text", "[st]", "")))
+        .cast("long").as("x4"))
+  }
+
+  def perceptronTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = perceptronFeatures(s, dir).persist()
+    try {
+      val w = Array.fill(5)(0L)
+      val out = Seq.newBuilder[(Int, Long, Long, Long, Long, Long, Long)]
+      for (r <- 1 to PerceptronRounds) {
+        val margin = $"y" * (lit(w(0)) * $"x0" + lit(w(1)) * $"x1" +
+          lit(w(2)) * $"x2" + lit(w(3)) * $"x3" + lit(w(4)) * $"x4")
+        val g = f.filter(margin <= 0).agg(
+          count(lit(1)),
+          sum($"y" * $"x0"), sum($"y" * $"x1"), sum($"y" * $"x2"),
+          sum($"y" * $"x3"), sum($"y" * $"x4")).collect().head
+        val nErr = g.getLong(0)
+        var i = 0
+        while (i < 5) {
+          w(i) += (if (nErr == 0) 0L else g.getLong(i + 1))
+          i += 1
+        }
+        out += ((r, nErr, w(0), w(1), w(2), w(3), w(4)))
+      }
+      out.result()
+        .toDF("round", "n_err", "w_bias", "w_len", "w_tok", "w_vowel",
+          "w_st")
+    } finally { f.unpersist(); () }
+  }
+
+  /** The q9a oracle: PerceptronRounds unrolled — per round, the
+    * misclassified-set aggregate under the PREVIOUS round's weights
+    * (carried as a 1-row CTE), then the integer weight update. */
+  private def perceptronOracle: String = {
+    val rounds = (1 to PerceptronRounds).map { t =>
+      val p = t - 1
+      s"""r$t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_err,
+         |    CAST(coalesce(sum(y * x0), 0) AS BIGINT) AS gb,
+         |    CAST(coalesce(sum(y * x1), 0) AS BIGINT) AS gl,
+         |    CAST(coalesce(sum(y * x2), 0) AS BIGINT) AS gt,
+         |    CAST(coalesce(sum(y * x3), 0) AS BIGINT) AS gv,
+         |    CAST(coalesce(sum(y * x4), 0) AS BIGINT) AS gd
+         |  FROM f, w$p
+         |  WHERE y * (b*x0 + l*x1 + t*x2 + v*x3 + d*x4) <= 0),
+         |w$t AS (SELECT w$p.b + r$t.gb AS b, w$p.l + r$t.gl AS l,
+         |          w$p.t + r$t.gt AS t, w$p.v + r$t.gv AS v,
+         |          w$p.d + r$t.gd AS d
+         |        FROM w$p, r$t)"""
+    }.mkString(",\n")
+    val selects = (1 to PerceptronRounds).map { t =>
+      s"""SELECT $t AS round, (SELECT n_err FROM r$t) AS n_err,
+         |  b AS w_bias, l AS w_len, t AS w_tok, v AS w_vowel, d AS w_st
+         |FROM w$t"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    1 AS x0,
+       |    CAST(len(text) AS BIGINT) AS x1,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+       |      AS BIGINT) AS x2,
+       |    CAST(len(text) - len(regexp_replace(text, '[aeiou]', '', 'g'))
+       |      AS BIGINT) AS x3,
+       |    CAST(len(text) - len(regexp_replace(text, '[st]', '', 'g'))
+       |      AS BIGINT) AS x4
+       |  FROM documents),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS l,
+       |         CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS v,
+       |         CAST(0 AS BIGINT) AS d),
+       |$rounds
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
 
   /** One oracle for both BM25 forms (q98 scan-once, q99 indexed): the
     * stored index must be answer-invariant. */
