@@ -738,8 +738,7 @@ object TextOps extends Registry {
     QueryDef(
       "q98_bm25_topk",
       (s, dir) => bm25TopK(
-        table(s, dir, "documents"),
-        Seq("spark", "window", "merge", "vector", "stream"), 10),
+        table(s, dir, "documents"), Bm25Terms, 10),
       Some(bm25OracleSql),
       doc = "BM25 top-k retrieval: map-side query-term filter, broadcast df, " +
         "micro-unit exact scoring, TakeOrderedAndProject top-k"),
@@ -750,8 +749,7 @@ object TextOps extends Registry {
     // be invariant to, so one SQL text gates both forms.
     QueryDef(
       "q99_bm25_indexed",
-      (s, dir) => bm25Indexed(s, dir,
-        Seq("spark", "window", "merge", "vector", "stream"), 10),
+      (s, dir) => bm25Indexed(s, dir, Bm25Terms, 10),
       Some(bm25OracleSql),
       doc = "BM25 from a stored inverted-postings index: content-addressed " +
         "build-once, term-bucket directory pruning, zero corpus reads on serve"),
@@ -780,7 +778,23 @@ object TextOps extends Registry {
       (s, dir) => perceptronTrain(s, dir),
       Some(perceptronOracle),
       doc = "Batch perceptron training loop: integer features/margins, " +
-        "per-round 6-scalar partial agg, oracle replays all rounds exactly")
+        "per-round 6-scalar partial agg, oracle replays all rounds exactly"),
+
+    // ------------------------------------------------------------------
+    // q9b: BM25 served from an INCREMENTALLY MAINTAINED postings index —
+    // see loadOrBuildIncPostings above. The base split is indexed once,
+    // the delta batch appends bucket-preservingly, stats merge as
+    // scalars; the oracle is the FULL-corpus BM25 SQL (different term
+    // set from q98's, so the serve exercises its own buckets), which is
+    // exactly the merge ≡ rebuild contract: an incremental update that
+    // dropped, duplicated or double-counted anything hash-mismatches.
+    QueryDef(
+      "q9b_bm25_incremental",
+      (s, dir) => bm25Incremental(s, dir, Bm25IncTerms, 10),
+      Some(bm25OracleFor(Bm25IncTerms)),
+      doc = "BM25 from an incrementally maintained index: delta-only " +
+        "tokenize, bucket-preserving append, scalar stats merge — " +
+        "answer-invariant vs full rebuild")
   )
 
   val PerceptronRounds = 5
@@ -873,17 +887,21 @@ object TextOps extends Registry {
        |ORDER BY round""".stripMargin
   }
 
-  /** One oracle for both BM25 forms (q98 scan-once, q99 indexed): the
-    * stored index must be answer-invariant. */
-  private def bm25OracleSql: String =
-    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+  /** One oracle for all stored-or-not BM25 forms (q98 scan-once, q99
+    * indexed, q9b incrementally maintained): any index is a
+    * materialization detail the answer must be invariant to. */
+  private def bm25OracleSql: String = bm25OracleFor(Bm25Terms)
+
+  private def bm25OracleFor(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(",")
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
       |           FROM documents),
       |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
       |st AS (SELECT count(*) AS n_docs,
       |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
       |    SELECT doc_id, dl, unnest(ws) AS term FROM dl) t
-      |  WHERE term IN ('spark','window','merge','vector','stream')
+      |  WHERE term IN ($inList)
       |  GROUP BY doc_id, dl, term),
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       |sc AS (SELECT tf.doc_id,
@@ -896,6 +914,14 @@ object TextOps extends Registry {
       |  CAST(sum(cmic) AS BIGINT) AS score_micro
       |FROM sc GROUP BY doc_id
       |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** The q98/q99 query-term set. */
+  val Bm25Terms: Seq[String] = Seq("spark", "window", "merge", "vector", "stream")
+
+  /** The q9b term set — distinct from q98's so the incremental serve is
+    * exercised on its own bucket subset. */
+  val Bm25IncTerms: Seq[String] = Seq("join", "hash", "sort", "scan", "query")
 
   /** BM25 top-k over any (doc_id, text) frame — q98's body, factored so
     * the spec can prove ranking behavior on planted-relevance corpora.
@@ -976,15 +1002,10 @@ object TextOps extends Registry {
       java.nio.file.Files.exists(postDir.resolve("_SUCCESS")) &&
       java.nio.file.Files.exists(statsDir.resolve("_SUCCESS"))
     if (!valid) {
-      val docs = table(s, dir, "documents")
-        .select($"doc_id", split(lower($"text"), " ").as("ws"))
-        .select($"doc_id", $"ws", size($"ws").cast("long").as("dl"))
+      val docs = tokenizedDocs(s, dir)
       docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
         .write.mode("overwrite").parquet(statsDir.toString)
-      docs.select($"doc_id", $"dl", explode($"ws").as("term"))
-        .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
-        .withColumn("term_bucket",
-          pmod(xxhash64($"term"), lit(PostingsBuckets)))
+      postingsOf(docs)
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(postDir.toString)
       java.nio.file.Files.writeString(keyFile, key)
@@ -993,13 +1014,32 @@ object TextOps extends Registry {
       !valid, indexDir)
   }
 
-  /** The serve path: prune the postings layout to the query terms'
-    * buckets (directory-level, before any row is read), then the
-    * shared scoring tail. Exposed for the spec's plan assertions. */
-  def bm25Indexed(s: SparkSession, dir: String, queryTerms: Seq[String],
-      k: Int): DataFrame = {
+  /** The (doc_id, ws, dl) tokenization every BM25 form shares. */
+  private def tokenizedDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (post, stats, _, _) = loadOrBuildPostings(s, dir)
+    table(s, dir, "documents")
+      .select($"doc_id", split(lower($"text"), " ").as("ws"))
+      .select($"doc_id", $"ws", size($"ws").cast("long").as("dl"))
+  }
+
+  /** Bucketed (doc_id, dl, term, tf, term_bucket) postings of a
+    * tokenized frame — the unit the stored index is built AND
+    * incrementally extended with (same layout either way). */
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", $"dl", explode($"ws").as("term"))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket",
+        pmod(xxhash64($"term"), lit(PostingsBuckets)))
+  }
+
+  /** The shared serve path: prune the postings layout to the query
+    * terms' buckets (directory-level, before any row is read), then the
+    * shared scoring tail. */
+  private def serveFromPostings(s: SparkSession, post: DataFrame,
+      stats: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
+    import s.implicits._
     // buckets of the query terms, via the same engine hash (bounded:
     // |query| rows through one tiny job — never a driver reimplementation
     // of xxhash64 that could drift from the layout's)
@@ -1010,6 +1050,101 @@ object TextOps extends Registry {
       .filter($"term_bucket".isin(buckets: _*) && $"term".isin(queryTerms: _*))
       .select($"doc_id", $"dl", $"term", $"tf")
     bm25Score(tf, stats, k)
+  }
+
+  /** q99 serve — exposed for the spec's plan assertions. */
+  def bm25Indexed(s: SparkSession, dir: String, queryTerms: Seq[String],
+      k: Int): DataFrame = {
+    val (post, stats, _, _) = loadOrBuildPostings(s, dir)
+    serveFromPostings(s, post, stats, queryTerms, k)
+  }
+
+  // ------------------------------------------------------------------
+  // q9b: INCREMENTAL postings maintenance — the daily-crawl shape for
+  // retrieval, completing the index-maintenance story the way q4b did
+  // for near-dup: an existing stored index (built from the base split,
+  // doc_id % 10 != 0, standing in for "yesterday's corpus") absorbs a
+  // delta batch (doc_id % 10 == 0) WITHOUT rebuilding — the delta alone
+  // is tokenized, its postings are APPENDED into the same
+  // term_bucket=... hive layout (bucket-preserving, the q7b rule: the
+  // serve path's directory pruning survives the update), and the 1-row
+  // corpus stats merge as two scalars (stored n_docs/sum_dl + delta
+  // aggregates; the base corpus is NEVER rescanned for either). BM25 is
+  // exactly maintainable this way because every stored quantity is a
+  // per-doc row or an additive scalar: df/idf are DERIVED at serve time
+  // from the merged postings, so no stored statistic goes stale.
+  // Torn-write rule (shared with q99/q4b): the key file is written
+  // LAST; any interruption leaves a key mismatch and the next call
+  // discards the partial state wholesale.
+  // ------------------------------------------------------------------
+  val IncDeltaMod = 10
+
+  /** Build-or-reuse the incrementally-maintained index. Returns
+    * (postings, stats, rebuilt, indexDir); `rebuilt` is false on the
+    * reuse path, whose serve does zero documents.parquet reads. */
+  private[queries] def loadOrBuildIncPostings(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Boolean, String) = {
+    import s.implicits._
+    val src = s"$dir/documents.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|tok=ws-lower|buckets=$PostingsBuckets" +
+      s"|base=mod${IncDeltaMod}ne0|applied=mod${IncDeltaMod}eq0"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val indexDir = Tables.persistentScratchDir(s"q9b_postings_$tag")
+    val postDir = java.nio.file.Paths.get(indexDir, "postings")
+    val statsDir = java.nio.file.Paths.get(indexDir, "stats")
+    val keyFile = java.nio.file.Paths.get(indexDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(postDir.resolve("_SUCCESS")) &&
+      java.nio.file.Files.exists(statsDir.resolve("_SUCCESS"))
+    if (!valid) {
+      // discard any torn partial state wholesale (the append below is
+      // NOT idempotent, so a half-applied delta must never be resumed)
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(del)
+        f.delete(); ()
+      }
+      del(java.nio.file.Paths.get(indexDir).toFile)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
+
+      // 1. "yesterday": the stored base index
+      val base = tokenizedDocs(s, dir)
+        .filter(pmod($"doc_id", lit(IncDeltaMod)) =!= 0)
+      base.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+        .write.mode("overwrite").parquet(statsDir.toString)
+      postingsOf(base)
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(postDir.toString)
+
+      // 2. "today": the incremental step — ONLY the delta is tokenized.
+      // Postings append into the existing bucket directories; stats
+      // merge as 2 stored scalars + 2 delta scalars.
+      val delta = tokenizedDocs(s, dir)
+        .filter(pmod($"doc_id", lit(IncDeltaMod)) === 0)
+      postingsOf(delta)
+        .write.mode("append").partitionBy("term_bucket")
+        .parquet(postDir.toString)
+      val stored = s.read.parquet(statsDir.toString).collect().head
+      val d = delta.agg(count(lit(1)).cast("long"), sum($"dl")).collect().head
+      Seq((stored.getLong(0) + d.getLong(0),
+          (if (stored.isNullAt(1)) 0L else stored.getLong(1)) +
+            (if (d.isNullAt(1)) 0L else d.getLong(1))))
+        .toDF("n_docs", "sum_dl")
+        .write.mode("overwrite").parquet(statsDir.toString)
+
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    (s.read.parquet(postDir.toString), s.read.parquet(statsDir.toString),
+      !valid, indexDir)
+  }
+
+  /** q9b serve — exposed for the spec's plan assertions. */
+  def bm25Incremental(s: SparkSession, dir: String, queryTerms: Seq[String],
+      k: Int): DataFrame = {
+    val (post, stats, _, _) = loadOrBuildIncPostings(s, dir)
+    serveFromPostings(s, post, stats, queryTerms, k)
   }
 
   val BpeRounds = 3

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Result-level contracts for the round-10 operators, each pinned
@@ -75,5 +76,74 @@ class Round10OpsSpec extends AnyFunSuite {
       assert((2 to 6).map(r.getLong(_)) == w1,
         "weights must freeze once the gradient is zero")
     }
+  }
+
+  // ---------------------------------------------------------------
+  // q9b: incrementally maintained BM25 postings index
+  // ---------------------------------------------------------------
+
+  private def delTree(p: java.nio.file.Path): Unit = {
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(del)
+      f.delete(); ()
+    }
+    del(p.toFile)
+  }
+
+  test("q9b: incremental merge ≡ full rebuild, reuse path reads zero corpus") {
+    // clean slate: drop any index left by an earlier session/run
+    val (_, _, _, indexDir) = TextOps.loadOrBuildIncPostings(spark, sfDir)
+    delTree(java.nio.file.Paths.get(indexDir))
+
+    val (post1, _, rebuilt1, _) = TextOps.loadOrBuildIncPostings(spark, sfDir)
+    assert(rebuilt1, "fresh dir must trigger base build + delta apply")
+
+    // merge ≡ rebuild: the maintained index answers exactly like the
+    // scan-once BM25 over the FULL corpus (base ∪ delta)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val full = TextOps.bm25TopK(docs, TextOps.Bm25IncTerms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val inc = TextOps.bm25Incremental(spark, sfDir, TextOps.Bm25IncTerms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inc == full, "incrementally maintained serve diverged from rebuild")
+
+    // the appended layout holds every doc exactly once
+    val corpusN = docs.count()
+    assert(post1.select("doc_id").distinct().count() == corpusN,
+      "merged postings must cover base + delta with no loss/duplication")
+
+    // bucket layout preserved: the append created no new top level —
+    // only term_bucket=N directories (pruning survives maintenance)
+    val postRoot = java.nio.file.Paths.get(indexDir, "postings").toFile
+    val subdirs = postRoot.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(subdirs.nonEmpty && subdirs.forall(_.startsWith("term_bucket=")),
+      s"unexpected layout after append: ${subdirs.toSeq}")
+
+    // reuse path: no rebuild, and the executed serve plan reads ONLY
+    // the stored index — zero documents.parquet scans
+    val (_, _, rebuilt2, dir2) = TextOps.loadOrBuildIncPostings(spark, sfDir)
+    assert(!rebuilt2 && dir2 == indexDir, "unchanged corpus must reuse")
+    val served = TextOps.bm25Incremental(spark, sfDir,
+      TextOps.Bm25IncTerms, 10)
+    assert(served.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == full)
+    // AQE nests executed stages as QueryStageExec leaves — descend
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] =
+      p.collect {
+        case sc: FileSourceScanExec => Seq(sc)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+      }.flatten
+    val scans = allScans(served.queryExecution.executedPlan)
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.nonEmpty && roots.forall(_.contains(indexDir)),
+      s"reuse-path serve reads outside the index: $roots")
+    val files = scans.flatMap(_.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString))
+    assert(files.nonEmpty && !files.exists(_.contains("documents.parquet")),
+      "reuse-path serve re-read the corpus")
   }
 }
