@@ -734,6 +734,104 @@ object Relational extends Registry {
              |  CAST(sum(CASE WHEN ancestor LIKE 'r:%' THEN 1 ELSE 0 END)
              |       AS BIGINT) AS n_to_region
              |FROM anc GROUP BY depth ORDER BY depth""".stripMargin),
-      doc = "Native recursive CTE: depth-independent ancestor traversal of the entity DAG")
+      doc = "Native recursive CTE: depth-independent ancestor traversal of the entity DAG"),
+
+    // ------------------------------------------------------------------
+    // q9c: INCREMENTALLY MAINTAINED SKETCH STATE — the mergeable-
+    // aggregate form of the q4b/q9b index-maintenance story, and the
+    // 100 TB answer to "keep count-distinct fresh under daily drops":
+    // per-key HLL sketches of the base split (o_orderkey % 10 != 0,
+    // "yesterday") are STORED as a content-addressed parquet (a few KB
+    // per key — 2^lgK registers, corpus-size-independent), and the
+    // update sketches ONLY the delta batch and merges register-wise via
+    // hll_union. Merging is exact for HLL (register-wise max), so the
+    // maintained state is BIT-EQUIVALENT to a full rebuild — the query
+    // pins that as merge_equals_rebuild (estimates compared for exact
+    // equality, not within-epsilon) alongside the q93-style ±10% error
+    // contract against the exact count. DuckDB cannot replay
+    // datasketches registers, so the oracle pins the exact counts and
+    // the two booleans (the q93 gating pattern). The full-corpus
+    // exact/rebuild columns exist ONLY to state the contract; the
+    // maintained path itself reads stored state + delta, proven
+    // plan-level in Round10OpsSpec.
+    QueryDef(
+      "q9c_hll_incremental",
+      (s, dir) => hllIncremental(s, dir),
+      Some("""SELECT o_orderpriority,
+             |  count(DISTINCT o_custkey) AS exact_cust,
+             |  true AS merged_within_10pct,
+             |  true AS merge_equals_rebuild
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      doc = "Incrementally maintained HLL state: stored per-key registers " +
+        "+ delta-only sketch + hll_union merge, pinned merge ≡ rebuild " +
+        "and a gated error contract")
   )
+
+  val HllLgK = 14
+  private val HllDeltaMod = 10
+
+  /** Build-or-reuse the stored per-priority HLL state over the base
+    * split. Returns (state, rebuilt, stateDir). */
+  private[queries] def loadOrBuildHllState(s: SparkSession, dir: String)
+      : (DataFrame, Boolean, String) = {
+    import s.implicits._
+    val src = s"$dir/orders.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|agg=hll-custkey|lgk=$HllLgK|base=mod${HllDeltaMod}ne0"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = Tables.persistentScratchDir(s"q9c_hll_$tag")
+    val skDir = java.nio.file.Paths.get(stateDir, "sketches")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(skDir.resolve("_SUCCESS"))
+    if (!valid) {
+      Tables.table(s, dir, "orders")
+        .filter(pmod($"o_orderkey", lit(HllDeltaMod)) =!= 0)
+        .groupBy($"o_orderpriority")
+        .agg(hll_sketch_agg($"o_custkey", lit(HllLgK)).as("sk_base"))
+        .write.mode("overwrite").parquet(skDir.toString)
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    (s.read.parquet(skDir.toString), !valid, stateDir)
+  }
+
+  /** The maintained estimate: stored base registers ∪ delta-batch
+    * sketch, no base rescan. Exposed for the spec's plan assertions. */
+  private[queries] def hllMergedEstimate(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val (stored, _, _) = loadOrBuildHllState(s, dir)
+    val delta = Tables.table(s, dir, "orders")
+      .filter(pmod($"o_orderkey", lit(HllDeltaMod)) === 0)
+      .groupBy($"o_orderpriority")
+      .agg(hll_sketch_agg($"o_custkey", lit(HllLgK)).as("sk_delta"))
+    stored.join(delta, Seq("o_orderpriority"), "full")
+      .select($"o_orderpriority",
+        hll_sketch_estimate(
+          when($"sk_base".isNull, $"sk_delta")
+            .when($"sk_delta".isNull, $"sk_base")
+            .otherwise(hll_union($"sk_base", $"sk_delta",
+              allowDifferentLgConfigK = false))).as("est_merged"))
+  }
+
+  def hllIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merged = hllMergedEstimate(s, dir)
+    // contract columns only: the exact count and the from-scratch
+    // sketch exist to GATE the maintained path, not to serve it
+    val contract = Tables.table(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("exact_cust"),
+        hll_sketch_estimate(hll_sketch_agg($"o_custkey", lit(HllLgK)))
+          .as("est_rebuild"))
+    merged.join(contract, "o_orderpriority")
+      .select($"o_orderpriority", $"exact_cust",
+        (abs($"est_merged" - $"exact_cust") <= $"exact_cust" * 0.10)
+          .as("merged_within_10pct"),
+        ($"est_merged" === $"est_rebuild").as("merge_equals_rebuild"))
+      .orderBy($"o_orderpriority")
+  }
 }

@@ -146,4 +146,44 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(files.nonEmpty && !files.exists(_.contains("documents.parquet")),
       "reuse-path serve re-read the corpus")
   }
+
+  // ---------------------------------------------------------------
+  // q9c: incrementally maintained HLL sketch state
+  // ---------------------------------------------------------------
+
+  test("q9c: stored registers reuse across calls; merged state is " +
+    "numerically identical to a from-scratch sketch") {
+    val (_, _, stateDir) = Relational.loadOrBuildHllState(spark, sfDir)
+    delTree(java.nio.file.Paths.get(stateDir))
+
+    val (_, rebuilt1, _) = Relational.loadOrBuildHllState(spark, sfDir)
+    assert(rebuilt1, "fresh dir must trigger a base-state build")
+    val (stored, rebuilt2, dir2) = Relational.loadOrBuildHllState(spark, sfDir)
+    assert(!rebuilt2 && dir2 == stateDir, "unchanged base must reuse state")
+
+    // the stored state is the register file, not the corpus: its scan
+    // reads only the state dir
+    val scans = stored.queryExecution.executedPlan.collect {
+      case sc: FileSourceScanExec => sc
+    }
+    assert(scans.size == 1 &&
+      scans.head.relation.location.rootPaths
+        .forall(_.toString.contains(stateDir)),
+      "stored-state scan reads outside the state dir")
+
+    // merge ≡ rebuild, engine-side and EXACT: hll_union is a
+    // register-wise max, so maintained estimates equal from-scratch
+    // estimates exactly (hll_sketch_estimate emits a rounded long)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val merged = Relational.hllMergedEstimate(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rebuilt = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy($"o_orderpriority")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg($"o_custkey", lit(Relational.HllLgK))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == rebuilt,
+      s"maintained state diverged from rebuild:\n $merged\n $rebuilt")
+  }
 }
