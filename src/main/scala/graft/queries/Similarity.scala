@@ -1451,6 +1451,108 @@ object Similarity extends Registry {
       (s, dir) => semdedupScaledK(s, dir),
       Some(semdedupScaledKOracle),
       doc = "SemDeDup at corpus-scaled codebook k (k = clamp(8, 128, ceil(n/64))) " +
-        "with a driver-enforced cell-size bound")
+        "with a driver-enforced cell-size bound"),
+
+    // ------------------------------------------------------------------
+    // q5d: INT8 SCALAR QUANTIZATION serve — embedding compression, the
+    // missing memory-side lever of the ANN family (IVF/PQ/LSH prune
+    // WORK; int8 shrinks BYTES 4× so 100 TB of float32 vectors serve
+    // from 25 TB, and composes with all of them). Quantize map-side:
+    // per-vector scale s = max|x_i| (embeddings are unit vectors, so
+    // s > 0 always), code_i = round(x_i·127/s) ∈ [-127,127]; score by
+    // the INTEGER dot of the codes rescaled by (s_a·s_b/127²)/(‖a‖‖b‖).
+    // Because every product of two codes is an exact small integer, the
+    // dot is IEEE-exact in both engines and the whole ranking — unlike
+    // PQ's — replays in DuckDB at full hash fidelity: quantization,
+    // scoring, top-k AND the per-query recall-vs-float-exact column are
+    // all recomputed by the oracle (no gated boolean needed — the only
+    // float steps, the two rescale divisions and the 4-decimal round,
+    // are written with identical association on both sides). recall5
+    // rides every row, so a quantization change that degrades ranking
+    // quality hash-fails rather than silently passing its own oracle.
+    QueryDef(
+      "q5d_int8_ann",
+      (s, dir) => int8Ann(s, dir),
+      Some(int8AnnOracle),
+      doc = "Int8 scalar-quantized top-k: map-side quantization, exact " +
+        "integer dots, fully oracle-replayed incl. recall vs float exact")
   )
+
+  /** Quantized corpus: (vec_id, nrm, sc, qv) with qv the int8 codes as
+    * doubles (products of two codes are ≤ 127² — exact in double — so
+    * the codegen vec_dot kernel serves as the integer dot). */
+  private def int8Corpus(emb: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(emb.sparkSession)
+    emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("sc", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => round(x * lit(127) / col("sc"))))
+      .drop("v")
+  }
+
+  def int8Ann(s: SparkSession, dir: String): DataFrame = {
+    val z = int8Corpus(table(s, dir, "embeddings"))
+    val q = z.filter(col("vec_id") % 100 === 0 && col("vec_id") < MaxQueryId)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+        col("nrm").as("qn"), col("sc").as("qsc"))
+    val scored = z.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("qqv")) *
+          (col("sc") * col("qsc") / lit(16129.0)) / (col("nrm") * col("qn")),
+          4).as("cosine"))
+    val top = topKPerQuery(scored)
+      .withColumnRenamed("cosine", "qcos")
+    // recall column: |quantized top-5 ∩ float-exact top-5| per query —
+    // replayed (not gated) because the oracle can recompute both sides
+    val exact = knnExactOn(corpus(s, dir))
+      .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+    val rec = top.join(exact, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0)).cast("long")).as("recall5"))
+    top.join(rec, Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"), col("qcos"), col("recall5"))
+      .orderBy(col("q_id"), col("qcos").desc, col("neighbor_id"))
+  }
+
+  private def int8AnnOracle: String =
+    s"""WITH n AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |nn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+       |         list_max(list_transform(e, x -> abs(x))) AS sc
+       |       FROM n),
+       |qz AS (SELECT vec_id, nrm, sc,
+       |         list_transform(e, x -> round(x * 127 / sc)) AS qv
+       |       FROM nn),
+       |q AS (SELECT vec_id AS q_id, qv AS qqv, nrm AS qn, sc AS qsc
+       |      FROM qz WHERE vec_id % 100 = 0 AND vec_id < $MaxQueryId),
+       |sc2 AS (SELECT q.q_id, z.vec_id AS neighbor_id,
+       |          round(list_dot_product(z.qv, q.qqv)
+       |                * (z.sc * q.qsc / 16129.0) / (z.nrm * q.qn), 4)
+       |            AS qcos
+       |        FROM qz z JOIN q ON z.vec_id != q.q_id),
+       |top AS (SELECT q_id, neighbor_id, qcos FROM (
+       |    SELECT q_id, neighbor_id, qcos, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY qcos DESC, neighbor_id) AS rn
+       |    FROM sc2) t WHERE rn <= $K),
+       |ex AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT nq.q_id, z.vec_id AS neighbor_id, row_number() OVER (
+       |      PARTITION BY nq.q_id ORDER BY
+       |        round(list_dot_product(z.e, nq.qe) / (z.nrm * nq.qn), 4)
+       |          DESC, z.vec_id) AS rn
+       |    FROM nn z JOIN (SELECT vec_id AS q_id, e AS qe, nrm AS qn
+       |                    FROM nn
+       |                    WHERE vec_id % 100 = 0 AND vec_id < $MaxQueryId) nq
+       |      ON z.vec_id != nq.q_id) t WHERE rn <= $K),
+       |rec AS (SELECT t.q_id,
+       |          CAST(sum(CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END)
+       |               AS BIGINT) AS recall5
+       |        FROM top t LEFT JOIN ex e
+       |          ON t.q_id = e.q_id AND t.neighbor_id = e.neighbor_id
+       |        GROUP BY t.q_id)
+       |SELECT t.q_id, t.neighbor_id, t.qcos, r.recall5
+       |FROM top t JOIN rec r ON t.q_id = r.q_id
+       |ORDER BY t.q_id, t.qcos DESC, t.neighbor_id""".stripMargin
 }

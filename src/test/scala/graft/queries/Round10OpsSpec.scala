@@ -186,4 +186,40 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(merged == rebuilt,
       s"maintained state diverged from rebuild:\n $merged\n $rebuilt")
   }
+
+  // ---------------------------------------------------------------
+  // q5d: int8 scalar-quantized ANN serve
+  // ---------------------------------------------------------------
+
+  test("q5d: engine quantized top-k equals a pure-Scala int8 replay") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+
+    def quant(v: IndexedSeq[Double]): (IndexedSeq[Long], Double, Double) = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val sc = v.map(math.abs).max
+      (v.map(x => math.round(x * 127 / sc)), nrm, sc)
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qz = vecs.map { case (id, v) => id -> quant(v) }
+    val qIds = vecs.keys.filter(id => id % 100 == 0 && id < 2000).toSeq.sorted
+    val expected = qIds.flatMap { q =>
+      val (qq, qn, qsc) = qz(q)
+      vecs.keys.filter(_ != q).toSeq
+        .map { nId =>
+          val (nv, nn, nsc) = qz(nId)
+          val idot = qq.zip(nv).map { case (a, b) => a * b }.sum.toDouble
+          (nId, r4(idot * (nsc * qsc / 16129.0) / (nn * qn)))
+        }
+        .sortBy { case (nId, c) => (-c, nId) }.take(5)
+        .map { case (nId, c) => (q, nId, c) }
+    }
+    val got = Similarity.defs.find(_.name == "q5d_int8_ann").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected, "quantized ranking diverged from the replay")
+  }
 }
