@@ -49,7 +49,12 @@ object PlanAudit {
     "q4c_verbatim_spans",     // content-anchor windows + capped exact-key join
     "q98_bm25_topk",          // map-side term filter, broadcast df, TakeOrdered
     "q6b_scd2_cdc",           // stateful CDC fold + one compaction shuffle
-    "q99_bm25_indexed")       // stored postings: bucket-pruned serve, no corpus scan
+    "q99_bm25_indexed",       // stored postings: bucket-pruned serve, no corpus scan
+    "q89_png_palette",        // palette decode: narrow codegen projection + agg
+    "q9a_perceptron_train",   // one training round: margin filter + 6-scalar agg
+    "q9b_bm25_incremental",   // serve over the incrementally appended layout
+    "q9c_hll_incremental",    // stored registers ∪ delta sketch, no base rescan
+    "q5d_int8_ann")           // map-side quantization + integer-dot top-k
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
@@ -78,7 +83,11 @@ object PlanAudit {
             graft.queries.Similarity.seedGrid(c))
             .groupBy(org.apache.spark.sql.functions.col("cell"))
             .count()
-        }))
+        }),
+        // q9a's registered form ends in a driver-local frame — audit
+        // the per-round plan the loop actually repeats
+        "q9a_perceptron_train" ->
+          ((s, d) => graft.queries.TextOps.perceptronRoundAgg(s, d)))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
     sb.append(s"Generated by `graft.PlanAudit` over `$sfDir`. One\n")

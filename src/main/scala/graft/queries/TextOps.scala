@@ -843,6 +843,21 @@ object TextOps extends Registry {
     } finally { f.unpersist(); () }
   }
 
+  /** Plan-audit hook: ONE perceptron round's misclassified-set
+    * aggregate under representative non-zero weights — the
+    * per-iteration plan the q9a loop repeats (its registered form ends
+    * in a driver-local frame, which hides this). Non-zero literals so
+    * constant folding can't erase the margin filter. */
+  def perceptronRoundAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Seq(1L, -2L, 3L, -4L, 5L)
+    perceptronFeatures(s, dir)
+      .filter($"y" * (lit(w(0)) * $"x0" + lit(w(1)) * $"x1" +
+        lit(w(2)) * $"x2" + lit(w(3)) * $"x3" + lit(w(4)) * $"x4") <= 0)
+      .agg(count(lit(1)), sum($"y" * $"x0"), sum($"y" * $"x1"),
+        sum($"y" * $"x2"), sum($"y" * $"x3"), sum($"y" * $"x4"))
+  }
+
   /** The q9a oracle: PerceptronRounds unrolled — per round, the
     * misclassified-set aggregate under the PREVIOUS round's weights
     * (carried as a 1-row CTE), then the integer weight update. */
