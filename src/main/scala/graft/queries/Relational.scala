@@ -817,6 +817,37 @@ object Relational extends Registry {
               allowDifferentLgConfigK = false))).as("est_merged"))
   }
 
+  /** Streaming-maintenance form of q9c: fold ONE micro-batch of orders
+    * rows into the stored per-priority register file (the foreachBatch
+    * production shape — a stream keeps count-distinct fresh by merging
+    * each trigger's sketches into state whose size is keys × 2^lgK
+    * bytes REGARDLESS of stream volume). The state is collected to the
+    * driver before the overwrite (bounded: a few KB per key), which
+    * also makes the read-modify-write safe against reading the
+    * directory being replaced. StreamingSpec proves drained-stream ≡
+    * from-scratch rebuild. */
+  def hllFoldBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val skDir = java.nio.file.Paths.get(stateDir, "sketches")
+    val bs = batch.groupBy($"o_orderpriority")
+      .agg(hll_sketch_agg($"o_custkey", lit(HllLgK)).as("sk_new"))
+    val merged =
+      if (java.nio.file.Files.exists(skDir.resolve("_SUCCESS")))
+        s.read.parquet(skDir.toString)
+          .join(bs, Seq("o_orderpriority"), "full")
+          .select($"o_orderpriority",
+            when($"sk_base".isNull, $"sk_new")
+              .when($"sk_new".isNull, $"sk_base")
+              .otherwise(hll_union($"sk_base", $"sk_new",
+                allowDifferentLgConfigK = false)).as("sk_base"))
+      else bs.select($"o_orderpriority", $"sk_new".as("sk_base"))
+    val rows = merged.collect() // bounded: keys × sketch bytes
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+        merged.schema)
+      .write.mode("overwrite").parquet(skDir.toString)
+  }
+
   def hllIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val merged = hllMergedEstimate(s, dir)

@@ -384,6 +384,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchSizes.max < total, "a single trigger absorbed the whole burst")
   }
 
+  test("streaming HLL maintenance: per-trigger sketch folds converge to " +
+    "the from-scratch estimates") {
+    // the q9c state machine driven by a STREAM: orders arrive as three
+    // single-file micro-batches, each trigger folds its sketches into
+    // the stored register file (Relational.hllFoldBatch — the
+    // foreachBatch production shape), and the drained state must
+    // estimate exactly like one sketch pass over the whole table
+    import org.apache.spark.sql.functions._
+    val streamDir = java.nio.file.Files.createTempDirectory("hll-stream")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("hll-state").toString
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"))
+    orders.repartition(3).write.mode("overwrite")
+      .parquet(streamDir.toString)
+
+    val folds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = spark.readStream
+      .schema(orders.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.queries.Relational.hllFoldBatch(spark, stateDir, df)
+        folds.incrementAndGet(); ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    assert(folds.get() == 3, s"expected 3 per-file folds, got ${folds.get()}")
+
+    val streamed = spark.read
+      .parquet(java.nio.file.Paths.get(stateDir, "sketches").toString)
+      .select(col("o_orderpriority"),
+        hll_sketch_estimate(col("sk_base")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rebuilt = orders.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"),
+        lit(graft.queries.Relational.HllLgK))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == rebuilt,
+      s"stream-folded state diverged from rebuild:\n $streamed\n $rebuilt")
+  }
+
   test("streaming NDJSON sink drains to the exact batch-write artifact") {
     // the E1 output tail as a stream: Patient resources arrive across
     // two micro-batches (one file per trigger) and the foreachBatch
