@@ -1481,7 +1481,7 @@ object Similarity extends Registry {
   /** Quantized corpus: (vec_id, nrm, sc, qv) with qv the int8 codes as
     * doubles (products of two codes are ≤ 127² — exact in double — so
     * the codegen vec_dot kernel serves as the integer dot). */
-  private def int8Corpus(emb: DataFrame): DataFrame = {
+  private[queries] def int8CorpusOf(emb: DataFrame): DataFrame = {
     graft.GraftExtensions.ensureRegistered(emb.sparkSession)
     emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -1491,18 +1491,25 @@ object Similarity extends Registry {
       .drop("v")
   }
 
-  def int8Ann(s: SparkSession, dir: String): DataFrame = {
-    val z = int8Corpus(table(s, dir, "embeddings"))
-    val q = z.filter(col("vec_id") % 100 === 0 && col("vec_id") < MaxQueryId)
-      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
-        col("nrm").as("qn"), col("sc").as("qsc"))
+  /** Quantized top-k of a (q_id, qqv, qn, qsc) query frame against a
+    * quantized corpus — shared by the registered batch form and the
+    * micro-batch streaming serve (Round10OpsSpec): a serving pipeline
+    * runs exactly this per trigger with the corpus static. */
+  private[queries] def int8TopK(z: DataFrame, q: DataFrame): DataFrame = {
     val scored = z.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("qqv")) *
           (col("sc") * col("qsc") / lit(16129.0)) / (col("nrm") * col("qn")),
           4).as("cosine"))
-    val top = topKPerQuery(scored)
-      .withColumnRenamed("cosine", "qcos")
+    topKPerQuery(scored).withColumnRenamed("cosine", "qcos")
+  }
+
+  def int8Ann(s: SparkSession, dir: String): DataFrame = {
+    val z = int8CorpusOf(table(s, dir, "embeddings"))
+    val q = z.filter(col("vec_id") % 100 === 0 && col("vec_id") < MaxQueryId)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+        col("nrm").as("qn"), col("sc").as("qsc"))
+    val top = int8TopK(z, q)
     // recall column: |quantized top-5 ∩ float-exact top-5| per query —
     // replayed (not gated) because the oracle can recompute both sides
     val exact = knnExactOn(corpus(s, dir))

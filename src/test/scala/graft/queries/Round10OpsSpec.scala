@@ -222,4 +222,49 @@ class Round10OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == expected, "quantized ranking diverged from the replay")
   }
+
+  test("q5d: queries served as a STREAM match the batch serve") {
+    // the serving-pipeline composition: query vectors arrive as two
+    // single-file micro-batches, each trigger quantizes its batch and
+    // runs the same int8TopK against the static quantized corpus —
+    // drained results must equal the one-shot batch serve
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val z = Similarity.int8CorpusOf(emb).persist()
+    val queries = emb.filter(col("vec_id") % 100 === 0 &&
+      col("vec_id") < 2000)
+
+    val streamDir = java.nio.file.Files.createTempDirectory("q5d-stream")
+    queries.repartition(2).write.mode("overwrite")
+      .parquet(streamDir.toString)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    val nTriggers = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = spark.readStream
+      .schema(queries.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val qz = Similarity.int8CorpusOf(df)
+          .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+            col("nrm").as("qn"), col("sc").as("qsc"))
+        val rows = Similarity.int8TopK(z, qz).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        out.synchronized { out ++= rows }
+        nTriggers.incrementAndGet(); ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    assert(nTriggers.get() == 2, s"expected 2 triggers, got ${nTriggers.get()}")
+
+    val qAll = z.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+        col("nrm").as("qn"), col("sc").as("qsc"))
+    val batch = Similarity.int8TopK(z, qAll).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    z.unpersist()
+    assert(out.toSet == batch && batch.nonEmpty,
+      "streamed per-trigger serve diverged from the batch serve")
+  }
 }
