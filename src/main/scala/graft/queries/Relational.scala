@@ -744,11 +744,16 @@ object Relational extends Registry {
     // "yesterday") are STORED as a content-addressed parquet (a few KB
     // per key — 2^lgK registers, corpus-size-independent), and the
     // update sketches ONLY the delta batch and merges register-wise via
-    // hll_union. Merging is exact for HLL (register-wise max), so the
-    // maintained state is BIT-EQUIVALENT to a full rebuild — the query
-    // pins that as merge_equals_rebuild (estimates compared for exact
-    // equality, not within-epsilon) alongside the q93-style ±10% error
-    // contract against the exact count. DuckDB cannot replay
+    // hll_union. The union is a register-wise max, so the maintained
+    // REGISTER state is equivalent to a rebuild — but datasketches
+    // estimates a singly-built sketch with the more accurate HIP
+    // estimator, which a union cannot preserve (it falls back to the
+    // composite estimator), so merged ESTIMATES match a rebuild only
+    // within the composite tolerance: observed exact equality while
+    // sketches are sparse (sf0.001/sf0.01) and ≤0.05% divergence at
+    // the dense sf0.1 sizes. The query pins that honestly as
+    // merge_within_1pct_of_rebuild (vs exact count as the yardstick)
+    // alongside the q93-style ±10% error contract. DuckDB cannot replay
     // datasketches registers, so the oracle pins the exact counts and
     // the two booleans (the q93 gating pattern). The full-corpus
     // exact/rebuild columns exist ONLY to state the contract; the
@@ -760,12 +765,12 @@ object Relational extends Registry {
       Some("""SELECT o_orderpriority,
              |  count(DISTINCT o_custkey) AS exact_cust,
              |  true AS merged_within_10pct,
-             |  true AS merge_equals_rebuild
+             |  true AS merge_within_1pct_of_rebuild
              |FROM orders GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin),
       doc = "Incrementally maintained HLL state: stored per-key registers " +
-        "+ delta-only sketch + hll_union merge, pinned merge ≡ rebuild " +
-        "and a gated error contract")
+        "+ delta-only sketch + hll_union merge, pinned ≈rebuild (HIP-loss " +
+        "tolerance) and a gated error contract")
   )
 
   val HllLgK = 14
@@ -862,7 +867,8 @@ object Relational extends Registry {
       .select($"o_orderpriority", $"exact_cust",
         (abs($"est_merged" - $"exact_cust") <= $"exact_cust" * 0.10)
           .as("merged_within_10pct"),
-        ($"est_merged" === $"est_rebuild").as("merge_equals_rebuild"))
+        (abs($"est_merged" - $"est_rebuild") <= $"exact_cust" * 0.01)
+          .as("merge_within_1pct_of_rebuild"))
       .orderBy($"o_orderpriority")
   }
 }

@@ -781,6 +781,29 @@ object TextOps extends Registry {
         "per-round 6-scalar partial agg, oracle replays all rounds exactly"),
 
     // ------------------------------------------------------------------
+    // q9d: PERPLEXITY FILTERING — the CCNet-style quality gate modern
+    // corpus pipelines run after the rule-based scores (q32): train a
+    // Laplace-smoothed bigram LM on the corpus itself, score every
+    // document by its average negative log-likelihood, keep documents
+    // under a pinned threshold. Plan shape is the LM reality at 100 TB:
+    // the MODEL is vocab-bounded (bigram/unigram count tables + one
+    // distinct-count scalar — independent of corpus row count once the
+    // vocab saturates), so both LM tables join BACK onto the adjacent-
+    // pair stream by broadcast and the whole score is one narrow pass +
+    // a per-doc partial agg. Per-pair log-probs are rounded to exact
+    // micro-longs BEFORE summation (q98's pattern) and the per-doc
+    // average is an integer division, so the only cross-engine residual
+    // is ln()'s sub-ulp at the micro rounding boundary (the accepted
+    // q54/q98 residual). Documents with <2 tokens cannot be scored and
+    // are excluded identically on both sides.
+    QueryDef(
+      "q9d_perplexity_filter",
+      (s, dir) => perplexityFilter(s, dir),
+      Some(perplexityOracle),
+      doc = "Bigram-LM perplexity filter: vocab-bounded LM broadcast back " +
+        "over the pair stream, micro-exact NLL, pinned keep threshold"),
+
+    // ------------------------------------------------------------------
     // q9b: BM25 served from an INCREMENTALLY MAINTAINED postings index —
     // see loadOrBuildIncPostings above. The base split is indexed once,
     // the delta batch appends bucket-preservingly, stats merge as
@@ -842,6 +865,65 @@ object TextOps extends Registry {
           "w_st")
     } finally { f.unpersist(); () }
   }
+
+  /** q9d keep threshold: average NLL ≤ 3.4 nats (in micro units). On
+    * the synthetic corpus this splits kept/filtered non-trivially at
+    * every shipped sf (verified sf0.001/0.01/0.1); the value is a
+    * LITERAL on both sides so neither engine folds it differently. */
+  val PerplexityKeepMicro = 3400000L
+
+  def perplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+    val allWords = docs.select(explode($"ws").as("w"))
+    val pairs = docs.filter(size($"ws") >= 2)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size($"ws") - 1),
+        i => struct(element_at($"ws", i).as("a"),
+          element_at($"ws", i + 1).as("b")))).as("p"))
+      .select($"doc_id", $"p.a", $"p.b")
+    // the LM: vocab-bounded tables, broadcast back over the pair stream
+    val big = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c12"))
+    val uni = allWords.groupBy($"w").agg(count(lit(1)).as("c1"))
+    val vocab = allWords.agg(countDistinct($"w").as("v"))
+    pairs
+      .join(broadcast(big), Seq("a", "b"))
+      .join(broadcast(uni), $"w" === $"a")
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id",
+        round((log($"c12" + lit(1)) - log($"c1" + $"v")) * lit(1000000.0))
+          .cast("long").as("cmic"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum(-$"cmic").as("nll_sum"))
+      // integer division (both operands positive, so truncation ==
+      // floor in BOTH engines — no double round-trip to disagree on)
+      .select($"doc_id", $"n_pairs",
+        expr("nll_sum div n_pairs").as("nll_avg_micro"))
+      .withColumn("kept", $"nll_avg_micro" <= lit(PerplexityKeepMicro))
+      .orderBy($"doc_id")
+  }
+
+  private def perplexityOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |p AS (SELECT doc_id, pr.a AS a, pr.b AS b FROM (
+       |    SELECT doc_id, unnest([{'a': ws[i], 'b': ws[i+1]}
+       |                           for i in range(1, len(ws))]) AS pr
+       |    FROM d WHERE len(ws) >= 2) z),
+       |big AS (SELECT a, b, count(*) AS c12 FROM p GROUP BY a, b),
+       |uni AS (SELECT w, count(*) AS c1 FROM (
+       |    SELECT unnest(ws) AS w FROM d) z GROUP BY w),
+       |vv AS (SELECT count(DISTINCT w) AS v FROM (
+       |    SELECT unnest(ws) AS w FROM d) z),
+       |sc AS (SELECT p.doc_id,
+       |         CAST(round((ln(c12 + 1) - ln(c1 + v)) * 1000000.0)
+       |              AS BIGINT) AS cmic
+       |       FROM p JOIN big USING (a, b) JOIN uni ON uni.w = p.a, vv)
+       |SELECT doc_id, count(*) AS n_pairs,
+       |  CAST((-sum(cmic)) // count(*) AS BIGINT) AS nll_avg_micro,
+       |  (((-sum(cmic)) // count(*)) <= $PerplexityKeepMicro) AS kept
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Plan-audit hook: ONE perceptron round's misclassified-set
     * aggregate under representative non-zero weights — the

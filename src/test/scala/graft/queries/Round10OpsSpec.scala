@@ -151,8 +151,8 @@ class Round10OpsSpec extends AnyFunSuite {
   // q9c: incrementally maintained HLL sketch state
   // ---------------------------------------------------------------
 
-  test("q9c: stored registers reuse across calls; merged state is " +
-    "numerically identical to a from-scratch sketch") {
+  test("q9c: stored registers reuse across calls; merged state matches " +
+    "a from-scratch sketch (exactly, while sparse)") {
     val (_, _, stateDir) = Relational.loadOrBuildHllState(spark, sfDir)
     delTree(java.nio.file.Paths.get(stateDir))
 
@@ -171,9 +171,12 @@ class Round10OpsSpec extends AnyFunSuite {
         .forall(_.toString.contains(stateDir)),
       "stored-state scan reads outside the state dir")
 
-    // merge ≡ rebuild, engine-side and EXACT: hll_union is a
-    // register-wise max, so maintained estimates equal from-scratch
-    // estimates exactly (hll_sketch_estimate emits a rounded long)
+    // merge ≡ rebuild engine-side: hll_union is a register-wise max.
+    // At this cardinality the sketches are still in sparse mode, where
+    // the union also preserves the HIP estimator, so estimates match
+    // EXACTLY; once dense (sf0.1) the union falls back to the
+    // composite estimator and q9c's registered contract pins the
+    // divergence ≤1% instead (observed ≤0.05%)
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val merged = Relational.hllMergedEstimate(spark, sfDir)
