@@ -54,7 +54,8 @@ object PlanAudit {
     "q9a_perceptron_train",   // one training round: margin filter + 6-scalar agg
     "q9b_bm25_incremental",   // serve over the incrementally appended layout
     "q9c_hll_incremental",    // stored registers ∪ delta sketch, no base rescan
-    "q5d_int8_ann")           // map-side quantization + integer-dot top-k
+    "q5d_int8_ann",           // map-side quantization + integer-dot top-k
+    "q9d_perplexity_filter")  // vocab-bounded LM broadcast back over pairs
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
