@@ -55,7 +55,8 @@ object PlanAudit {
     "q9b_bm25_incremental",   // serve over the incrementally appended layout
     "q9c_hll_incremental",    // stored registers ∪ delta sketch, no base rescan
     "q5d_int8_ann",           // map-side quantization + integer-dot top-k
-    "q9d_perplexity_filter")  // vocab-bounded LM broadcast back over pairs
+    "q9d_perplexity_filter",  // vocab-bounded LM broadcast back over pairs
+    "q9e_cms_incremental")    // stored grid + delta counters, additive merge
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
@@ -88,7 +89,13 @@ object PlanAudit {
         // q9a's registered form ends in a driver-local frame — audit
         // the per-round plan the loop actually repeats
         "q9a_perceptron_train" ->
-          ((s, d) => graft.queries.TextOps.perceptronRoundAgg(s, d)))
+          ((s, d) => graft.queries.TextOps.perceptronRoundAgg(s, d)),
+        // q9e's registered form require()s contracts driver-side and
+        // ends in a localCheckpoint — audit the maintained-state merge
+        // itself: stored-grid scan + delta-only counters, full-outer
+        // additive merge, no base-corpus rescan
+        "q9e_cms_incremental" ->
+          ((s, d) => graft.queries.Relational.cmsMergedCounters(s, d)))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
     sb.append(s"Generated by `graft.PlanAudit` over `$sfDir`. One\n")

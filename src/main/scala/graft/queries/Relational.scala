@@ -770,7 +770,72 @@ object Relational extends Registry {
              |ORDER BY o_orderpriority""".stripMargin),
       doc = "Incrementally maintained HLL state: stored per-key registers " +
         "+ delta-only sketch + hll_union merge, pinned ≈rebuild (HIP-loss " +
-        "tolerance) and a gated error contract")
+        "tolerance) and a gated error contract"),
+
+    // ------------------------------------------------------------------
+    // q9e: INCREMENTALLY MAINTAINED COUNT-MIN SKETCH — the EXACTLY
+    // mergeable counterpart of q9c, closing the sketch-maintenance
+    // family with the second workhorse sketch: per-key FREQUENCY
+    // estimates (how many events has each user generated, lifetime)
+    // kept fresh under daily drops. The stored state is the CMS counter
+    // grid of the base split (event_id % 10 != 0) — CmsDepth×CmsWidth
+    // longs, corpus-size-independent like q9c's registers — and the
+    // update builds counters from the DELTA batch only and merges by
+    // elementwise ADDITION. Unlike HLL's register-max (where the HIP
+    // estimator is lost on union, q9c's honest ≤1% tolerance), counter
+    // addition is LOSSLESS: the merged grid must equal a from-scratch
+    // rebuild bit-for-bit, and the query require()s exactly that, plus
+    // the CMS hard guarantee est ≥ exact on every probe. Served probes
+    // are the delta's distinct users ("today's active keys — what are
+    // their lifetime counts?") so the serve reads stored state + delta
+    // only; the full-corpus exact/rebuild columns exist, as in q9c,
+    // ONLY to state the contract. The hash basis is the md5-prefix
+    // bridge (Sampling.md5Prefix16's convention, 8 hex chars here), so
+    // — unlike q9c, where DuckDB cannot reproduce datasketches
+    // registers — the ENTIRE sketch replays in SQL: every counter,
+    // every probe's min-over-rows estimate, and the ±εN bound are
+    // hash-compared, not gated booleans. Error contract: over-count
+    // ≤ ceil-free integer bound (3·N) div Width per probe (3 > e, the
+    // classic e/w bound made integer-exact so no float boundary can
+    // desync the engines). At 100 TB: the delta shuffle is bounded by
+    // depth×width groups after map-side partial agg, the merge touches
+    // 2 grids of depth×width rows, and the base corpus is never
+    // rescanned — the maintained path's cost is O(delta + grid).
+    QueryDef(
+      "q9e_cms_incremental",
+      (s, dir) => cmsIncremental(s, dir),
+      Some(s"""WITH delta AS (
+             |  SELECT user_id FROM events WHERE event_id % $CmsDeltaMod = 0),
+             |cnt AS (
+             |  SELECT t.d,
+             |    CAST('0x' || substr(md5(CAST(t.d AS VARCHAR) || '|' ||
+             |      CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      % $CmsWidth AS w,
+             |    count(*) AS cnt
+             |  FROM events, range($CmsDepth) t(d) GROUP BY 1, 2),
+             |probes AS (SELECT DISTINCT user_id FROM delta),
+             |pos AS (
+             |  SELECT p.user_id, t.d,
+             |    CAST('0x' || substr(md5(CAST(t.d AS VARCHAR) || '|' ||
+             |      CAST(p.user_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      % $CmsWidth AS w
+             |  FROM probes p, range($CmsDepth) t(d)),
+             |est AS (
+             |  SELECT pos.user_id, min(cnt.cnt) AS est_cnt
+             |  FROM pos JOIN cnt ON cnt.d = pos.d AND cnt.w = pos.w
+             |  GROUP BY 1),
+             |ex AS (SELECT user_id, count(*) AS exact_cnt
+             |       FROM events GROUP BY 1),
+             |tot AS (SELECT count(*) AS n FROM events)
+             |SELECT e.user_id, e.est_cnt, x.exact_cnt,
+             |  e.est_cnt - x.exact_cnt <= (3 * tot.n) // $CmsWidth
+             |    AS within_eps,
+             |  true AS merge_equals_rebuild
+             |FROM est e JOIN ex x USING (user_id), tot
+             |ORDER BY user_id""".stripMargin),
+      doc = "Incrementally maintained count-min sketch: stored counter " +
+        "grid + delta-only counters + lossless additive merge (pinned " +
+        "exactly equal to rebuild), every estimate replayed in SQL")
   )
 
   val HllLgK = 14
@@ -870,5 +935,168 @@ object Relational extends Registry {
         (abs($"est_merged" - $"est_rebuild") <= $"exact_cust" * 0.01)
           .as("merge_within_1pct_of_rebuild"))
       .orderBy($"o_orderpriority")
+  }
+
+  // ------------------------------------------------------------------
+  // q9e: count-min sketch maintenance (see the QueryDef for design)
+  // ------------------------------------------------------------------
+  val CmsDepth = 4
+  val CmsWidth = 512
+  private val CmsDeltaMod = 10
+
+  /** events.parquet carries INT64 TIMESTAMP(NANOS); q9e only touches
+    * (event_id, user_id) but the scan still needs the legacy flag to
+    * resolve the schema (same as EventOps). */
+  private def cmsEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.table(s, dir, "events")
+  }
+
+  /** Row-`d` counter position of `key`: the first 8 hex chars of
+    * md5("d|key") as an integer, mod the grid width — the same
+    * md5-prefix Spark↔DuckDB bridge as Sampling.md5Prefix16 (md5 is
+    * the one hash both engines share bit-for-bit). */
+  private def cmsPos(d: Int, key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(d.toString), lit("|"),
+      key.cast("string"))), 1, 8), 16, 10).cast("long") % CmsWidth
+
+  /** CMS counter grid of a (user_id) event frame: one row per occupied
+    * (d, w) cell. The depth dimension explodes map-side (CmsDepth rows
+    * per event), then ONE shuffle bounded by depth×width groups after
+    * map-side partial aggregation — at any corpus scale the reduce side
+    * is at most CmsDepth×CmsWidth rows. */
+  private[graft] def cmsCounters(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(explode(array((0 until CmsDepth).map(d =>
+        struct(lit(d).as("d"), cmsPos(d, col("user_id")).as("w"))): _*))
+        .as("p"))
+      .groupBy($"p.d".as("d"), $"p.w".as("w"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Build-or-reuse the stored base-split counter grid. Returns
+    * (counters, rebuilt, stateDir). Torn-write rule shared with
+    * q9c/q9b: the key file is written last, so interrupted builds leave
+    * a key mismatch and are rebuilt wholesale. */
+  private[queries] def loadOrBuildCmsState(s: SparkSession, dir: String)
+      : (DataFrame, Boolean, String) = {
+    import s.implicits._
+    val src = s"$dir/events.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|agg=cms-userid|d=$CmsDepth|w=$CmsWidth|base=mod${CmsDeltaMod}ne0"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = Tables.persistentScratchDir(s"q9e_cms_$tag")
+    val gridDir = java.nio.file.Paths.get(stateDir, "counters")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(gridDir.resolve("_SUCCESS"))
+    if (!valid) {
+      cmsCounters(cmsEvents(s, dir)
+          .filter(pmod($"event_id", lit(CmsDeltaMod)) =!= 0)
+          .select($"user_id"))
+        .write.mode("overwrite").parquet(gridDir.toString)
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    (s.read.parquet(gridDir.toString), !valid, stateDir)
+  }
+
+  /** The maintained grid: stored base counters + delta-batch counters,
+    * merged by elementwise addition (lossless — the q9c contrast).
+    * Exposed for the spec's plan/equality assertions. */
+  private[graft] def cmsMergedCounters(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val (stored, _, _) = loadOrBuildCmsState(s, dir)
+    val delta = cmsEvents(s, dir)
+      .filter(pmod($"event_id", lit(CmsDeltaMod)) === 0)
+      .select($"user_id")
+    stored.withColumnRenamed("cnt", "cnt_base")
+      .join(cmsCounters(delta).withColumnRenamed("cnt", "cnt_delta"),
+        Seq("d", "w"), "full")
+      .select($"d", $"w",
+        (coalesce($"cnt_base", lit(0L)) + coalesce($"cnt_delta", lit(0L)))
+          .as("cnt"))
+  }
+
+  /** Streaming-maintenance form of q9e: fold ONE micro-batch of events
+    * into the stored counter grid (the foreachBatch production shape —
+    * state size is depth×width longs REGARDLESS of stream volume, and
+    * because counter addition is exactly mergeable the drained state
+    * equals a from-scratch build bit-for-bit, with no q9c-style
+    * estimator caveat). The grid is collected to the driver before the
+    * overwrite (bounded), which also makes the read-modify-write safe
+    * against reading the directory being replaced. */
+  def cmsFoldBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val gridDir = java.nio.file.Paths.get(stateDir, "counters")
+    val bc = cmsCounters(batch.select($"user_id"))
+      .withColumnRenamed("cnt", "cnt_new")
+    val merged =
+      if (java.nio.file.Files.exists(gridDir.resolve("_SUCCESS")))
+        s.read.parquet(gridDir.toString)
+          .join(bc, Seq("d", "w"), "full")
+          .select($"d", $"w",
+            (coalesce($"cnt", lit(0L)) + coalesce($"cnt_new", lit(0L)))
+              .as("cnt"))
+      else bc.select($"d", $"w", $"cnt_new".as("cnt"))
+    val rows = merged.collect() // bounded: ≤ depth×width rows
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+        merged.schema)
+      .write.mode("overwrite").parquet(gridDir.toString)
+  }
+
+  def cmsIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merged = cmsMergedCounters(s, dir)
+    // contract 1 (lossless merge): the maintained grid must equal a
+    // full rebuild bit-for-bit — additive merge admits NO tolerance,
+    // unlike q9c's register union. The rebuild grid exists only here,
+    // as the contract instrument.
+    val rebuilt = cmsCounters(cmsEvents(s, dir).select($"user_id"))
+    val diff = merged
+      .join(rebuilt.withColumnRenamed("cnt", "cnt_rb"), Seq("d", "w"), "full")
+      .agg(sum(abs(coalesce($"cnt", lit(0L)) - coalesce($"cnt_rb", lit(0L))))
+        .as("dv"))
+      .collect().head
+    val mergeEq = !diff.isNullAt(0) && diff.getLong(0) == 0L
+    require(mergeEq,
+      "q9e: merged CMS counters diverged from a from-scratch rebuild")
+
+    // serve: lifetime estimates for the delta's active keys, from the
+    // merged grid only (broadcast: ≤ depth×width rows)
+    val probes = cmsEvents(s, dir)
+      .filter(pmod($"event_id", lit(CmsDeltaMod)) === 0)
+      .select($"user_id").distinct()
+    val est = probes
+      .select($"user_id", explode(array((0 until CmsDepth).map(d =>
+          struct(lit(d).as("d"), cmsPos(d, col("user_id")).as("w"))): _*))
+        .as("p"))
+      .select($"user_id", $"p.d".as("d"), $"p.w".as("w"))
+      .join(broadcast(merged), Seq("d", "w"))
+      .groupBy($"user_id").agg(min($"cnt").as("est_cnt"))
+
+    // contract 2 (error bound): integer-exact (3·N) div Width ≥ the
+    // classic e·N/w CMS bound, with no float boundary to desync the
+    // engines; contract 3 (hard guarantee): est ≥ exact, require()d
+    // below driver-side so a broken merge errors the query even though
+    // both engines would agree on the comparison columns
+    val ev = cmsEvents(s, dir)
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_cnt"))
+    val out = est.join(exact, Seq("user_id"))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_total"))))
+      .select($"user_id", $"est_cnt", $"exact_cnt",
+        ($"est_cnt" - $"exact_cnt" <= expr(s"(3 * n_total) div $CmsWidth"))
+          .as("within_eps"),
+        lit(mergeEq).as("merge_equals_rebuild"))
+      .orderBy($"user_id")
+      .localCheckpoint(true) // bounded: one row per delta-active key
+    require(out.filter($"est_cnt" < $"exact_cnt").isEmpty,
+      "q9e: CMS estimate below exact count — hash or merge broken")
+    out
   }
 }

@@ -270,4 +270,79 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out.toSet == batch && batch.nonEmpty,
       "streamed per-trigger serve diverged from the batch serve")
   }
+
+  // ---------------------------------------------------------------
+  // q9e: incrementally maintained count-min sketch
+  // ---------------------------------------------------------------
+
+  test("q9e: stored grid reuse across calls; additive merge equals a " +
+    "from-scratch grid bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val (_, _, stateDir) = Relational.loadOrBuildCmsState(spark, sfDir)
+    delTree(java.nio.file.Paths.get(stateDir))
+
+    val (_, rebuilt1, _) = Relational.loadOrBuildCmsState(spark, sfDir)
+    assert(rebuilt1, "fresh dir must trigger a base-grid build")
+    val (stored, rebuilt2, dir2) = Relational.loadOrBuildCmsState(spark, sfDir)
+    assert(!rebuilt2 && dir2 == stateDir, "unchanged base must reuse state")
+
+    // the stored state is the counter grid, not the corpus
+    val scans = stored.queryExecution.executedPlan.collect {
+      case sc: FileSourceScanExec => sc
+    }
+    assert(scans.size == 1 &&
+      scans.head.relation.location.rootPaths
+        .forall(_.toString.contains(stateDir)),
+      "stored-state scan reads outside the state dir")
+
+    // counter addition is lossless: merged grid ≡ rebuild exactly —
+    // no q9c-style estimator tolerance
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val merged = Relational.cmsMergedCounters(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rebuilt = Relational.cmsCounters(
+        spark.read.parquet(s"$sfDir/events.parquet").select(col("user_id")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == rebuilt && rebuilt.nonEmpty,
+      "maintained grid diverged from a from-scratch build")
+    assert(rebuilt.size <= Relational.CmsDepth * Relational.CmsWidth,
+      "grid exceeded its depth×width bound")
+  }
+
+  test("q9e: every estimate dominates the exact count and matches a " +
+    "pure-Scala sketch replay") {
+    // independent replay: hash with java MessageDigest directly (not
+    // Spark's md5), build the grid in a Scala Map, probe with min-over-
+    // rows — the engine's estimates must match exactly
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def pos(d: Int, key: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d|$key".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) % Relational.CmsWidth
+    }
+    val grid = scala.collection.mutable.Map
+      .empty[(Int, Long), Long].withDefaultValue(0L)
+    for ((_, u) <- users; d <- 0 until Relational.CmsDepth)
+      grid((d, pos(d, u))) += 1L
+    val exact = users.groupBy(_._2).map { case (u, xs) => u -> xs.size.toLong }
+    val probes = users.filter(_._1 % 10 == 0).map(_._2).distinct
+    val expected = probes.map { u =>
+      u -> (0 until Relational.CmsDepth).map(d => grid((d, pos(d, u)))).min
+    }.toMap
+
+    val got = Relational.cmsIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(got.map(_._1).toSet == probes.toSet, "probe set mismatch")
+    got.foreach { case (u, est, ex, withinEps, mergeEq) =>
+      assert(est == expected(u), s"user $u: engine est $est != replay")
+      assert(ex == exact(u) && est >= ex, s"user $u: est $est < exact $ex")
+      assert(withinEps && mergeEq, s"user $u: contract columns false")
+    }
+  }
 }

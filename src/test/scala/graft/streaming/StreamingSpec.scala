@@ -427,6 +427,47 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-folded state diverged from rebuild:\n $streamed\n $rebuilt")
   }
 
+  test("streaming CMS maintenance: per-trigger counter folds equal a " +
+    "from-scratch grid bit-for-bit") {
+    // the q9e state machine driven by a STREAM: events arrive as three
+    // single-file micro-batches, each trigger adds its counters into
+    // the stored grid (Relational.cmsFoldBatch — the foreachBatch
+    // production shape). Counter addition is exactly mergeable, so the
+    // drained grid must EQUAL one counting pass over the whole table —
+    // no estimator tolerance, unlike the HLL fold above.
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("cms-stream")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("cms-state").toString
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"))
+    events.repartition(3).write.mode("overwrite")
+      .parquet(streamDir.toString)
+
+    val folds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.queries.Relational.cmsFoldBatch(spark, stateDir, df)
+        folds.incrementAndGet(); ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    assert(folds.get() == 3, s"expected 3 per-file folds, got ${folds.get()}")
+
+    val streamed = spark.read
+      .parquet(java.nio.file.Paths.get(stateDir, "counters").toString)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rebuilt = graft.queries.Relational.cmsCounters(events)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == rebuilt && rebuilt.nonEmpty,
+      s"stream-folded grid diverged from rebuild")
+  }
+
   test("streaming NDJSON sink drains to the exact batch-write artifact") {
     // the E1 output tail as a stream: Patient resources arrive across
     // two micro-batches (one file per trigger) and the foreachBatch
