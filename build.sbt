@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the single-JVM bench/verify mains run a ~127-query
+  // registry back-to-back (two timed passes each in Bench) — headroom
+  // so old-gen growth from accumulated session state never becomes the
+  // bottleneck on the 128 GiB box; harmless for tests (fork per run)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

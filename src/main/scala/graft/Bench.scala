@@ -63,18 +63,20 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // vs_baseline: total / the pinned idle reference run, so a driver
     // readout separates machine contention from real regression without
-    // a manual rerun. PIN = the r9 idle estimate of this suite
-    // (120 queries incl. the r9 additions q5b/q5c/q6b/q87/q88/q98/q99,
-    // sf0.1, local[32], shuffle=32, min-of-2 timing; r9 idle samples
-    // 52.0/51.7 back-to-back at load ~2 — an earlier same-day pair
-    // read 70.2/67.1 right after heavy verify sweeps, demonstrating
-    // again that residual box activity inflates totals ~35%, so treat
-    // vs_baseline ≤ ~1.35 as co-tenancy before suspecting a plan). The
-    // r8 watch-list (q59 4.14s driver reading) closed at re-measure:
-    // 1.7-2.1s across four r9 runs with untouched code — contention
-    // variance, not a plan or cache interaction. Re-pin only when the
-    // suite's query set changes materially.
-    val baselinePin = 51.9
+    // a manual rerun. PIN = the r10 idle floor of this suite
+    // (127 queries incl. the r10 additions q5d/q89/q9a-q9e, sf0.1,
+    // local[32], shuffle=32, min-of-2 timing). Pinned from two
+    // back-to-back runs started at system load 0.06 reading 74.3/75.8.
+    // Why the r9 pin (51.9, 120 queries) was retired: the box rebooted
+    // mid-round-10 (uptime reset ~07:40) and every run since — seven
+    // runs, code untouched at each, spanning 68.6-93.3 — sits ~40%
+    // above it; the seven r10 queries themselves cost only ~5.5s. The
+    // old floor is unreachable on the new placement, so keeping it
+    // would misread machine change as plan regression. Same guidance
+    // as before: treat vs_baseline ≤ ~1.35 as co-tenancy/placement
+    // noise before suspecting a plan; re-pin only when the query set
+    // changes materially or the host demonstrably changes again.
+    val baselinePin = 74.5
     // 1-minute system load average — co-tenancy evidence riding the
     // artifact, so a high vs_baseline under driver-side contention is
     // self-explaining instead of needing a manual idle rerun
