@@ -714,7 +714,26 @@ object TextOps extends Registry {
       "q97_bpe_train",
       (s, dir) => bpeTrain(s, dir),
       Some(bpeTrainOracle),
-      doc = "BPE training loop: 3 greedy merges over the weighted word vocab, oracle-replayed"),
+      doc = "BPE training loop: 3 greedy merges over the weighted word " +
+        "vocab, oracle-replayed"),
+
+    // ------------------------------------------------------------------
+    // q9g: TOKENIZER ENCODE at corpus scale — the apply half q97's
+    // training feeds: token-count every document under the trained
+    // merges. The scale insight is that token totals are ADDITIVE over
+    // words, so the corpus is only touched by a doc×distinct-word
+    // count (the same first pass training does) and the fitted
+    // vocabulary — vocab-bounded, not corpus-bounded — joins back on
+    // the word key carrying each word's token count. No document is
+    // ever re-walked character by character, which is the difference
+    // between tokenizing 100 TB and joining against a few million
+    // fitted words. All-integer output, bit-for-bit oracle.
+    QueryDef(
+      "q9g_bpe_encode",
+      (s, dir) => bpeEncode(s, dir),
+      Some(bpeEncodeOracle),
+      doc = "Trained-tokenizer encode: per-doc token counts via the " +
+        "fitted vocab's word-key join — documents never re-tokenized"),
 
     // ------------------------------------------------------------------
     // q98: BM25 top-k retrieval — the RANKED complement of q39's boolean
@@ -781,6 +800,24 @@ object TextOps extends Registry {
         "per-round 6-scalar partial agg, oracle replays all rounds exactly"),
 
     // ------------------------------------------------------------------
+    // q9f: CLASSIFIER INFERENCE at corpus scale — the apply half q9a's
+    // training feeds, i.e. the actual quality-filter deployment shape:
+    // a tiny trained model scoring every document. Training runs
+    // exactly as q9a (5 rounds over one cached integer projection);
+    // the fitted weights then ride into a SINGLE extra map-side pass
+    // over the same cache as literals — inference is scan + project,
+    // no shuffle beyond the deterministic output order, and the whole
+    // thing (training trajectory AND every per-doc score) is integer
+    // so the oracle replays it bit-for-bit with zero float residual.
+    QueryDef(
+      "q9f_perceptron_apply",
+      (s, dir) => perceptronApply(s, dir),
+      Some(perceptronApplyOracle),
+      doc = "Trained-classifier inference: literal-weight map-side " +
+        "scoring over the cached projection, integer-exact per-doc " +
+        "scores/preds vs the oracle's unrolled training"),
+
+    // ------------------------------------------------------------------
     // q9d: PERPLEXITY FILTERING — the CCNet-style quality gate modern
     // corpus pipelines run after the rule-based scores (q32): train a
     // Laplace-smoothed bigram LM on the corpus itself, score every
@@ -825,9 +862,11 @@ object TextOps extends Registry {
   /** The (y, x0..x4) integer feature projection: label +1 for lang
     * 'en' else -1; bias, char count, token count, vowel count, digit
     * count. All counts — both engines compute them identically. */
-  private def perceptronFeatures(s: SparkSession, dir: String): DataFrame = {
+  private def perceptronFeatures(
+      s: SparkSession, dir: String, withId: Boolean = false): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(
+    val id = if (withId) Seq($"doc_id") else Seq.empty
+    table(s, dir, "documents").select(id ++ Seq(
       when($"lang" === "en", 1L).otherwise(-1L).as("y"),
       lit(1L).as("x0"),
       length($"text").cast("long").as("x1"),
@@ -836,33 +875,68 @@ object TextOps extends Registry {
       (length($"text") - length(regexp_replace($"text", "[aeiou]", "")))
         .cast("long").as("x3"),
       (length($"text") - length(regexp_replace($"text", "[st]", "")))
-        .cast("long").as("x4"))
+        .cast("long").as("x4")): _*)
+  }
+
+  /** The shared training loop: runs PerceptronRounds batch updates over
+    * the CALLER-provided (already persisted) feature frame and returns
+    * the final weights plus the per-round trajectory. Factored so q9f's
+    * inference pass can reuse the same cached projection the rounds ran
+    * on instead of re-reading the corpus. */
+  private def perceptronFit(f: DataFrame)
+      : (Array[Long], Seq[(Int, Long, Long, Long, Long, Long, Long)]) = {
+    import f.sparkSession.implicits._
+    val w = Array.fill(5)(0L)
+    val out = Seq.newBuilder[(Int, Long, Long, Long, Long, Long, Long)]
+    for (r <- 1 to PerceptronRounds) {
+      val margin = $"y" * (lit(w(0)) * $"x0" + lit(w(1)) * $"x1" +
+        lit(w(2)) * $"x2" + lit(w(3)) * $"x3" + lit(w(4)) * $"x4")
+      val g = f.filter(margin <= 0).agg(
+        count(lit(1)),
+        sum($"y" * $"x0"), sum($"y" * $"x1"), sum($"y" * $"x2"),
+        sum($"y" * $"x3"), sum($"y" * $"x4")).collect().head
+      val nErr = g.getLong(0)
+      var i = 0
+      while (i < 5) {
+        w(i) += (if (nErr == 0) 0L else g.getLong(i + 1))
+        i += 1
+      }
+      out += ((r, nErr, w(0), w(1), w(2), w(3), w(4)))
+    }
+    (w, out.result())
   }
 
   def perceptronTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val f = perceptronFeatures(s, dir).persist()
+    try perceptronFit(f)._2
+      .toDF("round", "n_err", "w_bias", "w_len", "w_tok", "w_vowel",
+        "w_st")
+    finally { f.unpersist(); () }
+  }
+
+  /** q9f: score every document with the TRAINED weights — train (5
+    * rounds over the cached projection, exactly q9a) then one extra
+    * map-side pass over the SAME cache: score = w·x as an integer dot,
+    * pred = sign (0 breaks toward -1, matching the margin<=0
+    * misclassification rule), correct = pred==label. The model rides
+    * into the scan as literals, so inference is scan + project with no
+    * shuffle beyond the deterministic output order. */
+  def perceptronApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = perceptronFeatures(s, dir, withId = true).persist()
     try {
-      val w = Array.fill(5)(0L)
-      val out = Seq.newBuilder[(Int, Long, Long, Long, Long, Long, Long)]
-      for (r <- 1 to PerceptronRounds) {
-        val margin = $"y" * (lit(w(0)) * $"x0" + lit(w(1)) * $"x1" +
-          lit(w(2)) * $"x2" + lit(w(3)) * $"x3" + lit(w(4)) * $"x4")
-        val g = f.filter(margin <= 0).agg(
-          count(lit(1)),
-          sum($"y" * $"x0"), sum($"y" * $"x1"), sum($"y" * $"x2"),
-          sum($"y" * $"x3"), sum($"y" * $"x4")).collect().head
-        val nErr = g.getLong(0)
-        var i = 0
-        while (i < 5) {
-          w(i) += (if (nErr == 0) 0L else g.getLong(i + 1))
-          i += 1
-        }
-        out += ((r, nErr, w(0), w(1), w(2), w(3), w(4)))
-      }
-      out.result()
-        .toDF("round", "n_err", "w_bias", "w_len", "w_tok", "w_vowel",
-          "w_st")
+      val w = perceptronFit(f.drop("doc_id"))._1
+      // consumed lazily after the finally unpersists the training
+      // cache — the plan then falls back to the parquet scan, still one
+      // narrow literal-weight pass (a per-doc materialization here
+      // would be corpus-sized at scale, so deliberately NOT cached)
+      f.select($"doc_id", $"y",
+        (lit(w(0)) * $"x0" + lit(w(1)) * $"x1" + lit(w(2)) * $"x2" +
+          lit(w(3)) * $"x3" + lit(w(4)) * $"x4").as("score"))
+        .withColumn("pred", when($"score" > 0, 1L).otherwise(-1L))
+        .withColumn("correct", $"pred" === $"y")
+        .orderBy($"doc_id")
     } finally { f.unpersist(); () }
   }
 
@@ -940,10 +1014,12 @@ object TextOps extends Registry {
         sum($"y" * $"x2"), sum($"y" * $"x3"), sum($"y" * $"x4"))
   }
 
-  /** The q9a oracle: PerceptronRounds unrolled — per round, the
+  /** Shared oracle prelude for q9a/q9f: the feature CTE (doc_id rides
+    * along — harmless to q9a's aggregates, needed by q9f's scoring),
+    * zero weights, and PerceptronRounds unrolled — per round, the
     * misclassified-set aggregate under the PREVIOUS round's weights
     * (carried as a 1-row CTE), then the integer weight update. */
-  private def perceptronOracle: String = {
+  private def perceptronOraclePrelude: String = {
     val rounds = (1 to PerceptronRounds).map { t =>
       val p = t - 1
       s"""r$t AS (
@@ -960,13 +1036,9 @@ object TextOps extends Registry {
          |          w$p.d + r$t.gd AS d
          |        FROM w$p, r$t)"""
     }.mkString(",\n")
-    val selects = (1 to PerceptronRounds).map { t =>
-      s"""SELECT $t AS round, (SELECT n_err FROM r$t) AS n_err,
-         |  b AS w_bias, l AS w_len, t AS w_tok, v AS w_vowel, d AS w_st
-         |FROM w$t"""
-    }.mkString("\nUNION ALL\n")
     s"""WITH f AS (
-       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |  SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
        |    1 AS x0,
        |    CAST(len(text) AS BIGINT) AS x1,
        |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
@@ -979,10 +1051,32 @@ object TextOps extends Registry {
        |w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS l,
        |         CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS v,
        |         CAST(0 AS BIGINT) AS d),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def perceptronOracle: String = {
+    val selects = (1 to PerceptronRounds).map { t =>
+      s"""SELECT $t AS round, (SELECT n_err FROM r$t) AS n_err,
+         |  b AS w_bias, l AS w_len, t AS w_tok, v AS w_vowel, d AS w_st
+         |FROM w$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$perceptronOraclePrelude
        |$selects
        |ORDER BY round""".stripMargin
   }
+
+  /** The q9f oracle: the shared training unroll, then one scoring pass
+    * under the final round's weights. */
+  private def perceptronApplyOracle: String =
+    s"""$perceptronOraclePrelude,
+       |sc AS (SELECT doc_id, y,
+       |         (b*x0 + l*x1 + t*x2 + v*x3 + d*x4) AS score
+       |       FROM f, w$PerceptronRounds)
+       |SELECT doc_id, CAST(y AS BIGINT) AS y,
+       |  CAST(score AS BIGINT) AS score,
+       |  CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       |  (CASE WHEN score > 0 THEN 1 ELSE -1 END = y) AS correct
+       |FROM sc ORDER BY doc_id""".stripMargin
 
   /** One oracle for all stored-or-not BM25 forms (q98 scan-once, q99
     * indexed, q9b incrementally maintained): any index is a
@@ -1248,6 +1342,18 @@ object TextOps extends Registry {
 
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    bpeFit(s, dir)._1.toDF("round", "token_a", "token_b", "pair_n",
+      "vocab_tokens_after", "corpus_tokens_after")
+  }
+
+  /** The shared BPE training loop: returns the per-round trajectory AND
+    * the final fitted vocabulary (word, cnt, tokens) — the checkpointed
+    * distinct-word frame after the last merge. Factored so q9g's encode
+    * pass can consume the fitted tokenization directly instead of
+    * re-deriving it. */
+  private def bpeFit(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long, Long, Long)], DataFrame) = {
+    import s.implicits._
     graft.GraftExtensions.ensureRegistered(s)
     val words = table(s, dir, "documents")
       .select(explode(split($"text", " ")).as("word"))
@@ -1287,8 +1393,31 @@ object TextOps extends Registry {
           rows += ((r, a, b, n, tot.getLong(0), tot.getLong(1)))
       }
     }
-    rows.result().toDF("round", "token_a", "token_b", "pair_n",
-      "vocab_tokens_after", "corpus_tokens_after")
+    (rows.result(), vocab)
+  }
+
+  /** q9g: ENCODE the corpus with the trained tokenizer — the apply half
+    * q97's training loop feeds. The 100 TB shape: token counting is
+    * additive over words, so the corpus is touched ONLY by the same
+    * doc×distinct-word count q97's first pass does; the fitted
+    * vocabulary (vocab-bounded, NOT corpus-bounded) carries each word's
+    * token count and joins back on the word key — no document is ever
+    * re-walked character by character. Per-doc totals are pure integer
+    * sums, so both engines agree bit-for-bit. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = bpeFit(s, dir)._2
+      .select($"word", size($"tokens").cast("long").as("ntok"))
+    table(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c"))
+      .join(vocab, Seq("word"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").cast("long").as("n_words"),
+        sum($"c" * length($"word")).cast("long").as("n_chars"),
+        sum($"c" * $"ntok").cast("long").as("n_tokens"))
+      .orderBy($"doc_id")
   }
 
   /** The q97 oracle: BpeRounds unrolled (pair counts → deterministic
@@ -1296,7 +1425,24 @@ object TextOps extends Registry {
     * chosen pair reaches the recursion's lambda via a cross join —
     * subqueries are not allowed inside DuckDB lambdas. */
   private def bpeTrainOracle: String = {
-    def roundBlock(t: Int): String = {
+    val blocks = (1 to BpeRounds).map(bpeRoundBlock).mkString(",\n")
+    val selects = (1 to BpeRounds).map { t =>
+      s"""SELECT $t AS round, (SELECT a FROM top$t) AS token_a,
+         |  (SELECT b FROM top$t) AS token_b,
+         |  (SELECT n FROM top$t) AS pair_n,
+         |  (SELECT vocab_tokens FROM s$t) AS vocab_tokens_after,
+         |  (SELECT corpus_tokens FROM s$t) AS corpus_tokens_after"""
+    }.mkString("\nUNION ALL\n")
+    s"""${bpeOraclePrelude(blocks)}
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
+
+  /** One unrolled BPE merge round (pair counts → deterministic top-1 →
+    * leftmost-repeat merge via recursive CTE → totals). The chosen pair
+    * reaches the recursion's lambda via a cross join — subqueries are
+    * not allowed inside DuckDB lambdas. */
+  private def bpeRoundBlock(t: Int): String = {
       val prev = s"v${t - 1}"
       s"""pc$t AS (
          |  SELECT p.a, p.b, CAST(sum(cnt) AS BIGINT) AS n
@@ -1325,15 +1471,11 @@ object TextOps extends Registry {
          |s$t AS (SELECT CAST(sum(len(tokens)) AS BIGINT) AS vocab_tokens,
          |                CAST(sum(cnt * len(tokens)) AS BIGINT) AS corpus_tokens
          |         FROM v$t)"""
-    }
-    val blocks = (1 to BpeRounds).map(roundBlock).mkString(",\n")
-    val selects = (1 to BpeRounds).map { t =>
-      s"""SELECT $t AS round, (SELECT a FROM top$t) AS token_a,
-         |  (SELECT b FROM top$t) AS token_b,
-         |  (SELECT n FROM top$t) AS pair_n,
-         |  (SELECT vocab_tokens FROM s$t) AS vocab_tokens_after,
-         |  (SELECT corpus_tokens FROM s$t) AS corpus_tokens_after"""
-    }.mkString("\nUNION ALL\n")
+  }
+
+  /** Shared q97/q9g oracle prelude: distinct-word counts, the char
+    * split, and the unrolled merge rounds through v$BpeRounds. */
+  private def bpeOraclePrelude(blocks: String): String =
     s"""WITH RECURSIVE w AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) z
@@ -1341,8 +1483,23 @@ object TextOps extends Registry {
        |v0 AS (SELECT word, cnt,
        |         [word[i:i] for i in range(1, len(word)+1)] AS tokens
        |       FROM w),
-       |$blocks
-       |$selects
-       |ORDER BY round""".stripMargin
+       |$blocks""".stripMargin
+
+  /** The q9g oracle: the q97 training unroll to the final vocabulary,
+    * then per-doc word counts joined to each word's fitted token count
+    * — token totals are additive over words, so no document text is
+    * re-tokenized. */
+  private def bpeEncodeOracle: String = {
+    val blocks = (1 to BpeRounds).map(bpeRoundBlock).mkString(",\n")
+    s"""${bpeOraclePrelude(blocks)},
+       |dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |    FROM documents) z
+       |  WHERE len(word) > 0 GROUP BY doc_id, word)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+       |  CAST(sum(c * len(word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(c * len(tokens)) AS BIGINT) AS n_tokens
+       |FROM dw JOIN v$BpeRounds USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }

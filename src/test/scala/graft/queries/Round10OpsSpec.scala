@@ -345,4 +345,110 @@ class Round10OpsSpec extends AnyFunSuite {
       assert(withinEps && mergeEq, s"user $u: contract columns false")
     }
   }
+
+  // ---------------------------------------------------------------
+  // q9f: trained-classifier inference
+  // ---------------------------------------------------------------
+
+  test("q9f: per-doc inference equals scoring with the replayed final " +
+    "weights") {
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val w = bruteForcePerceptron(
+      rows.map(r => (r._2, r._3)), TextOps.PerceptronRounds).last._3
+    val expected = rows.map { case (id, text, lang) =>
+      val y = if (lang == "en") 1L else -1L
+      val toks = text.split(" ", -1).count(_.nonEmpty).toLong
+      val vowels = text.count("aeiou".contains(_)).toLong
+      val st = text.count(c => c == 's' || c == 't').toLong
+      val x = Seq(1L, text.length.toLong, toks, vowels, st)
+      val score = x.zip(w).map { case (a, b) => a * b }.sum
+      val pred = if (score > 0) 1L else -1L
+      (id, y, score, pred, pred == y)
+    }.sortBy(_._1)
+    val got = TextOps.perceptronApply(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected,
+      s"inference mismatch; first diff: ${
+        got.zip(expected).find(p => p._1 != p._2)}")
+  }
+
+  test("q9f: inference on the converged single-class fixture is " +
+    "all-correct") {
+    // same fixture as the q9a freeze test: after round 1 the weights
+    // separate the (single) class perfectly, so every served pred must
+    // be +1 and correct — pins the apply path end-to-end on a corpus
+    // whose optimum is known, not just consistent with a replay
+    val dir = java.nio.file.Files.createTempDirectory("q9f_fix").toString
+    import spark.implicits._
+    Seq((1L, "spark table scan", "en"), (2L, "merge sort join", "en"),
+      (3L, "hash agg window", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.perceptronApply(spark, dir).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getLong(3) == 1L && r.getBoolean(4),
+        s"doc ${r.getLong(0)}: expected pred=+1/correct on the " +
+          s"separable fixture, got $r")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // q9g: trained-tokenizer encode
+  // ---------------------------------------------------------------
+
+  /** Leftmost-repeat merge of pair (a,b) in a token list — the
+    * BpeMergeWordSpec brute force, reimplemented here so q9g is pinned
+    * against an independent recompute, not the engine's expression. */
+  private def mergeAll(toks: Vector[String], a: String, b: String)
+      : Vector[String] = {
+    var t = toks
+    var i = t.indexOfSlice(Seq(a, b))
+    while (i >= 0) {
+      t = (t.take(i) :+ (a + b)) ++ t.drop(i + 2)
+      i = t.indexOfSlice(Seq(a, b))
+    }
+    t
+  }
+
+  test("q9g: per-doc token counts equal a full pure-Scala BPE replay " +
+    "(train + encode)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val docWords = docs.map { case (id, text) =>
+      id -> text.split(" ", -1).filter(_.nonEmpty).toSeq
+    }
+    val wordCnt = docWords.flatMap(_._2).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    // train: 3 greedy rounds over the weighted distinct-word vocab
+    def chars(w: String): Vector[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+        .toVector
+    var vocab: Map[String, Vector[String]] =
+      wordCnt.keys.map(w => w -> chars(w)).toMap
+    for (_ <- 1 to TextOps.BpeRounds) {
+      val pc = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, t) <- vocab; i <- 0 until t.length - 1)
+        pc((t(i), t(i + 1))) += wordCnt(w)
+      if (pc.nonEmpty) {
+        val ((a, b), _) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        vocab = vocab.map { case (w, t) => w -> mergeAll(t, a, b) }
+      }
+    }
+    val expected = docWords.map { case (id, ws) =>
+      (id, ws.size.toLong, ws.map(_.length.toLong).sum,
+        ws.map(w => vocab(w).length.toLong).sum)
+    }.sortBy(_._1)
+    val got = TextOps.bpeEncode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected,
+      s"encode mismatch; first diff: ${
+        got.zip(expected).find(p => p._1 != p._2)}")
+  }
 }
