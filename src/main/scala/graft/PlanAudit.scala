@@ -56,7 +56,10 @@ object PlanAudit {
     "q9c_hll_incremental",    // stored registers ∪ delta sketch, no base rescan
     "q5d_int8_ann",           // map-side quantization + integer-dot top-k
     "q9d_perplexity_filter",  // vocab-bounded LM broadcast back over pairs
-    "q9e_cms_incremental")    // stored grid + delta counters, additive merge
+    "q9e_cms_incremental",    // stored grid + delta counters, additive merge
+    "q9f_perceptron_apply",   // literal-weight inference: scan+project only
+    "q9g_bpe_encode",         // fitted-vocab join-back, token counts additive
+    "q8a_image_resize")       // decode+NN-resize fused in one narrow pass
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -588,6 +588,103 @@ object Multimodal extends Registry {
         "oracle recomputes RGB from the palette formula incl. the non-zero tail"),
 
     // ------------------------------------------------------------------
+    // q8a: REAL image RESIZE — the first pixel transform that runs on
+    // truly DECODED pixels (q82's resize plans over stub metadata; this
+    // one consumes q88's real PNG decode). Every image is thumbnailed
+    // to a fixed 4x4 RGB by integer nearest-neighbor: out pixel (oy,ox)
+    // reads source pixel (floor(oy*h/4), floor(ox*w/4)) — the exact
+    // floor-mapping variant so both engines replay it bit-for-bit (no
+    // 0.5-center rounding to disagree on), and with h free per asset
+    // the vertical axis exercises BOTH directions (h>4 downsamples,
+    // h<4 duplicates rows). The transform itself is index arithmetic
+    // over the decoded array via built-in higher-order functions — a
+    // narrow codegen projection composed onto the decode expression, no
+    // new Expression and no shuffle before the final per-asset agg.
+    // That is the 100 TB thumbnailing shape: decode+resize fuse into
+    // one pass over the asset column. The order-sensitive positional
+    // checksum runs over the RESIZED bytes, so a transposed axis,
+    // off-by-one source index, or channel swap all hash-fail against
+    // the oracle's replay from payload hex (source byte k is payload
+    // byte k, zero past the tail — the q88 stream identity).
+    QueryDef(
+      "q8a_image_resize",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        val widthPx = 8 // source: q88's geometry, 24 bytes per row
+        corpus(s, dir).filter(col("modality") === "image")
+          .select(col("doc_id"),
+            expr(s"png_rgb24_encode(payload, $widthPx)").as("png"))
+          .select(col("doc_id"),
+            expr("png_width(png)").as("width"),
+            expr("png_height(png)").as("height"),
+            expr("png_rgb24_pixels(png)").as("px"))
+          .select(col("doc_id"), col("width"), col("height"),
+            expr("""transform(sequence(0, 47), j ->
+              element_at(px, CAST(
+                (((j div 12) * height) div 4) * (width * 3)
+                + ((((j % 12) div 3) * width) div 4) * 3
+                + (j % 3) + 1 AS INT)))""").as("rp"))
+          // the thumbnail is a FIXED 48-byte array, so its stats reduce
+          // per ROW (aggregate/zip_with) instead of posexplode+groupBy —
+          // that keeps the whole query one narrow pass (the q87-q89
+          // explode pattern would re-aggregate rows that were never
+          // split, pay an agg shuffle, and bait the optimizer into
+          // pushing an inferred size(rp)>0 filter that inlines a second
+          // copy of the decode)
+          .select(col("doc_id"), col("width"), col("height"),
+            size(col("rp")).cast("long").as("n_out_bytes"),
+            expr("""aggregate(zip_with(rp, sequence(0, 47),
+              (b, i) -> IF(i % 3 = 0, b, 0)),
+              CAST(0 AS BIGINT), (a, x) -> a + x)""").as("r_sum"),
+            expr("""aggregate(zip_with(rp, sequence(0, 47),
+              (b, i) -> IF(i % 3 = 1, b, 0)),
+              CAST(0 AS BIGINT), (a, x) -> a + x)""").as("g_sum"),
+            expr("""aggregate(zip_with(rp, sequence(0, 47),
+              (b, i) -> IF(i % 3 = 2, b, 0)),
+              CAST(0 AS BIGINT), (a, x) -> a + x)""").as("b_sum"),
+            expr("""aggregate(zip_with(rp, sequence(1, 48),
+              (b, i) -> b * i),
+              CAST(0 AS BIGINT), (a, x) -> a + x)""").as("pos_checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS bl FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |st AS (
+             |  SELECT doc_id, octet_length(bl) AS n,
+             |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(bl))] AS bs
+             |  FROM a),
+             |g AS (SELECT doc_id, n, bs,
+             |        greatest(1, (n + 23) // 24) AS h
+             |      FROM st),
+             |rp AS (SELECT doc_id, h,
+             |  [CASE WHEN ((((j // 12) * h) // 4) * 24
+             |         + ((((j % 12) // 3) * 8) // 4) * 3 + (j % 3)) < n
+             |     THEN bs[(((j // 12) * h) // 4) * 24
+             |         + ((((j % 12) // 3) * 8) // 4) * 3 + (j % 3) + 1]
+             |     ELSE 0 END
+             |   for j in range(48)] AS rb
+             |  FROM g)
+             |SELECT doc_id, 8 AS width, CAST(h AS INTEGER) AS height,
+             |  CAST(48 AS BIGINT) AS n_out_bytes,
+             |  CAST(coalesce(list_sum(list_transform(range(len(rb)),
+             |    i -> CASE WHEN i % 3 = 0 THEN rb[i+1] ELSE 0 END)), 0)
+             |    AS BIGINT) AS r_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(rb)),
+             |    i -> CASE WHEN i % 3 = 1 THEN rb[i+1] ELSE 0 END)), 0)
+             |    AS BIGINT) AS g_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(rb)),
+             |    i -> CASE WHEN i % 3 = 2 THEN rb[i+1] ELSE 0 END)), 0)
+             |    AS BIGINT) AS b_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(rb)),
+             |    i -> rb[i+1] * (i + 1))), 0) AS BIGINT) AS pos_checksum
+             |FROM rp ORDER BY doc_id""".stripMargin),
+      doc = "Real nearest-neighbor resize on decoded PNG pixels: " +
+        "integer floor mapping fused onto the decode as one narrow pass, " +
+        "resized-byte positional checksum replayed from payload hex"),
+
+    // ------------------------------------------------------------------
     // q86: REAL video container decode — the third modality goes
     // true-codec (expressions.AviDib): each video asset is packed as a
     // valid RIFF 'AVI ' (hdrl with avih/strl, movi list of '00db' DIB

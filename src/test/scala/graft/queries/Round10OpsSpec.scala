@@ -451,4 +451,52 @@ class Round10OpsSpec extends AnyFunSuite {
       s"encode mismatch; first diff: ${
         got.zip(expected).find(p => p._1 != p._2)}")
   }
+
+  // ---------------------------------------------------------------
+  // q8a: nearest-neighbor resize on real decoded PNG pixels
+  // ---------------------------------------------------------------
+
+  test("q8a: resize stats equal an ImageIO-decode + pure-Scala NN replay") {
+    // independence: the JDK's PNG codec decodes the engine-built
+    // containers, and the floor-mapped resize is replayed in plain
+    // Scala over those pixels — the engine's decoder AND its index
+    // arithmetic must both agree with an implementation we didn't write
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 == 0).toSeq
+    val expected = docs.map { case (id, text) =>
+      val p = text.getBytes("UTF-8")
+      val png = graft.expressions.PngGray8.encodeRgb24(p, 8)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == 8,
+        s"doc $id: ImageIO could not parse the engine PNG")
+      val h = img.getHeight
+      def src(y: Int, x: Int, c: Int): Int = {
+        val v = img.getRGB(x, y)
+        c match {
+          case 0 => (v >> 16) & 0xff
+          case 1 => (v >> 8) & 0xff
+          case _ => v & 0xff
+        }
+      }
+      val rb = (0 until 48).map { j =>
+        val oy = j / 12; val ox = (j % 12) / 3; val c = j % 3
+        src((oy * h) / 4, (ox * 8) / 4, c)
+      }
+      (id, 8, h, 48L,
+        rb.zipWithIndex.collect { case (b, i) if i % 3 == 0 => b.toLong }.sum,
+        rb.zipWithIndex.collect { case (b, i) if i % 3 == 1 => b.toLong }.sum,
+        rb.zipWithIndex.collect { case (b, i) if i % 3 == 2 => b.toLong }.sum,
+        rb.zipWithIndex.map { case (b, i) => b.toLong * (i + 1) }.sum)
+    }.sortBy(_._1)
+    val got = Multimodal.defs.find(_.name == "q8a_image_resize").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected,
+      s"resize mismatch; first diff: ${
+        got.zip(expected).find(p => p._1 != p._2)}")
+  }
 }
