@@ -863,10 +863,16 @@ object TextOps extends Registry {
     * 'en' else -1; bias, char count, token count, vowel count, digit
     * count. All counts — both engines compute them identically. */
   private def perceptronFeatures(
-      s: SparkSession, dir: String, withId: Boolean = false): DataFrame = {
+      s: SparkSession, dir: String, withId: Boolean = false): DataFrame =
+    perceptronFeaturesOf(table(s, dir, "documents"), withId)
+
+  /** Feature projection over ANY (doc_id, text, lang) frame — batch or
+    * a micro-batch arriving on a stream (q9f's serving shape). */
+  def perceptronFeaturesOf(docs: DataFrame, withId: Boolean): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val id = if (withId) Seq($"doc_id") else Seq.empty
-    table(s, dir, "documents").select(id ++ Seq(
+    docs.select(id ++ Seq(
       when($"lang" === "en", 1L).otherwise(-1L).as("y"),
       lit(1L).as("x0"),
       length($"text").cast("long").as("x1"),
@@ -931,13 +937,29 @@ object TextOps extends Registry {
       // cache — the plan then falls back to the parquet scan, still one
       // narrow literal-weight pass (a per-doc materialization here
       // would be corpus-sized at scale, so deliberately NOT cached)
-      f.select($"doc_id", $"y",
-        (lit(w(0)) * $"x0" + lit(w(1)) * $"x1" + lit(w(2)) * $"x2" +
-          lit(w(3)) * $"x3" + lit(w(4)) * $"x4").as("score"))
-        .withColumn("pred", when($"score" > 0, 1L).otherwise(-1L))
-        .withColumn("correct", $"pred" === $"y")
-        .orderBy($"doc_id")
+      perceptronScore(f, w).orderBy($"doc_id")
     } finally { f.unpersist(); () }
+  }
+
+  /** The trained q9a/q9f weights for a corpus — training runs here
+    * (bounded driver state: 5 longs); exposed so a serving path (e.g. a
+    * stream of arriving documents) can score without retraining. */
+  def perceptronTrainedWeights(s: SparkSession, dir: String): Seq[Long] = {
+    val f = perceptronFeatures(s, dir).persist()
+    try perceptronFit(f)._1.toSeq finally { f.unpersist(); () }
+  }
+
+  /** Literal-weight scoring of a feature frame (must carry doc_id) —
+    * the q9f inference kernel, shared by the batch query and the
+    * per-trigger streaming serve. */
+  def perceptronScore(f: DataFrame, w: Seq[Long]): DataFrame = {
+    val s = f.sparkSession
+    import s.implicits._
+    f.select($"doc_id", $"y",
+      (lit(w(0)) * $"x0" + lit(w(1)) * $"x1" + lit(w(2)) * $"x2" +
+        lit(w(3)) * $"x3" + lit(w(4)) * $"x4").as("score"))
+      .withColumn("pred", when($"score" > 0, 1L).otherwise(-1L))
+      .withColumn("correct", $"pred" === $"y")
   }
 
   /** q9d keep threshold: average NLL ≤ 3.4 nats (in micro units). On

@@ -396,6 +396,43 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q9f: documents scored as a STREAM match the batch inference") {
+    // the quality-filter deployment shape: the model trains once on
+    // the static corpus, then documents arrive as micro-batches and
+    // each trigger scores its batch with the same literal weights —
+    // drained per-doc results must equal the one-shot batch apply
+    import org.apache.spark.sql.functions._
+    val w = TextOps.perceptronTrainedWeights(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val streamDir = java.nio.file.Files.createTempDirectory("q9f-stream")
+    docs.repartition(2).write.mode("overwrite").parquet(streamDir.toString)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Boolean)]
+    val nTriggers = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = TextOps.perceptronScore(
+          TextOps.perceptronFeaturesOf(df, withId = true), w).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getBoolean(4)))
+        out.synchronized { out ++= rows }
+        nTriggers.incrementAndGet(); ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    assert(nTriggers.get() == 2, s"expected 2 triggers, got ${nTriggers.get()}")
+    val batch = TextOps.perceptronApply(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(out.toSet == batch && batch.nonEmpty,
+      "streamed per-trigger inference diverged from the batch apply")
+  }
+
   // ---------------------------------------------------------------
   // q9g: trained-tokenizer encode
   // ---------------------------------------------------------------
