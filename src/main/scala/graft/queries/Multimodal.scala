@@ -752,6 +752,96 @@ object Multimodal extends Registry {
              |    i -> bs[i+1] * ((i % 96) + 1) * ((i // 96) % 97 + 1))), 0)
              |    AS BIGINT) AS frame_checksum
              |FROM d ORDER BY doc_id""".stripMargin),
-      doc = "Real AVI/DIB video decode: container walk + per-frame BMP parse, frame-order-sensitive checksum")
+      doc = "Real AVI/DIB video decode: container walk + per-frame BMP parse, frame-order-sensitive checksum"),
+
+    // ------------------------------------------------------------------
+    // q8b: VIDEO FRAME THUMBNAILS — the full vision-pipeline
+    // composition: walk the real AVI container (q86), parse every frame
+    // through the real BMP decoder, and thumbnail each frame with q8a's
+    // integer nearest-neighbor kernel (here 16x2 -> 4x1: out pixel ox
+    // reads source (row 0, col 4*ox), i.e. in-frame byte 12*ox+c —
+    // constants fixed by the encoder's 16px geometry and pinned
+    // identically in the oracle). Per-frame thumbnails stay per-row
+    // (aggregate/zip_with, the q8a reduction) so the only explode is
+    // the genuinely variable axis — frames — and the final agg
+    // re-groups per asset. The thumb checksum keeps q86's frame-AND-
+    // position sensitivity (Σ byte·(j+1)·((f mod 97)+1)): a decoder
+    // that reorders frames, or a resize that misindexes, hash-fails.
+    // Channel naming follows the BMP's BGR byte order (offset 0 = B),
+    // matching q86. The oracle replays from payload hex via the frame
+    // stream identity (frame f byte k = payload byte f*96+k, zero past
+    // the tail; thumbnail indices never exceed byte 38 < 48, so they
+    // are always inside even the padded last frame).
+    QueryDef(
+      "q8b_video_thumbnails",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        corpus(s, dir).filter(col("modality") === "video")
+          .select(col("doc_id"), expr("avi_dib_encode(payload, 96)").as("avi"))
+          .select(col("doc_id"), expr("avi_dib_frames(avi)").as("frames"))
+          .select(col("doc_id"), size(col("frames")).as("n_frames"),
+            posexplode(col("frames")).as(Seq("f", "fbin")))
+          .select(col("doc_id"), col("n_frames"), col("f"),
+            expr("bmp_rgb24_pixels(fbin)").as("px"))
+          .select(col("doc_id"), col("n_frames"), col("f"),
+            expr("""transform(sequence(0, 11), j ->
+              element_at(px,
+                CAST(12 * (j div 3) + (j % 3) + 1 AS INT)))""").as("rb"))
+          .select(col("doc_id"), col("n_frames"),
+            expr("""aggregate(zip_with(rb, sequence(0, 11),
+              (b, i) -> IF(i % 3 = 0, b, 0)),
+              CAST(0 AS BIGINT), (a, x) -> a + x)""").as("fb"),
+            expr("""aggregate(zip_with(rb, sequence(0, 11),
+              (b, i) -> IF(i % 3 = 1, b, 0)),
+              CAST(0 AS BIGINT), (a, x) -> a + x)""").as("fg"),
+            expr("""aggregate(zip_with(rb, sequence(0, 11),
+              (b, i) -> IF(i % 3 = 2, b, 0)),
+              CAST(0 AS BIGINT), (a, x) -> a + x)""").as("fr"),
+            (expr("""aggregate(zip_with(rb, sequence(1, 12),
+              (b, i) -> b * i),
+              CAST(0 AS BIGINT), (a, x) -> a + x)""")
+              * (pmod(col("f"), lit(97)) + 1)).cast("long").as("fck"))
+          .groupBy(col("doc_id"), col("n_frames"))
+          .agg(count(lit(1)).as("n_thumbs"),
+            sum(col("fb")).as("b_sum"),
+            sum(col("fg")).as("g_sum"),
+            sum(col("fr")).as("r_sum"),
+            sum(col("fck")).as("thumb_checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS bl FROM documents
+             |  WHERE doc_id % 3 = 2),
+             |st AS (
+             |  SELECT doc_id, octet_length(bl) AS n,
+             |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(bl))] AS bs
+             |  FROM a),
+             |d AS (SELECT doc_id, n, greatest(1, (n + 95) // 96) AS nf, bs
+             |      FROM st),
+             |rb AS (SELECT doc_id, nf,
+             |  [CASE WHEN ((j // 12) * 96 + 12 * ((j % 12) // 3) + (j % 3)) < n
+             |     THEN bs[(j // 12) * 96 + 12 * ((j % 12) // 3) + (j % 3) + 1]
+             |     ELSE 0 END
+             |   for j in range(nf * 12)] AS tb
+             |  FROM d)
+             |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+             |  CAST(nf AS BIGINT) AS n_thumbs,
+             |  CAST(coalesce(list_sum(list_transform(range(len(tb)),
+             |    i -> CASE WHEN i % 3 = 0 THEN tb[i+1] ELSE 0 END)), 0)
+             |    AS BIGINT) AS b_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(tb)),
+             |    i -> CASE WHEN i % 3 = 1 THEN tb[i+1] ELSE 0 END)), 0)
+             |    AS BIGINT) AS g_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(tb)),
+             |    i -> CASE WHEN i % 3 = 2 THEN tb[i+1] ELSE 0 END)), 0)
+             |    AS BIGINT) AS r_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(tb)),
+             |    i -> tb[i+1] * ((i % 12) + 1) * ((i // 12) % 97 + 1))), 0)
+             |    AS BIGINT) AS thumb_checksum
+             |FROM rb ORDER BY doc_id""".stripMargin),
+      doc = "Video frame thumbnails: AVI walk + per-frame BMP decode + " +
+        "NN resize per frame, frame-and-position-sensitive checksum " +
+        "replayed from payload hex")
   )
 }

@@ -536,4 +536,38 @@ class Round10OpsSpec extends AnyFunSuite {
       s"resize mismatch; first diff: ${
         got.zip(expected).find(p => p._1 != p._2)}")
   }
+
+  test("q8b: video thumbnail stats equal a pure-Scala replay from raw " +
+    "payload") {
+    // replays the whole chain (container walk + BMP decode + per-frame
+    // NN resize) from the raw UTF-8 payload via the frame stream
+    // identity — no engine expression involved on the expected side
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 == 2).toSeq
+    val expected = docs.map { case (id, text) =>
+      val p = text.getBytes("UTF-8")
+      val n = p.length
+      val nf = math.max(1, (n + 95) / 96)
+      val tb = (0 until nf * 12).map { j =>
+        val idx = (j / 12) * 96 + 12 * ((j % 12) / 3) + (j % 3)
+        if (idx < n) p(idx) & 0xff else 0
+      }
+      (id, nf, nf.toLong,
+        tb.zipWithIndex.collect { case (b, i) if i % 3 == 0 => b.toLong }.sum,
+        tb.zipWithIndex.collect { case (b, i) if i % 3 == 1 => b.toLong }.sum,
+        tb.zipWithIndex.collect { case (b, i) if i % 3 == 2 => b.toLong }.sum,
+        tb.zipWithIndex.map { case (b, i) =>
+          b.toLong * ((i % 12) + 1) * ((i / 12) % 97 + 1)
+        }.sum)
+    }.sortBy(_._1)
+    val got = Multimodal.defs.find(_.name == "q8b_video_thumbnails").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected,
+      s"thumbnail mismatch; first diff: ${
+        got.zip(expected).find(p => p._1 != p._2)}")
+  }
 }
