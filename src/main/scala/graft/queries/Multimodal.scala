@@ -308,6 +308,70 @@ object Multimodal extends Registry {
       doc = "Real WAV PCM16 decode (RIFF walk + fmt validate) + exact-integer energy windows"),
 
     // ------------------------------------------------------------------
+    // q8c: AUDIO RESAMPLE on real decoded samples — closes the modality
+    // trio of true transforms over true codecs (q8a image resize, q8b
+    // video thumbnails): decimation by 2 over q84's PCM16 decode,
+    // 16 kHz -> 8 kHz, out sample k = in sample 2k. Integer decimation
+    // is the exact-arithmetic resample (no filter kernel, no float), so
+    // every output sample — signed — replays bit-for-bit from payload
+    // hex byte pairs, and the position-weighted checksum (Σ s_k·(k+1),
+    // over SIGNED values) fails any off-by-one, dropped tail, or
+    // even/odd phase error. Same narrow shape as the rest of the
+    // family: decode + decimate fuse into one pass per asset, per-row
+    // reduction (no explode), only the final sort shuffles. The output
+    // rate is emitted from the container's own stored rate (header
+    // read, not a constant) halved — a header misparse desynchronizes.
+    QueryDef(
+      "q8c_audio_resample",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        corpus(s, dir).filter(col("modality") === "audio")
+          .select(col("doc_id"),
+            expr("wav_pcm16_encode(payload, 16000)").as("wav"))
+          .select(col("doc_id"),
+            expr("wav_sample_rate(wav)").as("rate_in"),
+            expr("wav_pcm16_samples(wav)").as("smp"))
+          .filter(size(col("smp")) > 0)
+          .withColumn("ds", expr("""transform(
+            sequence(0, CAST((size(smp) + 1) div 2 AS INT) - 1),
+            k -> element_at(smp, 2 * k + 1))"""))
+          .select(col("doc_id"), col("rate_in"),
+            (col("rate_in") / 2).cast("int").as("rate_out"),
+            size(col("smp")).as("n_samples"),
+            size(col("ds")).as("n_out_samples"),
+            expr("""aggregate(ds, CAST(0 AS BIGINT),
+              (a, x) -> a + CAST(x AS BIGINT))""").as("out_sum"),
+            expr("""aggregate(zip_with(ds, sequence(1, size(ds)),
+              (s, i) -> CAST(s AS BIGINT) * i),
+              CAST(0 AS BIGINT), (a, x) -> a + x)""").as("pos_checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS b FROM documents
+             |  WHERE doc_id % 3 = 1),
+             |s AS (
+             |  SELECT doc_id,
+             |    [CASE WHEN v > 32767 THEN v - 65536 ELSE v END
+             |     FOR v IN [CAST(('0x' || substr(hex(b), 4*i+3, 2)
+             |                          || substr(hex(b), 4*i+1, 2)) AS INT)
+             |               for i in range(0, octet_length(b) // 2)]] AS smp
+             |  FROM a),
+             |w AS (SELECT doc_id, smp FROM s WHERE len(smp) > 0),
+             |d AS (SELECT doc_id, len(smp) AS n_samples,
+             |        [smp[2*k+1] for k in range(0, (len(smp)+1)//2)] AS ds
+             |      FROM w)
+             |SELECT doc_id, 16000 AS rate_in, 8000 AS rate_out,
+             |  CAST(n_samples AS INTEGER) AS n_samples,
+             |  CAST(len(ds) AS INTEGER) AS n_out_samples,
+             |  CAST(coalesce(list_sum(ds), 0) AS BIGINT) AS out_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(ds)),
+             |    k -> CAST(ds[k+1] AS BIGINT) * (k+1))), 0) AS BIGINT)
+             |    AS pos_checksum
+             |FROM d ORDER BY doc_id""".stripMargin),
+      doc = "Audio decimation resample on real PCM16 decode: 16->8 kHz, " +
+        "signed samples and phase pinned by a position-weighted checksum"),
+
+    // ------------------------------------------------------------------
     // q85: REAL image decode for the image modality — BMP/RGB24
     // (expressions.BmpRgb24), making two of the three modalities
     // true-codec paths. The decoder reconstructs the logical top-down

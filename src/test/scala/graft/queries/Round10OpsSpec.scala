@@ -570,4 +570,34 @@ class Round10OpsSpec extends AnyFunSuite {
       s"thumbnail mismatch; first diff: ${
         got.zip(expected).find(p => p._1 != p._2)}")
   }
+
+  test("q8c: resampled audio stats equal a pure-Scala replay from raw " +
+    "payload") {
+    // replays decode (LE int16 sign-extension) + decimation from the
+    // raw UTF-8 payload — no engine expression on the expected side
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 == 1).toSeq
+    val expected = docs.flatMap { case (id, text) =>
+      val p = text.getBytes("UTF-8")
+      val smp = (0 until p.length / 2).map { i =>
+        ((p(2 * i) & 0xff) | (p(2 * i + 1) << 8)).toShort.toInt
+      }
+      if (smp.isEmpty) None
+      else {
+        val ds = (0 until (smp.length + 1) / 2).map(k => smp(2 * k))
+        Some((id, 16000, 8000, smp.length, ds.length,
+          ds.map(_.toLong).sum,
+          ds.zipWithIndex.map { case (v, k) => v.toLong * (k + 1) }.sum))
+      }
+    }.sortBy(_._1)
+    val got = Multimodal.defs.find(_.name == "q8c_audio_resample").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected,
+      s"resample mismatch; first diff: ${
+        got.zip(expected).find(p => p._1 != p._2)}")
+  }
 }
