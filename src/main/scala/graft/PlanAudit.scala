@@ -60,7 +60,8 @@ object PlanAudit {
     "q9f_perceptron_apply",   // literal-weight inference: scan+project only
     "q9g_bpe_encode",         // fitted-vocab join-back, token counts additive
     "q8a_image_resize",       // decode+NN-resize fused in one narrow pass
-    "q8b_video_thumbnails")   // frame explode + per-row thumb reduction
+    "q8b_video_thumbnails",   // frame explode + per-row thumb reduction
+    "q9h_lm_incremental")     // stored LM tables + delta counts, additive merge
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

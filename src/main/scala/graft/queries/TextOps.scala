@@ -854,7 +854,31 @@ object TextOps extends Registry {
       Some(bm25OracleFor(Bm25IncTerms)),
       doc = "BM25 from an incrementally maintained index: delta-only " +
         "tokenize, bucket-preserving append, scalar stats merge — " +
-        "answer-invariant vs full rebuild")
+        "answer-invariant vs full rebuild"),
+
+    // ------------------------------------------------------------------
+    // q9h: the quality gate's LM, INCREMENTALLY MAINTAINED — closes the
+    // loop between q9d (train a bigram LM on the corpus, filter by
+    // perplexity) and the q9b/q9e state-maintenance discipline: the LM
+    // count tables of the base split are stored content-addressed (a
+    // vocab-bounded artifact, independent of corpus row count once the
+    // vocab saturates), the arriving delta batch alone is tokenized,
+    // and the tables merge by elementwise ADDITION — counts are
+    // losslessly mergeable, which is precisely why production pipelines
+    // keep LM/tokenizer statistics as count tables. Every derived
+    // quantity (Laplace probabilities, the vocab size) recomputes from
+    // the merged tables, so nothing stored goes stale. Contract is the
+    // q9e standard: merged tables require()d bit-for-bit equal to a
+    // full rebuild, and the served scores — the delta docs under the
+    // merged full-corpus LM — hash against the oracle's from-scratch
+    // LM, so a dropped or double-counted n-gram fails twice over.
+    QueryDef(
+      "q9h_lm_incremental",
+      (s, dir) => lmIncremental(s, dir),
+      Some(lmIncrementalOracle),
+      doc = "Incrementally maintained bigram LM: stored base count " +
+        "tables + delta-only tokenize, lossless additive merge pinned " +
+        "bit-for-bit to rebuild, delta docs scored by the merged LM")
   )
 
   val PerceptronRounds = 5
@@ -973,16 +997,45 @@ object TextOps extends Registry {
     val docs = table(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("ws"))
     val allWords = docs.select(explode($"ws").as("w"))
-    val pairs = docs.filter(size($"ws") >= 2)
+    val pairs = lmPairsOf(docs)
+    // the LM: vocab-bounded tables, broadcast back over the pair stream
+    val (big, uni) = lmCountsOf(docs)
+    val vocab = allWords.agg(countDistinct($"w").as("v"))
+    lmScoreOf(pairs, big, uni, vocab).orderBy($"doc_id")
+  }
+
+  /** Adjacent-word pair stream of a (doc_id, ws) frame — the q9d/q9h
+    * scoring input. */
+  private def lmPairsOf(docsWs: DataFrame): DataFrame = {
+    val s = docsWs.sparkSession
+    import s.implicits._
+    docsWs.filter(size($"ws") >= 2)
       .select($"doc_id", explode(transform(
         sequence(lit(1), size($"ws") - 1),
         i => struct(element_at($"ws", i).as("a"),
           element_at($"ws", i + 1).as("b")))).as("p"))
       .select($"doc_id", $"p.a", $"p.b")
-    // the LM: vocab-bounded tables, broadcast back over the pair stream
-    val big = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c12"))
-    val uni = allWords.groupBy($"w").agg(count(lit(1)).as("c1"))
-    val vocab = allWords.agg(countDistinct($"w").as("v"))
+  }
+
+  /** The LM count tables of a (doc_id, ws) frame: (bigram a,b,c12;
+    * unigram w,c1). Both are vocab-bounded, and both are PURE COUNTS —
+    * which is what makes the LM incrementally maintainable (q9h): counts
+    * merge by lossless addition, and every derived quantity (smoothed
+    * probabilities, the vocab size) recomputes from the merged tables. */
+  private def lmCountsOf(docsWs: DataFrame): (DataFrame, DataFrame) = {
+    val s = docsWs.sparkSession
+    import s.implicits._
+    (lmPairsOf(docsWs).groupBy($"a", $"b").agg(count(lit(1)).as("c12")),
+      docsWs.select(explode($"ws").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c1")))
+  }
+
+  /** Laplace-smoothed bigram scoring of a pair stream against LM count
+    * tables (q9d's kernel, shared with q9h's incremental serve). */
+  private def lmScoreOf(pairs: DataFrame, big: DataFrame, uni: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
     pairs
       .join(broadcast(big), Seq("a", "b"))
       .join(broadcast(uni), $"w" === $"a")
@@ -997,7 +1050,6 @@ object TextOps extends Registry {
       .select($"doc_id", $"n_pairs",
         expr("nll_sum div n_pairs").as("nll_avg_micro"))
       .withColumn("kept", $"nll_avg_micro" <= lit(PerplexityKeepMicro))
-      .orderBy($"doc_id")
   }
 
   private def perplexityOracle: String =
@@ -1019,6 +1071,135 @@ object TextOps extends Registry {
        |SELECT doc_id, count(*) AS n_pairs,
        |  CAST((-sum(cmic)) // count(*) AS BIGINT) AS nll_avg_micro,
        |  (((-sum(cmic)) // count(*)) <= $PerplexityKeepMicro) AS kept
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The (doc_id, ws) projection q9d/q9h run on. */
+  private def lmDocsWs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+  }
+
+  /** Build-or-reuse the stored base-split LM count tables. Returns
+    * (bigram, unigram, rebuilt, stateDir). Torn-write rule shared with
+    * q9b/q9c/q9e: the key file is written LAST, so an interrupted build
+    * leaves a key mismatch and the next call discards the partial state
+    * wholesale. */
+  private[queries] def loadOrBuildLmState(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Boolean, String) = {
+    import s.implicits._
+    val src = s"$dir/documents.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|lm=bigram-ws-laplace|base=mod${IncDeltaMod}ne0"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = Tables.persistentScratchDir(s"q9h_lm_$tag")
+    val bigDir = java.nio.file.Paths.get(stateDir, "bigram")
+    val uniDir = java.nio.file.Paths.get(stateDir, "unigram")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(bigDir.resolve("_SUCCESS")) &&
+      java.nio.file.Files.exists(uniDir.resolve("_SUCCESS"))
+    if (!valid) {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(del)
+        f.delete(); ()
+      }
+      del(java.nio.file.Paths.get(stateDir).toFile)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(stateDir))
+      val base = lmDocsWs(s, dir)
+        .filter(pmod($"doc_id", lit(IncDeltaMod)) =!= 0)
+      val (big, uni) = lmCountsOf(base)
+      big.write.mode("overwrite").parquet(bigDir.toString)
+      uni.write.mode("overwrite").parquet(uniDir.toString)
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    (s.read.parquet(bigDir.toString), s.read.parquet(uniDir.toString),
+      !valid, stateDir)
+  }
+
+  /** The maintained LM: stored base tables + delta-batch counts, merged
+    * by elementwise addition (lossless — counts, not estimator state).
+    * Only the delta split of the corpus is tokenized on this path.
+    * Exposed for the spec's reuse/equality assertions. */
+  private[graft] def lmMergedTables(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val (bigBase, uniBase, _, _) = loadOrBuildLmState(s, dir)
+    val delta = lmDocsWs(s, dir)
+      .filter(pmod($"doc_id", lit(IncDeltaMod)) === 0)
+    val (bigD, uniD) = lmCountsOf(delta)
+    val bigM = bigBase.withColumnRenamed("c12", "c12_b")
+      .join(bigD.withColumnRenamed("c12", "c12_d"), Seq("a", "b"), "full")
+      .select($"a", $"b",
+        (coalesce($"c12_b", lit(0L)) + coalesce($"c12_d", lit(0L)))
+          .as("c12"))
+    val uniM = uniBase.withColumnRenamed("c1", "c1_b")
+      .join(uniD.withColumnRenamed("c1", "c1_d"), Seq("w"), "full")
+      .select($"w",
+        (coalesce($"c1_b", lit(0L)) + coalesce($"c1_d", lit(0L)))
+          .as("c1"))
+    (bigM, uniM)
+  }
+
+  def lmIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (bigM, uniM) = lmMergedTables(s, dir)
+    // contract (lossless merge): both maintained tables must equal a
+    // full-corpus rebuild bit-for-bit — additive count merge admits NO
+    // tolerance (the q9e standard, vs q9c's estimator caveat). The
+    // rebuild exists only here, as the contract instrument.
+    val (bigR, uniR) = lmCountsOf(lmDocsWs(s, dir))
+    val dBig = bigM
+      .join(bigR.withColumnRenamed("c12", "c12_r"), Seq("a", "b"), "full")
+      .agg(sum(abs(coalesce($"c12", lit(0L)) - coalesce($"c12_r", lit(0L)))))
+      .collect().head
+    val dUni = uniM
+      .join(uniR.withColumnRenamed("c1", "c1_r"), Seq("w"), "full")
+      .agg(sum(abs(coalesce($"c1", lit(0L)) - coalesce($"c1_r", lit(0L)))))
+      .collect().head
+    val mergeEq = !dBig.isNullAt(0) && dBig.getLong(0) == 0L &&
+      !dUni.isNullAt(0) && dUni.getLong(0) == 0L
+    require(mergeEq,
+      "q9h: merged LM tables diverged from a from-scratch rebuild")
+    // serve: score the DELTA documents (the arriving batch) with the
+    // merged full-corpus LM; the vocab size derives from the merged
+    // unigram table itself — no stored statistic to go stale
+    val pairs = lmPairsOf(lmDocsWs(s, dir)
+      .filter(pmod($"doc_id", lit(IncDeltaMod)) === 0))
+    val vocab = uniM.agg(count(lit(1)).as("v"))
+    lmScoreOf(pairs, bigM, uniM, vocab)
+      .withColumn("merge_equals_rebuild", lit(mergeEq))
+      .orderBy($"doc_id")
+  }
+
+  /** The q9h oracle: q9d's full-corpus LM, scoring restricted to the
+    * delta split — exactly the merge ≡ rebuild contract: if the
+    * maintained tables dropped or double-counted anything, the scores
+    * hash-mismatch. */
+  private def lmIncrementalOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |p AS (SELECT doc_id, pr.a AS a, pr.b AS b FROM (
+       |    SELECT doc_id, unnest([{'a': ws[i], 'b': ws[i+1]}
+       |                           for i in range(1, len(ws))]) AS pr
+       |    FROM d WHERE len(ws) >= 2) z),
+       |big AS (SELECT a, b, count(*) AS c12 FROM p GROUP BY a, b),
+       |uni AS (SELECT w, count(*) AS c1 FROM (
+       |    SELECT unnest(ws) AS w FROM d) z GROUP BY w),
+       |vv AS (SELECT count(DISTINCT w) AS v FROM (
+       |    SELECT unnest(ws) AS w FROM d) z),
+       |sc AS (SELECT p.doc_id,
+       |         CAST(round((ln(c12 + 1) - ln(c1 + v)) * 1000000.0)
+       |              AS BIGINT) AS cmic
+       |       FROM p JOIN big USING (a, b) JOIN uni ON uni.w = p.a, vv
+       |       WHERE p.doc_id % $IncDeltaMod = 0)
+       |SELECT doc_id, count(*) AS n_pairs,
+       |  CAST((-sum(cmic)) // count(*) AS BIGINT) AS nll_avg_micro,
+       |  (((-sum(cmic)) // count(*)) <= $PerplexityKeepMicro) AS kept,
+       |  TRUE AS merge_equals_rebuild
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Plan-audit hook: ONE perceptron round's misclassified-set

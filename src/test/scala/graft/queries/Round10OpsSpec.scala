@@ -347,6 +347,61 @@ class Round10OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // q9h: incrementally maintained bigram LM
+  // ---------------------------------------------------------------
+
+  test("q9h: stored LM reuse across calls; merged tables equal " +
+    "pure-Scala full-corpus counts") {
+    // clean slate: drop any state left by an earlier session/run
+    val (_, _, _, stateDir) = TextOps.loadOrBuildLmState(spark, sfDir)
+    delTree(java.nio.file.Paths.get(stateDir))
+    val (_, _, rebuilt1, _) = TextOps.loadOrBuildLmState(spark, sfDir)
+    assert(rebuilt1, "fresh dir must trigger a base build")
+    val (_, _, rebuilt2, dir2) = TextOps.loadOrBuildLmState(spark, sfDir)
+    assert(!rebuilt2 && dir2 == stateDir, "unchanged corpus must reuse")
+
+    // merged tables vs an independent pure-Scala count of the FULL
+    // corpus (split semantics mirror Spark's: keep empty tokens)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val expUni = scala.collection.mutable.Map
+      .empty[String, Long].withDefaultValue(0L)
+    val expBig = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    for (t <- docs) {
+      val ws = t.split(" ", -1)
+      ws.foreach(w => expUni(w) += 1L)
+      if (ws.length >= 2)
+        ws.sliding(2).foreach(p => expBig((p(0), p(1))) += 1L)
+    }
+    val (bigM, uniM) = TextOps.lmMergedTables(spark, sfDir)
+    val gotBig = bigM.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val gotUni = uniM.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotUni == expUni.toMap, "merged unigram table != replay")
+    assert(gotBig == expBig.toMap, "merged bigram table != replay")
+
+    // the reuse-path merge reads the STORED base tables (not a
+    // re-tokenized base): the bigram-side scan set must include the
+    // state dir
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] =
+      p.collect {
+        case sc: FileSourceScanExec => Seq(sc)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+      }.flatten
+    bigM.count() // materialize so AQE stages exist
+    val roots = allScans(bigM.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.exists(_.contains(stateDir)),
+      s"merge did not read the stored base tables: $roots")
+  }
+
+  // ---------------------------------------------------------------
   // q9f: trained-classifier inference
   // ---------------------------------------------------------------
 
