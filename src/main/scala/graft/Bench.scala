@@ -63,20 +63,21 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // vs_baseline: total / the pinned idle reference run, so a driver
     // readout separates machine contention from real regression without
-    // a manual rerun. PIN = the r10 idle floor of this suite
-    // (127 queries incl. the r10 additions q5d/q89/q9a-q9e, sf0.1,
-    // local[32], shuffle=32, min-of-2 timing). Pinned from two
-    // back-to-back runs started at system load 0.06 reading 74.3/75.8.
-    // Why the r9 pin (51.9, 120 queries) was retired: the box rebooted
-    // mid-round-10 (uptime reset ~07:40) and every run since — seven
-    // runs, code untouched at each, spanning 68.6-93.3 — sits ~40%
-    // above it; the seven r10 queries themselves cost only ~5.5s. The
-    // old floor is unreachable on the new placement, so keeping it
-    // would misread machine change as plan regression. Same guidance
-    // as before: treat vs_baseline ≤ ~1.35 as co-tenancy/placement
-    // noise before suspecting a plan; re-pin only when the query set
-    // changes materially or the host demonstrably changes again.
-    val baselinePin = 74.5
+    // a manual rerun. PIN = the r10-close idle estimate of the FINAL
+    // 133-query suite (adds q9f-q9h/q9g/q8a-q8c over the mid-round 127;
+    // sf0.1, local[32], shuffle=32, min-of-2 timing): three idle runs
+    // read 76.9/68.7/70.5 -> pinned at the mean 72.0. Context for the
+    // two earlier retirements this round: the r9 pin (51.9, 120
+    // queries) died when the box REBOOTED mid-round (uptime reset;
+    // seven post-reboot runs on untouched code spanned 68.6-93.3 —
+    // ~40% above the old floor, unreachable on the new placement); a
+    // mid-round pin of 74.5 (127 queries, idle pair 74.3/75.8) was
+    // then superseded by this one when the suite grew. Post-reboot
+    // box variance is ±6% across back-to-back idle runs, so treat
+    // vs_baseline ≤ ~1.35 as co-tenancy/placement noise before
+    // suspecting a plan; re-pin only when the query set changes
+    // materially or the host demonstrably changes again.
+    val baselinePin = 72.0
     // 1-minute system load average — co-tenancy evidence riding the
     // artifact, so a high vs_baseline under driver-side contention is
     // self-explaining instead of needing a manual idle rerun
