@@ -1144,6 +1144,41 @@ object TextOps extends Registry {
     (bigM, uniM)
   }
 
+  /** Streaming-maintenance form of q9h: fold ONE micro-batch of
+    * documents into the stored LM count tables (the foreachBatch
+    * production shape — the LM stays fresh as the crawl arrives).
+    * Count addition is exactly mergeable, so the drained state equals
+    * a from-scratch build bit-for-bit, no estimator caveat. Tables are
+    * collected to the driver before the overwrite — bounded: the LM is
+    * vocab-sized (corpus-size-independent once the vocab saturates),
+    * and the collect also makes the read-modify-write safe against
+    * reading the directory being replaced. */
+  def lmFoldBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val ws = batch.select($"doc_id", split($"text", " ").as("ws"))
+    val (bigB, uniB) = lmCountsOf(ws)
+    def fold(dirName: String, add: DataFrame, keys: Seq[String],
+        cnt: String): Unit = {
+      val d = java.nio.file.Paths.get(stateDir, dirName)
+      val renamed = add.withColumnRenamed(cnt, "cnt_new")
+      val merged =
+        if (java.nio.file.Files.exists(d.resolve("_SUCCESS")))
+          s.read.parquet(d.toString)
+            .join(renamed, keys, "full")
+            .select(keys.map(col) :+
+              (coalesce(col(cnt), lit(0L)) + coalesce(col("cnt_new"), lit(0L)))
+                .as(cnt): _*)
+        else renamed.select(keys.map(col) :+ col("cnt_new").as(cnt): _*)
+      val rows = merged.collect() // bounded: vocab-sized
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+          merged.schema)
+        .write.mode("overwrite").parquet(d.toString)
+    }
+    fold("bigram", bigB, Seq("a", "b"), "c12")
+    fold("unigram", uniB, Seq("w"), "c1")
+  }
+
   def lmIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (bigM, uniM) = lmMergedTables(s, dir)

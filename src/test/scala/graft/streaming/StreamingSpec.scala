@@ -468,6 +468,64 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-folded grid diverged from rebuild")
   }
 
+  test("streaming LM maintenance: per-trigger count folds equal a " +
+    "from-scratch build bit-for-bit") {
+    // the q9h state machine driven by a STREAM: documents arrive as
+    // three single-file micro-batches, each trigger adds its bigram/
+    // unigram counts into the stored tables (TextOps.lmFoldBatch — the
+    // foreachBatch production shape). Count addition is exactly
+    // mergeable, so the drained tables must EQUAL one counting pass
+    // over the whole corpus — the quality gate's LM stays fresh as the
+    // crawl arrives, with no estimator tolerance.
+    import org.apache.spark.sql.functions._
+    val streamDir = java.nio.file.Files.createTempDirectory("lm-stream")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("lm-state").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+
+    val folds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.queries.TextOps.lmFoldBatch(spark, stateDir, df)
+        folds.incrementAndGet(); ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    assert(folds.get() == 3, s"expected 3 per-file folds, got ${folds.get()}")
+
+    val sBig = spark.read
+      .parquet(java.nio.file.Paths.get(stateDir, "bigram").toString)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val sUni = spark.read
+      .parquet(java.nio.file.Paths.get(stateDir, "unigram").toString)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // from-scratch counting pass over the full corpus, written inline
+    // with standard functions — independent of the TextOps helpers
+    val ws = docs.select(split(col("text"), " ").as("ws"))
+    val rUni = ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rBig = ws.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+           i -> struct(element_at(ws, i) AS a,
+                       element_at(ws, i + 1) AS b))""")).as("p"))
+      .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(sBig == rBig && sBig.nonEmpty,
+      "stream-folded bigram table diverged from rebuild")
+    assert(sUni == rUni && sUni.nonEmpty,
+      "stream-folded unigram table diverged from rebuild")
+  }
+
   test("streaming NDJSON sink drains to the exact batch-write artifact") {
     // the E1 output tail as a stream: Patient resources arrive across
     // two micro-batches (one file per trigger) and the foreachBatch
