@@ -1644,9 +1644,25 @@ object TextOps extends Registry {
     * sums, so both engines agree bit-for-bit. */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val vocab = bpeFit(s, dir)._2
-      .select($"word", size($"tokens").cast("long").as("ntok"))
-    table(s, dir, "documents")
+    bpeEncodeOf(table(s, dir, "documents"), bpeFittedVocab(s, dir))
+      .orderBy($"doc_id")
+  }
+
+  /** The fitted tokenizer as a (word, ntok) frame — training runs here;
+    * exposed so a serving path can encode arriving documents without
+    * retraining. */
+  def bpeFittedVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeFit(s, dir)._2.select($"word", size($"tokens").cast("long").as("ntok"))
+  }
+
+  /** Token-count ANY (doc_id, text) frame against a fitted vocabulary —
+    * the q9g kernel, shared by the batch query and a per-trigger
+    * streaming encode. */
+  def bpeEncodeOf(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
       .select($"doc_id", explode(split($"text", " ")).as("word"))
       .filter(length($"word") > 0)
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c"))
@@ -1655,7 +1671,6 @@ object TextOps extends Registry {
       .agg(sum($"c").cast("long").as("n_words"),
         sum($"c" * length($"word")).cast("long").as("n_chars"),
         sum($"c" * $"ntok").cast("long").as("n_tokens"))
-      .orderBy($"doc_id")
   }
 
   /** The q97 oracle: BpeRounds unrolled (pair counts → deterministic

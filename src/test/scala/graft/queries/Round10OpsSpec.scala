@@ -544,6 +544,44 @@ class Round10OpsSpec extends AnyFunSuite {
         got.zip(expected).find(p => p._1 != p._2)}")
   }
 
+  test("q9g: documents encoded as a STREAM match the batch token counts") {
+    // the tokenizer deployment shape: train once on the static corpus,
+    // then encode arriving documents per trigger against the same
+    // fitted vocabulary — drained per-doc counts must equal the
+    // one-shot batch encode
+    import org.apache.spark.sql.functions._
+    val vocab = TextOps.bpeFittedVocab(spark, sfDir).persist()
+    vocab.count()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val streamDir = java.nio.file.Files.createTempDirectory("q9g-stream")
+    docs.repartition(2).write.mode("overwrite").parquet(streamDir.toString)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    val nTriggers = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = TextOps.bpeEncodeOf(df, vocab).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+        out.synchronized { out ++= rows }
+        nTriggers.incrementAndGet(); ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    vocab.unpersist()
+    assert(nTriggers.get() == 2, s"expected 2 triggers, got ${nTriggers.get()}")
+    val batch = TextOps.bpeEncode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out.toSet == batch && batch.nonEmpty,
+      "streamed per-trigger encode diverged from the batch encode")
+  }
+
   // ---------------------------------------------------------------
   // q8a: nearest-neighbor resize on real decoded PNG pixels
   // ---------------------------------------------------------------
