@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pngFilterTypes)
     ext.injectFunction(GraftExtensions.pngWidth)
     ext.injectFunction(GraftExtensions.pngHeight)
+    ext.injectFunction(GraftExtensions.pngAdam7Encode)
+    ext.injectFunction(GraftExtensions.pngAdam7Pixels)
+    ext.injectFunction(GraftExtensions.pngAdam7FilterTypes)
   }
 }
 
@@ -247,6 +250,27 @@ object GraftExtensions {
     new ExpressionInfo(classOf[PngHeightExpr].getName, "png_height"),
     (args: Seq[Expression]) => PngHeightExpr(args.head))
 
+  private val pngAdam7Encode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_adam7_encode"),
+    new ExpressionInfo(classOf[PngAdam7EncodeExpr].getName,
+      "png_adam7_encode"),
+    (args: Seq[Expression]) => PngAdam7EncodeExpr(args(0), args(1)))
+
+  private val pngAdam7Pixels: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_adam7_pixels"),
+    new ExpressionInfo(classOf[PngAdam7PixelsExpr].getName,
+      "png_adam7_pixels"),
+    (args: Seq[Expression]) => PngAdam7PixelsExpr(args.head))
+
+  private val pngAdam7FilterTypes: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_adam7_filter_types"),
+    new ExpressionInfo(classOf[PngAdam7FilterTypesExpr].getName,
+      "png_adam7_filter_types"),
+    (args: Seq[Expression]) => PngAdam7FilterTypesExpr(args.head))
+
   /** Idempotent per-session registration for sessions not created with
     * the extensions config (e.g. the driver harness's own session). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -257,7 +281,8 @@ object GraftExtensions {
         bmpEncode, bmpPixels, bmpWidth, bmpHeight, bpeMergeWord,
         aviEncode, aviFrames, anchorWindows, pngEncode, pngPixels,
         pngRgbEncode, pngRgbPixels, pngPaletteEncode, pngPaletteRgb,
-        pngFilterTypes, pngWidth, pngHeight))
+        pngFilterTypes, pngWidth, pngHeight, pngAdam7Encode,
+        pngAdam7Pixels, pngAdam7FilterTypes))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
   }

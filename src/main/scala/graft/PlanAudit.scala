@@ -61,7 +61,8 @@ object PlanAudit {
     "q9g_bpe_encode",         // fitted-vocab join-back, token counts additive
     "q8a_image_resize",       // decode+NN-resize fused in one narrow pass
     "q8b_video_thumbnails",   // frame explode + per-row thumb reduction
-    "q9h_lm_incremental")     // stored LM tables + delta counts, additive merge
+    "q9h_lm_incremental",     // stored LM tables + delta counts, additive merge
+    "q8d_png_adam7")          // seven-pass interlaced decode, one narrow pass
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

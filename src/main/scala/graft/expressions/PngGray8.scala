@@ -200,9 +200,10 @@ object PngGray8 {
 
   /** Walk the chunk list (verifying length bounds and every CRC-32),
     * parse + validate IHDR (+ PLTE placement rules), and return
-    * (width, height, colorType, palette bytes — empty unless PLTE
-    * present, concatenated IDAT bytes). */
-  private def parse(png: Array[Byte]): (Int, Int, Int, Array[Byte], Array[Byte]) = {
+    * (width, height, colorType, interlace, palette bytes — empty unless
+    * PLTE present, concatenated IDAT bytes). */
+  private def parse(png: Array[Byte])
+      : (Int, Int, Int, Int, Array[Byte], Array[Byte]) = {
     if (png.length < Signature.length + 12) fail("container too short")
     var i = 0
     while (i < Signature.length) {
@@ -213,6 +214,7 @@ object PngGray8 {
     var width = -1
     var height = -1
     var colorType = -1
+    var interlace = -1
     var seenIhdr = false
     var seenIend = false
     var seenIdat = false
@@ -246,8 +248,9 @@ object PngGray8 {
               s"got $colorType")
           if ((png(off + 18) & 0xff) != 0) fail("bad compression method")
           if ((png(off + 19) & 0xff) != 0) fail("bad filter method")
-          if ((png(off + 20) & 0xff) != 0)
-            fail("interlaced PNGs not supported")
+          interlace = png(off + 20) & 0xff
+          if (interlace != 0 && interlace != 1)
+            fail(s"unknown interlace method $interlace")
           seenIhdr = true
         case "PLTE" =>
           if (!seenIhdr) fail("PLTE before IHDR")
@@ -277,7 +280,7 @@ object PngGray8 {
     if (colorType == 3 && palette.isEmpty)
       fail("color type 3 requires a PLTE chunk")
     if (off != png.length) fail("trailing bytes after IEND")
-    (width, height, colorType, palette, idat.toByteArray)
+    (width, height, colorType, interlace, palette, idat.toByteArray)
   }
 
   /** Inflate the IDAT stream and return the raw (filter byte +
@@ -324,9 +327,11 @@ object PngGray8 {
   def pixelsPaletteRgb(png: Array[Byte]): ArrayData = decodeCore(png, 3)
 
   private def decodeCore(png: Array[Byte], expectCt: Int): ArrayData = {
-    val (width, height, ct, palette, z) = parse(png)
+    val (width, height, ct, interlace, palette, z) = parse(png)
     if (ct != expectCt)
       fail(s"expected color type $expectCt, container has $ct")
+    if (interlace != 0)
+      fail("interlaced container: use png_adam7_pixels")
     val bpp = bppOf(ct)
     val rowBytes = width * bpp
     val raw = inflate(z, height * (rowBytes + 1))
@@ -374,7 +379,9 @@ object PngGray8 {
     * five filter paths were exercised instead of asserting it. Works
     * for either color type. */
   def filterTypes(png: Array[Byte]): ArrayData = {
-    val (width, height, ct, _, z) = parse(png)
+    val (width, height, ct, interlace, _, z) = parse(png)
+    if (interlace != 0)
+      fail("interlaced container: use png_adam7_filter_types")
     val rowBytes = width * bppOf(ct)
     val raw = inflate(z, height * (rowBytes + 1))
     val fs = new Array[Int](height)
@@ -390,6 +397,196 @@ object PngGray8 {
 
   def width(png: Array[Byte]): Int = parse(png)._1
   def height(png: Array[Byte]): Int = parse(png)._2
+
+  // ------------------------------------------------------------------
+  // Adam7 interlacing (gray8): the progressive layout real-world PNGs
+  // use. The image is stored as SEVEN sub-images (passes), each with
+  // its own reduced geometry and its own independently-filtered
+  // scanlines; deinterlacing scatters pass pixel (r, c) back to
+  // (yStart + r·yStep, xStart + c·xStep). Same logical image as the
+  // sequential form — the decode must reproduce payload + zero tail
+  // exactly, which is what the q8d oracle pins.
+  // ------------------------------------------------------------------
+
+  /** (xStart, yStart, xStep, yStep) per Adam7 pass, spec order. */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def passDim(total: Int, start: Int, step: Int): Int =
+    if (total > start) (total - start + step - 1) / step else 0
+
+  /** Encode `payload` as an INTERLACED gray8 PNG at `widthPx`: the
+    * logical image (payload + zero tail) is split into the seven Adam7
+    * passes, each pass row filtered within its own sub-image (filter
+    * type = global pass-row index mod 5, so any container with ≥5 total
+    * pass rows exercises all five unfilters), then one deflate stream
+    * over the concatenated passes, split across two IDAT chunks. */
+  def encodeAdam7(payload: Array[Byte], widthPx: Int): Array[Byte] = {
+    require(widthPx > 0 && widthPx <= (1 << 20),
+      s"png: width must be in (0, 2^20], got $widthPx")
+    val height = math.max(1, (payload.length + widthPx - 1) / widthPx)
+    require(height <= (1 << 20),
+      s"png: payload needs height $height > 2^20 at width $widthPx")
+    val px = new Array[Byte](height * widthPx)
+    System.arraycopy(payload, 0, px, 0, payload.length)
+    val raw = new java.io.ByteArrayOutputStream(px.length + height * 7)
+    var globalRow = 0
+    for ((xs, ys, xStep, yStep) <- Adam7) {
+      val wp = passDim(widthPx, xs, xStep)
+      val hp = passDim(height, ys, yStep)
+      if (wp > 0 && hp > 0) {
+        // the pass sub-image, gathered from the logical image
+        val sub = new Array[Int](hp * wp)
+        var r = 0
+        while (r < hp) {
+          var c = 0
+          while (c < wp) {
+            sub(r * wp + c) =
+              px((ys + r * yStep) * widthPx + xs + c * xStep) & 0xff
+            c += 1
+          }
+          r += 1
+        }
+        r = 0
+        while (r < hp) {
+          val f = globalRow % 5
+          raw.write(f)
+          var i = 0
+          while (i < wp) {
+            val x = sub(r * wp + i)
+            val a = if (i >= 1) sub(r * wp + i - 1) else 0
+            val b = if (r > 0) sub((r - 1) * wp + i) else 0
+            val c = if (r > 0 && i >= 1) sub((r - 1) * wp + i - 1) else 0
+            val filtered = f match {
+              case 0 => x
+              case 1 => x - a
+              case 2 => x - b
+              case 3 => x - (a + b) / 2
+              case 4 => x - paeth(a, b, c)
+            }
+            raw.write(filtered & 0xff)
+            i += 1
+          }
+          globalRow += 1
+          r += 1
+        }
+      }
+    }
+    val rawBytes = raw.toByteArray
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(rawBytes)
+    deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream(rawBytes.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished())
+      zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val z = zbuf.toByteArray
+    val ihdr = new java.io.ByteArrayOutputStream(13)
+    ihdr.write(u32be(widthPx)); ihdr.write(u32be(height))
+    ihdr.write(8) // bit depth
+    ihdr.write(0) // color type: grayscale
+    ihdr.write(0); ihdr.write(0); ihdr.write(1) // deflate/filter0/ADAM7
+    val out = new java.io.ByteArrayOutputStream(z.length + 128)
+    out.write(Signature)
+    chunk(out, "IHDR", ihdr.toByteArray)
+    val cut = z.length / 2
+    chunk(out, "IDAT", z, 0, cut)
+    chunk(out, "IDAT", z, cut, z.length - cut)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Expected raw (filter byte + scanline) length of the interlaced
+    * stream, plus per-pass geometry. */
+  private def adam7Geometry(width: Int, height: Int)
+      : (Int, Array[(Int, Int, Int, Int, Int, Int)]) = {
+    var total = 0
+    val passes = Adam7.map { case (xs, ys, xStep, yStep) =>
+      val wp = passDim(width, xs, xStep)
+      val hp = passDim(height, ys, yStep)
+      if (wp > 0 && hp > 0) total += hp * (wp + 1)
+      (xs, ys, xStep, yStep, wp, hp)
+    }
+    (total, passes)
+  }
+
+  /** Decoded grayscale pixel stream of an INTERLACED container
+    * (row-major top-down, deinterlaced): chunk walk → inflate → per-
+    * pass unfilter (neighbors within the pass sub-image, per spec) →
+    * Adam7 scatter. Rejects a sequential container — the caller asked
+    * for the interlaced path. */
+  def pixelsAdam7(png: Array[Byte]): ArrayData = {
+    val (width, height, ct, interlace, _, z) = parse(png)
+    if (ct != 0) fail(s"expected color type 0 (gray), container has $ct")
+    if (interlace != 1) fail("sequential container: use png_gray8_pixels")
+    val (expected, passes) = adam7Geometry(width, height)
+    val raw = inflate(z, expected)
+    val px = new Array[Int](height * width)
+    var off = 0
+    for ((xs, ys, xStep, yStep, wp, hp) <- passes if wp > 0 && hp > 0) {
+      val sub = new Array[Int](hp * wp)
+      var r = 0
+      while (r < hp) {
+        val f = raw(off) & 0xff
+        off += 1
+        if (f > 4) fail(s"unknown filter type $f in interlaced row")
+        var i = 0
+        while (i < wp) {
+          val x = raw(off + i) & 0xff
+          val a = if (i >= 1) sub(r * wp + i - 1) else 0
+          val b = if (r > 0) sub((r - 1) * wp + i) else 0
+          val c = if (r > 0 && i >= 1) sub((r - 1) * wp + i - 1) else 0
+          sub(r * wp + i) = (f match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 => x + paeth(a, b, c)
+          }) & 0xff
+          i += 1
+        }
+        off += wp
+        r += 1
+      }
+      r = 0
+      while (r < hp) {
+        var c = 0
+        while (c < wp) {
+          px((ys + r * yStep) * width + xs + c * xStep) = sub(r * wp + c)
+          c += 1
+        }
+        r += 1
+      }
+    }
+    new GenericArrayData(px)
+  }
+
+  /** Per-pass-row filter-type bytes of an interlaced container, in
+    * stream order across all seven passes — the in-band coverage proof
+    * for the interlaced unfilters. */
+  def filterTypesAdam7(png: Array[Byte]): ArrayData = {
+    val (width, height, ct, interlace, _, z) = parse(png)
+    if (ct != 0) fail(s"expected color type 0 (gray), container has $ct")
+    if (interlace != 1)
+      fail("sequential container: use png_filter_types")
+    val (expected, passes) = adam7Geometry(width, height)
+    val raw = inflate(z, expected)
+    val fs = Array.newBuilder[Int]
+    var off = 0
+    for ((_, _, _, _, wp, hp) <- passes if wp > 0 && hp > 0) {
+      var r = 0
+      while (r < hp) {
+        val f = raw(off) & 0xff
+        if (f > 4) fail(s"unknown filter type $f in interlaced row")
+        fs += f
+        off += 1 + wp
+        r += 1
+      }
+    }
+    new GenericArrayData(fs.result())
+  }
 }
 
 case class PngGray8EncodeExpr(left: Expression, right: Expression)
@@ -539,6 +736,57 @@ case class PngHeightExpr(child: Expression) extends UnaryExpression {
     PngGray8.height(png.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, png => s"graft.expressions.PngGray8.height($png)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PngAdam7EncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"png_adam7_encode requires (binary, int), got " +
+        s"${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_adam7_encode"
+  override protected def nullSafeEval(p: Any, w: Any): Any =
+    PngGray8.encodeAdam7(p.asInstanceOf[Array[Byte]], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, w) =>
+      s"graft.expressions.PngGray8.encodeAdam7($p, $w)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+case class PngAdam7PixelsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"png_adam7_pixels requires binary input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "png_adam7_pixels"
+  override protected def nullSafeEval(png: Any): Any =
+    PngGray8.pixelsAdam7(png.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, png =>
+      s"graft.expressions.PngGray8.pixelsAdam7($png)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PngAdam7FilterTypesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"png_adam7_filter_types requires binary input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "png_adam7_filter_types"
+  override protected def nullSafeEval(png: Any): Any =
+    PngGray8.filterTypesAdam7(png.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, png =>
+      s"graft.expressions.PngGray8.filterTypesAdam7($png)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -652,6 +652,76 @@ object Multimodal extends Registry {
         "oracle recomputes RGB from the palette formula incl. the non-zero tail"),
 
     // ------------------------------------------------------------------
+    // q8d: PNG ADAM7 INTERLACED decode — the progressive layout
+    // real-world PNGs actually ship (every q87-q89 container is
+    // sequential; a decoder that only handles interlace=0 cannot read
+    // the wild's interlaced files). Genuinely different decode logic:
+    // the image arrives as SEVEN sub-images, each with its own reduced
+    // geometry and independently-filtered scanlines (filter neighbors
+    // are within the PASS, not the final image), and deinterlacing
+    // scatters pass pixel (r,c) to (ys+r·yStep, xs+c·xStep). The
+    // encoder assigns filter type (global pass-row index)%5 so ≥5 pass
+    // rows exercise all five unfilters — proven in-band by the emitted
+    // distinct-filter count, whose oracle pin is the CLOSED-FORM Adam7
+    // row count least(Σ_p ceil-terms, 5): an engine that mis-sized any
+    // pass disagrees on this column before the checksum even runs.
+    // The deinterlaced stream must equal payload + zero tail exactly
+    // (the scatter is a bijection), so stats replay from payload hex
+    // like q87; ImageIO cross-decode holds in BOTH directions including
+    // a JDK-written progressive PNG (PngGray8Spec). Stats reduce per
+    // row (aggregate/zip_with, the q8a shape) — no explode, no agg
+    // shuffle, only the final sort.
+    QueryDef(
+      "q8d_png_adam7",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        val width = 16
+        corpus(s, dir).filter(col("modality") === "image")
+          .select(col("doc_id"),
+            expr(s"png_adam7_encode(payload, $width)").as("png"))
+          .select(col("doc_id"),
+            expr("png_width(png)").as("width"),
+            expr("png_height(png)").as("height"),
+            size(array_distinct(expr("png_adam7_filter_types(png)")))
+              .as("n_filter_types"),
+            expr("png_adam7_pixels(png)").as("px"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("n_filter_types"),
+            size(col("px")).cast("long").as("n_pixels"),
+            expr("""aggregate(px, CAST(0 AS BIGINT),
+              (a, x) -> a + CAST(x AS BIGINT))""").as("px_sum"),
+            expr("""aggregate(zip_with(px, sequence(0, size(px) - 1),
+              (b, i) -> CAST(b AS BIGINT) * ((i % 1000) + 1)),
+              CAST(0 AS BIGINT), (a, x) -> a + x)""").as("pos_checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS bl FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |st AS (
+             |  SELECT doc_id, octet_length(bl) AS n,
+             |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(bl))] AS bs
+             |  FROM a),
+             |g AS (SELECT doc_id, n, bs,
+             |        greatest(1, (n + 15) // 16) AS h
+             |      FROM st)
+             |SELECT doc_id, 16 AS width, CAST(h AS INTEGER) AS height,
+             |  CAST(least(2 * ((h + 7) // 8) + (h + 3) // 8
+             |             + (h + 3) // 4 + (h + 1) // 4
+             |             + (h + 1) // 2 + h // 2, 5) AS INTEGER)
+             |    AS n_filter_types,
+             |  CAST(h * 16 AS BIGINT) AS n_pixels,
+             |  CAST(coalesce(list_sum(bs), 0) AS BIGINT) AS px_sum,
+             |  CAST(coalesce(list_sum(list_transform(range(len(bs)),
+             |    i -> bs[i+1] * ((i % 1000) + 1))), 0) AS BIGINT)
+             |    AS pos_checksum
+             |FROM g ORDER BY doc_id""".stripMargin),
+      doc = "PNG Adam7 interlaced decode: seven-pass unfilter + " +
+        "deinterlace scatter, pass-row count pinned in closed form, " +
+        "stats replayed from payload hex"),
+
+    // ------------------------------------------------------------------
     // q8a: REAL image RESIZE — the first pixel transform that runs on
     // truly DECODED pixels (q82's resize plans over stub metadata; this
     // one consumes q88's real PNG decode). Every image is thumbnailed

@@ -342,4 +342,99 @@ class PngGray8Spec extends AnyFunSuite {
     val e5 = intercept[IllegalArgumentException](PngGray8.pixels(png))
     assert(e5.getMessage.contains("color type"))
   }
+
+  // -----------------------------------------------------------------
+  // Adam7 interlacing
+  // -----------------------------------------------------------------
+
+  test("Adam7 round-trip: deinterlaced decode == payload + zero tail " +
+    "across pass-geometry corners") {
+    // heights chosen to hit every pass-emptiness corner: h=1 (passes
+    // 3/5/7 empty), h=2 (pass 3/5... partial), h=4, h=5 (pass 3 gains
+    // its first row), h=8 (full first cycle), h=9, h=16, plus a ragged
+    // tail and a non-multiple width
+    for ((n, w) <- Seq((0, 16), (1, 16), (15, 16), (16, 16), (31, 16),
+        (63, 16), (64, 16), (79, 16), (128, 16), (137, 16), (256, 16),
+        (1000, 7), (4096, 64))) {
+      val p = det(n * 37 + w, n)
+      val png = PngGray8.encodeAdam7(p, w)
+      val h = math.max(1, (n + w - 1) / w)
+      assert(PngGray8.width(png) == w)
+      assert(PngGray8.height(png) == h)
+      val px = ints(PngGray8.pixelsAdam7(png))
+      assert(px.length == h * w, s"n=$n w=$w")
+      assert(px.take(n) == p.toSeq.map(_ & 0xff), s"n=$n w=$w")
+      assert(px.drop(n).forall(_ == 0), s"zero tail expected n=$n w=$w")
+    }
+  }
+
+  test("Adam7: ≥5 total pass rows exercise all five filters, proven " +
+    "in-band") {
+    val png = PngGray8.encodeAdam7(det(9, 16 * 8), 16)
+    val fs = ints(PngGray8.filterTypesAdam7(png))
+    // h=8: pass rows = 1+1+1+2+2+4+4 = 15, filters cycle 0..4
+    assert(fs.length == 15)
+    assert(fs == (0 until 15).map(_ % 5))
+    assert(fs.toSet == Set(0, 1, 2, 3, 4))
+  }
+
+  test("Adam7: JDK ImageIO decodes our interlaced PNG to the same " +
+    "deinterlaced pixels") {
+    val n = 16 * 9 + 5 // ragged tail, 10 rows
+    val p = det(42, n)
+    val png = PngGray8.encodeAdam7(p, 16)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO could not parse our interlaced PNG")
+    assert(img.getWidth == 16 && img.getHeight == 10)
+    val ours = ints(PngGray8.pixelsAdam7(png))
+    for (y <- 0 until 10; x <- 0 until 16) {
+      // raw raster sample — getRGB would gamma-convert linear gray
+      val v = img.getRaster.getSample(x, y, 0)
+      assert(v == ours(y * 16 + x), s"pixel mismatch at ($x,$y)")
+    }
+  }
+
+  test("Adam7: our decoder reads a JDK-encoded interlaced PNG " +
+    "(independent pass filters/compression)") {
+    val w = 16; val h = 9
+    val p = det(7, w * h)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, p(y * w + x) & 0xff)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    val png = buf.toByteArray
+    // sanity: the JDK really wrote an interlaced container (IHDR byte
+    // 12 of the chunk data, offset 8+8+12 in the file, equals 1)
+    assert((png(8 + 8 + 12) & 0xff) == 1,
+      "JDK writer did not produce an interlaced PNG")
+    val px = ints(PngGray8.pixelsAdam7(png))
+    assert(px == p.toSeq.map(_ & 0xff),
+      "JDK-encoded interlaced decode mismatch")
+  }
+
+  test("Adam7: interlace pinning — each decode entry rejects the " +
+    "other's container") {
+    val p = det(3, 64)
+    val seq = PngGray8.encode(p, 16)
+    val lace = PngGray8.encodeAdam7(p, 16)
+    val e1 = intercept[IllegalArgumentException](PngGray8.pixelsAdam7(seq))
+    assert(e1.getMessage.contains("sequential"))
+    val e2 = intercept[IllegalArgumentException](PngGray8.pixels(lace))
+    assert(e2.getMessage.contains("interlaced"))
+    val e3 = intercept[IllegalArgumentException](PngGray8.filterTypes(lace))
+    assert(e3.getMessage.contains("interlaced"))
+    val e4 = intercept[IllegalArgumentException](
+      PngGray8.filterTypesAdam7(seq))
+    assert(e4.getMessage.contains("sequential"))
+  }
 }
