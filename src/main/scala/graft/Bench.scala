@@ -64,9 +64,12 @@ object Bench {
     // vs_baseline: total / the pinned idle reference run, so a driver
     // readout separates machine contention from real regression without
     // a manual rerun. PIN = the r10-close idle estimate of the FINAL
-    // 133-query suite (adds q9f-q9h/q9g/q8a-q8c over the mid-round 127;
+    // 134-query suite (adds q9f-q9h/q8a-q8d over the mid-round 127;
     // sf0.1, local[32], shuffle=32, min-of-2 timing): three idle runs
-    // read 76.9/68.7/70.5 -> pinned at the mean 72.0. Context for the
+    // of the 133-query set read 76.9/68.7/70.5 -> pinned at the mean
+    // 72.0; the 134th (q8d, 0.13s measured, suite 70.6 idle after
+    // adding it) is immaterial against the ±6% box variance, so the
+    // pin stands. Context for the
     // two earlier retirements this round: the r9 pin (51.9, 120
     // queries) died when the box REBOOTED mid-round (uptime reset;
     // seven post-reboot runs on untouched code spanned 68.6-93.3 —
