@@ -128,6 +128,33 @@ class ExprPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("png Adam7 round-trip == payload + zero tail AND == the " +
+    "sequential decode, ImageIO agrees, on arbitrary payload/width") {
+    for (seed <- 0 until 12) {
+      val n = sample(Gen.chooseNum(0, 3000), seed * 11 + 1)
+      val w = sample(Gen.chooseNum(1, 40), seed * 11 + 2)
+      val payload = sample(Gen.listOfN(n, Gen.chooseNum(-128, 127)),
+        seed * 11 + 3).map(_.toByte).toArray
+      val lace = PngGray8.encodeAdam7(payload, w)
+      val lp = PngGray8.pixelsAdam7(lace).toIntArray().toSeq
+      val h = math.max(1, (n + w - 1) / w)
+      assert(lp.length == h * w && lp.take(n) == payload.toSeq.map(_ & 0xff)
+        && lp.drop(n).forall(_ == 0), s"Adam7 round-trip at n=$n w=$w")
+      // interlacing is a layout choice, not a semantic one: the
+      // deinterlaced image must equal the sequential container's decode
+      val sp = PngGray8.pixels(PngGray8.encode(payload, w))
+        .toIntArray().toSeq
+      assert(lp == sp, s"Adam7 != sequential decode at n=$n w=$w")
+      // decoder-independence at arbitrary pass geometry
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(lace))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == lp(y * w + x),
+          s"ImageIO mismatch ($x,$y) n=$n w=$w")
+    }
+  }
+
   test("simhash64 is word-order-insensitive (bag-of-words sketch)") {
     graft.GraftExtensions.ensureRegistered(spark)
     import spark.implicits._
