@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit forked run output RAW (no sbt "[info] " prefix): the driver's bench
+// parser locates the {"metric":"total",...} line in stdout and json-loads
+// it — the logger prefix made every round's BENCH artifact "parsed": null.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
