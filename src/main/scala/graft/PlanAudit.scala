@@ -15,6 +15,9 @@ object PlanAudit {
   /** One representative per plan family — the queries whose shape the
     * scale story depends on. */
   val Headline: Seq[String] = Seq(
+    "q9j_pagerank",           // iterative join+shuffle-agg graph rounds
+    "q9i_hybrid_rrf",         // two bounded retrieval arms + constant fusion
+    "q6c_stream_dedup",       // id-keyed dedup over the doubled delivery
     "q01_pricing_summary",    // partial+final agg, filter/column pushdown
     "q03_shipping_priority",  // fact⋈fact shuffle join + top-n
     "q06_star_broadcast",     // broadcast dims

@@ -19,6 +19,7 @@ object SparkEntry {
     graft.queries.Dedup,
     graft.queries.Similarity,
     graft.queries.EventOps,
+    graft.queries.GraphOps,
     graft.queries.Multimodal,
     graft.queries.FhirEtl
   )

@@ -16,16 +16,14 @@ import org.apache.spark.sql.functions._
 object EventOps extends Registry {
   import Tables.table
 
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the
-    * vectorized reader rejects; read it as a long and rebuild the
-    * timestamp with integer division (values are µs-precision, so ns→µs
-    * is lossless; `div`, not `/` — a double quotient above 2^53 ns would
-    * lose precision). */
-  private def events(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
+  /** events read through the layout-adaptive raw source (ts = INT64
+    * nanos whichever layout the driver shipped — see
+    * EventStream.normalizeTs), timestamp rebuilt with integer division
+    * (values are µs-precision, so ns→µs is lossless; `div`, not `/` — a
+    * double quotient above 2^53 ns would lose precision). */
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.eventsRaw(s, dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   def defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -157,8 +155,7 @@ object EventOps extends Registry {
       // asofJoin consumes the RAW long-nanos ts (shared with the
       // streaming source), not the rebuilt timestamp
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        graft.streaming.EventStream.asofJoin(table(s, dir, "events"))
+        graft.streaming.EventStream.asofJoin(Tables.eventsRaw(s, dir))
           .orderBy(col("event_id"))
       },
       Some("""SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
@@ -279,8 +276,7 @@ object EventOps extends Registry {
       "q69_stream_interval_join",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = table(s, dir, "events").filter($"user_id" < 20)
+        val ev = Tables.eventsRaw(s, dir).filter($"user_id" < 20)
         graft.streaming.EventStream.intervalJoin(
           ev.filter($"event_type" === "click"),
           ev.filter($"event_type" === "purchase"))
@@ -316,8 +312,7 @@ object EventOps extends Registry {
       "q6a_stream_interval_outer",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = table(s, dir, "events").filter($"user_id" < 20)
+        val ev = Tables.eventsRaw(s, dir).filter($"user_id" < 20)
         graft.streaming.EventStream.intervalJoin(
           ev.filter($"event_type" === "click"),
           ev.filter($"event_type" === "purchase"),
@@ -356,8 +351,7 @@ object EventOps extends Registry {
       "q6b_scd2_cdc",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = table(s, dir, "events").filter($"user_id" < 20)
+        val ev = Tables.eventsRaw(s, dir).filter($"user_id" < 20)
         graft.streaming.EventStream.scd2Compact(
           graft.streaming.EventStream.scd2Cdc(ev))
           .select($"user_id", $"event_id", $"event_type",
@@ -372,6 +366,33 @@ object EventOps extends Registry {
              |ORDER BY user_id, valid_from, event_id""".stripMargin),
       doc = "Streaming SCD2/CDC maintenance (batch-parity form): stateful " +
         "close-and-open CDC fold + upsert compaction vs the lead-built oracle"),
+
+    // ------------------------------------------------------------------
+    // q6c: streaming EXACTLY-ONCE ingest dedup, batch-parity form — the
+    // at-least-once source is simulated by unioning the slice with
+    // itself (every event delivered twice), then collapsed by
+    // EventStream.dedupEvents: dropDuplicatesWithinWatermark on the
+    // stream (bounded state — ids evict when the watermark passes),
+    // plain dropDuplicates in this registered batch run. Duplicates are
+    // exact copies, so whichever representative survives is the same
+    // row and the oracle is simply the original slice. StreamingSpec
+    // proves the watermark form on a real stream, including a
+    // CROSS-TRIGGER duplicate — the redelivery case the state exists
+    // for.
+    QueryDef(
+      "q6c_stream_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.eventsRaw(s, dir).filter($"user_id" < 20)
+        graft.streaming.EventStream.dedupEvents(ev.unionAll(ev))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, ts AS ets, value
+             |FROM events WHERE user_id < 20
+             |ORDER BY event_id""".stripMargin),
+      doc = "Streaming exactly-once dedup (batch-parity form): " +
+        "at-least-once double delivery collapsed by id-keyed " +
+        "within-watermark state; oracle is the original slice"),
 
     // ------------------------------------------------------------------
     // q66: ordered behavioral funnel — how many users progress through

@@ -27,6 +27,13 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table in its RAW long-nanos layout, whatever ts type
+    * the files on disk carry (the driver's r12 testdata regeneration
+    * switched INT64 TIMESTAMP(NANOS) to TIMESTAMP(µs)) — one adaptive
+    * reader so every event query keeps a single input contract. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.readBatch(spark, s"$dir/events.parquet")
+
   /** Fixed per-name scratch directory, deleted and recreated on every
     * call — queries that write real output (e2e pipelines, layout ops)
     * use this instead of fresh createTempDirectory calls so repeated

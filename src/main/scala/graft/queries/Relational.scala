@@ -944,13 +944,11 @@ object Relational extends Registry {
   val CmsWidth = 512
   private val CmsDeltaMod = 10
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS); q9e only touches
-    * (event_id, user_id) but the scan still needs the legacy flag to
-    * resolve the schema (same as EventOps). */
-  private def cmsEvents(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.table(s, dir, "events")
-  }
+  /** q9e only touches (event_id, user_id); the layout-adaptive raw
+    * reader keeps the scan resolvable whichever ts type the files
+    * carry (same contract as EventOps). */
+  private def cmsEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsRaw(s, dir)
 
   /** Row-`d` counter position of `key`: the first 8 hex chars of
     * md5("d|key") as an integer, mod the grid width — the same

@@ -559,6 +559,49 @@ object Sampling extends Registry {
              |        / (count(*) * 1000000.0), 6) AS avg_quality
              |FROM d JOIN c USING (lang)
              |GROUP BY lang, tier ORDER BY lang, tier""".stripMargin),
-      doc = "Curriculum quartile tiers per language (two-pass quantiles, no global sort)")
+      doc = "Curriculum quartile tiers per language (two-pass quantiles, no global sort)"),
+
+    // ------------------------------------------------------------------
+    // q9l: WEIGHTED sampling without replacement — Efraimidis-Spirakis
+    // A-ES over deterministic md5-derived uniforms: per doc, key =
+    // ln(u)/w with w = n_chars, take the k LARGEST keys. The classic
+    // one-pass distributed reservoir: physically TakeOrderedAndProject
+    // (per-partition top-k states, no full sort, no shuffle of N) —
+    // q38's plan shape upgraded from uniform to weight-proportional
+    // inclusion, which is how corpus mixing actually samples (longer /
+    // higher-weight docs proportionally likelier). u is the md5
+    // first-8-hex +1 over 2^32 (u ∈ (0,1], so ln is finite); the key is
+    // rounded to integer NANO units before ranking with a doc_id
+    // tiebreak — the q98 micro-rounding pattern, so both engines rank
+    // identically up to ln()'s sub-ulp at the rounding boundary (the
+    // accepted q54/q98 residual). Zero-weight docs are excluded
+    // identically on both sides (none exist in the testdata; the guard
+    // keeps 100 TB corpora with empty docs well-defined).
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q9l_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .filter($"n_chars" > 0)
+          .select($"doc_id", $"lang", $"n_chars",
+            conv(substring(md5(concat($"doc_id".cast("string"),
+              lit("|wrs"))), 1, 8), 16, 10).cast("long").as("h"))
+          .select($"doc_id", $"lang", $"n_chars",
+            expr("CAST(round(ln((h + 1) / 4294967296.0) / n_chars * 1e9)" +
+              " AS BIGINT)").as("key_nano"))
+          .orderBy($"key_nano".desc, $"doc_id")
+          .limit(20)
+      },
+      Some("""SELECT doc_id, lang, n_chars,
+             |  CAST(round(ln((CAST('0x' ||
+             |      substr(md5(CAST(doc_id AS VARCHAR) || '|wrs'), 1, 8)
+             |      AS BIGINT) + 1) / 4294967296.0) / n_chars * 1e9)
+             |    AS BIGINT) AS key_nano
+             |FROM documents WHERE n_chars > 0
+             |ORDER BY key_nano DESC, doc_id LIMIT 20""".stripMargin),
+      doc = "Weighted sampling without replacement (A-ES keys over " +
+        "md5-derived uniforms): weight-proportional top-k, " +
+        "TakeOrderedAndProject — no shuffle of the corpus")
   )
 }

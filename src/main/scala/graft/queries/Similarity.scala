@@ -1475,8 +1475,100 @@ object Similarity extends Registry {
       (s, dir) => int8Ann(s, dir),
       Some(int8AnnOracle),
       doc = "Int8 scalar-quantized top-k: map-side quantization, exact " +
-        "integer dots, fully oracle-replayed incl. recall vs float exact")
+        "integer dots, fully oracle-replayed incl. recall vs float exact"),
+
+    // ------------------------------------------------------------------
+    // q9i: HYBRID RETRIEVAL — the serving pattern modern corpus/RAG
+    // stacks actually deploy: a lexical ranking (q98's BM25, top-50
+    // pool) and a dense ranking (q50's exact cosine against one query
+    // vector, top-50 pool) fused by reciprocal-rank fusion. RRF works
+    // on RANKS, not scores, so the two incommensurable scoring scales
+    // need no calibration — exactly why it's the production default.
+    // Fusion contribution is integral (1_000_000 div (60 + rank)) and
+    // ranks are deterministic (score-desc with doc_id tiebreaks), so
+    // the fused ordering is bit-exact vs the oracle, which replays
+    // BOTH rankings (BM25 SQL shared verbatim with q98 via
+    // bm25OracleFor) and the same integer fusion. Scale: each arm is
+    // its own already-proven sub-linear plan (postings serve / ANN
+    // pruning); fusion touches only 2×50 rank rows — a full-outer join
+    // of two k-row frames, constant work regardless of corpus size.
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q9i_hybrid_rrf",
+      (s, dir) => hybridRrf(s, dir),
+      Some(hybridRrfOracle),
+      doc = "Hybrid lexical+dense retrieval: BM25 and cosine top-50 pools " +
+        "fused by integer reciprocal-rank fusion, both arms + fusion " +
+        "fully oracle-replayed")
   )
+
+  /** q9i pool width per arm and the dense arm's query vector. */
+  val HybridPoolK = 50
+  val HybridQueryVec = 0L
+  private val RrfBase = 60
+
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val textTop = TextOps
+      .bm25TopK(table(s, dir, "documents"), TextOps.Bm25Terms, HybridPoolK)
+      .select($"doc_id",
+        row_number().over(Window.orderBy($"score_micro".desc, $"doc_id"))
+          .cast("long").as("rank_t"))
+    val c = corpus(s, dir)
+    val q = c.filter($"vec_id" === HybridQueryVec)
+      .select($"v".as("qv"), $"nrm".as("qn"))
+    val vecPool = c.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= HybridQueryVec)
+      .select($"vec_id".as("doc_id"),
+        round(dot($"v", $"qv") / ($"nrm" * $"qn"), 4).as("cosine"))
+      .orderBy($"cosine".desc, $"doc_id").limit(HybridPoolK)
+    val vecTop = vecPool.select($"doc_id",
+      row_number().over(Window.orderBy($"cosine".desc, $"doc_id"))
+        .cast("long").as("rank_v"))
+    // both arms are k-row frames: the global windows and this
+    // full-outer fusion join are constant-size tails, not corpus work
+    textTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        (coalesce(expr(s"CAST(1000000 AS BIGINT) div ($RrfBase + rank_t)"),
+          lit(0L)) +
+          coalesce(expr(s"CAST(1000000 AS BIGINT) div ($RrfBase + rank_v)"),
+            lit(0L))).as("rrf_micro"),
+        $"rank_t", $"rank_v")
+      .orderBy($"rrf_micro".desc, $"doc_id")
+      .limit(10)
+  }
+
+  private def hybridRrfOracle: String =
+    s"""WITH bm AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+       |      AS BIGINT) AS rank_t
+       |  FROM (${TextOps.bm25OracleFor(TextOps.Bm25Terms, HybridPoolK)})),
+       |n AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+       |    sqrt(list_dot_product(
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT e AS qe, nrm AS qn FROM n
+       |      WHERE vec_id = $HybridQueryVec),
+       |vs AS (SELECT vec_id AS doc_id,
+       |    round(list_dot_product(e, qe) / (nrm * qn), 4) AS cosine
+       |  FROM n, q WHERE vec_id <> $HybridQueryVec),
+       |vp AS (SELECT * FROM vs ORDER BY cosine DESC, doc_id
+       |       LIMIT $HybridPoolK),
+       |vt AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+       |      AS BIGINT) AS rank_v FROM vp),
+       |f AS (SELECT COALESCE(bm.doc_id, vt.doc_id) AS doc_id,
+       |    COALESCE(CAST(1000000 AS BIGINT) // ($RrfBase + rank_t), 0) +
+       |    COALESCE(CAST(1000000 AS BIGINT) // ($RrfBase + rank_v), 0)
+       |      AS rrf_micro,
+       |    rank_t, rank_v
+       |  FROM bm FULL OUTER JOIN vt ON bm.doc_id = vt.doc_id)
+       |SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       |  rank_t, rank_v
+       |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
 
   /** Quantized corpus: (vec_id, nrm, sc, qv) with qv the int8 codes as
     * doubles (products of two codes are ≤ 127² — exact in double — so

@@ -878,8 +878,97 @@ object TextOps extends Registry {
       Some(lmIncrementalOracle),
       doc = "Incrementally maintained bigram LM: stored base count " +
         "tables + delta-only tokenize, lossless additive merge pinned " +
-        "bit-for-bit to rebuild, delta docs scored by the merged LM")
+        "bit-for-bit to rebuild, delta docs scored by the merged LM"),
+
+    // ------------------------------------------------------------------
+    // q9k: URL CANONICALIZATION + per-domain caps — the first gate of
+    // every web-crawl pipeline (CCNet/RefinedWeb shape): normalize each
+    // document's URL (lowercase scheme+host, strip www., default :443
+    // port, fragment, and utm_* tracking params), extract the
+    // registered domain, then cap documents per domain with a
+    // row_number quota (domain diversity control). The corpus has no
+    // URL column, so one is SYNTHESIZED from (source, doc_id) map-side
+    // with deliberate mess (uppercase, www, port, utm params, fragment)
+    // — the derivation and every normalization step are pure string
+    // ops replayed verbatim by the oracle. Scale: canonicalize is a
+    // narrow codegen projection; the only shuffle is the per-domain
+    // window, whose key cardinality (registered domains) is what makes
+    // the quota computable at all — heavy-hitter domains are exactly
+    // the rows the cap drops, and a skewed domain is bounded by the
+    // window's per-partition streaming rank, not by a collect.
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q9k_url_canonicalize",
+      (s, dir) => urlCanonicalize(s, dir),
+      Some(urlCanonicalizeOracle),
+      doc = "URL canonicalization (scheme/host case, www., :443, " +
+        "fragment, utm_* params) + registered-domain extraction and " +
+        "per-domain row_number caps, fully string-op-replayed")
   )
+
+  /** q9k per-domain document quota. */
+  val DomainCap = 3
+
+  def urlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = table(s, dir, "documents")
+      .select($"doc_id", $"source",
+        concat(lit("HTTPS://WWW."), $"source", lit("-"),
+          ($"doc_id" % 40).cast("string"), lit(".Example.COM:443/p/"),
+          $"doc_id".cast("string"), lit("?utm_source=feed&ref="),
+          ($"doc_id" % 7).cast("string"), lit("#sec")).as("url"))
+    val canon = raw.select($"doc_id", $"url",
+      lower(regexp_extract($"url", "^([A-Za-z]+)://", 1)).as("scheme"),
+      regexp_replace(
+        regexp_replace(
+          lower(regexp_extract($"url", "^[A-Za-z]+://([^/?#]+)", 1)),
+          ":443$", ""),
+        "^www\\.", "").as("host"),
+      regexp_extract($"url", "^[A-Za-z]+://[^/?#]+([^?#]*)", 1).as("path"),
+      expr("array_join(filter(split(regexp_extract(url, '\\\\?([^#]*)', 1)," +
+        " '&'), x -> substring(x, 1, 4) != 'utm_'), '&')").as("qs"))
+    val out = canon.select($"doc_id",
+      concat($"scheme", lit("://"), $"host", $"path",
+        when($"qs" === "", lit("")).otherwise(concat(lit("?"), $"qs")))
+        .as("canon_url"),
+      regexp_extract($"host", "([^.]+\\.[^.]+)$", 1).as("domain"))
+    out
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"domain").orderBy($"doc_id")).cast("long"))
+      .withColumn("kept", $"rn" <= DomainCap)
+      .orderBy($"doc_id")
+  }
+
+  private def urlCanonicalizeOracle: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    'HTTPS://WWW.' || source || '-' ||
+       |    CAST(doc_id % 40 AS VARCHAR) || '.Example.COM:443/p/' ||
+       |    CAST(doc_id AS VARCHAR) || '?utm_source=feed&ref=' ||
+       |    CAST(doc_id % 7 AS VARCHAR) || '#sec' AS url
+       |  FROM documents),
+       |c AS (SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+       |    regexp_replace(regexp_replace(
+       |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+       |      ':443$$', ''), '^www\\.', '') AS host,
+       |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       |    array_to_string(list_filter(
+       |      string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+       |      x -> substr(x, 1, 4) <> 'utm_'), '&') AS qs
+       |  FROM raw),
+       |o AS (SELECT doc_id,
+       |    scheme || '://' || host || path ||
+       |      CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url,
+       |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+       |  FROM c)
+       |SELECT doc_id, canon_url, domain,
+       |  CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+       |    AS BIGINT) AS rn,
+       |  row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+       |    <= $DomainCap AS kept
+       |FROM o ORDER BY doc_id""".stripMargin
 
   val PerceptronRounds = 5
 
@@ -1321,7 +1410,10 @@ object TextOps extends Registry {
     * materialization detail the answer must be invariant to. */
   private def bm25OracleSql: String = bm25OracleFor(Bm25Terms)
 
-  private def bm25OracleFor(terms: Seq[String]): String = {
+  /** Parametric so q9i (Similarity) can embed the identical lexical
+    * ranking as a subquery with a wider candidate pool. */
+  private[queries] def bm25OracleFor(terms: Seq[String],
+      k: Int = 10): String = {
     val inList = terms.map(t => s"'$t'").mkString(",")
     s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
       |           FROM documents),
@@ -1342,7 +1434,7 @@ object TextOps extends Registry {
       |SELECT doc_id, count(*) AS n_terms_matched,
       |  CAST(sum(cmic) AS BIGINT) AS score_micro
       |FROM sc GROUP BY doc_id
-      |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+      |ORDER BY score_micro DESC, doc_id LIMIT $k""".stripMargin
   }
 
   /** The q98/q99 query-term set. */

@@ -236,6 +236,35 @@ object EventStream {
       .agg(max(col("valid_to")).as("valid_to"))
       .withColumn("is_current", col("valid_to").isNull)
 
+  // ------------------------------------------------------------------
+  // Streaming EXACTLY-ONCE view over an at-least-once source — dedup
+  // by event_id within the watermark (dropDuplicatesWithinWatermark):
+  // state holds one entry per event_id seen inside the watermark
+  // horizon and EVICTS it once the watermark passes — redelivered
+  // events (source retries, replayed partitions) collapse without
+  // unbounded state, which is the property that makes exactly-once
+  // ingest viable on an endless stream. The batch twin is
+  // dropDuplicates on the same key (dropDuplicatesWithinWatermark is
+  // streaming-only by definition — batch has no watermark clock);
+  // under at-least-once redelivery duplicates are EXACT copies, so
+  // whichever representative survives is the same row and the drained
+  // stream equals the batch answer set — StreamingSpec proves it
+  // across a trigger split with a cross-trigger duplicate (the case
+  // that actually needs the state).
+  // ------------------------------------------------------------------
+  /** Works on batch AND streaming frames; the dedup key is event_id. */
+  def dedupEvents(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val typed = events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", watermark)
+    val deduped =
+      if (events.isStreaming) typed.dropDuplicatesWithinWatermark("event_id")
+      else typed.dropDuplicates("event_id")
+    deduped.select(col("event_id"), col("user_id"), col("event_type"),
+      col("ets"), col("value"))
+  }
+
   /** Streaming source over a directory of event parquet files. */
   def readStream(spark: SparkSession, dir: String): DataFrame =
     buildStream(spark, dir, maxFilesPerTrigger = None)
@@ -251,18 +280,46 @@ object EventStream {
     buildStream(spark, dir, Some(maxFilesPerTrigger))
 
   /** One source builder so the throttled and unthrottled forms cannot
-    * drift in schema or conf. */
+    * drift in schema or conf. Streaming file sources need a declared
+    * schema up front, so the ts layout is probed from the directory's
+    * footers with one batch read, then normalized per-row to the
+    * RawSchema contract (same adaptation as [[readBatch]]). */
   private def buildStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(RawSchema)
+    val onDisk = spark.read.parquet(dir).schema
+    val reader = spark.readStream.schema(onDisk)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
+    normalizeTs(reader.parquet(dir))
   }
 
-  /** Batch source with the identical schema (parity testing + backfill). */
+  /** Batch source with the identical contract (parity testing +
+    * backfill): whatever ts layout the files carry, the frame returned
+    * matches [[RawSchema]] (ts INT64 nanos). */
   def readBatch(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(RawSchema).parquet(dir)
+    normalizeTs(spark.read.parquet(dir))
   }
+
+  /** Adapt either events ts layout the driver has shipped to the
+    * RawSchema contract (ts = INT64 nanos):
+    *  - LONG — INT64 TIMESTAMP(NANOS) read raw under the legacy conf
+    *    (pre-r12 testdata); already the contract.
+    *  - TIMESTAMP(µs) with or without zone — the r12 regeneration.
+    *    Naive wall times are interpreted in the pinned UTC session
+    *    zone, exactly how the DuckDB oracles read the same files, and
+    *    rebuilt as nanos (µs·1000 — lossless).
+    * Downstream event-time code keeps ONE input contract either way. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+            * lit(1000L))
+      case org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"unexpected events.ts type: $other")
+    }
 }

@@ -115,6 +115,25 @@ class PlanShapeSpec extends AnyFunSuite {
         "row_number window (per-partition sort + exchange for an argmin)")
   }
 
+  test("q9l: weighted top-k plans TakeOrderedAndProject, no global sort") {
+    val p = plan("q9l_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "A-ES top-k materialized a global sort instead of per-partition " +
+        "top-k states")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "weighted sample range-shuffled the corpus")
+  }
+
+  test("q9j: pagerank iterations never fall back to a cartesian join") {
+    val p = plan("q9j_pagerank")
+    assert(!p.contains("CartesianProduct"),
+      "an iteration's rank join planned a cartesian product")
+    // the contribution aggregate must combine map-side every round:
+    // one partial HashAggregate per iteration's shuffle
+    assert(p.contains("HashAggregate"),
+      "contribution sum lost hash aggregation")
+  }
+
   test("no registered query plans an unbounded single-partition window") {
     // A window with an empty partitionSpec exchanges its whole input to
     // ONE partition — the classic silent scale-killer. Allowed only when

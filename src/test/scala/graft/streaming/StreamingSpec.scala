@@ -359,6 +359,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == expected, s"deduped stream $n != unique events $expected")
   }
 
+  test("q6c dedupEvents: cross-trigger redelivery collapses to the batch " +
+    "answer through within-watermark state") {
+    import org.apache.spark.sql.functions._
+    // the redelivery case the state exists for: the SAME events file
+    // arrives in TWO triggers (maxFilesPerTrigger=1), so every event's
+    // duplicate shows up after its original's trigger committed — only
+    // id state carried across triggers can collapse it
+    val streamDir = java.nio.file.Files.createTempDirectory("evt-q6c")
+    val slice = EventStream.readBatch(spark, s"$sfDir/events.parquet")
+      .filter(col("user_id") < 20)
+    slice.coalesce(1).write.parquet(streamDir.resolve("a").toString)
+    slice.coalesce(1).write.parquet(streamDir.resolve("b").toString)
+    def stage(sub: String, name: String, mtime: Long): Unit = {
+      val part = java.nio.file.Files.list(streamDir.resolve(sub))
+        .filter(_.getFileName.toString.startsWith("part-")).findFirst.get()
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage("a", "first.parquet", 1000000L)
+    stage("b", "second.parquet", 2000000L)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(rmTree); f.delete(); ()
+    }
+    rmTree(streamDir.resolve("a").toFile)
+    rmTree(streamDir.resolve("b").toFile)
+
+    val query = EventStream.dedupEvents(
+      EventStream.readStreamThrottled(spark, streamDir.toString,
+        maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("evt_q6c")
+      .outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3),
+        r.getDouble(4))
+    val got = spark.table("evt_q6c").collect().map(key)
+    val want = EventStream.dedupEvents(slice).collect().map(key)
+    assert(got.length == got.toSet.size,
+      "stream emitted a duplicate event_id")
+    assert(got.toSet == want.toSet && got.nonEmpty,
+      s"drained ${got.length} != batch ${want.length}")
+  }
+
   test("maxFilesPerTrigger throttles a burst into bounded micro-batches") {
     // a 4-file backfill burst lands at once; with maxFilesPerTrigger=1
     // the source must admit it as 4 micro-batches, none larger than the
