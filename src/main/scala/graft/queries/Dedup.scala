@@ -820,6 +820,103 @@ object Dedup extends Registry {
       doc = "Incremental ingest dedup: batch-internal digest dedup + anti-join vs corpus index"),
 
     // ------------------------------------------------------------------
+    // q9m: BLOOM-GATED incremental ingest — the probabilistic fast path
+    // in front of q49's exact anti-join. The corpus digest set is
+    // folded into a 2^16-bit Bloom filter (k=4 md5-derived positions
+    // per digest, bits packed 32-per-word into 2048 BIGINT words — a
+    // ~16 KB artifact independent of corpus row count) and the batch
+    // probes it by BROADCAST: a definite-miss document (any of its 4
+    // bits clear) is provably new and never reaches the anti-join; only
+    // bloom-passers need the exact check. At 100 TB that's the
+    // difference between shuffling every batch digest against the
+    // corpus index and shuffling only the (dup + false-positive)
+    // sliver. Everything is md5-replayable: the oracle rebuilds the
+    // same words, probes the same bits, and recomputes the
+    // false-positive AND false-negative accounting — n_missed (a true
+    // dup the bloom cleared) is structurally zero and hash-gated, the
+    // no-false-negatives guarantee as data. (Spark's native
+    // BloomFilterAggregate/might_contain serves the same role in the
+    // runtime-filter proof, RuntimeFilterSpec; here the filter is
+    // hand-rolled on the md5 basis so DuckDB can replay every bit.)
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q9m_bloom_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val M = 65536
+        val docs = table(s, dir, "documents").select($"doc_id", $"lang", $"text")
+        val js = explode(array((0 to 3).map(lit): _*)).as("j")
+        def pos(h: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(h, lit("#"), j.cast("string"))), 1, 8),
+            16, 10).cast("long") % M
+        val bloom = docs.filter($"doc_id" % 2 === 0)
+          .select(md5($"text").as("h")).select($"h", js)
+          .select((pos($"h", $"j")).as("pos"))
+          .groupBy(expr("pos div 32").as("w"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(pos % 32 AS INT)))").as("bits"))
+        val cdig = docs.filter($"doc_id" % 2 === 0)
+          .select(md5($"text").as("h")).distinct()
+        val bdig = docs.filter($"doc_id" % 2 === 1)
+          .groupBy(md5($"text").as("h")).agg(min($"lang").as("lang"))
+        val probed = bdig.select($"h", $"lang", js)
+          .select($"h", $"lang", pos($"h", $"j").as("pos"))
+          .join(broadcast(bloom), expr("pos div 32") === $"w", "left")
+          .select($"h", $"lang",
+            coalesce(expr("(shiftright(bits, CAST(pos % 32 AS INT))) & 1"),
+              lit(0L)).as("bit"))
+          .groupBy($"h", $"lang").agg(min($"bit").as("hit_all"))
+        probed
+          .join(cdig.withColumn("is_dup", lit(1L)), Seq("h"), "left")
+          .withColumn("is_dup", coalesce($"is_dup", lit(0L)))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_batch_unique"),
+            sum($"hit_all").as("n_bloom_pass"),
+            sum($"is_dup").as("n_true_dup"),
+            sum(when($"hit_all" === 1 && $"is_dup" === 0, 1L).otherwise(0L))
+              .as("n_false_pos"),
+            sum(when($"is_dup" === 1 && $"hit_all" === 0, 1L).otherwise(0L))
+              .as("n_missed"))
+          .orderBy($"lang")
+      },
+      Some("""WITH cdig AS (SELECT DISTINCT md5(text) AS h FROM documents
+             |              WHERE doc_id % 2 = 0),
+             |bdig AS (SELECT md5(text) AS h, min(lang) AS lang
+             |         FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+             |cpos AS (SELECT (CAST('0x' || substr(md5(h || '#' ||
+             |             CAST(j AS VARCHAR)), 1, 8) AS BIGINT) % 65536)
+             |           AS pos
+             |         FROM cdig, (SELECT unnest([0,1,2,3]) AS j)),
+             |bloom AS (SELECT pos // 32 AS w,
+             |            bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+             |              AS bits
+             |          FROM cpos GROUP BY 1),
+             |probe AS (SELECT b.h, b.lang,
+             |            (CAST('0x' || substr(md5(b.h || '#' ||
+             |               CAST(j AS VARCHAR)), 1, 8) AS BIGINT) % 65536)
+             |              AS pos
+             |          FROM bdig b, (SELECT unnest([0,1,2,3]) AS j)),
+             |pb AS (SELECT h, lang,
+             |         min(coalesce((bl.bits >> CAST(pos % 32 AS INT)) & 1,
+             |           0)) AS hit_all
+             |       FROM probe p LEFT JOIN bloom bl ON bl.w = p.pos // 32
+             |       GROUP BY h, lang),
+             |fin AS (SELECT pb.h, pb.lang, pb.hit_all,
+             |          CASE WHEN c.h IS NULL THEN 0 ELSE 1 END AS is_dup
+             |        FROM pb LEFT JOIN cdig c ON c.h = pb.h)
+             |SELECT lang, count(*) AS n_batch_unique,
+             |  CAST(sum(hit_all) AS BIGINT) AS n_bloom_pass,
+             |  CAST(sum(is_dup) AS BIGINT) AS n_true_dup,
+             |  CAST(sum(CASE WHEN hit_all = 1 AND is_dup = 0
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+             |  CAST(sum(CASE WHEN is_dup = 1 AND hit_all = 0
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "Bloom-gated incremental ingest: 16 KB broadcast bitmap " +
+        "screens the batch before the exact anti-join; FP/FN accounting " +
+        "fully md5-replayed (n_missed structurally 0, hash-gated)"),
+
+    // ------------------------------------------------------------------
     // q4b: the FUZZY counterpart of q49 — batch-vs-corpus NEAR-dup
     // candidates via a stored MinHash signature index (see
     // minhashIncremental). The oracle replays BOTH sides' sketches from

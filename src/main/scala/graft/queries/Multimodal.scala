@@ -976,6 +976,108 @@ object Multimodal extends Registry {
              |FROM rb ORDER BY doc_id""".stripMargin),
       doc = "Video frame thumbnails: AVI walk + per-frame BMP decode + " +
         "NN resize per frame, frame-and-position-sensitive checksum " +
-        "replayed from payload hex")
+        "replayed from payload hex"),
+
+    // ------------------------------------------------------------------
+    // q8e: IMAGE NEAR-DUP via perceptual dHash — the missing dedup
+    // MODALITY: text has exact/MinHash/SimHash (q40-q44), embeddings
+    // have cosine/SemDeDup (q45/q59); this is the image-side member,
+    // the difference-hash every media pipeline runs before anything
+    // expensive. The hash rides the REAL codec path (q87's PNG encode →
+    // chunk walk → inflate → unfilter → pixels), then 64 gradient bits
+    // from a 9×8 nearest-neighbor grid sample (floor index mapping,
+    // q8a's exact arithmetic — no means, so every step is integer and
+    // the oracle replays pixels, grid, bits, hash halves, XOR hamming
+    // AND ranking from payload bytes). The hash is emitted as two
+    // 32-bit halves in BIGINTs so no sign bit is ever touched on either
+    // engine. Scale: hashing is one narrow codegen projection per
+    // asset (64 bits of state out of arbitrarily many pixels);
+    // retrieval broadcasts the bounded query set and ranks by XOR
+    // popcount — the q50 serving shape with a 16-byte signature
+    // instead of a float vector, which is the point: candidate
+    // pairing at 100 TB happens on signatures, never on pixels.
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q8e_image_phash",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        import s.implicits._
+        def half(off: Int): String = {
+          // bit i+off: grid row gy=(i+off) div 8, col gx=(i+off)%8;
+          // NN sample row sy=(gy*h) div 8, cols sx=(gx*16) div 9 and
+          // ((gx+1)*16) div 9 — px is h*16 long, so indexes are in range
+          def pix(gxExpr: String): String =
+            s"element_at(px, CAST(((((i+$off) div 8) * h) div 8) * 16 + " +
+              s"($gxExpr * 16) div 9 + 1 AS INT))"
+          s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> " +
+            s"acc + shiftleft(IF(${pix(s"((i+$off) % 8)")} > " +
+            s"${pix(s"(((i+$off) % 8) + 1)")}, CAST(1 AS BIGINT), " +
+            s"CAST(0 AS BIGINT)), i))"
+        }
+        val hashed = corpus(s, dir).filter($"modality" === "image")
+          .filter($"doc_id" < 3000) // bounded slice at any sf (q45 rule)
+          .select($"doc_id", expr("png_gray8_encode(payload, 16)").as("png"))
+          .select($"doc_id", expr("png_gray8_pixels(png)").as("px"))
+          .withColumn("h", expr("size(px) div 16"))
+          .select($"doc_id", expr(half(0)).as("hash_lo"),
+            expr(half(32)).as("hash_hi"))
+        val q = hashed.filter($"doc_id" % 300 === 0)
+          .select($"doc_id".as("q_id"), $"hash_lo".as("qlo"),
+            $"hash_hi".as("qhi"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"hamming", $"neighbor_id")
+        hashed.join(broadcast(q), $"doc_id" =!= $"q_id")
+          .select($"q_id", $"doc_id".as("neighbor_id"),
+            (bit_count($"qlo".bitwiseXOR($"hash_lo")) +
+              bit_count($"qhi".bitwiseXOR($"hash_hi")))
+              .cast("long").as("hamming"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 3)
+          .orderBy($"q_id", $"rank")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS bl FROM documents
+             |  WHERE doc_id % 3 = 0 AND doc_id < 3000),
+             |st AS (
+             |  SELECT doc_id, octet_length(bl) AS n,
+             |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(bl))] AS bs
+             |  FROM a),
+             |g AS (SELECT doc_id, n, bs,
+             |        greatest(1, (n + 15) // 16) AS h
+             |      FROM st),
+             |hsh AS (
+             |  SELECT doc_id,
+             |    CAST(coalesce(list_sum([CASE WHEN
+             |        coalesce(bs[(((b // 8) * h) // 8) * 16
+             |                    + ((b % 8) * 16) // 9 + 1], 0) >
+             |        coalesce(bs[(((b // 8) * h) // 8) * 16
+             |                    + (((b % 8) + 1) * 16) // 9 + 1], 0)
+             |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+             |      for b in range(0, 32)]), 0) AS BIGINT) AS hash_lo,
+             |    CAST(coalesce(list_sum([CASE WHEN
+             |        coalesce(bs[((((b + 32) // 8) * h) // 8) * 16
+             |                    + (((b + 32) % 8) * 16) // 9 + 1], 0) >
+             |        coalesce(bs[((((b + 32) // 8) * h) // 8) * 16
+             |                    + ((((b + 32) % 8) + 1) * 16) // 9 + 1], 0)
+             |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+             |      for b in range(0, 32)]), 0) AS BIGINT) AS hash_hi
+             |  FROM g),
+             |p AS (
+             |  SELECT q.doc_id AS q_id, c.doc_id AS neighbor_id,
+             |    CAST(bit_count(xor(q.hash_lo, c.hash_lo)) +
+             |         bit_count(xor(q.hash_hi, c.hash_hi)) AS BIGINT)
+             |      AS hamming
+             |  FROM hsh q JOIN hsh c ON c.doc_id <> q.doc_id
+             |  WHERE q.doc_id % 300 = 0),
+             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+             |        ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
+             |      FROM p)
+             |SELECT q_id, neighbor_id, hamming, rank FROM r
+             |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+      doc = "Image near-dup retrieval: perceptual dHash over the real " +
+        "PNG decode (64 NN-grid gradient bits as two 32-bit halves), " +
+        "broadcast queries ranked by XOR popcount — signatures, not " +
+        "pixels, cross the network")
   )
 }

@@ -1499,8 +1499,115 @@ object Similarity extends Registry {
       Some(hybridRrfOracle),
       doc = "Hybrid lexical+dense retrieval: BM25 and cosine top-50 pools " +
         "fused by integer reciprocal-rank fusion, both arms + fusion " +
-        "fully oracle-replayed")
+        "fully oracle-replayed"),
+
+    // q9n: see loadOrBuildIvfCellState/ivfIncremental above — the
+    // stored base cell directory + delta-only assignment, additive
+    // merge require()d ≡ full reassignment; oracle is the from-scratch
+    // full-corpus assignment with integer sums.
+    QueryDef(
+      "q9n_ivf_incremental",
+      (s, dir) => ivfIncremental(s, dir),
+      Some("""WITH n AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |    sqrt(list_dot_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |c AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n
+             |      WHERE vec_id < 8),
+             |s AS (SELECT n.vec_id, cell,
+             |        round(list_dot_product(n.e, ce) / (n.nrm * cn), 4)
+             |          AS cosine,
+             |        row_number() OVER (PARTITION BY n.vec_id
+             |          ORDER BY round(list_dot_product(n.e, ce)
+             |                         / (n.nrm * cn), 4) DESC,
+             |                   cell) AS rn
+             |      FROM n JOIN c ON true)
+             |SELECT cell, count(*) AS n_vectors,
+             |  CAST(sum(CAST(round(cosine * 10000) AS BIGINT)) AS BIGINT)
+             |    AS sum_cos_micro,
+             |  true AS merge_equals_rebuild
+             |FROM s WHERE rn = 1
+             |GROUP BY cell ORDER BY cell""".stripMargin),
+      doc = "IVF cell directory incrementally maintained: stored base " +
+        "stats + delta-only assignment, additive merge pinned " +
+        "bit-for-bit to full reassignment")
   )
+
+  // ------------------------------------------------------------------
+  // q9n: IVF CELL DIRECTORY, INCREMENTALLY MAINTAINED — the ANN-index
+  // member of the q9b/q9c/q9e state-maintenance family: a vector store
+  // does not re-assign its corpus when a delta batch of embeddings
+  // lands. The per-cell integer stats (count + micro-cosine sum — the
+  // losslessly ADDITIVE representation, like q9e's counters) of the
+  // base split are stored content-addressed (k rows — corpus-size-
+  // independent); on serve only the delta batch (vec_id%10==0) is
+  // assigned (broadcast centroids, argmax — and the delta filter is a
+  // partition-column predicate, so Catalyst pushes it below the
+  // assignment window into the scan), and the tables merge by
+  // elementwise addition, require()d bit-for-bit equal to a full
+  // reassignment before anything is emitted. The oracle is the
+  // full-corpus assignment (q52's program with integer sums): the
+  // merge ≡ rebuild contract, hash-compared.
+  // ------------------------------------------------------------------
+  val IvfDeltaMod = 10
+
+  private def cellStats(assigned: DataFrame): DataFrame =
+    assigned.withColumn("ck", round(col("cosine") * 10000).cast("long"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("ck")).as("sum_cos_micro"))
+
+  private[queries] def loadOrBuildIvfCellState(s: SparkSession, dir: String)
+      : (DataFrame, Boolean, String) = {
+    val src = s"$dir/embeddings.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|ivf-cells=lt8|base=mod${IvfDeltaMod}ne0|stats=int-micro"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = Tables.persistentScratchDir(s"q9n_ivf_$tag")
+    val cellDir = java.nio.file.Paths.get(stateDir, "cells")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(cellDir.resolve("_SUCCESS"))
+    if (!valid) {
+      cellStats(assignCells(corpus(s, dir))
+        .filter(pmod(col("vec_id"), lit(IvfDeltaMod)) =!= 0))
+        .write.mode("overwrite").parquet(cellDir.toString)
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    (s.read.parquet(cellDir.toString), !valid, stateDir)
+  }
+
+  def ivfIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (stored, _, _) = loadOrBuildIvfCellState(s, dir)
+    val delta = cellStats(assignCells(corpus(s, dir))
+      .filter(pmod($"vec_id", lit(IvfDeltaMod)) === 0))
+    val merged = stored
+      .select($"cell", $"n_vectors".as("nb"), $"sum_cos_micro".as("sb"))
+      .join(delta.select($"cell", $"n_vectors".as("nd"),
+        $"sum_cos_micro".as("sd")), Seq("cell"), "full")
+      .select($"cell",
+        (coalesce($"nb", lit(0L)) + coalesce($"nd", lit(0L)))
+          .as("n_vectors"),
+        (coalesce($"sb", lit(0L)) + coalesce($"sd", lit(0L)))
+          .as("sum_cos_micro"))
+    // the contract: merged state ≡ one full reassignment, bit for bit
+    // (bounded driver work: k rows each side)
+    val want = cellStats(assignCells(corpus(s, dir)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val got = merged.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    require(got == want && got.nonEmpty,
+      s"merged cell directory diverged from rebuild: $got vs $want")
+    merged
+      .withColumn("merge_equals_rebuild", lit(true))
+      .orderBy($"cell")
+  }
 
   /** q9i pool width per arm and the dense arm's query vector. */
   val HybridPoolK = 50

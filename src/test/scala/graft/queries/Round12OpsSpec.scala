@@ -163,4 +163,110 @@ class Round12OpsSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("user_id") < 20).count()
     assert(got == want && got > 0)
   }
+
+  // ---------------------------------------------------------------
+  // q8e: perceptual dHash over the real PNG decode
+  // ---------------------------------------------------------------
+
+  /** Codec-independent replay: the synthetic gray8 image of a doc is
+    * its UTF-8 bytes in 16-wide rows, zero-padded — so the dHash is
+    * recomputable from the raw text without touching the PNG path. */
+  private def bruteForceDhash(text: String): (Long, Long) = {
+    val bs = text.getBytes("UTF-8").map(_ & 0xff)
+    val h = math.max(1, (bs.length + 15) / 16)
+    def p(i: Int): Int = if (i < bs.length) bs(i) else 0
+    def bit(b: Int): Long = {
+      val gy = b / 8; val gx = b % 8
+      val sy = gy * h / 8
+      if (p(sy * 16 + gx * 16 / 9) > p(sy * 16 + (gx + 1) * 16 / 9)) 1L
+      else 0L
+    }
+    val lo = (0 until 32).map(b => bit(b) << b).sum
+    val hi = (0 until 32).map(b => bit(b + 32) << b).sum
+    (lo, hi)
+  }
+
+  test("q8e image dHash ranking equals a pure-Scala replay from raw " +
+    "text bytes (codec-independent)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, _) => id % 3 == 0 && id < 3000 }
+    val hashes = docs.map { case (id, t) => id -> bruteForceDhash(t) }.toMap
+    val want = hashes.keys.filter(_ % 300 == 0).toSeq.sorted.flatMap { q =>
+      val (qlo, qhi) = hashes(q)
+      hashes.toSeq.filter(_._1 != q)
+        .map { case (id, (lo, hi)) =>
+          (q, id, java.lang.Long.bitCount(qlo ^ lo) +
+            java.lang.Long.bitCount(qhi ^ hi)) }
+        .sortBy { case (_, id, ham) => (ham, id) }
+        .take(3).zipWithIndex
+        .map { case ((qq, id, ham), i) => (qq, id, ham.toLong, i + 1L) }
+    }
+    val got = graft.SparkEntry.queries("q8e_image_phash")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want && got.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------
+  // q9m: bloom-gated ingest
+  // ---------------------------------------------------------------
+
+  test("q9m bloom gate: no false negatives, FP accounting matches a " +
+    "driver-side bloom replay") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val corpusH = docs.filter(_._1 % 2 == 0).map(d => md5hex(d._3)).toSet
+    val words = scala.collection.mutable.Map.empty[Long, Long]
+    for (h <- corpusH; j <- 0 to 3) {
+      val pos = md5Prefix(s"$h#$j") % 65536
+      words(pos / 32) = words.getOrElse(pos / 32, 0L) | (1L << (pos % 32))
+    }
+    def bloomHit(h: String): Boolean = (0 to 3).forall { j =>
+      val pos = md5Prefix(s"$h#$j") % 65536
+      (words.getOrElse(pos / 32, 0L) >> (pos % 32) & 1L) == 1L
+    }
+    val batch = docs.filter(_._1 % 2 == 1)
+      .groupBy(d => md5hex(d._3))
+      .map { case (h, ds) => (h, ds.map(_._2).min) }
+    val expect = batch.groupBy(_._2).map { case (lang, hs) =>
+      val pass = hs.count(x => bloomHit(x._1))
+      val dup = hs.count(x => corpusH(x._1))
+      val fp = hs.count(x => bloomHit(x._1) && !corpusH(x._1))
+      lang -> (hs.size.toLong, pass.toLong, dup.toLong, fp.toLong, 0L)
+    }
+    val got = graft.SparkEntry.queries("q9m_bloom_ingest")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got == expect && got.nonEmpty)
+    // the structural guarantees, stated directly
+    got.values.foreach { case (_, pass, dup, _, missed) =>
+      assert(missed == 0L, "bloom produced a false negative")
+      assert(pass >= dup, "a true dup did not bloom-pass")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // q9n: incrementally maintained IVF cell directory
+  // ---------------------------------------------------------------
+
+  test("q9n: stored cell state is reused (no rebuild on second call) " +
+    "and the merged directory carries the rebuild pin") {
+    val (_, _, _) = Similarity.loadOrBuildIvfCellState(spark, sfDir)
+    val (stored, rebuilt, _) = Similarity.loadOrBuildIvfCellState(spark, sfDir)
+    assert(!rebuilt, "second call rebuilt the stored cell directory")
+    assert(stored.count() > 0)
+    val out = Similarity.ivfIncremental(spark, sfDir).collect()
+    assert(out.length == 8)
+    out.foreach(r => assert(r.getBoolean(3), "merge != rebuild"))
+    // the stored base plus the delta must cover every vector exactly once
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(out.map(_.getLong(1)).sum == n)
+  }
 }
