@@ -843,24 +843,15 @@ object Dedup extends Registry {
       "q9m_bloom_ingest",
       (s, dir) => {
         import s.implicits._
-        val M = 65536
         val docs = table(s, dir, "documents").select($"doc_id", $"lang", $"text")
-        val js = explode(array((0 to 3).map(lit): _*)).as("j")
-        def pos(h: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
-          conv(substring(md5(concat(h, lit("#"), j.cast("string"))), 1, 8),
-            16, 10).cast("long") % M
-        val bloom = docs.filter($"doc_id" % 2 === 0)
-          .select(md5($"text").as("h")).select($"h", js)
-          .select((pos($"h", $"j")).as("pos"))
-          .groupBy(expr("pos div 32").as("w"))
-          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
-            "CAST(pos % 32 AS INT)))").as("bits"))
+        val bloom = bloomWordsOf(
+          docs.filter($"doc_id" % 2 === 0).select(md5($"text").as("h")))
         val cdig = docs.filter($"doc_id" % 2 === 0)
           .select(md5($"text").as("h")).distinct()
         val bdig = docs.filter($"doc_id" % 2 === 1)
           .groupBy(md5($"text").as("h")).agg(min($"lang").as("lang"))
-        val probed = bdig.select($"h", $"lang", js)
-          .select($"h", $"lang", pos($"h", $"j").as("pos"))
+        val probed = bdig.select($"h", $"lang", bloomJs)
+          .select($"h", $"lang", bloomPos($"h", $"j").as("pos"))
           .join(broadcast(bloom), expr("pos div 32") === $"w", "left")
           .select($"h", $"lang",
             coalesce(expr("(shiftright(bits, CAST(pos % 32 AS INT))) & 1"),
@@ -992,4 +983,56 @@ object Dedup extends Registry {
              |ORDER BY doc_a, doc_b""".stripMargin),
       doc = "Cross-document verbatim spans: content-defined anchor windows (alignment-independent), capped exact-text bucket join")
   )
+
+  // ------------------------------------------------------------------
+  // q9m's bloom machinery, shared with the streaming fold below.
+  // M = 2^16 bit positions, k = 4 md5-derived probes per digest, bits
+  // packed 32 per BIGINT word (sign bit never touched on either
+  // engine) — ≤2048 words total, corpus-size-independent.
+  // ------------------------------------------------------------------
+  val BloomBits = 65536
+  val BloomK = 4
+
+  private[queries] def bloomJs: Column =
+    explode(array((0 until BloomK).map(lit): _*)).as("j")
+
+  private[queries] def bloomPos(h: Column, j: Column): Column =
+    conv(substring(md5(concat(h, lit("#"), j.cast("string"))), 1, 8),
+      16, 10).cast("long") % BloomBits
+
+  /** (w, bits) bloom words of a frame of digests (column `h`). */
+  def bloomWordsOf(digests: DataFrame): DataFrame =
+    digests.select(col("h"), bloomJs)
+      .select(bloomPos(col("h"), col("j")).as("pos"))
+      .groupBy(expr("pos div 32").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+        "CAST(pos % 32 AS INT)))").as("bits"))
+
+  /** Streaming-maintenance form of q9m's filter: fold ONE micro-batch
+    * of documents (doc_id, text) into the stored bloom word file — the
+    * foreachBatch production shape, like Relational.hllFoldBatch/
+    * cmsFoldBatch. Bit-OR is idempotent AND commutative, so
+    * at-least-once redelivery and trigger reordering cannot corrupt
+    * membership state — exactly why a bloom is the right streaming
+    * dedup gate. State is collected to the driver before the overwrite
+    * (bounded: ≤2048 words), making the read-modify-write safe against
+    * reading the directory being replaced. StreamingSpec proves the
+    * drained fold ≡ a from-scratch build bit-for-bit. */
+  def bloomFoldBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val wordDir = java.nio.file.Paths.get(stateDir, "words")
+    val fresh = bloomWordsOf(batch.select(md5($"text").as("h")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prior =
+      if (java.nio.file.Files.exists(wordDir.resolve("_SUCCESS")))
+        s.read.parquet(wordDir.toString)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      else Map.empty[Long, Long]
+    val merged = (prior.keySet ++ fresh.keySet).toSeq.sorted.map { w =>
+      (w, prior.getOrElse(w, 0L) | fresh.getOrElse(w, 0L))
+    }
+    merged.toDF("w", "bits").coalesce(1)
+      .write.mode("overwrite").parquet(wordDir.toString)
+  }
 }

@@ -514,6 +514,48 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-folded grid diverged from rebuild")
   }
 
+  test("streaming bloom maintenance: per-trigger OR folds equal a " +
+    "from-scratch filter bit-for-bit, and replay cannot corrupt it") {
+    // the q9m membership state driven by a STREAM: documents arrive as
+    // three single-file micro-batches, each trigger ORs its digests'
+    // bits into the stored word file (Dedup.bloomFoldBatch — the
+    // foreachBatch production shape). Bit-OR is idempotent and
+    // commutative, so the drained filter must EQUAL a one-pass build —
+    // and re-folding a batch (at-least-once redelivery) must change
+    // NOTHING, the property that makes a bloom safe streaming state.
+    import org.apache.spark.sql.functions._
+    val streamDir = java.nio.file.Files.createTempDirectory("bloom-stream")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("bloom-state").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+
+    val query = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.queries.Dedup.bloomFoldBatch(spark, stateDir, df); ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+
+    def words(): Map[Long, Long] = spark.read
+      .parquet(java.nio.file.Paths.get(stateDir, "words").toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = words()
+    val rebuilt = graft.queries.Dedup
+      .bloomWordsOf(docs.select(md5(col("text")).as("h")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == rebuilt && rebuilt.nonEmpty,
+      "stream-folded bloom diverged from one-pass build")
+    // redelivery: folding the WHOLE corpus again is a no-op
+    graft.queries.Dedup.bloomFoldBatch(spark, stateDir, docs)
+    assert(words() == streamed, "redelivered fold mutated the filter")
+  }
+
   test("streaming LM maintenance: per-trigger count folds equal a " +
     "from-scratch build bit-for-bit") {
     // the q9h state machine driven by a STREAM: documents arrive as
