@@ -18,6 +18,10 @@ object PlanAudit {
     "q9j_pagerank",           // iterative join+shuffle-agg graph rounds
     "q9i_hybrid_rrf",         // two bounded retrieval arms + constant fusion
     "q6c_stream_dedup",       // id-keyed dedup over the doubled delivery
+    "q9m_bloom_ingest",       // 16 KB broadcast bitmap ahead of the anti-join
+    "q9n_ivf_incremental",    // delta-only assign + additive cell merge
+    "q8e_image_phash",        // signature-only retrieval over real decode
+    "q5e_filtered_ann",       // label predicate rides the broadcast join
     "q01_pricing_summary",    // partial+final agg, filter/column pushdown
     "q03_shipping_priority",  // fact⋈fact shuffle join + top-n
     "q06_star_broadcast",     // broadcast dims

@@ -603,5 +603,72 @@ object Sampling extends Registry {
       doc = "Weighted sampling without replacement (A-ES keys over " +
         "md5-derived uniforms): weight-proportional top-k, " +
         "TakeOrderedAndProject — no shuffle of the corpus")
+  ) ++ Seq(
+
+    // ------------------------------------------------------------------
+    // q9o: TEMPERATURE-SCALED language mixing — the multilingual
+    // balancing act (mT5/UniMax shape): sampling share per language ∝
+    // share^(1/T) with T=2, which upsamples the tail and downsamples
+    // the head relative to natural frequency. The per-language rate is
+    // computed in EXACT integers after one sqrt: w_l = round(√(n_l/N)
+    // ·1e6) (sqrt and the n_l/N division are single IEEE ops —
+    // bit-identical cross-engine), then rate_micro_l = (w_l · budget ·
+    // 1e6) div (W · n_l) capped at 1e6 — integer division throughout,
+    // so no float sum order exists anywhere (the Σw normalization sums
+    // INTEGERS). Acceptance is the md5-fraction test per doc.
+    // Scale: two tiny aggregates (per-lang counts; their integer
+    // normalization) broadcast back over one narrow acceptance scan —
+    // the q36 quota plan with a principled rate formula.
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q9o_temperature_mix",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 200L
+        val docs = table(s, dir, "documents").select($"doc_id", $"lang")
+        val tot = docs.count() // bounded scalar (one long)
+        val byLang = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+          .withColumn("w_micro",
+            expr(s"CAST(round(sqrt(n_l / CAST($tot AS DOUBLE)) * 1e6) " +
+              "AS BIGINT)"))
+        val wSum = byLang.agg(sum($"w_micro")).collect()(0).getLong(0)
+        val rates = byLang.withColumn("rate_micro",
+          least(lit(1000000L),
+            expr(s"(w_micro * $budget * 1000000) div ($wSum * n_l)")))
+        docs
+          .join(broadcast(rates), Seq("lang"))
+          .withColumn("u_micro",
+            conv(substring(md5(concat($"doc_id".cast("string"),
+              lit("|mix"))), 1, 8), 16, 10).cast("long") % 1000000L)
+          .groupBy($"lang")
+          .agg(max($"n_l").as("n_total"),
+            max($"rate_micro").as("rate_micro"),
+            sum(when($"u_micro" < $"rate_micro", 1L).otherwise(0L))
+              .as("n_sampled"))
+          .orderBy($"lang")
+      },
+      Some("""WITH t AS (SELECT count(*) AS n FROM documents),
+             |bl AS (SELECT lang, count(*) AS n_l,
+             |         CAST(round(sqrt(count(*) / (SELECT CAST(n AS DOUBLE)
+             |             FROM t)) * 1e6) AS BIGINT) AS w_micro
+             |       FROM documents GROUP BY lang),
+             |ws AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w FROM bl),
+             |r AS (SELECT lang, n_l,
+             |        least(1000000,
+             |          (w_micro * 200 * 1000000) //
+             |          ((SELECT w FROM ws) * n_l)) AS rate_micro
+             |      FROM bl)
+             |SELECT d.lang, CAST(max(r.n_l) AS BIGINT) AS n_total,
+             |  CAST(max(r.rate_micro) AS BIGINT) AS rate_micro,
+             |  CAST(sum(CASE WHEN
+             |      (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+             |         || '|mix'), 1, 8) AS BIGINT) % 1000000)
+             |      < r.rate_micro THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_sampled
+             |FROM documents d JOIN r ON d.lang = r.lang
+             |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+      doc = "Temperature-scaled (T=2) language mixing: integer micro " +
+        "rates from one sqrt, md5-fraction acceptance, two tiny " +
+        "aggregates broadcast over one narrow scan")
   )
 }

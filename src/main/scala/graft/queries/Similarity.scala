@@ -1501,6 +1501,64 @@ object Similarity extends Registry {
         "fused by integer reciprocal-rank fusion, both arms + fusion " +
         "fully oracle-replayed"),
 
+    // ------------------------------------------------------------------
+    // q5e: FILTERED vector search — the metadata-constrained serve every
+    // production vector store exposes (search within a tenant / class /
+    // shard): top-5 cosine neighbors restricted to candidates sharing
+    // the query's label. The predicate composes BEFORE scoring — the
+    // label equi-condition rides the broadcast join, so a candidate of
+    // the wrong label is never dot-producted (predicate-then-score, the
+    // order that matters when the filter is selective), and with a
+    // label-partitioned layout (q58's mechanism) it becomes directory
+    // pruning. Same salted two-phase top-k tail as q50, same 4-decimal
+    // micro-rounding contract, fully oracle-replayed.
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q5e_filtered_ann",
+      (s, dir) => {
+        import s.implicits._
+        graft.GraftExtensions.ensureRegistered(s)
+        val c = table(s, dir, "embeddings")
+          .select($"vec_id", $"label",
+            transform($"embedding", x => x.cast("double")).as("v"))
+          .withColumn("nrm", sqrt(call_function("vec_dot", $"v", $"v")))
+        val q = c.filter($"vec_id" % 100 === 0 && $"vec_id" < 2000)
+          .select($"vec_id".as("q_id"), $"label".as("q_label"),
+            $"v".as("qv"), $"nrm".as("qn"))
+        val scored = c.join(broadcast(q),
+          $"vec_id" =!= $"q_id" && $"label" === $"q_label")
+          .select($"q_id", $"q_label".as("label"),
+            $"vec_id".as("neighbor_id"),
+            round(call_function("vec_dot", $"v", $"qv") /
+              ($"nrm" * $"qn"), 4).as("cosine"))
+        topKPerQuery(scored.select($"q_id", $"neighbor_id", $"cosine"))
+          .join(broadcast(q.select($"q_id", $"q_label")), Seq("q_id"))
+          .select($"q_id", $"q_label", $"neighbor_id", $"cosine")
+          .orderBy($"q_id", $"cosine".desc, $"neighbor_id")
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |    sqrt(list_dot_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, label AS q_label, e AS qe,
+             |        nrm AS qn
+             |      FROM n WHERE vec_id % 100 = 0 AND vec_id < 2000),
+             |s AS (SELECT q_id, q_label, c.vec_id AS neighbor_id,
+             |        round(list_dot_product(qe, c.e) / (qn * c.nrm), 4)
+             |          AS cosine
+             |      FROM q JOIN n c
+             |        ON c.vec_id <> q.q_id AND c.label = q.q_label),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+             |SELECT q_id, q_label, neighbor_id, cosine FROM r
+             |WHERE rn <= 5
+             |ORDER BY q_id, cosine DESC, neighbor_id""".stripMargin),
+      doc = "Filtered vector search: label-constrained top-5 cosine — " +
+        "the predicate rides the broadcast join ahead of any scoring"),
+
     // q9n: see loadOrBuildIvfCellState/ivfIncremental above — the
     // stored base cell directory + delta-only assignment, additive
     // merge require()d ≡ full reassignment; oracle is the from-scratch

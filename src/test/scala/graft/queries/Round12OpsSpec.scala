@@ -253,6 +253,74 @@ class Round12OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // q5e: filtered vector search
+  // ---------------------------------------------------------------
+
+  test("q5e filtered ANN equals a driver-side same-label brute force") {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      // sequential fold, the engines' evaluation order
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(v: Double): Double = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = rows.filter(r => r._1 % 100 == 0 && r._1 < 2000)
+      .sortBy(_._1).flatMap { case (qid, qv, qlab) =>
+        rows.filter(c => c._1 != qid && c._3 == qlab)
+          .map(c => (qid, qlab, c._1, r4(cos(qv, c._2))))
+          .sortBy { case (_, _, id, c) => (-c, id) }.take(5)
+      }
+    val got = graft.SparkEntry.queries("q5e_filtered_ann")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    got.foreach { case (_, qlab, nid, _) =>
+      val nlab = rows.find(_._1 == nid).get._3
+      assert(nlab == qlab, s"neighbor $nid crossed the label filter")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // q9o: temperature-scaled mixing
+  // ---------------------------------------------------------------
+
+  test("q9o temperature rates replay in integer math and upsample " +
+    "the tail") {
+    val langs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = langs.length.toLong
+    val byLang = langs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val w = byLang.view.mapValues(nl =>
+      Math.round(math.sqrt(nl.toDouble / n) * 1e6)).toMap
+    val wSum = w.values.sum
+    val rate = byLang.map { case (l, nl) =>
+      l -> math.min(1000000L, w(l) * 200L * 1000000L / (wSum * nl))
+    }
+    val sampled = langs.groupBy(_._2).map { case (l, ds) =>
+      l -> ds.count { case (id, _) =>
+        md5Prefix(s"$id|mix") % 1000000L < rate(l)
+      }.toLong
+    }
+    val got = graft.SparkEntry.queries("q9o_temperature_mix")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == byLang.map { case (l, nl) =>
+      l -> (nl, rate(l), sampled(l)) } && got.nonEmpty)
+    // the temperature property: acceptance RATE is non-increasing in
+    // language size (the tail is upsampled relative to the head)
+    val bySize = byLang.toSeq.sortBy(_._2).map(x => rate(x._1))
+    assert(bySize.zip(bySize.tail).forall { case (a, b) => a >= b })
+  }
+
+  // ---------------------------------------------------------------
   // q9n: incrementally maintained IVF cell directory
   // ---------------------------------------------------------------
 
