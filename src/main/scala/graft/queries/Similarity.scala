@@ -176,18 +176,36 @@ object Similarity extends Registry {
     * IVF routing contract (8 fixed centroids, 4-decimal rounding, cell
     * tie-break): q52 aggregates it, q54 refines it. Returns one row per
     * corpus vector: (vec_id, v, cell, cosine). */
+  /** Argmax-cosine cell assignment with the centroids inlined as
+    * LITERALS (k rows collected — bounded driver state, the q5a/MLlib
+    * pattern): per vector the winner is array_min over (−cosine, cell)
+    * structs — lexicographic struct comparison gives the cosine-desc /
+    * cell-asc tiebreak — so assignment is a pure map-side projection.
+    * The previous form broadcast-joined the centroids and picked the
+    * winner with a Window.partitionBy(vec_id) row_number, which HASH-
+    * SHUFFLED THE WHOLE CORPUS by vec_id first — the exact
+    * scale-killer the SCALING notes promise this family avoids
+    * (audited r12; the literal form plans scan → project only).
+    * Double negation is IEEE-exact, so cosines are bit-identical to
+    * the joined form and every oracle is unchanged. */
   private def assignCells(c: DataFrame,
       seed: Column = DefaultSeedPred): DataFrame = {
     val cents = c.filter(seed)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("cell").asc)
-    c.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cell"),
-        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 4)
-          .as("cosine"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn")
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq,
+        r.getDouble(2)))
+      .sortBy(_._1)
+    val alts = cents.map { case (cell, cv, cn) =>
+      struct(
+        (-round(dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn)), 4))
+          .as("negc"),
+        lit(cell).as("cell"))
+    }
+    c.select(col("vec_id"), col("v"), col("nrm"),
+        array_min(array(alts: _*)).as("m"))
+      .select(col("vec_id"), col("v"), col("m.cell").as("cell"),
+        (-col("m.negc")).as("cosine"))
   }
 
   def ivfAssign(s: SparkSession, dir: String): DataFrame =

@@ -115,6 +115,20 @@ class PlanShapeSpec extends AnyFunSuite {
         "row_number window (per-partition sort + exchange for an argmin)")
   }
 
+  test("q52: cell assignment is map-side literal argmin — no window, " +
+    "no corpus shuffle before the k-row aggregate") {
+    val p = plan("q52_ivf_assign")
+    assert(!p.contains("Window"),
+      "assignment regressed to a row_number window (corpus shuffle)")
+    // the only shuffles left: the 8-cell aggregate's and the final
+    // orderBy's (formatted text repeats each operator in the detail
+    // section — count numbered operator lines, not substrings)
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"assignment plan shuffles $exchanges times; expected the cell " +
+        "aggregate + output sort only")
+  }
+
   test("q9l: weighted top-k plans TakeOrderedAndProject, no global sort") {
     val p = plan("q9l_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
