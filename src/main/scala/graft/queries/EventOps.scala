@@ -395,6 +395,39 @@ object EventOps extends Registry {
         "within-watermark state; oracle is the original slice"),
 
     // ------------------------------------------------------------------
+    // q6d: per-user running totals on Spark 4's transformWithState —
+    // the state-v2 successor API to flatMapGroupsWithState (typed
+    // ValueState handle, TTL-capable, RocksDB-backed in streaming).
+    // Batch-parity form registered; the oracle is the INDEPENDENT
+    // declarative window plan (row_number + running integer-cents sum),
+    // so a hash match proves the typed state machine ≡ the window.
+    // Integer cents ⇒ no float accumulation order anywhere.
+    QueryDef(
+      "q6d_running_totals",
+      (s, dir) => {
+        import s.implicits._
+        // state-v2 operators execute against the state-store API even
+        // in batch mode; the RocksDB provider is the one that supports
+        // the v2 column families
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        val ev = Tables.eventsRaw(s, dir).filter($"user_id" < 20)
+        graft.streaming.EventStream.runningTotals(ev)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  row_number() OVER w AS seq,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+             |    AS BIGINT) AS run_cents
+             |FROM events WHERE user_id < 20
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin),
+      doc = "Spark 4 transformWithState running totals (typed " +
+        "ValueState): per-user seq + cumulative integer cents vs the " +
+        "independent window-plan oracle"),
+
+    // ------------------------------------------------------------------
     // q66: ordered behavioral funnel — how many users progress through
     // view → click → purchase IN THAT ORDER. Stage flags are carried
     // per user with strictly-prior window maxima over one (user_id, ts)

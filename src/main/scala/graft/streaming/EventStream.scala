@@ -265,6 +265,73 @@ object EventStream {
       col("ets"), col("value"))
   }
 
+  // ------------------------------------------------------------------
+  // transformWithState (Spark 4 state-v2, the successor API to
+  // flatMapGroupsWithState): per-user running sequence number +
+  // cumulative cents. Demonstrates the typed state handle
+  // (ValueState, TTL-capable — RocksDB-backed in streaming) on the
+  // warehouse running-total shape; within a trigger rows are folded
+  // in (ts, event_id) order, the same contract as asofJoin/scd2Cdc,
+  // so the drained stream equals the declarative window plan the q6d
+  // oracle states. Money rides as round(value·100) cents — one IEEE
+  // multiply+round per row, identical in both engines — and the
+  // running sum is integer, so no float accumulation order exists.
+  // ------------------------------------------------------------------
+  case class RunEvent(user_id: Long, ts_us: Long, event_id: Long,
+      cents: Long)
+  case class RunOut(event_id: Long, user_id: Long, seq: Long,
+      run_cents: Long)
+  case class RunTotals(seq: Long, cents: Long)
+
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, RunEvent, RunOut] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[RunTotals] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[RunTotals]("totals",
+        org.apache.spark.sql.Encoders.product[RunTotals],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[RunEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RunOut] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = if (totals.exists()) totals.get() else RunTotals(0L, 0L)
+      val out = sorted.map { e =>
+        st = RunTotals(st.seq + 1, st.cents + e.cents)
+        RunOut(e.event_id, userId, st.seq, st.cents)
+      }
+      totals.update(st)
+      out.iterator
+    }
+  }
+
+  /** The running-totals transform — batch AND streaming frames (batch
+    * runs each key once with empty state; streaming carries RunTotals
+    * across triggers in the state store). */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    // batch-mode state-v2 execution asks the driver for the
+    // StateStoreCoordinator endpoint, which only a STREAMING query
+    // normally registers — force the query manager's idempotent lazy
+    // coordinator ref (via the package shim) so the batch run finds
+    // it. Without this the first batch transformWithState in a session
+    // dies with CANNOT_LOAD_STATE_STORE / RpcEndpointNotFoundException.
+    org.apache.spark.sql.GraftStateBootstrap.ensureCoordinator(s)
+    val typed: Dataset[RunEvent] = events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[RunEvent]
+    typed.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   /** Streaming source over a directory of event parquet files. */
   def readStream(spark: SparkSession, dir: String): DataFrame =
     buildStream(spark, dir, maxFilesPerTrigger = None)

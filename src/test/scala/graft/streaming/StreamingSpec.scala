@@ -514,6 +514,61 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-folded grid diverged from rebuild")
   }
 
+  test("q6d transformWithState running totals carry ValueState across " +
+    "triggers == batch window plan") {
+    import org.apache.spark.sql.functions._
+    // the state-v2 API on a REAL stream: the user_id<20 slice arrives
+    // as two event-time-ordered triggers split at the median ts, so
+    // every second-trigger event's (seq, run_cents) depends on
+    // ValueState carried from trigger 1 (RocksDB-backed)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val all = EventStream.readBatch(spark, s"$sfDir/events.parquet")
+      .filter(col("user_id") < 20)
+    val midNs = all.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    val streamDir = java.nio.file.Files.createTempDirectory("twstate")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = streamDir.resolve(name + ".tmp")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.getFileName.toString.startsWith("part-")).findFirst.get()
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    stage(all.filter(col("ts") < midNs), "a-first.parquet", 1000000L)
+    stage(all.filter(col("ts") >= midNs), "b-second.parquet", 2000000L)
+
+    val query = EventStream.runningTotals(
+      EventStream.readStreamThrottled(spark, streamDir.toString,
+        maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("evt_q6d")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("twstate-ckpt").toString)
+      .outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(2), r.getLong(3))
+    val got = spark.table("evt_q6d").collect().map(key).toMap
+    val want = EventStream.runningTotals(all).collect().map(key).toMap
+    assert(got == want && got.nonEmpty,
+      s"drained ${got.size} != batch ${want.size}")
+    // evidence the split exercised cross-trigger state: some
+    // second-half event must have seq > 1 (its counter lived in state)
+    val crossing = all.filter(col("ts") >= midNs)
+      .select(col("event_id")).collect().map(_.getLong(0))
+      .exists(id => got.get(id).exists(_._1 > 1))
+    assert(crossing, "split produced no state-crossing running totals")
+  }
+
   test("streaming bloom maintenance: per-trigger OR folds equal a " +
     "from-scratch filter bit-for-bit, and replay cannot corrupt it") {
     // the q9m membership state driven by a STREAM: documents arrive as
