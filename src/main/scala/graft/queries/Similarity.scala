@@ -1577,6 +1577,112 @@ object Similarity extends Registry {
       doc = "Filtered vector search: label-constrained top-5 cosine — " +
         "the predicate rides the broadcast join ahead of any scoring"),
 
+    // ------------------------------------------------------------------
+    // q9q: NEGATIVE SAMPLING for contrastive training — per query
+    // vector, 4 deterministic negatives drawn by smallest md5 key from
+    // the candidates EXCLUDING the query's exact top-5 neighbors (the
+    // decontamination step that keeps hard positives out of the
+    // negative set — the classic false-negative bug in contrastive
+    // data). The draw is a salted two-phase top-k by hash (q07/q50's
+    // plan: per-partition k-row states, then ≤ k·salts survivors per
+    // query — no full per-query candidate sort), and the exclusion is
+    // one left-anti join against the already-proven exact top-k.
+    // Everything is md5/rank arithmetic, so the oracle replays the
+    // scores, the exclusion AND the draw.
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q9q_negative_sampling",
+      (s, dir) => {
+        import s.implicits._
+        val c = corpus(s, dir)
+        val top5 = knnExactOn(c)
+          .select($"q_id".as("t_qid"), $"neighbor_id".as("t_nid"))
+        val cand = c.select($"vec_id".as("cand"))
+          .crossJoin(broadcast(queriesOf(c).select($"q_id")))
+          .filter($"cand" =!= $"q_id")
+          .join(top5, $"q_id" === $"t_qid" && $"cand" === $"t_nid",
+            "left_anti")
+          .withColumn("h",
+            conv(substring(md5(concat($"q_id".cast("string"), lit(":neg:"),
+              $"cand".cast("string"))), 1, 8), 16, 10).cast("long"))
+        val ord = Seq($"h".asc, $"cand".asc)
+        val wLocal = Window.partitionBy($"q_id",
+          pmod(xxhash64($"cand"), lit(32))).orderBy(ord: _*)
+        val wGlobal = Window.partitionBy($"q_id").orderBy(ord: _*)
+        cand
+          .withColumn("lrn", row_number().over(wLocal)).filter($"lrn" <= 4)
+          .withColumn("draw", row_number().over(wGlobal).cast("long"))
+          .filter($"draw" <= 4)
+          .select($"q_id", $"cand".as("neg_id"), $"draw")
+          .orderBy($"q_id", $"draw")
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |    sqrt(list_dot_product(
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+             |      WHERE vec_id % 100 = 0 AND vec_id < 2000),
+             |sc AS (SELECT q_id, c.vec_id AS neighbor_id,
+             |        round(list_dot_product(qe, c.e) / (qn * c.nrm), 4)
+             |          AS cosine
+             |      FROM q JOIN n c ON c.vec_id <> q.q_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sc),
+             |top5 AS (SELECT q_id, neighbor_id FROM r WHERE rn <= 5),
+             |ex AS (SELECT sc.q_id, sc.neighbor_id AS cand FROM sc
+             |       WHERE NOT EXISTS (SELECT 1 FROM top5 t
+             |         WHERE t.q_id = sc.q_id
+             |           AND t.neighbor_id = sc.neighbor_id)),
+             |h AS (SELECT q_id, cand,
+             |        CAST('0x' || substr(md5(CAST(q_id AS VARCHAR)
+             |          || ':neg:' || CAST(cand AS VARCHAR)), 1, 8)
+             |          AS BIGINT) AS h
+             |      FROM ex),
+             |d AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+             |        ORDER BY h, cand) AS BIGINT) AS draw FROM h)
+             |SELECT q_id, cand AS neg_id, draw FROM d WHERE draw <= 4
+             |ORDER BY q_id, draw""".stripMargin),
+      doc = "Contrastive negative sampling: md5-keyed salted top-k draw " +
+        "excluding each query's exact top-5 (decontaminated negatives), " +
+        "draw + exclusion fully oracle-replayed"),
+
+    // q9p: see loadOrBuildMomentState/featureMoments above — stored
+    // per-dim (n, Σm, Σm²) over micro-quantized components, delta-only
+    // stats, additive merge ≡ full recompute (require()d), integer
+    // mean/variance-numerator columns. NOTE on ranges: with micro
+    // quantization the worst-case n·Σm² fits BIGINT only to ~3e3
+    // unit-vector rows per dim at |e_i|→1; real embeddings sit near
+    // 1/√dim so the practical ceiling is ~1e6 rows, and ANSI mode
+    // makes any overflow a loud error — a 100 TB deployment would
+    // widen to DECIMAL(38,0) sums, same plan shape.
+    QueryDef(
+      "q9p_feature_moments",
+      (s, dir) => featureMoments(s, dir),
+      Some("""WITH m AS (
+             |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT)
+             |           AS dim,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+             |      AS BIGINT) AS m
+             |  FROM embeddings),
+             |g AS (SELECT dim, count(*) AS n,
+             |        CAST(sum(m) AS BIGINT) AS sum_micro,
+             |        CAST(sum(m * m) AS BIGINT) AS sumsq_micro
+             |      FROM m GROUP BY dim)
+             |SELECT dim, n, sum_micro, sumsq_micro,
+             |  -- Spark's `div` truncates toward zero; DuckDB's // floors.
+             |  -- They differ on negative sums, so spell out truncation.
+             |  CASE WHEN sum_micro >= 0 THEN sum_micro // n
+             |       ELSE -((-sum_micro) // n) END AS mean_micro,
+             |  n * sumsq_micro - sum_micro * sum_micro AS var_num,
+             |  true AS merge_equals_rebuild
+             |FROM g ORDER BY dim""".stripMargin),
+      doc = "Per-dimension feature moments incrementally maintained: " +
+        "stored base (n, sum, sumsq) over micro-quantized components, " +
+        "delta-only stats, additive merge pinned to full recompute"),
+
     // q9n: see loadOrBuildIvfCellState/ivfIncremental above — the
     // stored base cell directory + delta-only assignment, additive
     // merge require()d ≡ full reassignment; oracle is the from-scratch
@@ -1683,6 +1789,84 @@ object Similarity extends Registry {
     merged
       .withColumn("merge_equals_rebuild", lit(true))
       .orderBy($"cell")
+  }
+
+  // ------------------------------------------------------------------
+  // q9p: PER-DIMENSION FEATURE MOMENTS, incrementally maintained — the
+  // normalization/whitening statistics a feature store serves (mean /
+  // variance per embedding dimension for standardize-at-serve). The
+  // additive representation is (n, Σm, Σm²) per dim over MICRO-
+  // QUANTIZED components (m = round(e_i·1e6) — one IEEE multiply+round
+  // per value, identical cross-engine), so the stored base stats (64
+  // rows — corpus-size-independent) merge with the delta batch by
+  // elementwise ADDITION, require()d bit-for-bit equal to a full
+  // recompute. Derived columns stay integer: mean_micro = Σm div n and
+  // the variance numerator n·Σm² − (Σm)² ride as exact BIGINTs (the
+  // n² denominator is the serving side's one division — emitting the
+  // raw numerator keeps the gate residual-free). Scale: the stats
+  // aggregate is a posexplode + 64-group partial-agg shuffle — model-
+  // sized, like q54's centroid recompute.
+  // ------------------------------------------------------------------
+  private def momentStats(c: DataFrame): DataFrame =
+    c.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        expr("CAST(round(x * 1e6) AS BIGINT)").as("m"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sum_micro"),
+        sum(expr("m * m")).as("sumsq_micro"))
+
+  private[queries] def loadOrBuildMomentState(s: SparkSession, dir: String)
+      : (DataFrame, Boolean, String) = {
+    val src = s"$dir/embeddings.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|moments=micro6|base=mod${IvfDeltaMod}ne0"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = Tables.persistentScratchDir(s"q9p_moments_$tag")
+    val momDir = java.nio.file.Paths.get(stateDir, "moments")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(momDir.resolve("_SUCCESS"))
+    if (!valid) {
+      momentStats(corpus(s, dir)
+        .filter(pmod(col("vec_id"), lit(IvfDeltaMod)) =!= 0))
+        .write.mode("overwrite").parquet(momDir.toString)
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    (s.read.parquet(momDir.toString), !valid, stateDir)
+  }
+
+  def featureMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (stored, _, _) = loadOrBuildMomentState(s, dir)
+    val delta = momentStats(corpus(s, dir)
+      .filter(pmod($"vec_id", lit(IvfDeltaMod)) === 0))
+    val merged = stored
+      .select($"dim", $"n".as("nb"), $"sum_micro".as("sb"),
+        $"sumsq_micro".as("qb"))
+      .join(delta.select($"dim", $"n".as("nd"), $"sum_micro".as("sd"),
+        $"sumsq_micro".as("qd")), Seq("dim"), "full")
+      .select($"dim",
+        (coalesce($"nb", lit(0L)) + coalesce($"nd", lit(0L))).as("n"),
+        (coalesce($"sb", lit(0L)) + coalesce($"sd", lit(0L)))
+          .as("sum_micro"),
+        (coalesce($"qb", lit(0L)) + coalesce($"qd", lit(0L)))
+          .as("sumsq_micro"))
+    val want = momentStats(corpus(s, dir)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val got = merged.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    require(got == want && got.nonEmpty,
+      s"merged moment stats diverged from rebuild")
+    merged
+      .select($"dim", $"n", $"sum_micro", $"sumsq_micro",
+        expr("sum_micro div n").as("mean_micro"),
+        expr("n * sumsq_micro - sum_micro * sum_micro").as("var_num"),
+        lit(true).as("merge_equals_rebuild"))
+      .orderBy($"dim")
   }
 
   /** q9i pool width per arm and the dense arm's query vector. */

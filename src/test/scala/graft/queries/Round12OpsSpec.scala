@@ -321,6 +321,64 @@ class Round12OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // q9p: feature moments
+  // ---------------------------------------------------------------
+
+  test("q9p moments replay from raw floats and reuse stored state") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val dims = vecs.head.length
+    val want = (0 until dims).map { d =>
+      val ms = vecs.map(v => BigDecimal(v(d) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      d -> (ms.length.toLong, ms.sum, ms.map(m => m * m).sum)
+    }.toMap
+    val out = Similarity.featureMoments(spark, sfDir).collect()
+    assert(out.length == dims)
+    out.foreach { r =>
+      val (n, sm, sq) = want(r.getInt(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (n, sm, sq))
+      assert(r.getLong(4) == sm / n) // Spark div truncates toward zero
+      assert(r.getLong(5) == n * sq - sm * sm)
+      assert(r.getBoolean(6))
+    }
+    val (_, rebuilt, _) = Similarity.loadOrBuildMomentState(spark, sfDir)
+    assert(!rebuilt, "second call rebuilt the stored moment state")
+  }
+
+  // ---------------------------------------------------------------
+  // q9q: contrastive negative sampling
+  // ---------------------------------------------------------------
+
+  test("q9q negatives equal a driver-side draw and never collide with " +
+    "the exact top-5") {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(v: Double): Double = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qs = rows.filter(r => r._1 % 100 == 0 && r._1 < 2000).sortBy(_._1)
+    val want = qs.flatMap { case (qid, qv) =>
+      val others = rows.filter(_._1 != qid)
+      val top5 = others.map(c => (c._1, r4(cos(qv, c._2))))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      others.filter(c => !top5(c._1))
+        .map(c => (c._1, md5Prefix(s"$qid:neg:${c._1}")))
+        .sortBy { case (id, h) => (h, id) }.take(4).zipWithIndex
+        .map { case ((id, _), i) => (qid, id, i + 1L) }
+    }
+    val got = graft.SparkEntry.queries("q9q_negative_sampling")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------
   // q9n: incrementally maintained IVF cell directory
   // ---------------------------------------------------------------
 
