@@ -63,10 +63,12 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // vs_baseline: total / the pinned idle reference run, so a driver
     // readout separates machine contention from real regression without
-    // a manual rerun. PIN = the r12-close idle estimate of the 144-query
-    // suite (adds q9i-q9o/q6c/q5e/q8e over r10's 134; sf0.1, local[32],
-    // shuffle=32, min-of-2 timing): two back-to-back idle runs read
-    // 60.8/63.7 -> pinned at the mean 62.2. STEADY-STATE pin: the
+    // a manual rerun. PIN = the r12-close idle estimate of the FINAL
+    // 147-query suite (adds q9i-q9q/q6c/q6d/q5e/q8e over r10's 134;
+    // sf0.1, local[32], shuffle=32, min-of-2 timing): two back-to-back
+    // idle runs of the 147 set read 67.0/64.9 -> pinned at the mean
+    // 66.0 (a mid-round pair of the 144-query subset read 60.8/63.7 —
+    // the three additions cost ~2s, consistent). STEADY-STATE pin: the
     // content-addressed index state (q4b/q99/q9b/q9c/q9e/q9h/q9n) is
     // warm — the FIRST run after a driver testdata regeneration pays
     // each index's one-time rebuild (~+8-10s observed, 70.9 on the
@@ -81,7 +83,7 @@ object Bench {
     // noise (or a cold index rebuild) before suspecting a plan;
     // re-pin only when the query set changes materially or the host
     // demonstrably changes again.
-    val baselinePin = 62.2
+    val baselinePin = 66.0
     // 1-minute system load average — co-tenancy evidence riding the
     // artifact, so a high vs_baseline under driver-side contention is
     // self-explaining instead of needing a manual idle rerun

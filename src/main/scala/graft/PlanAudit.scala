@@ -22,6 +22,9 @@ object PlanAudit {
     "q9n_ivf_incremental",    // delta-only assign + additive cell merge
     "q8e_image_phash",        // signature-only retrieval over real decode
     "q5e_filtered_ann",       // label predicate rides the broadcast join
+    "q6d_running_totals",     // transformWithState typed-state fold
+    "q9p_feature_moments",    // dims-sized partial agg + additive merge
+    "q9q_negative_sampling",  // anti-join exclusion + salted hash draw
     "q01_pricing_summary",    // partial+final agg, filter/column pushdown
     "q03_shipping_priority",  // fact⋈fact shuffle join + top-n
     "q06_star_broadcast",     // broadcast dims
