@@ -40,7 +40,11 @@ object GraphOps extends Registry {
     * literals. Self-loops are kept: a node may hash to itself and the
     * update handles it like any other edge.
     */
-  def pagerank(s: SparkSession, dir: String): DataFrame = {
+  /** @param releaseCaches eagerly materialize the (20-row) result and
+    *   release the edge cache — the default for real runs; pass false
+    *   to audit the un-truncated lazy plan (PlanShapeSpec). */
+  def pagerank(s: SparkSession, dir: String,
+      releaseCaches: Boolean = true): DataFrame = {
     import s.implicits._
     val nodes = table(s, dir, "documents").select($"doc_id".as("id"))
     val n = nodes.count() // bounded scalar: ONE long on the driver
@@ -51,9 +55,10 @@ object GraphOps extends Registry {
         (conv(substring(md5(concat($"src".cast("string"), lit(">"),
           $"j".cast("string"))), 1, 8), 16, 10).cast("long") % lit(n))
           .as("dst"))
-      // derived twice per run (once per iteration reuse below); cheap
-      // narrow projection, but persist so the shuffle input is scanned
-      // once per iteration instead of re-deriving md5s each time
+      // referenced by all three iterations in one plan — persist so
+      // execution scans the derived edges once per iteration instead
+      // of re-deriving md5s; released below after the (20-row) result
+      // materializes (the minhashPairs cache-hygiene rule)
       .persist()
     var ranks = nodes.select($"id", lit(1000000L).as("r"))
     for (_ <- 1 to Iterations) {
@@ -71,11 +76,18 @@ object GraphOps extends Registry {
           (lit(150000L) +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
     }
-    val out = ranks
+    val lazyOut = ranks
       .orderBy($"r".desc, $"id")
       .limit(20)
       .select($"id".as("doc_id"), $"r".as("rank_micro"))
-    out
+    if (!releaseCaches) lazyOut
+    else {
+      // eagerly materialize the bounded result so the edge cache can
+      // be released NOW instead of living for the rest of the session
+      val out = lazyOut.localCheckpoint(true)
+      edges.unpersist()
+      out
+    }
   }
 
   private def pagerankOracle: String = {

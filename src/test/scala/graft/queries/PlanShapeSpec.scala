@@ -139,7 +139,12 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q9j: pagerank iterations never fall back to a cartesian join") {
-    val p = plan("q9j_pagerank")
+    // releaseCaches=false: the registered form localCheckpoints its
+    // bounded result (cache hygiene), which truncates the plan — audit
+    // the lazy form
+    val p = GraphOps.pagerank(spark, sfDir, releaseCaches = false)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct"),
       "an iteration's rank join planned a cartesian product")
     // the contribution aggregate must combine map-side every round:
