@@ -669,6 +669,74 @@ object Sampling extends Registry {
              |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
       doc = "Temperature-scaled (T=2) language mixing: integer micro " +
         "rates from one sqrt, md5-fraction acceptance, two tiny " +
-        "aggregates broadcast over one narrow scan")
+        "aggregates broadcast over one narrow scan"),
+
+    // ------------------------------------------------------------------
+    // q9r: CORPUS SNAPSHOT DIFF — the dataset-versioning report every
+    // reproducible training run needs: given yesterday's and today's
+    // snapshot, classify every doc_id as added / removed / kept /
+    // CHANGED (same id, different content digest — the class a naive
+    // id-level diff misses and the one that silently poisons
+    // reproducibility). Snapshots are derived deterministically
+    // (v1 = id%7≠0, v2 = id%5≠0, with v2 rewriting id%11==0 docs to
+    // simulate in-place edits); the diff itself is ONE full-outer join
+    // on doc_id moving only (id, lang, 16-byte digest) — never text —
+    // plus a per-language class count. At 100 TB both sides come from
+    // stored digest manifests (q49's index), so the diff cost is
+    // digest-join-sized regardless of corpus bytes.
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q9r_corpus_diff",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select($"doc_id", $"lang", $"text")
+        val v1 = docs.filter($"doc_id" % 7 =!= 0)
+          .select($"doc_id", $"lang".as("lang1"), md5($"text").as("h1"))
+        val v2 = docs.filter($"doc_id" % 5 =!= 0)
+          .select($"doc_id", $"lang".as("lang2"),
+            md5(when($"doc_id" % 11 === 0, concat($"text", lit("!v2")))
+              .otherwise($"text")).as("h2"))
+        v1.join(v2, Seq("doc_id"), "full")
+          .select(coalesce($"lang1", $"lang2").as("lang"),
+            when($"h1".isNull, "added")
+              .when($"h2".isNull, "removed")
+              .when($"h1" === $"h2", "kept")
+              .otherwise("changed").as("cls"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"cls" === "added", 1L).otherwise(0L)).as("n_added"),
+            sum(when($"cls" === "removed", 1L).otherwise(0L))
+              .as("n_removed"),
+            sum(when($"cls" === "kept", 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"cls" === "changed", 1L).otherwise(0L))
+              .as("n_changed"))
+          .orderBy($"lang")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, lang AS lang1, md5(text) AS h1
+             |            FROM documents WHERE doc_id % 7 <> 0),
+             |v2 AS (SELECT doc_id, lang AS lang2,
+             |         md5(CASE WHEN doc_id % 11 = 0 THEN text || '!v2'
+             |             ELSE text END) AS h2
+             |       FROM documents WHERE doc_id % 5 <> 0),
+             |j AS (SELECT COALESCE(lang1, lang2) AS lang,
+             |        CASE WHEN h1 IS NULL THEN 'added'
+             |             WHEN h2 IS NULL THEN 'removed'
+             |             WHEN h1 = h2 THEN 'kept'
+             |             ELSE 'changed' END AS cls
+             |      FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN cls = 'added' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_added,
+             |  CAST(sum(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_removed,
+             |  CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_changed
+             |FROM j GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "Corpus snapshot diff: full-outer digest join classifying " +
+        "added/removed/kept/changed per language — digests, not text, " +
+        "cross the network")
   )
 }

@@ -379,6 +379,41 @@ class Round12OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // q9r: corpus snapshot diff
+  // ---------------------------------------------------------------
+
+  test("q9r diff classes replay driver-side and partition every doc") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val v1 = docs.filter(_._1 % 7 != 0).map(d => d._1 -> (d._2, d._3)).toMap
+    val v2 = docs.filter(_._1 % 5 != 0).map { d =>
+      d._1 -> (d._2, if (d._1 % 11 == 0) d._3 + "!v2" else d._3)
+    }.toMap
+    val classes = (v1.keySet ++ v2.keySet).toSeq.map { id =>
+      val lang = v1.get(id).map(_._1).orElse(v2.get(id).map(_._1)).get
+      val cls = (v1.get(id), v2.get(id)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some((_, a)), Some((_, b))) if a == b => "kept"
+        case _ => "changed"
+      }
+      (lang, cls)
+    }
+    val want = classes.groupBy(_._1).map { case (lang, cs) =>
+      lang -> (cs.size.toLong,
+        cs.count(_._2 == "added").toLong, cs.count(_._2 == "removed").toLong,
+        cs.count(_._2 == "kept").toLong, cs.count(_._2 == "changed").toLong)
+    }
+    val got = graft.SparkEntry.queries("q9r_corpus_diff")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == want && got.nonEmpty)
+    // the classes tile: every row is exactly one of the four
+    got.values.foreach { case (n, a, r, k, c) => assert(n == a + r + k + c) }
+  }
+
+  // ---------------------------------------------------------------
   // q9n: incrementally maintained IVF cell directory
   // ---------------------------------------------------------------
 
