@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegWidthExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pngAdam7Encode)
     ext.injectFunction(GraftExtensions.pngAdam7Pixels)
     ext.injectFunction(GraftExtensions.pngAdam7FilterTypes)
+    ext.injectFunction(GraftExtensions.jpegEncode)
+    ext.injectFunction(GraftExtensions.jpegPixels)
+    ext.injectFunction(GraftExtensions.jpegDcCategories)
+    ext.injectFunction(GraftExtensions.jpegWidth)
+    ext.injectFunction(GraftExtensions.jpegHeight)
   }
 }
 
@@ -271,6 +276,39 @@ object GraftExtensions {
       "png_adam7_filter_types"),
     (args: Seq[Expression]) => PngAdam7FilterTypesExpr(args.head))
 
+  private val jpegEncode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("jpeg_gray8_encode"),
+    new ExpressionInfo(classOf[JpegGray8EncodeExpr].getName,
+      "jpeg_gray8_encode"),
+    (args: Seq[Expression]) => JpegGray8EncodeExpr(args(0), args(1)))
+
+  private val jpegPixels: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("jpeg_gray8_pixels"),
+    new ExpressionInfo(classOf[JpegGray8PixelsExpr].getName,
+      "jpeg_gray8_pixels"),
+    (args: Seq[Expression]) => JpegGray8PixelsExpr(args.head))
+
+  private val jpegDcCategories: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("jpeg_dc_categories"),
+    new ExpressionInfo(classOf[JpegDcCategoriesExpr].getName,
+      "jpeg_dc_categories"),
+    (args: Seq[Expression]) => JpegDcCategoriesExpr(args.head))
+
+  private val jpegWidth: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("jpeg_width"),
+    new ExpressionInfo(classOf[JpegWidthExpr].getName, "jpeg_width"),
+    (args: Seq[Expression]) => JpegWidthExpr(args.head))
+
+  private val jpegHeight: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("jpeg_height"),
+    new ExpressionInfo(classOf[JpegHeightExpr].getName, "jpeg_height"),
+    (args: Seq[Expression]) => JpegHeightExpr(args.head))
+
   /** Idempotent per-session registration for sessions not created with
     * the extensions config (e.g. the driver harness's own session). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -282,7 +320,8 @@ object GraftExtensions {
         aviEncode, aviFrames, anchorWindows, pngEncode, pngPixels,
         pngRgbEncode, pngRgbPixels, pngPaletteEncode, pngPaletteRgb,
         pngFilterTypes, pngWidth, pngHeight, pngAdam7Encode,
-        pngAdam7Pixels, pngAdam7FilterTypes))
+        pngAdam7Pixels, pngAdam7FilterTypes, jpegEncode, jpegPixels,
+        jpegDcCategories, jpegWidth, jpegHeight))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
   }

@@ -15,6 +15,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // one state-store provider for the whole session: q6d's state-v2
+      // operator needs RocksDB and pins it session-globally (its
+      // DataFrame is lazy, so it cannot restore the conf) — pinning it
+      // here too makes that set idempotent instead of run-order-visible
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -408,7 +408,13 @@ object EventOps extends Registry {
         import s.implicits._
         // state-v2 operators execute against the state-store API even
         // in batch mode; the RocksDB provider is the one that supports
-        // the v2 column families
+        // the v2 column families. Deliberately session-global and NOT
+        // restored: the returned DataFrame is lazy, so a save/restore
+        // here would revert the conf before execution reads it. The
+        // Bench and Verify session builders pin the same value up
+        // front, making this set idempotent there — every run sees ONE
+        // provider for the whole session instead of a run-order-
+        // dependent switch.
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state." +
             "RocksDBStateStoreProvider")

@@ -630,8 +630,12 @@ object Similarity extends Registry {
     // it the brute-force scorer (the expensive subtree) runs twice in
     // the one action. It is ≤ 20 queries × K rows — checkpoint it once.
     val exSf = knnExactOn(c).localCheckpoint(true)
+    // the fixture exact top-5 feeds famRow's join AND its possible-agg —
+    // checkpoint it too (≤ fixture-query-count × K rows) so the fixture
+    // brute-force subtree runs once, not twice, in the one action
+    val exFc = knnExactOn(fc).localCheckpoint(true)
     val rows = famRow("ivfpq_fixture", AnnRecallPinIvfPqFixture,
-        ivfpqTopkOn(fc, centerSeed), knnExactOn(fc))
+        ivfpqTopkOn(fc, centerSeed), exFc)
       .unionAll(famRow("ivfpq_sf", AnnRecallPinIvfPqSf,
         ivfpqTopkOn(c), exSf))
       .unionAll(famRow("lsh_sf", AnnRecallPinLsh, knnLshOn(c), exSf))

@@ -168,7 +168,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "q47_simhash_fixture", "q48_dup_clusters", "q4a_dedup_apply",
       "q73_onekg_e2e",
       "q74_gtex_e2e", "q77_partitioned_scan", "q78_compaction",
-      "q79_zorder_layout", "q58_ivfpq_partitioned", "q7a_bucketed_join")
+      "q79_zorder_layout", "q58_ivfpq_partitioned", "q7a_bucketed_join",
+      // r12's eagerly-materializing defs: q9j runs a localCheckpoint job,
+      // q9n/q9p execute full state build + merge-vs-rebuild require()
+      // comparisons; q9j's lazy form is window-audited in its own test
+      // above, the others in Round12OpsSpec
+      "q9j_pagerank", "q9n_ivf_incremental", "q9p_feature_moments")
     def hasLimitBelow(p: LogicalPlan): Boolean =
       p.collectFirst { case _: GlobalLimit => (); case _: LocalLimit => () }.nonEmpty
     val offenders = graft.SparkEntry.allDefs
