@@ -1078,6 +1078,81 @@ object Multimodal extends Registry {
       doc = "Image near-dup retrieval: perceptual dHash over the real " +
         "PNG decode (64 NN-grid gradient bits as two 32-bit halves), " +
         "broadcast queries ranked by XOR popcount — signatures, not " +
-        "pixels, cross the network")
+        "pixels, cross the network"),
+
+    // ------------------------------------------------------------------
+    // q8f: REAL baseline JPEG decode (expressions.JpegGray8) — the
+    // dominant real-world image codec and the family's first ENTROPY-
+    // CODED + TRANSFORM format: the decoder runs a true huffman
+    // bitstream decode (canonical tables from DHT, byte-unstuffing),
+    // dequant, zigzag and an 8×8 IDCT before a pixel exists. JPEG is
+    // lossy, so the oracle-replay trick needs the encode to be exactly
+    // invertible: each payload byte becomes one CONSTANT 8×8 block
+    // (DC-only, all-ones quant table), whose IDCT is exactly integral
+    // in any compliant decoder — DuckDB replays every statistic from
+    // payload bytes (padded to the block grid) while the decoder still
+    // walks the full entropy path. The n_dc_cats column (distinct DC
+    // magnitude categories ACTUALLY DECODED from the bitstream, pinned
+    // by the oracle's recomputation from payload differentials) proves
+    // the huffman decode ran — a decoder shortcutting the stream cannot
+    // produce it. Lossy-path coverage (real AC coefficients, ImageIO's
+    // own tables, non-multiple-of-8 geometry) is JpegGray8Spec's
+    // cross-decode direction. Narrow per-asset work; the only shuffle
+    // is the final grouped agg.
+    QueryDef(
+      "q8f_jpeg_gray8",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        val wb = 4 // blocks per row → 32-pixel-wide images
+        corpus(s, dir).filter(col("modality") === "image")
+          .select(col("doc_id"),
+            expr(s"jpeg_gray8_encode(payload, $wb)").as("jpeg"))
+          .select(col("doc_id"),
+            expr("jpeg_width(jpeg)").as("width"),
+            expr("jpeg_height(jpeg)").as("height"),
+            size(array_distinct(expr("jpeg_dc_categories(jpeg)")))
+              .as("n_dc_cats"),
+            expr("jpeg_gray8_pixels(jpeg)").as("px"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("n_dc_cats"), posexplode(col("px")).as(Seq("pos", "b")))
+          .groupBy(col("doc_id"), col("width"), col("height"),
+            col("n_dc_cats"))
+          .agg(count(lit(1)).as("n_pixels"),
+            sum(col("b").cast("long")).as("px_sum"),
+            sum((col("b") * (pmod(col("pos"), lit(1000)) + 1)).cast("long"))
+              .as("pos_checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS bl FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |st AS (
+             |  SELECT doc_id, octet_length(bl) AS n,
+             |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(bl))] AS bs
+             |  FROM a),
+             |g AS (SELECT doc_id, n,
+             |        bs || [0 for x in range(4 * greatest(1, (n + 3) // 4) - n)]
+             |          AS bf,
+             |        greatest(1, (n + 3) // 4) AS h
+             |      FROM st)
+             |SELECT doc_id, 32 AS width, CAST(h * 8 AS INTEGER) AS height,
+             |  len(list_distinct([
+             |    CASE WHEN d = 0 THEN 0
+             |         ELSE CAST(floor(log2(abs(d))) AS INT) + 1 END
+             |    for d in [8*(bf[i+1]-128) -
+             |              CASE WHEN i = 0 THEN 0 ELSE 8*(bf[i]-128) END
+             |              for i in range(len(bf))]])) AS n_dc_cats,
+             |  CAST(h * 4 * 64 AS BIGINT) AS n_pixels,
+             |  CAST(64 * coalesce(list_sum(bf), 0) AS BIGINT) AS px_sum,
+             |  CAST(coalesce(list_sum([bf[i+1] * list_sum([
+             |      ((((i // 4) * 8 + p // 8) * 32 + (i % 4) * 8 + (p % 8))
+             |        % 1000) + 1
+             |      for p in range(64)])
+             |    for i in range(len(bf))]), 0) AS BIGINT) AS pos_checksum
+             |FROM g ORDER BY doc_id""".stripMargin),
+      doc = "Real baseline JPEG decode: marker walk + canonical huffman " +
+        "entropy decode + dequant + zigzag + IDCT, DC-category coverage " +
+        "proven in-band, exact despite the lossy format (DC-only blocks)")
   )
 }
