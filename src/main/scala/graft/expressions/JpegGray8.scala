@@ -493,6 +493,18 @@ object JpegGray8 {
           k += 1
         }
       }
+      // DC-only shortcut (libjpeg's jidctint does the same): a block
+      // with no AC coefficients IDCTs to the constant DC/8 exactly —
+      // skips the 64×64 basis walk for the common flat-block case
+      var onlyDc = true
+      var ci = 1
+      while (onlyDc && ci < 64) { if (coef(ci) != 0) onlyDc = false; ci += 1 }
+      val dcConst =
+        if (!onlyDc) 0
+        else {
+          val s = math.round(coef(0) / 8.0 + 128.0).toInt
+          if (s < 0) 0 else if (s > 255) 255 else s
+        }
       // direct double IDCT + level shift + clamp, cropped to geometry
       val bx = (bi % wb) * 8
       val by = (bi / wb) * 8
@@ -504,22 +516,25 @@ object JpegGray8 {
           while (x < 8) {
             val pxx = bx + x
             if (pxx < p.width) {
-              var sum = 0.0
-              var u = 0
-              while (u < 8) {
-                val cu = if (u == 0) InvSqrt2 else 1.0
-                var v = 0
-                while (v < 8) {
-                  val cv = if (v == 0) InvSqrt2 else 1.0
-                  val c = coef(v * 8 + u)
-                  if (c != 0) sum += cu * cv * c * Cos(x)(u) * Cos(y)(v)
-                  v += 1
+              if (onlyDc) px(py * p.width + pxx) = dcConst
+              else {
+                var sum = 0.0
+                var u = 0
+                while (u < 8) {
+                  val cu = if (u == 0) InvSqrt2 else 1.0
+                  var v = 0
+                  while (v < 8) {
+                    val cv = if (v == 0) InvSqrt2 else 1.0
+                    val c = coef(v * 8 + u)
+                    if (c != 0) sum += cu * cv * c * Cos(x)(u) * Cos(y)(v)
+                    v += 1
+                  }
+                  u += 1
                 }
-                u += 1
+                val s = math.round(sum / 4.0 + 128.0).toInt
+                px(py * p.width + pxx) =
+                  if (s < 0) 0 else if (s > 255) 255 else s
               }
-              val s = math.round(sum / 4.0 + 128.0).toInt
-              px(py * p.width + pxx) =
-                if (s < 0) 0 else if (s > 255) 255 else s
             }
             x += 1
           }

@@ -315,6 +315,66 @@ object FhirEtl extends Registry {
       doc = "J3/F7 GTEx Group: oracle recomputes SAMPID strip + intersection"),
 
     // ------------------------------------------------------------------
+    // q2c: the GTEx Group at GOLDEN SCALE — the reference's Specimen
+    // golden is a 43,559-row blob elided upstream
+    // (.MISSING_LARGE_BLOBS), so q2a/q2b gate the transform on 5 rows
+    // and A5's 43,559-member array was never exercised at its real
+    // size. The full-scale synthetic fixtures
+    // (tools/make_gtex_scale_fixtures.py, committed) carry 43,559
+    // shared ids plus disjoint tails on each side (150 samples-only,
+    // 200 attrs-only), so the J3 semi-join actually excludes rows in
+    // both directions and the collect-to-array runs at the golden
+    // cardinality. n_members and the pre-minting key-set checksum
+    // (16-bit md5-prefix sum — the oracle-determinism recipe) are
+    // FULLY recomputed by the oracle from the fixtures; the group id
+    // and lexicographic min/max member references are uuid5-minted, so
+    // they are literal-pinned like q2a's ids (DuckDB has no sha1 — the
+    // minting chain itself is golden-proven via q20-q29).
+    QueryDef(
+      "q2c_gtex_group_scale",
+      (s, _) => {
+        val attrs = Gtex.readTsv(s, s"$FixtureDir/gtex_sample_attrs_full.tsv")
+        val samples = Gtex.readTsv(s, s"$FixtureDir/gtex_samples_full.tsv")
+        val keys = attrs
+          .select(graft.functions.Fns.sampidKey(col("SAMPID")).as("sample_id"))
+          .distinct()
+          .join(samples.select(col("aliquotId").as("sample_id")).distinct(),
+            Seq("sample_id"), "left_semi")
+          .agg(sum(Sampling.md5Prefix16(col("sample_id"))).as("key_checksum"))
+        val g = Gtex.group(attrs, samples)
+        g.select(
+          col("id"), col("type"), col("membership"),
+          size(col("member")).as("n_members"),
+          element_at(col("member"), 1)("entity")("reference").as("min_member"),
+          element_at(col("member"), size(col("member")))("entity")("reference")
+            .as("max_member"))
+          .crossJoin(keys.select(col("key_checksum")))
+      },
+      Some(s"""WITH attrs AS (SELECT * FROM read_csv(
+             |    '$FixtureDir/gtex_sample_attrs_full.tsv',
+             |    delim='\t', header=true, all_varchar=true)),
+             |samples AS (SELECT * FROM read_csv(
+             |    '$FixtureDir/gtex_samples_full.tsv',
+             |    delim='\t', header=true, all_varchar=true)),
+             |stripped AS (SELECT DISTINCT CASE
+             |    WHEN len(string_split(SAMPID, '-')) >= 2
+             |    THEN string_split(SAMPID, '-')[-2] || '-' ||
+             |         string_split(SAMPID, '-')[-1]
+             |    ELSE SAMPID END AS sample_id FROM attrs),
+             |inter AS (SELECT sample_id FROM stripped
+             |  WHERE sample_id IN (SELECT DISTINCT aliquotId FROM samples))
+             |SELECT 'e15af919-ded6-510a-a538-1449bfb57fc4' AS id,
+             |  'specimen' AS type, 'definitional' AS membership,
+             |  CAST(count(*) AS INT) AS n_members,
+             |  'Specimen/00034626-3748-5609-93a7-7d8be7c81bb9' AS min_member,
+             |  'Specimen/ffff50a5-4885-5253-b9c3-f150a8eb15ac' AS max_member,
+             |  CAST(sum(CAST(('0x' || substr(md5(sample_id), 1, 4)) AS BIGINT))
+             |    AS BIGINT) AS key_checksum
+             |FROM inter""".stripMargin),
+      doc = "A5/J3 at golden scale: 43,559-member Group from full-scale " +
+        "fixtures, key-set checksum oracle-recomputed, boundary refs pinned"),
+
+    // ------------------------------------------------------------------
     QueryDef(
       "q72_gtex_patient_restsource",
       // same transform as q27 but fed by the S3 paginated-REST
