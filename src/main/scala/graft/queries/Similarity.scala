@@ -795,6 +795,114 @@ object Similarity extends Registry {
        |) z ORDER BY family""".stripMargin
 
   // ------------------------------------------------------------------
+  // q5f: the recall CONTRACT measured on the PRODUCTION layout — q5b's
+  // IVF-PQ arm serves from inline logical routing, but the path that
+  // actually runs at 100 TB is q58's hive-partitioned cell directory.
+  // Measuring the floor on that layout makes it meaningful: the full
+  // q5b query set routes through a PartitionFilters-pruned scan (the
+  // FileIndex is asked to list files with and without the predicate to
+  // PROVE directories were pruned before IO), ADC-scores codes read
+  // from the pruned scan only, and recall@5 vs the exact top-5 must
+  // clear the same honestly-low floor as the logical arm (nprobe=2 of
+  // 8 cells on a cluster-free corpus misses by construction — the
+  // routing is identical to q57/q58, so the floor transfers). Both the
+  // floor AND the pruning proof are require()d driver-side.
+  // ------------------------------------------------------------------
+  def annRecallPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratchDir("q5f_cells")
+    val c = corpus(s, dir)
+    // build: the q58 layout — hive-partitioned by q52 cell assignment
+    table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .join(assignCells(c).select(col("vec_id"),
+        col("cell").cast("int").as("cell")), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+    // serve: the FULL q5b query set probes its cells; the probed set is
+    // bounded metadata (≤ 2 cells × ≤ 20 queries). A 20-query batch
+    // usually unions to ALL cells (2×20 probes over 8 directories), so
+    // the batch scan legitimately reads everything — the pruning CLAIM
+    // is per-query: one query's serve touches only its nprobe=2
+    // directories, proven below on q_id=0's scan the q58 way.
+    val probes = probeCells(c)
+    val servedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0).toInt).sorted
+    val pruned = s.read.parquet(out)
+      .filter(col("cell").isin(servedCells.map(Int.box): _*))
+    val q0Cells = probes.filter(col("q_id") === 0)
+      .select(col("cell")).distinct()
+      .collect().map(_.getLong(0).toInt).sorted
+    val q0Scan = s.read.parquet(out)
+      .filter(col("cell").isin(q0Cells.map(Int.box): _*))
+      .queryExecution.sparkPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(throw new IllegalStateException(
+        "q5f: no FileSourceScanExec in the single-query pruned read"))
+    val cellsScanned =
+      q0Scan.relation.location.listFiles(q0Scan.partitionFilters, Nil).length
+    val cellsTotal = q0Scan.relation.location.listFiles(Nil, Nil).length
+    // score: q56 ADC, codes computed from the PRUNED scan only
+    val fullSplit = pqSplit(c)
+    val cb = pqCodebook(fullSplit)
+    val codes = pqCodes(pqSplit(corpusOf(
+      pruned.select(col("vec_id"), col("embedding")))), cb)
+    val lut = pqLut(fullSplit, cb)
+    val cands = pruned
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("q_id"), col("vec_id"))
+    val ann = adcTopK(adcScores(codes, lut, Some(cands)))
+    val exPairs = knnExactOn(c).localCheckpoint(true)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = ann.select(col("q_id"), col("neighbor_id"))
+      .join(exPairs, Seq("q_id", "neighbor_id"), "left_semi")
+    val row = exPairs
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("possible"))
+      .crossJoin(hits.agg(count(lit(1)).as("hits"))) // two 1-row aggs
+      .select(lit("ivfpq_partitioned").as("family"), col("n_queries"),
+        col("hits"), col("possible"),
+        round(col("hits").cast("double") / col("possible"), 4).as("recall"),
+        lit(AnnRecallPinIvfPqSf).as("min_recall"),
+        lit(cellsScanned).as("cells_scanned"),
+        lit(cellsTotal).as("cells_total"),
+        lit(cellsScanned < cellsTotal).as("partition_pruned"))
+      .localCheckpoint(true) // 1 row — also feeds the require()s below
+    row.collect().foreach { r =>
+      require(r.getDouble(4) >= r.getDouble(5),
+        s"partitioned ANN recall contract violated: ${r.getDouble(4)} < " +
+          s"pinned ${r.getDouble(5)}")
+      require(r.getBoolean(8),
+        s"q5f scanned every cell directory (${r.getInt(6)} of " +
+          s"${r.getInt(7)}) — partition pruning regressed")
+    }
+    row
+  }
+
+  /** The q5f oracle: the logical IVF-PQ replay (identical routing and
+    * codes — q58's oracle proves physical ≡ logical) plus exact top-5 →
+    * one recall row, with the layout counts recomputed as distinct
+    * probed/assigned cells. */
+  private def annRecallPartitionedOracle: String =
+    s"""WITH ${annNormSql("", "embeddings")},
+       |${annIvfpqSql("", "vec_id < 8")},
+       |lay AS (SELECT
+       |    CAST((SELECT count(DISTINCT cell) FROM probes WHERE q_id = 0)
+       |      AS INT) AS cells_scanned,
+       |    CAST((SELECT count(DISTINCT cell) FROM cells) AS INT)
+       |      AS cells_total)
+       |SELECT 'ivfpq_partitioned' AS family,
+       |  (SELECT count(DISTINCT q_id) FROM t50) AS n_queries,
+       |  (SELECT count(*) FROM tivf a JOIN t50 b
+       |     USING (q_id, neighbor_id)) AS hits,
+       |  (SELECT count(*) FROM t50) AS possible,
+       |  round(CAST((SELECT count(*) FROM tivf a JOIN t50 b
+       |     USING (q_id, neighbor_id)) AS DOUBLE) /
+       |     (SELECT count(*) FROM t50), 4) AS recall,
+       |  CAST($AnnRecallPinIvfPqSf AS DOUBLE) AS min_recall,
+       |  cells_scanned, cells_total,
+       |  cells_scanned < cells_total AS partition_pruned
+       |FROM lay""".stripMargin
+
+  // ------------------------------------------------------------------
   // q5c: SemDeDup with a corpus-SCALED codebook — q59 freezes k = 8 and
   // documents that k must grow with the corpus to hold cell size
   // constant; this query turns that comment into evidence. k derives
@@ -1104,6 +1212,15 @@ object Similarity extends Registry {
       Some(annRecallOracle),
       doc = "ANN recall contract: recall@5 of LSH and IVF-PQ vs exact, " +
         "pinned floors enforced driver-side (errors on quality regression)"),
+
+    QueryDef(
+      "q5f_ann_recall_partitioned",
+      (s, dir) => annRecallPartitioned(s, dir),
+      Some(annRecallPartitionedOracle),
+      doc = "ANN recall contract on the PRODUCTION layout: the full " +
+        "query set served via the hive-partitioned cell directory, " +
+        "per-query partition pruning proven from the FileIndex, floor " +
+        "require()d driver-side"),
 
     // ------------------------------------------------------------------
     // q55: product-quantization assignment — the vector-compression
