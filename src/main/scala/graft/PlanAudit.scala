@@ -72,7 +72,9 @@ object PlanAudit {
     "q8a_image_resize",       // decode+NN-resize fused in one narrow pass
     "q8b_video_thumbnails",   // frame explode + per-row thumb reduction
     "q9h_lm_incremental",     // stored LM tables + delta counts, additive merge
-    "q8d_png_adam7")          // seven-pass interlaced decode, one narrow pass
+    "q8d_png_adam7",          // seven-pass interlaced decode, one narrow pass
+    "q8f_jpeg_gray8",         // baseline JPEG entropy+IDCT decode, narrow pass
+    "q2c_gtex_group_scale")   // 43,559-member collect-to-array + semi-join
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

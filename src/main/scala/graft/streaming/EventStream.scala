@@ -283,7 +283,12 @@ object EventStream {
       run_cents: Long)
   case class RunTotals(seq: Long, cents: Long)
 
-  class RunningTotalsProcessor
+  /** `ttl = None` keeps state forever (the q6d batch-parity form);
+    * `Some(d)` ages each user's ValueState out after `d` of processing
+    * time — the bound that stops per-key state growing without limit
+    * under an unbounded key space (requires TimeMode.ProcessingTime;
+    * StreamingSpec proves eviction AND retention on RocksDB). */
+  class RunningTotalsProcessor(ttl: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, RunEvent, RunOut] {
     @transient private var totals:
@@ -292,7 +297,8 @@ object EventStream {
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       totals = getHandle.getValueState[RunTotals]("totals",
         org.apache.spark.sql.Encoders.product[RunTotals],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttl.map(org.apache.spark.sql.streaming.TTLConfig.apply)
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
     override def handleInputRows(userId: Long, rows: Iterator[RunEvent],
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[RunOut] = {
@@ -328,6 +334,28 @@ object EventStream {
     typed.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
+  /** TTL-bounded running totals (streaming only): same fold, but each
+    * user's state evicts after `ttl` of processing time — a key seen
+    * again later restarts at seq 1 instead of resuming, and idle keys
+    * stop occupying the store. TimeMode.ProcessingTime is what arms
+    * the TTL machinery (TimeMode.None ignores it). */
+  def runningTotalsTtl(events: DataFrame,
+      ttl: java.time.Duration): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    org.apache.spark.sql.GraftStateBootstrap.ensureCoordinator(s)
+    val typed: Dataset[RunEvent] = events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[RunEvent]
+    typed.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(Some(ttl)),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Append())
       .toDF()
   }

@@ -569,6 +569,109 @@ class StreamingSpec extends AnyFunSuite {
     assert(crossing, "split produced no state-crossing running totals")
   }
 
+  test("q6d state-v2 TTL: ValueState evicts after the TTL and survives " +
+    "within it (RocksDB provider, multi-key)") {
+    import org.apache.spark.sql.functions._
+    // TTL semantics on a real stream with CONTROLLED wall-clock gaps:
+    // the same key set arrives in two triggers separated by a sleep
+    // much longer than a short TTL — the second trigger must see FRESH
+    // state (seq restarts at 1: eviction). A third run under a LONG
+    // TTL over the same staging must see CARRIED state (seq continues:
+    // TTL is an age-out, not an always-drop). Both drain the identical
+    // multi-key slice (user_id < 20), so per-key isolation rides along.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val all = EventStream.readBatch(spark, s"$sfDir/events.parquet")
+      .filter(col("user_id") < 20)
+    val midNs = all.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    val first = all.filter(col("ts") < midNs)
+    val second = all.filter(col("ts") >= midNs)
+    val secondIds = second.select(col("event_id"))
+      .collect().map(_.getLong(0)).toSet
+    val secondPerUserMin = second
+      .groupBy(col("user_id")).agg(min(struct(col("ts"), col("event_id"))))
+      .collect().map(r => r.getStruct(1).getLong(1)).toSet
+
+    // TimeMode.ProcessingTime arms the no-data trigger loop (batches
+    // keep running to service TTL timers), so processAllAvailable never
+    // settles — each trigger is instead drained as its own
+    // Trigger.AvailableNow RUN over one shared checkpoint. That also
+    // strengthens the claim: ValueState and its TTL must survive a
+    // query RESTART through the RocksDB checkpoint, not just a trigger
+    // boundary inside one run.
+    def drain(ttl: java.time.Duration, tag: String): Map[Long, Long] = {
+      val streamDir = java.nio.file.Files.createTempDirectory(s"ttl-$tag")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"ttl-ckpt-$tag").toString
+      def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = streamDir.resolve(name + ".tmp")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(_.getFileName.toString.startsWith("part-")).findFirst.get()
+        java.nio.file.Files.copy(part, streamDir.resolve(name))
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(); ()
+        }
+        rm(tmp.toFile)
+      }
+      // the memory sink refuses checkpoint recovery, so output goes to
+      // a FILE sink (restart-capable); and because processing-time
+      // timers keep no-data batches flowing (neither
+      // processAllAvailable nor AvailableNow ever settles), each run is
+      // stopped once the sink holds the expected committed row count
+      val outDir = java.nio.file.Files
+        .createTempDirectory(s"ttl-out-$tag").toString
+      def sinkRows(): Array[org.apache.spark.sql.Row] =
+        try spark.read.parquet(outDir)
+          .select(org.apache.spark.sql.functions.col("event_id"),
+            org.apache.spark.sql.functions.col("seq")).collect()
+        catch { case _: Exception => Array.empty }
+      def runUntil(expected: Long): Unit = {
+        val schema = spark.read.parquet(streamDir.toString).schema
+        val query = EventStream.runningTotalsTtl(
+          EventStream.normalizeTs(
+            spark.readStream.schema(schema).parquet(streamDir.toString)),
+          ttl)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (sinkRows().length < expected &&
+              System.nanoTime() < deadline)
+            Thread.sleep(200)
+          assert(sinkRows().length >= expected,
+            s"sink never reached $expected rows")
+        } finally query.stop()
+      }
+      stageFlat(first, "a-first.parquet")
+      val n1 = first.count()
+      runUntil(n1)
+      Thread.sleep(1200) // >> the short TTL, << the long one
+      stageFlat(second, "b-second.parquet")
+      runUntil(n1 + second.count())
+      sinkRows().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    val evicted = drain(java.time.Duration.ofMillis(200), "short")
+    // EVICTION: every user's FIRST second-trigger event restarts at 1
+    assert(secondPerUserMin.nonEmpty &&
+      secondPerUserMin.forall(id => evicted.get(id).contains(1L)),
+      "short-TTL state survived the gap — eviction did not happen")
+    val kept = drain(java.time.Duration.ofHours(1), "long")
+    // RETENTION: within the TTL the totals continue across the gap —
+    // identical to the untimed batch fold for every event
+    val want = EventStream.runningTotals(all).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(secondIds.nonEmpty &&
+      secondIds.forall(id => kept.get(id) == want.get(id)),
+      "long-TTL state did not carry across the gap")
+    // and some user genuinely continued (seq > 1 on a second-half row)
+    assert(secondIds.exists(id => kept(id) > 1L),
+      "no cross-trigger continuation observed under the long TTL")
+  }
+
   test("streaming bloom maintenance: per-trigger OR folds equal a " +
     "from-scratch filter bit-for-bit, and replay cannot corrupt it") {
     // the q9m membership state driven by a STREAM: documents arrive as
