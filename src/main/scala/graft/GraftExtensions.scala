@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegWidthExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -47,6 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jpegDcCategories)
     ext.injectFunction(GraftExtensions.jpegWidth)
     ext.injectFunction(GraftExtensions.jpegHeight)
+    ext.injectFunction(GraftExtensions.jpegYcbcrEncode)
+    ext.injectFunction(GraftExtensions.jpegRgbPixels)
   }
 }
 
@@ -297,6 +299,21 @@ object GraftExtensions {
       "jpeg_dc_categories"),
     (args: Seq[Expression]) => JpegDcCategoriesExpr(args.head))
 
+  private val jpegYcbcrEncode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("jpeg_ycbcr420_encode"),
+    new ExpressionInfo(classOf[JpegYcbcr420EncodeExpr].getName,
+      "jpeg_ycbcr420_encode"),
+    (args: Seq[Expression]) =>
+      JpegYcbcr420EncodeExpr(args(0), args(1), args(2), args(3)))
+
+  private val jpegRgbPixels: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("jpeg_rgb_pixels"),
+    new ExpressionInfo(classOf[JpegRgbPixelsExpr].getName,
+      "jpeg_rgb_pixels"),
+    (args: Seq[Expression]) => JpegRgbPixelsExpr(args.head))
+
   private val jpegWidth: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("jpeg_width"),
@@ -321,7 +338,8 @@ object GraftExtensions {
         pngRgbEncode, pngRgbPixels, pngPaletteEncode, pngPaletteRgb,
         pngFilterTypes, pngWidth, pngHeight, pngAdam7Encode,
         pngAdam7Pixels, pngAdam7FilterTypes, jpegEncode, jpegPixels,
-        jpegDcCategories, jpegWidth, jpegHeight))
+        jpegDcCategories, jpegWidth, jpegHeight, jpegYcbcrEncode,
+        jpegRgbPixels))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
   }

@@ -91,6 +91,37 @@ object JpegGray8 {
     0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
     0xf9, 0xfa)
 
+  /** Annex K.4: chrominance DC code lengths + values. */
+  private val DcBitsC: Array[Int] =
+    Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcValsC: Array[Int] = (0 to 11).toArray
+
+  /** Annex K.6: chrominance AC code lengths + values. */
+  private val AcBitsC: Array[Int] =
+    Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119)
+  private val AcValsC: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
   /** cos((2x+1)·u·π/16) table for the direct 2-D IDCT. */
   private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
     math.cos((2 * x + 1) * u * math.Pi / 16.0)
@@ -246,19 +277,151 @@ object JpegGray8 {
     out.toByteArray
   }
 
+  /** Baseline YCbCr 4:2:0 color encode — the MCU-interleaved,
+    * chroma-subsampled layout real crawled JPEGs overwhelmingly use.
+    * Each MCU consumes FOUR payload bytes as its four constant Y
+    * blocks (raster quadrant order); Cb and Cr are CONSTANT across the
+    * whole image (`cb`/`cr` args), which is what keeps the decode
+    * exact under ANY chroma upsampling filter (replication, libjpeg's
+    * triangular, ImageIO's — a constant plane upsamples to itself), so
+    * the oracle replays pixels from payload bytes while the decoder
+    * still runs the full interleaved-MCU path: per-component huffman
+    * state (Annex K luma AND chroma table sets), per-component DC
+    * predictors, subsampled chroma planes, upsampling, and the JFIF
+    * YCbCr→RGB matrix. Image geometry: (16·widthMcus) ×
+    * (16·ceil(len/(4·widthMcus))), zero-Y tail. */
+  def encodeYcbcr420(payload: Array[Byte], widthMcus: Int,
+      cb: Int, cr: Int): Array[Byte] = {
+    require(widthMcus > 0 && widthMcus <= (1 << 12),
+      s"jpeg: widthMcus must be in (0, 2^12], got $widthMcus")
+    require(cb >= 0 && cb <= 255 && cr >= 0 && cr <= 255,
+      s"jpeg: chroma constants must be bytes, got ($cb, $cr)")
+    val wm = widthMcus
+    val hm = math.max(1, (payload.length + 4 * wm - 1) / (4 * wm))
+    require(hm <= (1 << 12),
+      s"jpeg: payload needs $hm MCU rows > 2^12 at widthMcus $wm")
+    val width = wm * 16
+    val height = hm * 16
+    val out = new java.io.ByteArrayOutputStream(payload.length * 4 + 1024)
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF v1.01
+    out.write('J'); out.write('F'); out.write('I'); out.write('F'); out.write(0)
+    out.write(1); out.write(1); out.write(0); u16(0); u16(0)
+    out.write(0); out.write(0)
+    // DQT: tables 0 (luma) and 1 (chroma), both all-ones
+    marker(0xdb); u16(2 + 2 * (1 + 64))
+    for (tq <- 0 to 1) {
+      out.write(tq)
+      var i = 0
+      while (i < 64) { out.write(1); i += 1 }
+    }
+    // SOF0: 3 components — Y 2x2/q0, Cb 1x1/q1, Cr 1x1/q1
+    marker(0xc0); u16(8 + 9)
+    out.write(8); u16(height); u16(width); out.write(3)
+    out.write(1); out.write(0x22); out.write(0)
+    out.write(2); out.write(0x11); out.write(1)
+    out.write(3); out.write(0x11); out.write(1)
+    // DHT: all four Annex K tables (DC/AC × luma/chroma)
+    marker(0xc4); u16(2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length)
+      + (1 + 16 + DcValsC.length) + (1 + 16 + AcValsC.length))
+    out.write(0x00); DcBits.foreach(out.write); DcVals.foreach(out.write)
+    out.write(0x10); AcBits.foreach(out.write); AcVals.foreach(out.write)
+    out.write(0x01); DcBitsC.foreach(out.write); DcValsC.foreach(out.write)
+    out.write(0x11); AcBitsC.foreach(out.write); AcValsC.foreach(out.write)
+    // SOS: interleaved Y(0,0) Cb(1,1) Cr(1,1), full spectrum
+    marker(0xda); u16(6 + 6)
+    out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x11)
+    out.write(3); out.write(0x11)
+    out.write(0); out.write(63); out.write(0)
+    val dcY = canonicalCodes(DcBits, DcVals)
+    val acY = canonicalCodes(AcBits, AcVals)
+    val dcC = canonicalCodes(DcBitsC, DcValsC)
+    val acC = canonicalCodes(AcBitsC, AcValsC)
+    var bitBuf = 0L
+    var nBits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      if (len > 0) {
+        bitBuf = (bitBuf << len) | (code & ((1L << len) - 1))
+        nBits += len
+        while (nBits >= 8) {
+          val b = ((bitBuf >> (nBits - 8)) & 0xff).toInt
+          out.write(b)
+          if (b == 0xff) out.write(0x00)
+          nBits -= 8
+        }
+      }
+    }
+    def putBlock(dc: Int, prev: Int, dcCodes: Map[Int, (Int, Int)],
+        acCodes: Map[Int, (Int, Int)]): Unit = {
+      val diff = dc - prev
+      val cat = category(diff)
+      val (c, l) = dcCodes(cat)
+      putBits(c, l)
+      if (cat > 0) {
+        val mag = if (diff >= 0) diff else diff + (1 << cat) - 1
+        putBits(mag, cat)
+      }
+      val (ec, el) = acCodes(0x00)
+      putBits(ec, el)
+    }
+    var prevY = 0
+    var prevCb = 0
+    var prevCr = 0
+    val dcCb = 8 * (cb - 128)
+    val dcCr = 8 * (cr - 128)
+    var mcu = 0
+    val nMcus = wm * hm
+    while (mcu < nMcus) {
+      var q = 0
+      while (q < 4) { // four Y blocks, raster quadrant order
+        val bi = mcu * 4 + q
+        val v = if (bi < payload.length) payload(bi) & 0xff else 0
+        val dc = 8 * (v - 128)
+        putBlock(dc, prevY, dcY, acY)
+        prevY = dc
+        q += 1
+      }
+      putBlock(dcCb, prevCb, dcC, acC); prevCb = dcCb
+      putBlock(dcCr, prevCr, dcC, acC); prevCr = dcCr
+      mcu += 1
+    }
+    if (nBits > 0) {
+      val pad = 8 - nBits
+      putBits((1 << pad) - 1, pad)
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   // --------------------------------------------------------------
   // decoder
   // --------------------------------------------------------------
 
+  /** One SOF/SOS component: sampling factors, quant table, and (from
+    * SOS) its huffman table ids. */
+  private final class Comp(val id: Int, val h: Int, val v: Int,
+      val tq: Int) {
+    var dcId: Int = -1
+    var acId: Int = -1
+  }
+
   private final class Parsed(
       val width: Int, val height: Int,
-      val qTable: Array[Int], // raster order
-      val dcTable: HuffTable, val acTable: HuffTable,
+      val comps: Array[Comp], // scan order
+      val qTables: Array[Array[Int]], // raster order
+      val dcTables: Array[HuffTable], val acTables: Array[HuffTable],
       val restartInterval: Int,
       val data: Array[Byte], val dataOff: Int)
 
   /** Marker walk up to and including SOS; returns everything the scan
-    * decode needs. Rejects progressive/arithmetic/multi-component. */
+    * decode needs. Baseline huffman only: 1 component (grayscale) or 3
+    * (YCbCr) with luma sampling up to 2×2 and 1×1 chroma — the 4:4:4 /
+    * 4:2:2 / 4:2:0 family real JFIFs use. Rejects progressive and
+    * arithmetic coding. */
   private def parse(jpeg: Array[Byte]): Parsed = {
     if (jpeg.length < 4) fail("container too short")
     if ((jpeg(0) & 0xff) != 0xff || (jpeg(1) & 0xff) != 0xd8)
@@ -266,12 +429,10 @@ object JpegGray8 {
     var off = 2
     var width = -1
     var height = -1
-    var qTableId = -1
+    var comps: Array[Comp] = null
     val qTables = new Array[Array[Int]](4)
     val dcTables = new Array[HuffTable](4)
     val acTables = new Array[HuffTable](4)
-    var dcId = -1
-    var acId = -1
     var restart = 0
     def u16(o: Int): Int =
       if (o + 1 >= jpeg.length) fail("truncated marker length")
@@ -342,14 +503,22 @@ object JpegGray8 {
           width = u16(off + 5)
           if (width <= 0 || height <= 0) fail("bad SOF geometry")
           val nc = jpeg(off + 7) & 0xff
-          if (nc != 1)
-            fail(s"expected 1 component (grayscale), got $nc")
+          if (nc != 1 && nc != 3)
+            fail(s"expected 1 (gray) or 3 (YCbCr) components, got $nc")
           if (len != 8 + 3 * nc) fail("SOF length mismatch")
-          val samp = jpeg(off + 9) & 0xff
-          if (samp != 0x11)
-            fail(f"expected 1x1 sampling, got 0x$samp%02x")
-          qTableId = jpeg(off + 10) & 0xff
-          if (qTableId > 3) fail(s"bad SOF qtable id $qTableId")
+          comps = Array.tabulate(nc) { i =>
+            val cid = jpeg(off + 8 + 3 * i) & 0xff
+            val samp = jpeg(off + 9 + 3 * i) & 0xff
+            val ch = samp >> 4
+            val cv = samp & 0x0f
+            if (ch < 1 || ch > 2 || cv < 1 || cv > 2)
+              fail(f"unsupported sampling 0x$samp%02x for component $cid")
+            val tq = jpeg(off + 10 + 3 * i) & 0xff
+            if (tq > 3) fail(s"bad SOF qtable id $tq")
+            new Comp(cid, ch, cv, tq)
+          }
+          if (nc == 3 && comps.drop(1).exists(c => c.h != 1 || c.v != 1))
+            fail("chroma components must be 1x1 sampled")
           off += len
         case 0xc2 => fail("progressive JPEG (SOF2) not supported")
         case x if x >= 0xc5 && x <= 0xcf && x != 0xc8 =>
@@ -362,21 +531,36 @@ object JpegGray8 {
           val len = u16(off)
           if (width < 0) fail("SOS before SOF")
           val ns = jpeg(off + 2) & 0xff
-          if (ns != 1) fail(s"expected 1 scan component, got $ns")
+          if (comps == null || ns != comps.length)
+            fail(s"expected an interleaved scan of ${
+              if (comps == null) "?" else comps.length} components, got $ns")
           if (len != 6 + 2 * ns) fail("SOS length mismatch")
-          dcId = (jpeg(off + 4) & 0xff) >> 4
-          acId = jpeg(off + 4) & 0x0f
-          val ss = jpeg(off + 5) & 0xff
-          val se = jpeg(off + 6) & 0xff
+          var i = 0
+          while (i < ns) {
+            val sid = jpeg(off + 3 + 2 * i) & 0xff
+            val c = comps.find(_.id == sid).getOrElse(
+              fail(s"SOS component $sid not declared in SOF"))
+            c.dcId = (jpeg(off + 4 + 2 * i) & 0xff) >> 4
+            c.acId = jpeg(off + 4 + 2 * i) & 0x0f
+            i += 1
+          }
+          val hdr = off + 3 + 2 * ns
+          val ss = jpeg(hdr) & 0xff
+          val se = jpeg(hdr + 1) & 0xff
           if (ss != 0 || se != 63)
             fail(s"expected full-spectrum scan (0..63), got $ss..$se")
-          if ((jpeg(off + 7) & 0xff) != 0)
+          if ((jpeg(hdr + 2) & 0xff) != 0)
             fail("successive approximation not supported in baseline")
-          if (qTables(qTableId) == null) fail("SOF references a missing DQT")
-          if (dcTables(dcId) == null) fail("SOS references a missing DC DHT")
-          if (acTables(acId) == null) fail("SOS references a missing AC DHT")
-          return new Parsed(width, height, qTables(qTableId),
-            dcTables(dcId), acTables(acId), restart, jpeg, off + len)
+          comps.foreach { c =>
+            if (qTables(c.tq) == null)
+              fail(s"component ${c.id} references a missing DQT ${c.tq}")
+            if (c.dcId < 0 || dcTables(c.dcId) == null)
+              fail(s"component ${c.id} references a missing DC DHT")
+            if (c.acId < 0 || acTables(c.acId) == null)
+              fail(s"component ${c.id} references a missing AC DHT")
+          }
+          return new Parsed(width, height, comps, qTables,
+            dcTables, acTables, restart, jpeg, off + len)
         case app if app >= 0xe0 && app <= 0xef => off += u16(off) // APPn
         case 0xfe => off += u16(off) // COM
         case x => fail(f"unexpected marker 0x$x%02x before SOS")
@@ -446,119 +630,205 @@ object JpegGray8 {
     else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
     else v
 
-  /** Decode + dequant + IDCT every block; returns full decode state for
-    * the pixel and stats entry points. */
+  /** Per-component decode state: the sample plane at the component's
+    * own (subsampled) resolution, padded to whole MCUs. */
+  private final class Plane(val w: Int, val h: Int) {
+    val px = new Array[Int](w * h)
+  }
+
+  /** Decode + dequant + IDCT every block of the interleaved scan;
+    * returns the per-component planes (MCU-padded, component-resolution)
+    * plus the Y/gray component's DC categories in block-decode order. */
   private def decodeCore(jpeg: Array[Byte])
-      : (Int, Int, Array[Int], Array[Int]) = {
+      : (Parsed, Array[Plane], Array[Int]) = {
     val p = parse(jpeg)
-    val wb = (p.width + 7) / 8
-    val hb = (p.height + 7) / 8
-    val nBlocks = wb * hb
-    val px = new Array[Int](p.width * p.height)
-    val dcCats = new Array[Int](nBlocks)
+    val hmax = p.comps.map(_.h).max
+    val vmax = p.comps.map(_.v).max
+    val mcusX = (p.width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (p.height + 8 * vmax - 1) / (8 * vmax)
+    val planes = p.comps.map(c =>
+      new Plane(mcusX * 8 * c.h, mcusY * 8 * c.v))
+    val dcCats = Array.newBuilder[Int]
     val br = new BitReader(p.data, p.dataOff)
     val coef = new Array[Int](64)
-    var prevDc = 0
+    val prevDc = new Array[Int](p.comps.length)
     var rstCount = 0
-    var bi = 0
-    while (bi < nBlocks) {
-      if (p.restartInterval > 0 && bi > 0 &&
-          bi % p.restartInterval == 0) {
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (p.restartInterval > 0 && mcu > 0 &&
+          mcu % p.restartInterval == 0) {
         br.restartMarker(rstCount % 8)
         rstCount += 1
-        prevDc = 0
+        java.util.Arrays.fill(prevDc, 0)
       }
-      java.util.Arrays.fill(coef, 0)
-      // DC
-      val cat = decodeSymbol(br, p.dcTable)
-      if (cat > 15) fail(s"bad DC category $cat")
-      dcCats(bi) = cat
-      val diff = extend(br.receive(cat), cat)
-      prevDc += diff
-      coef(0) = prevDc * p.qTable(0)
-      // AC run-length
-      var k = 1
-      while (k < 64) {
-        val rs = decodeSymbol(br, p.acTable)
-        val r = rs >> 4
-        val s = rs & 0x0f
-        if (s == 0) {
-          if (r == 15) k += 16 // ZRL: sixteen zeros
-          else k = 64 // EOB
-        } else {
-          k += r
-          if (k > 63) fail("AC run past the end of the block")
-          val zz = Zigzag(k)
-          coef(zz) = extend(br.receive(s), s) * p.qTable(zz)
-          k += 1
-        }
-      }
-      // DC-only shortcut (libjpeg's jidctint does the same): a block
-      // with no AC coefficients IDCTs to the constant DC/8 exactly —
-      // skips the 64×64 basis walk for the common flat-block case
-      var onlyDc = true
-      var ci = 1
-      while (onlyDc && ci < 64) { if (coef(ci) != 0) onlyDc = false; ci += 1 }
-      val dcConst =
-        if (!onlyDc) 0
-        else {
-          val s = math.round(coef(0) / 8.0 + 128.0).toInt
-          if (s < 0) 0 else if (s > 255) 255 else s
-        }
-      // direct double IDCT + level shift + clamp, cropped to geometry
-      val bx = (bi % wb) * 8
-      val by = (bi / wb) * 8
-      var y = 0
-      while (y < 8) {
-        val py = by + y
-        if (py < p.height) {
-          var x = 0
-          while (x < 8) {
-            val pxx = bx + x
-            if (pxx < p.width) {
-              if (onlyDc) px(py * p.width + pxx) = dcConst
-              else {
-                var sum = 0.0
-                var u = 0
-                while (u < 8) {
-                  val cu = if (u == 0) InvSqrt2 else 1.0
-                  var v = 0
-                  while (v < 8) {
-                    val cv = if (v == 0) InvSqrt2 else 1.0
-                    val c = coef(v * 8 + u)
-                    if (c != 0) sum += cu * cv * c * Cos(x)(u) * Cos(y)(v)
-                    v += 1
-                  }
-                  u += 1
-                }
-                val s = math.round(sum / 4.0 + 128.0).toInt
-                px(py * p.width + pxx) =
-                  if (s < 0) 0 else if (s > 255) 255 else s
+      val mcuX = mcu % mcusX
+      val mcuY = mcu / mcusX
+      var ci = 0
+      while (ci < p.comps.length) {
+        val c = p.comps(ci)
+        val qt = p.qTables(c.tq)
+        val dcT = p.dcTables(c.dcId)
+        val acT = p.acTables(c.acId)
+        val plane = planes(ci)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            java.util.Arrays.fill(coef, 0)
+            // DC
+            val cat = decodeSymbol(br, dcT)
+            if (cat > 15) fail(s"bad DC category $cat")
+            if (ci == 0) dcCats += cat
+            val diff = extend(br.receive(cat), cat)
+            prevDc(ci) += diff
+            coef(0) = prevDc(ci) * qt(0)
+            // AC run-length
+            var k = 1
+            while (k < 64) {
+              val rs = decodeSymbol(br, acT)
+              val r = rs >> 4
+              val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL: sixteen zeros
+                else k = 64 // EOB
+              } else {
+                k += r
+                if (k > 63) fail("AC run past the end of the block")
+                val zz = Zigzag(k)
+                coef(zz) = extend(br.receive(s), s) * qt(zz)
+                k += 1
               }
             }
-            x += 1
+            // DC-only shortcut (libjpeg's jidctint does the same): a
+            // block with no AC coefficients IDCTs to the constant DC/8
+            // exactly — skips the basis walk for the common flat block
+            var onlyDc = true
+            var zi = 1
+            while (onlyDc && zi < 64) {
+              if (coef(zi) != 0) onlyDc = false
+              zi += 1
+            }
+            val dcConst =
+              if (!onlyDc) 0
+              else {
+                val s = math.round(coef(0) / 8.0 + 128.0).toInt
+                if (s < 0) 0 else if (s > 255) 255 else s
+              }
+            val px0 = (mcuX * c.h + bx) * 8
+            val py0 = (mcuY * c.v + by) * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val out =
+                  if (onlyDc) dcConst
+                  else {
+                    var sum = 0.0
+                    var u = 0
+                    while (u < 8) {
+                      val cu = if (u == 0) InvSqrt2 else 1.0
+                      var v = 0
+                      while (v < 8) {
+                        val cv = if (v == 0) InvSqrt2 else 1.0
+                        val cc = coef(v * 8 + u)
+                        if (cc != 0) sum += cu * cv * cc * Cos(x)(u) * Cos(y)(v)
+                        v += 1
+                      }
+                      u += 1
+                    }
+                    val s = math.round(sum / 4.0 + 128.0).toInt
+                    if (s < 0) 0 else if (s > 255) 255 else s
+                  }
+                plane.px((py0 + y) * plane.w + px0 + x) = out
+                x += 1
+              }
+              y += 1
+            }
+            bx += 1
           }
+          by += 1
         }
-        y += 1
+        ci += 1
       }
-      bi += 1
+      mcu += 1
     }
-    (p.width, p.height, px, dcCats)
+    (p, planes, dcCats.result())
   }
 
   /** Decoded grayscale pixel stream (0-255 ints, row-major top-down):
     * full baseline path — marker walk, huffman entropy decode, dequant,
-    * zigzag, IDCT, level shift, clamp, crop. */
-  def pixels(jpeg: Array[Byte]): ArrayData =
-    new GenericArrayData(decodeCore(jpeg)._3)
+    * zigzag, IDCT, level shift, clamp, crop. Rejects color containers. */
+  def pixels(jpeg: Array[Byte]): ArrayData = {
+    val (p, planes, _) = decodeCore(jpeg)
+    if (p.comps.length != 1)
+      fail(s"expected 1 component (grayscale), got ${p.comps.length} — " +
+        "use jpeg_rgb_pixels")
+    val plane = planes(0)
+    val out = new Array[Int](p.width * p.height)
+    var y = 0
+    while (y < p.height) {
+      System.arraycopy(plane.px, y * plane.w, out, y * p.width, p.width)
+      y += 1
+    }
+    new GenericArrayData(out)
+  }
 
-  /** Per-block DC magnitude categories ACTUALLY DECODED from the
-    * huffman bitstream, in raster block order — the in-band proof that
-    * the entropy decode ran (a decoder that shortcuts the bitstream
-    * cannot produce them), pinned by the oracle's recomputation from
-    * payload differentials. */
+  /** JFIF YCbCr → RGB with the EXACT rounding rule both engines share:
+    * floor(x + 0.5) then clamp — floor-based so Spark and DuckDB cannot
+    * disagree on a tie (round() ties differ cross-engine). */
+  def ycbcrToRgb(yy: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def px(v: Double): Int = {
+      val r = math.floor(v + 0.5).toInt
+      if (r < 0) 0 else if (r > 255) 255 else r
+    }
+    (px(yy + 1.402 * (cr - 128)),
+      px(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+      px(yy + 1.772 * (cb - 128)))
+  }
+
+  /** Decoded COLOR pixel stream: interleaved R,G,B ints (3 per pixel,
+    * row-major top-down). Full baseline color path — interleaved MCU
+    * scan with per-component huffman/quant state, chroma planes
+    * upsampled by sample replication (the upsampling filter is decoder-
+    * defined in JFIF; replication is the exact-arithmetic choice the
+    * oracle replays), then the JFIF YCbCr→RGB matrix with floor(x+0.5)
+    * rounding. Rejects grayscale containers — the caller asked for
+    * color. */
+  def pixelsRgb(jpeg: Array[Byte]): ArrayData = {
+    val (p, planes, _) = decodeCore(jpeg)
+    if (p.comps.length != 3)
+      fail(s"expected 3 components (YCbCr), got ${p.comps.length} — " +
+        "use jpeg_gray8_pixels")
+    val hmax = p.comps.map(_.h).max
+    val vmax = p.comps.map(_.v).max
+    val out = new Array[Int](p.width * p.height * 3)
+    val yP = planes(0); val cbP = planes(1); val crP = planes(2)
+    val yC = p.comps(0); val cbC = p.comps(1); val crC = p.comps(2)
+    var y = 0
+    while (y < p.height) {
+      var x = 0
+      while (x < p.width) {
+        def sample(pl: Plane, c: Comp): Int =
+          pl.px((y * c.v / vmax) * pl.w + (x * c.h / hmax))
+        val (r, g, b) = ycbcrToRgb(
+          sample(yP, yC), sample(cbP, cbC), sample(crP, crC))
+        val o = (y * p.width + x) * 3
+        out(o) = r; out(o + 1) = g; out(o + 2) = b
+        x += 1
+      }
+      y += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-block DC magnitude categories of the FIRST (Y/gray) component
+    * ACTUALLY DECODED from the huffman bitstream, in block-decode
+    * order — the in-band proof that the entropy decode ran (a decoder
+    * that shortcuts the bitstream cannot produce them), pinned by the
+    * oracle's recomputation from payload differentials. */
   def dcCategories(jpeg: Array[Byte]): ArrayData =
-    new GenericArrayData(decodeCore(jpeg)._4)
+    new GenericArrayData(decodeCore(jpeg)._3)
 
   def width(jpeg: Array[Byte]): Int = parse(jpeg).width
   def height(jpeg: Array[Byte]): Int = parse(jpeg).height
@@ -581,6 +851,46 @@ case class JpegGray8EncodeExpr(left: Expression, right: Expression)
       s"graft.expressions.JpegGray8.encode($p, $w)")
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+case class JpegYcbcr420EncodeExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == IntegerType &&
+        third.dataType == IntegerType && fourth.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jpeg_ycbcr420_encode requires (binary, int, int, int), got " +
+        children.map(_.dataType).mkString(" / "))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_ycbcr420_encode"
+  override protected def nullSafeEval(p: Any, w: Any, cb: Any,
+      cr: Any): Any =
+    JpegGray8.encodeYcbcr420(p.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], cb.asInstanceOf[Int], cr.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, w, cb, cr) =>
+      s"graft.expressions.JpegGray8.encodeYcbcr420($p, $w, $cb, $cr)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+case class JpegRgbPixelsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jpeg_rgb_pixels requires binary input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "jpeg_rgb_pixels"
+  override protected def nullSafeEval(jpeg: Any): Any =
+    JpegGray8.pixelsRgb(jpeg.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, jpeg =>
+      s"graft.expressions.JpegGray8.pixelsRgb($jpeg)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class JpegGray8PixelsExpr(child: Expression) extends UnaryExpression {

@@ -1153,6 +1153,117 @@ object Multimodal extends Registry {
              |FROM g ORDER BY doc_id""".stripMargin),
       doc = "Real baseline JPEG decode: marker walk + canonical huffman " +
         "entropy decode + dequant + zigzag + IDCT, DC-category coverage " +
-        "proven in-band, exact despite the lossy format (DC-only blocks)")
+        "proven in-band, exact despite the lossy format (DC-only blocks)"),
+
+    // ------------------------------------------------------------------
+    // q8g: baseline COLOR JPEG — YCbCr 4:2:0, the MCU-interleaved
+    // chroma-subsampled layout real crawled JPEGs overwhelmingly use,
+    // and everything q8f's grayscale path structurally cannot exercise:
+    // interleaved MCU scan order (4 Y + Cb + Cr per MCU), SEPARATE
+    // huffman table sets (Annex K luma AND chroma), per-component DC
+    // predictors and quant tables, subsampled chroma planes,
+    // upsampling, and the JFIF YCbCr→RGB matrix. Exactness under a
+    // lossy, subsampled codec: four payload bytes become each MCU's
+    // four constant Y blocks while Cb/Cr are CONSTANT image-wide
+    // (doc_id-derived) — a constant chroma plane upsamples to itself
+    // under ANY decoder's filter, so the RGB output is exactly
+    // replayable (conversion = floor(x·matrix + 0.5), the tie-safe
+    // rule both engines share). Per-doc stats reduce per ROW with
+    // aggregate() over the decoded array (the q8a shape — no explode,
+    // no extra shuffle); n_dc_cats pins the Y entropy decode in-band.
+    // doc_id < 1500 keeps the decoded-pixel volume bounded at any sf
+    // (the q45 bounded-slice rule). ImageIO cross-decode both
+    // directions (exact ours→ImageIO ±1, smooth-gradient theirs→ours
+    // within upsampling-filter freedom) is JpegGray8Spec's color half.
+    QueryDef(
+      "q8g_jpeg_color420",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        val wm = 2 // MCUs per row → 32-pixel-wide images
+        val cbC = (pmod(col("doc_id") * 37 + 11, lit(256))).cast("int")
+        val crC = (pmod(col("doc_id") * 73 + 29, lit(256))).cast("int")
+        def chanSum(ch: Int): Column =
+          expr(s"aggregate(sequence(0, size(px) div 3 - 1), " +
+            s"CAST(0 AS BIGINT), (acc, i) -> " +
+            s"acc + element_at(px, CAST(i * 3 + ${ch + 1} AS INT)))")
+        corpus(s, dir).filter(col("modality") === "image")
+          .filter(col("doc_id") < 1500)
+          .select(col("doc_id"), cbC.as("cb"), crC.as("cr"),
+            expr(s"jpeg_ycbcr420_encode(payload, $wm, " +
+              s"CAST(pmod(doc_id * 37 + 11, 256) AS INT), " +
+              s"CAST(pmod(doc_id * 73 + 29, 256) AS INT))").as("jpeg"))
+          .select(col("doc_id"), col("cb"), col("cr"),
+            expr("jpeg_width(jpeg)").as("width"),
+            expr("jpeg_height(jpeg)").as("height"),
+            size(array_distinct(expr("jpeg_dc_categories(jpeg)")))
+              .as("n_dc_cats"),
+            expr("jpeg_rgb_pixels(jpeg)").as("px"))
+          .select(col("doc_id"), col("cb"), col("cr"), col("width"),
+            col("height"), col("n_dc_cats"),
+            (size(col("px")) / 3).cast("long").as("n_pixels"),
+            chanSum(0).as("r_sum"), chanSum(1).as("g_sum"),
+            chanSum(2).as("b_sum"),
+            expr("aggregate(sequence(0, size(px) - 1), " +
+              "CAST(0 AS BIGINT), (acc, i) -> " +
+              "acc + element_at(px, CAST(i + 1 AS INT)) * ((i % 1000) + 1))")
+              .as("rgb_checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS bl FROM documents
+             |  WHERE doc_id % 3 = 0 AND doc_id < 1500),
+             |st AS (
+             |  SELECT doc_id, octet_length(bl) AS n,
+             |    CAST((doc_id * 37 + 11) % 256 AS INT) AS cb,
+             |    CAST((doc_id * 73 + 29) % 256 AS INT) AS cr,
+             |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(bl))] AS bs
+             |  FROM a),
+             |g AS (SELECT doc_id, n, cb, cr,
+             |        bs || [0 for x in range(8 * greatest(1, (n + 7) // 8) - n)]
+             |          AS bf,
+             |        greatest(1, (n + 7) // 8) AS hm
+             |      FROM st),
+             |-- per-byte RGB via the exact conversion both engines share
+             |rgb AS (SELECT doc_id, cb, cr, bf, hm,
+             |    [LEAST(255, GREATEST(0,
+             |       CAST(floor(y + 1.402*(cr - 128) + 0.5) AS INT)))
+             |     for y in bf] AS vr,
+             |    [LEAST(255, GREATEST(0,
+             |       CAST(floor(y - 0.344136*(cb - 128)
+             |                    - 0.714136*(cr - 128) + 0.5) AS INT)))
+             |     for y in bf] AS vg,
+             |    [LEAST(255, GREATEST(0,
+             |       CAST(floor(y + 1.772*(cb - 128) + 0.5) AS INT)))
+             |     for y in bf] AS vb
+             |  FROM g)
+             |SELECT doc_id, cb, cr, 32 AS width,
+             |  CAST(hm * 16 AS INTEGER) AS height,
+             |  len(list_distinct([
+             |    CASE WHEN d = 0 THEN 0
+             |         ELSE CAST(floor(log2(abs(d))) AS INT) + 1 END
+             |    for d in [8*(bf[i+1]-128) -
+             |              CASE WHEN i = 0 THEN 0 ELSE 8*(bf[i]-128) END
+             |              for i in range(len(bf))]])) AS n_dc_cats,
+             |  CAST(hm * 2 * 256 AS BIGINT) AS n_pixels,
+             |  CAST(64 * coalesce(list_sum(vr), 0) AS BIGINT) AS r_sum,
+             |  CAST(64 * coalesce(list_sum(vg), 0) AS BIGINT) AS g_sum,
+             |  CAST(64 * coalesce(list_sum(vb), 0) AS BIGINT) AS b_sum,
+             |  CAST(coalesce(list_sum([
+             |    vr[i+1] * list_sum([(((((((i//4))//2)*16 + (((i%4))//2)*8
+             |        + p//8)*32 + (((i//4))%2)*16 + (((i%4))%2)*8 + p%8)*3)
+             |        % 1000) + 1 for p in range(64)]) +
+             |    vg[i+1] * list_sum([(((((((i//4))//2)*16 + (((i%4))//2)*8
+             |        + p//8)*32 + (((i//4))%2)*16 + (((i%4))%2)*8 + p%8)*3 + 1)
+             |        % 1000) + 1 for p in range(64)]) +
+             |    vb[i+1] * list_sum([(((((((i//4))//2)*16 + (((i%4))//2)*8
+             |        + p//8)*32 + (((i//4))%2)*16 + (((i%4))%2)*8 + p%8)*3 + 2)
+             |        % 1000) + 1 for p in range(64)])
+             |    for i in range(len(bf))]), 0) AS BIGINT) AS rgb_checksum
+             |FROM rgb ORDER BY doc_id""".stripMargin),
+      doc = "Baseline COLOR JPEG (YCbCr 4:2:0): interleaved MCUs, dual " +
+        "Annex K table sets, per-component DC state, chroma upsample, " +
+        "JFIF YCbCr-to-RGB — exact under constant chroma, Y entropy " +
+        "decode pinned in-band")
   )
 }

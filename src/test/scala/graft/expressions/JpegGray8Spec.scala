@@ -135,6 +135,107 @@ class JpegGray8Spec extends AnyFunSuite {
     }
   }
 
+  /** Expected RGB stream of our constant-chroma 4:2:0 encode: payload
+    * byte per Y quadrant (4 per MCU), image-wide cb/cr. */
+  private def expectedRgb(p: Array[Byte], wm: Int, cb: Int,
+      cr: Int): Seq[Int] = {
+    val hm = math.max(1, (p.length + 4 * wm - 1) / (4 * wm))
+    val out = Seq.newBuilder[Int]
+    for (y <- 0 until hm * 16; x <- 0 until wm * 16) {
+      val mcu = (y / 16) * wm + (x / 16)
+      val bi = mcu * 4 + ((y % 16) / 8) * 2 + (x % 16) / 8
+      val yy = if (bi < p.length) p(bi) & 0xff else 0
+      val (r, g, b) = JpegGray8.ycbcrToRgb(yy, cb, cr)
+      out += r; out += g; out += b
+    }
+    out.result()
+  }
+
+  test("4:2:0 color round-trip: interleaved MCUs, dual table sets, " +
+    "chroma upsample, YCbCr->RGB — exact") {
+    for ((n, wm, cb, cr) <- Seq((0, 1, 128, 128), (1, 1, 90, 200),
+        (7, 2, 0, 255), (64, 3, 37, 73), (500, 4, 255, 0))) {
+      val p = det(n * 7 + wm, n)
+      val jpeg = JpegGray8.encodeYcbcr420(p, wm, cb, cr)
+      val hm = math.max(1, (n + 4 * wm - 1) / (4 * wm))
+      assert(JpegGray8.width(jpeg) == wm * 16)
+      assert(JpegGray8.height(jpeg) == hm * 16)
+      assert(ints(JpegGray8.pixelsRgb(jpeg)) == expectedRgb(p, wm, cb, cr))
+    }
+  }
+
+  test("JDK ImageIO decodes our 4:2:0 color output within ±1 per channel") {
+    // constant chroma upsamples to itself under ANY filter (ImageIO's
+    // included); the remaining freedom is its fixed-point YCbCr->RGB
+    // vs our double matrix — ±1 per channel
+    val p = det(11, 120)
+    val jpeg = JpegGray8.encodeYcbcr420(p, 3, 70, 180)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpeg))
+    assert(img != null, "ImageIO could not parse our color JPEG")
+    assert(img.getWidth == 48 && img.getHeight == 160)
+    val ours = ints(JpegGray8.pixelsRgb(jpeg))
+    var maxDiff = 0
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      val o = (y * img.getWidth + x) * 3
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 16) & 0xff) - ours(o)))
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 8) & 0xff) - ours(o + 1)))
+      maxDiff = math.max(maxDiff, math.abs((rgb & 0xff) - ours(o + 2)))
+    }
+    assert(maxDiff <= 1, s"ImageIO color decode diverged by $maxDiff")
+  }
+
+  test("our decoder reads ImageIO-encoded color JPEGs (subsampled, real " +
+    "ACs) close to ImageIO's own decode") {
+    // a smooth gradient: chroma varies slowly, so the decoder-defined
+    // upsampling filter (ours: replication; ImageIO: interpolating)
+    // can differ only by the local gradient step. T.81 pins the IDCT
+    // to ±1 but deliberately leaves upsampling open — so this bound is
+    // loose where the gray test's is tight.
+    val (w, h) = (40, 24)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 5) % 256
+      val g = (y * 7) % 256
+      val b = ((x + y) * 3) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.95f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close(); writer.dispose()
+    val jpeg = bos.toByteArray
+    assert(JpegGray8.width(jpeg) == w && JpegGray8.height(jpeg) == h)
+    val ours = ints(JpegGray8.pixelsRgb(jpeg))
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpeg))
+    var sumDiff = 0L
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = decoded.getRGB(x, y)
+      val o = (y * w + x) * 3
+      val ds = Seq(
+        math.abs(((rgb >> 16) & 0xff) - ours(o)),
+        math.abs(((rgb >> 8) & 0xff) - ours(o + 1)),
+        math.abs((rgb & 0xff) - ours(o + 2)))
+      sumDiff += ds.sum
+      maxDiff = math.max(maxDiff, ds.max)
+    }
+    val meanDiff = sumDiff.toDouble / (w * h * 3)
+    assert(meanDiff <= 2.0,
+      s"mean channel diff $meanDiff vs ImageIO — decode chain diverged")
+    assert(maxDiff <= 32,
+      s"max channel diff $maxDiff — more than upsampling-filter freedom")
+  }
+
   test("malformed containers are rejected with descriptive errors") {
     val good = JpegGray8.encode(det(3, 20), 4)
     def boom(bytes: Array[Byte], want: String): Unit = {
