@@ -188,14 +188,21 @@ object Similarity extends Registry {
     * (audited r12; the literal form plans scan → project only).
     * Double negation is IEEE-exact, so cosines are bit-identical to
     * the joined form and every oracle is unchanged. */
-  private def assignCells(c: DataFrame,
-      seed: Column = DefaultSeedPred): DataFrame = {
-    val cents = c.filter(seed)
+  /** Collected centroid rows (cell, vector, norm) — bounded driver
+    * state (k rows), the literal side of every map-side assignment. */
+  private def collectCentroids(src: DataFrame,
+      seed: Column = DefaultSeedPred): Seq[(Long, IndexedSeq[Double], Double)] =
+    src.filter(seed)
       .select(col("vec_id"), col("v"), col("nrm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq,
         r.getDouble(2)))
-      .sortBy(_._1)
+      .sortBy(_._1).toSeq
+
+  /** Assign `c`'s vectors against the given centroid literals —
+    * map-side array_min argmax, no shuffle (see assignCells doc). */
+  private def assignAgainst(c: DataFrame,
+      cents: Seq[(Long, IndexedSeq[Double], Double)]): DataFrame = {
     val alts = cents.map { case (cell, cv, cn) =>
       struct(
         (-round(dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn)), 4))
@@ -207,6 +214,10 @@ object Similarity extends Registry {
       .select(col("vec_id"), col("v"), col("m.cell").as("cell"),
         (-col("m.negc")).as("cosine"))
   }
+
+  private def assignCells(c: DataFrame,
+      seed: Column = DefaultSeedPred): DataFrame =
+    assignAgainst(c, collectCentroids(c, seed))
 
   def ivfAssign(s: SparkSession, dir: String): DataFrame =
     assignCells(corpus(s, dir))
@@ -1910,6 +1921,53 @@ object Similarity extends Registry {
     merged
       .withColumn("merge_equals_rebuild", lit(true))
       .orderBy($"cell")
+  }
+
+  /** Full-corpus per-cell integer stats — the spec's cross-check
+    * surface for the streaming fold below. */
+  def ivfFullStats(emb: DataFrame): DataFrame =
+    cellStats(assignCells(corpusOf(emb)))
+
+  /** STREAMING form of the q9n maintenance: fold one micro-batch of
+    * embeddings into the stored per-cell integer stats (foreachBatch —
+    * the production shape, same seam as Dedup.bloomFoldBatch). The
+    * additive (count, Σ micro-cosine) state is NOT naturally
+    * idempotent — unlike q9m's bit-OR, re-adding a redelivered batch
+    * would double-count — so the fold carries a batch LEDGER: an
+    * applied `batchId` is skipped, the same transactional discipline
+    * an exactly-once sink uses over at-least-once delivery.
+    * StreamingSpec proves drained ≡ one-pass build bit-for-bit AND
+    * that a replayed batch changes nothing. Centroids come from
+    * `centroidSrc` (the index's fixed coarse quantizer), collected as
+    * bounded driver state; the batch assignment itself is the same
+    * map-side literal argmax as every other path. */
+  def ivfFoldBatch(s: SparkSession, stateDir: String, batchId: Long,
+      batchEmb: DataFrame, centroidSrc: DataFrame): Unit = {
+    val appliedMark =
+      java.nio.file.Paths.get(stateDir, s"applied-$batchId")
+    if (java.nio.file.Files.exists(appliedMark)) return
+    val cents = collectCentroids(corpusOf(centroidSrc))
+    val fresh = cellStats(assignAgainst(
+      corpusOf(batchEmb.select(col("vec_id"), col("embedding"))), cents))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val cellDir = java.nio.file.Paths.get(stateDir, "cells")
+    val prior =
+      if (java.nio.file.Files.exists(cellDir.resolve("_SUCCESS")))
+        s.read.parquet(cellDir.toString)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+      else Map.empty[Long, (Long, Long)]
+    import s.implicits._
+    val merged = (prior.keySet ++ fresh.keySet).toSeq.sorted.map { cell =>
+      val p = prior.getOrElse(cell, (0L, 0L))
+      val f = fresh.getOrElse(cell, (0L, 0L))
+      (cell, p._1 + f._1, p._2 + f._2)
+    }
+    merged.toDF("cell", "n_vectors", "sum_cos_micro").coalesce(1)
+      .write.mode("overwrite").parquet(cellDir.toString)
+    java.nio.file.Files.createFile(appliedMark)
+    ()
   }
 
   // ------------------------------------------------------------------

@@ -672,6 +672,55 @@ class StreamingSpec extends AnyFunSuite {
       "no cross-trigger continuation observed under the long TTL")
   }
 
+  test("streaming IVF maintenance: per-trigger stat folds equal a " +
+    "from-scratch directory, and the batch ledger makes replay safe") {
+    // the q9n cell directory driven by a STREAM: embeddings arrive as
+    // three single-file micro-batches, each trigger adds its batch's
+    // per-cell (count, Σ micro-cosine) into the stored state
+    // (Similarity.ivfFoldBatch — the foreachBatch production shape).
+    // Integer addition is lossless and order-free, so the drained state
+    // must EQUAL a one-pass full assignment — but unlike q9m's
+    // idempotent bit-OR, re-adding a batch would DOUBLE-COUNT, so the
+    // fold's batch ledger must make an at-least-once redelivery a
+    // no-op. Both claims are the whole point of additive index state.
+    import org.apache.spark.sql.functions._
+    val streamDir = java.nio.file.Files.createTempDirectory("ivf-stream")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("ivf-state").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    emb.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+
+    val query = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.queries.Similarity.ivfFoldBatch(spark, stateDir, id, df, emb)
+        ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+
+    def cells(): Map[Long, (Long, Long)] = spark.read
+      .parquet(java.nio.file.Paths.get(stateDir, "cells").toString)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val streamed = cells()
+    val rebuilt = graft.queries.Similarity.ivfFullStats(emb)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(streamed == rebuilt && streamed.nonEmpty,
+      "drained cell directory != one-pass full assignment")
+    // at-least-once redelivery: replaying an ALREADY-APPLIED batch id
+    // must be a no-op (the ledger), even with different content
+    graft.queries.Similarity.ivfFoldBatch(spark, stateDir, 0L,
+      emb.limit(5), emb)
+    assert(cells() == rebuilt,
+      "replayed batch double-counted — the ledger failed")
+  }
+
   test("streaming bloom maintenance: per-trigger OR folds equal a " +
     "from-scratch filter bit-for-bit, and replay cannot corrupt it") {
     // the q9m membership state driven by a STREAM: documents arrive as
