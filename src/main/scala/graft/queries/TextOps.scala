@@ -818,6 +818,29 @@ object TextOps extends Registry {
         "scores/preds vs the oracle's unrolled training"),
 
     // ------------------------------------------------------------------
+    // q9s: CLASSIFIER EVALUATION — the threshold sweep that decides
+    // what a quality filter actually keeps: a sign cutoff (q9f) is one
+    // point on a curve, but a production gate picks its operating point
+    // from the precision/recall trade-off. Nine thresholds span the
+    // observed integer score range (lo + k·(hi−lo)/8 — floor division,
+    // identical in both engines on the non-negative span), and ONE
+    // pass over the scored corpus computes all nine confusion matrices
+    // as conditional partial aggregates (36 counters — map-side
+    // combine, no shuffle growth with the threshold count; the scan is
+    // not re-run per threshold). Precision/recall/F1 ride as exact
+    // integer micro-units (t·1e6 div denom — truncating division ==
+    // floor on non-negatives, the q9p-documented trap avoided by
+    // construction). The oracle re-derives the weights with q9a's
+    // unrolled training and replays every cell bit-for-bit.
+    QueryDef(
+      "q9s_threshold_sweep",
+      (s, dir) => thresholdSweep(s, dir),
+      Some(thresholdSweepOracle),
+      doc = "Quality-classifier threshold sweep: 9-point PR/F1 curve " +
+        "from one conditional-aggregate pass, integer-exact vs the " +
+        "oracle's unrolled training + replayed confusion matrices"),
+
+    // ------------------------------------------------------------------
     // q9d: PERPLEXITY FILTERING — the CCNet-style quality gate modern
     // corpus pipelines run after the rule-based scores (q32): train a
     // Laplace-smoothed bigram LM on the corpus itself, score every
@@ -1391,6 +1414,78 @@ object TextOps extends Registry {
        |$selects
        |ORDER BY round""".stripMargin
   }
+
+  val SweepPoints = 9
+
+  /** q9s: train (the q9a loop), score once, then evaluate all
+    * SweepPoints thresholds in ONE conditional-aggregate pass. The
+    * 4×SweepPoints counters collect as a single row (bounded driver
+    * state) and the 9 curve rows are assembled from it. */
+  def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = perceptronFeatures(s, dir, withId = true).persist()
+    try {
+      val w = perceptronFit(f.drop("doc_id"))._1
+      val scored = perceptronScore(f, w).select($"y", $"score")
+      val mm = scored.agg(min($"score"), max($"score")).collect().head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val ts = (0 until SweepPoints).map(k =>
+        lo + k.toLong * (hi - lo) / (SweepPoints - 1))
+      val aggs = ts.zipWithIndex.flatMap { case (t, k) => Seq(
+        sum(when($"score" > t && $"y" === 1L, 1L).otherwise(0L)).as(s"tp$k"),
+        sum(when($"score" > t && $"y" === -1L, 1L).otherwise(0L)).as(s"fp$k"),
+        sum(when($"score" <= t && $"y" === 1L, 1L).otherwise(0L)).as(s"fn$k"),
+        sum(when($"score" <= t && $"y" === -1L, 1L).otherwise(0L)).as(s"tn$k"))
+      }
+      val g = scored.agg(aggs.head, aggs.tail: _*).collect().head
+      def micro(num: Long, den: Long): Long =
+        if (den == 0L) 0L else num * 1000000L / den
+      val rows = ts.zipWithIndex.map { case (t, k) =>
+        val tp = g.getLong(4 * k)
+        val fp = g.getLong(4 * k + 1)
+        val fn = g.getLong(4 * k + 2)
+        val tn = g.getLong(4 * k + 3)
+        (k, t, tp, fp, fn, tn,
+          micro(tp, tp + fp), micro(tp, tp + fn),
+          micro(2 * tp, 2 * tp + fp + fn))
+      }
+      rows.toDF("t_index", "threshold", "tp", "fp", "fn", "tn",
+        "precision_micro", "recall_micro", "f1_micro")
+        .orderBy($"t_index")
+    } finally { f.unpersist(); () }
+  }
+
+  private def thresholdSweepOracle: String =
+    s"""$perceptronOraclePrelude,
+       |sc AS (SELECT y, (b*x0 + l*x1 + t*x2 + v*x3 + d*x4) AS score
+       |       FROM f, w$PerceptronRounds),
+       |mm AS (SELECT CAST(min(score) AS BIGINT) AS lo,
+       |         CAST(max(score) AS BIGINT) AS hi FROM sc),
+       |th AS (SELECT CAST(k AS INT) AS t_index,
+       |         CAST(lo + k * (hi - lo) // ${SweepPoints - 1} AS BIGINT)
+       |           AS threshold
+       |       FROM mm, (SELECT unnest(range($SweepPoints)) AS k)),
+       |cf AS (SELECT t_index, threshold,
+       |    CAST(sum(CASE WHEN score > threshold AND y = 1
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN score > threshold AND y = -1
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN score <= threshold AND y = 1
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN score <= threshold AND y = -1
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM sc, th GROUP BY t_index, threshold)
+       |SELECT t_index, threshold, tp, fp, fn, tn,
+       |  CAST(CASE WHEN tp + fp = 0 THEN 0
+       |       ELSE tp * 1000000 // (tp + fp) END AS BIGINT)
+       |    AS precision_micro,
+       |  CAST(CASE WHEN tp + fn = 0 THEN 0
+       |       ELSE tp * 1000000 // (tp + fn) END AS BIGINT)
+       |    AS recall_micro,
+       |  CAST(CASE WHEN 2*tp + fp + fn = 0 THEN 0
+       |       ELSE 2 * tp * 1000000 // (2*tp + fp + fn) END AS BIGINT)
+       |    AS f1_micro
+       |FROM cf ORDER BY t_index""".stripMargin
 
   /** The q9f oracle: the shared training unroll, then one scoring pass
     * under the final round's weights. */
