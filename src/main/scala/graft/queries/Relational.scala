@@ -835,7 +835,72 @@ object Relational extends Registry {
              |ORDER BY user_id""".stripMargin),
       doc = "Incrementally maintained count-min sketch: stored counter " +
         "grid + delta-only counters + lossless additive merge (pinned " +
-        "exactly equal to rebuild), every estimate replayed in SQL")
+        "exactly equal to rebuild), every estimate replayed in SQL"),
+
+    // ------------------------------------------------------------------
+    // q9t: INCREMENTALLY MAINTAINED QUANTILE SKETCH — the third
+    // workhorse sketch (after q9c's HLL and q9e's CMS): distribution
+    // quantiles (p50/p90/p99 of line price) kept fresh under daily
+    // drops via a fixed-width HISTOGRAM. The stored state is the
+    // bucket→count table of the base split (l_orderkey % 10 != 0) —
+    // bounded by the value range over the bucket width (~1.1k rows
+    // here), corpus-size-independent — and the update counts ONLY the
+    // delta batch and merges by bucket-wise ADDITION. Like q9e (and
+    // unlike q9c), the merge is LOSSLESS: the maintained histogram must
+    // equal a from-scratch rebuild bit-for-bit, require()d below. The
+    // quantile read-out is deterministic integer arithmetic — smallest
+    // bucket whose cumulative count reaches ceil(p·n) — so, unlike
+    // t-digest/GK (whose internals no second engine can replay), EVERY
+    // number here hash-compares against DuckDB replaying the identical
+    // histogram in SQL: bucket edges, exact quantiles, and the
+    // containment contract est_lo ≤ exact ≤ est_hi (the histogram's
+    // ±bucket-width error bound made exact). The per-value exact arm
+    // exists ONLY to state that contract; the maintained path reads
+    // stored buckets + delta. At 100 TB: the delta shuffle collapses to
+    // ≤ |buckets| groups after map-side partial agg, the merge touches
+    // two histogram-sized frames, the cumsum window runs over ~1.1k
+    // rows on the driver-side scale, and the base corpus is never
+    // rescanned — O(delta + histogram) maintenance, the same shape
+    // production percentile dashboards (latency SLOs, price
+    // distributions) actually run.
+    QueryDef(
+      "q9t_quantile_incremental",
+      (s, dir) => quantileIncremental(s, dir),
+      Some(s"""WITH c AS (
+             |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             |    AS cents FROM lineitem),
+             |h AS (SELECT cents // $QtBucketW AS b, count(*) AS cnt
+             |      FROM c GROUP BY 1),
+             |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+             |cum AS (SELECT b, CAST(sum(cnt) OVER (ORDER BY b) AS BIGINT)
+             |        AS cum FROM h),
+             |ps AS (SELECT * FROM (VALUES (50), (90), (99)) t(p)),
+             |est AS (
+             |  SELECT ps.p, min(cum.b) AS bstar
+             |  FROM ps, cum, n
+             |  WHERE cum.cum >= (ps.p * n.n + 99) // 100
+             |  GROUP BY ps.p),
+             |vc AS (SELECT cents, count(*) AS cnt FROM c GROUP BY 1),
+             |vcum AS (SELECT cents, CAST(sum(cnt) OVER (ORDER BY cents)
+             |         AS BIGINT) AS cum FROM vc),
+             |ex AS (
+             |  SELECT ps.p, min(vcum.cents) AS exact_cents
+             |  FROM ps, vcum, n
+             |  WHERE vcum.cum >= (ps.p * n.n + 99) // 100
+             |  GROUP BY ps.p)
+             |SELECT CAST(est.p AS BIGINT) AS p, n.n AS n,
+             |  est.bstar * $QtBucketW AS est_lo_cents,
+             |  (est.bstar + 1) * $QtBucketW - 1 AS est_hi_cents,
+             |  ex.exact_cents,
+             |  ex.exact_cents BETWEEN est.bstar * $QtBucketW
+             |    AND (est.bstar + 1) * $QtBucketW - 1 AS within_bucket,
+             |  true AS merge_equals_rebuild
+             |FROM est JOIN ex ON est.p = ex.p, n
+             |ORDER BY p""".stripMargin),
+      doc = "Incrementally maintained histogram quantile sketch: stored " +
+        "bucket counts + delta-only counts + lossless additive merge " +
+        "(pinned exactly equal to rebuild), quantile read-out and " +
+        "containment contract replayed in SQL")
   )
 
   val HllLgK = 14
@@ -1095,6 +1160,141 @@ object Relational extends Registry {
       .localCheckpoint(true) // bounded: one row per delta-active key
     require(out.filter($"est_cnt" < $"exact_cnt").isEmpty,
       "q9e: CMS estimate below exact count — hash or merge broken")
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // q9t: histogram quantile maintenance (see the QueryDef for design)
+  // ------------------------------------------------------------------
+  /** Bucket width in integer cents ($100): bounds the stored state at
+    * (max price / width) ≈ 1.1k rows whatever the corpus size, and IS
+    * the quantile error bound (est_hi − est_lo = W − 1). */
+  val QtBucketW = 10000L
+  private val QtDeltaMod = 10
+  private val QtPs = Seq(50, 90, 99)
+
+  /** The exact integer basis both engines share: l_extendedprice in
+    * rounded cents (a raw double×100 cast would truncate 936.01→93600
+    * on the float side; round() first is bit-stable in both engines). */
+  private def qtCents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, dir, "lineitem")
+      .select($"l_orderkey",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+  }
+
+  /** Histogram of a cents frame: one row per occupied bucket. ONE
+    * shuffle bounded by |buckets| groups after map-side partial agg —
+    * the reduce side is ≤ ~1.1k rows at any corpus scale. */
+  private def qtHist(cents: DataFrame): DataFrame = {
+    val s = cents.sparkSession
+    import s.implicits._
+    cents.groupBy(expr(s"cents div $QtBucketW").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Build-or-reuse the stored base-split histogram. Returns
+    * (histogram, rebuilt, stateDir). Torn-write rule shared with
+    * q9c/q9e: key file last. */
+  private[queries] def loadOrBuildQtState(s: SparkSession, dir: String)
+      : (DataFrame, Boolean, String) = {
+    import s.implicits._
+    val src = s"$dir/lineitem.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|agg=hist-extprice-cents|w=$QtBucketW|base=mod${QtDeltaMod}ne0"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = Tables.persistentScratchDir(s"q9t_hist_$tag")
+    val histDir = java.nio.file.Paths.get(stateDir, "hist")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(histDir.resolve("_SUCCESS"))
+    if (!valid) {
+      qtHist(qtCents(s, dir)
+          .filter(pmod($"l_orderkey", lit(QtDeltaMod)) =!= 0))
+        .write.mode("overwrite").parquet(histDir.toString)
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    (s.read.parquet(histDir.toString), !valid, stateDir)
+  }
+
+  /** The maintained histogram: stored base buckets + delta-batch
+    * buckets, merged by bucket-wise addition (lossless, like q9e's
+    * grid). Exposed for the spec's plan/equality assertions. */
+  private[graft] def qtMergedHist(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val (stored, _, _) = loadOrBuildQtState(s, dir)
+    val delta = qtHist(qtCents(s, dir)
+      .filter(pmod($"l_orderkey", lit(QtDeltaMod)) === 0))
+    stored.withColumnRenamed("cnt", "cnt_base")
+      .join(delta.withColumnRenamed("cnt", "cnt_delta"), Seq("b"), "full")
+      .select($"b",
+        (coalesce($"cnt_base", lit(0L)) + coalesce($"cnt_delta", lit(0L)))
+          .as("cnt"))
+  }
+
+  /** ceil(p·n / 100) over in-scope columns `p`/`n`, in pure integer
+    * arithmetic (no float boundary to desync the engines); `div`
+    * truncation equals DuckDB's `//` floor on these non-negative
+    * operands. */
+  private def qtTarget: org.apache.spark.sql.Column =
+    expr("(p * n + 99) div 100")
+
+  def quantileIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merged = qtMergedHist(s, dir)
+    // contract 1 (lossless merge): maintained buckets ≡ full rebuild
+    // bit-for-bit — additive merge admits no tolerance. The rebuild
+    // histogram exists only here, as the contract instrument.
+    val rebuilt = qtHist(qtCents(s, dir))
+    val diff = merged
+      .join(rebuilt.withColumnRenamed("cnt", "cnt_rb"), Seq("b"), "full")
+      .agg(sum(abs(coalesce($"cnt", lit(0L)) - coalesce($"cnt_rb", lit(0L))))
+        .as("dv"))
+      .collect().head
+    val mergeEq = !diff.isNullAt(0) && diff.getLong(0) == 0L
+    require(mergeEq,
+      "q9t: merged histogram diverged from a from-scratch rebuild")
+
+    // quantile read-out from the merged histogram only: cumsum over the
+    // bucket axis. The single-partition window is over ≤ ~1.1k bucket
+    // rows — state-sized, not corpus-sized — by construction.
+    val n = merged.agg(sum($"cnt").as("n"))
+    val cum = merged.select($"b",
+      sum($"cnt").over(Window.orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+    val ps = QtPs.toDF("p")
+    val est = ps.crossJoin(broadcast(cum)).crossJoin(broadcast(n))
+      .filter($"cum" >= qtTarget)
+      .groupBy($"p").agg(min($"b").as("bstar"))
+
+    // contract 2 (containment): the exact quantile must land inside
+    // the estimated bucket. The per-value cumsum below is the
+    // contract-only arm (a full-corpus sort at target scale) — the
+    // maintained path above never runs it.
+    val vcum = qtCents(s, dir)
+      .groupBy($"cents").agg(count(lit(1)).as("cnt"))
+      .select($"cents",
+        sum($"cnt").over(Window.orderBy($"cents")
+          .rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+    val exact = ps.crossJoin(vcum).crossJoin(broadcast(n))
+      .filter($"cum" >= qtTarget)
+      .groupBy($"p").agg(min($"cents").as("exact_cents"))
+
+    val out = est.join(exact, Seq("p")).crossJoin(broadcast(n))
+      .select($"p".cast("long").as("p"), $"n",
+        ($"bstar" * QtBucketW).as("est_lo_cents"),
+        (($"bstar" + 1) * QtBucketW - 1).as("est_hi_cents"),
+        $"exact_cents",
+        $"exact_cents".between($"bstar" * QtBucketW,
+          ($"bstar" + 1) * QtBucketW - 1).as("within_bucket"),
+        lit(mergeEq).as("merge_equals_rebuild"))
+      .orderBy($"p")
+      .localCheckpoint(true) // bounded: |QtPs| rows
+    require(out.filter(!$"within_bucket").isEmpty,
+      "q9t: exact quantile escaped the estimated bucket — histogram broken")
     out
   }
 }

@@ -926,7 +926,25 @@ object TextOps extends Registry {
       Some(urlCanonicalizeOracle),
       doc = "URL canonicalization (scheme/host case, www., :443, " +
         "fragment, utm_* params) + registered-domain extraction and " +
-        "per-domain row_number caps, fully string-op-replayed")
+        "per-domain row_number caps, fully string-op-replayed"),
+
+    // ------------------------------------------------------------------
+    // q9u: TOMBSTONE PURGE through the stored postings index — deletion
+    // maintenance (see loadOrBuildTombstonedPostings above): serve-time
+    // masking via broadcast anti-join + physical compaction preserving
+    // the bucket layout, stats decremented from the index alone, three
+    // require()d contracts (compacted ≡ live-corpus rebuild, stats ≡
+    // recompute, masked serve ≡ compacted serve). The oracle ranks the
+    // post-purge corpus from scratch — a purge that dropped too much,
+    // too little, or skewed df/avgdl hash-mismatches.
+    QueryDef(
+      "q9u_tombstone_purge",
+      (s, dir) => tombstonePurge(s, dir),
+      Some(bm25OracleFor(Bm25TombTerms,
+        docsWhere = s"WHERE doc_id % $TombMod <> $TombRem")),
+      doc = "Tombstone deletion through a stored postings index: " +
+        "broadcast-masked serve + layout-preserving compaction + " +
+        "index-only stats decrement, purge ≡ rebuild require()d")
   )
 
   /** q9k per-domain document quota. */
@@ -1506,12 +1524,14 @@ object TextOps extends Registry {
   private def bm25OracleSql: String = bm25OracleFor(Bm25Terms)
 
   /** Parametric so q9i (Similarity) can embed the identical lexical
-    * ranking as a subquery with a wider candidate pool. */
+    * ranking as a subquery with a wider candidate pool, and q9u can
+    * rank the post-purge corpus (`docsWhere` filters the doc set — the
+    * oracle's view of a tombstone purge). */
   private[queries] def bm25OracleFor(terms: Seq[String],
-      k: Int = 10): String = {
+      k: Int = 10, docsWhere: String = ""): String = {
     val inList = terms.map(t => s"'$t'").mkString(",")
     s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
-      |           FROM documents),
+      |           FROM documents $docsWhere),
       |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
       |st AS (SELECT count(*) AS n_docs,
       |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
@@ -1761,6 +1781,177 @@ object TextOps extends Registry {
       k: Int): DataFrame = {
     val (post, stats, _, _) = loadOrBuildIncPostings(s, dir)
     serveFromPostings(s, post, stats, queryTerms, k)
+  }
+
+  // ------------------------------------------------------------------
+  // q9u: TOMBSTONE PURGE — deletion maintenance, the operation q9b's
+  // append-only story cannot express and every real corpus eventually
+  // needs (takedowns, opt-outs, right-to-be-forgotten): a tombstone
+  // list arrives and the stored postings index must stop serving those
+  // documents WITHOUT a corpus rebuild. Two production shapes, both
+  // exercised: (1) SERVE-TIME MASKING — the tombstone list rides as a
+  // broadcast anti-join behind the bucket-pruned postings read, cost
+  // O(matched postings), the instant path a takedown takes effect on;
+  // (2) COMPACTION — the postings rewrite that makes deletion physical,
+  // bucket layout preserved so directory pruning survives (the q7b
+  // rule). Stats decrement from the STORED index alone: the dead docs'
+  // (doc_id, dl) pairs are recovered from their own postings rows
+  // (every doc has ≥1 — split() of even an empty text yields one
+  // token), so n_docs/sum_dl stay exact with zero corpus rescans.
+  // ------------------------------------------------------------------
+  val TombMod = 13
+  val TombRem = 5
+
+  /** The q9u term set — fresh buckets vs q98/q9b's sets. */
+  val Bm25TombTerms: Seq[String] = Seq("filter", "batch", "column", "table", "group")
+
+  /** Build-or-reuse the tombstoned index state: full postings (as
+    * built before the takedown arrived), the tombstone list, live
+    * stats (decremented at apply time), and the compacted postings.
+    * Returns (postings, compacted, statsLive, tombstones, rebuilt,
+    * stateDir). Torn-write rule shared with q99/q9b: key file last. */
+  private[queries] def loadOrBuildTombstonedPostings(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame, Boolean,
+      String) = {
+    import s.implicits._
+    val src = s"$dir/documents.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|tok=ws-lower|buckets=$PostingsBuckets" +
+      s"|tomb=mod${TombMod}eq$TombRem"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = Tables.persistentScratchDir(s"q9u_postings_$tag")
+    val postDir = java.nio.file.Paths.get(stateDir, "postings")
+    val compDir = java.nio.file.Paths.get(stateDir, "compacted")
+    val statsDir = java.nio.file.Paths.get(stateDir, "stats_live")
+    val tombDir = java.nio.file.Paths.get(stateDir, "tombstones")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      Seq(postDir, compDir, statsDir, tombDir)
+        .forall(d => java.nio.file.Files.exists(d.resolve("_SUCCESS")))
+    if (!valid) {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(del)
+        f.delete(); ()
+      }
+      del(java.nio.file.Paths.get(stateDir).toFile)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(stateDir))
+
+      // 1. "last month": the index was built over the full corpus —
+      // the one and only corpus tokenization in this state's life
+      val docs = tokenizedDocs(s, dir)
+      postingsOf(docs)
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(postDir.toString)
+      val full = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"dl").as("sum_dl")).collect().head
+
+      // 2. "today": the takedown list arrives (synthesized here by the
+      // tombstone predicate over the INDEX's own doc ids — production
+      // receives it as input; the corpus is not consulted)
+      val postStored = s.read.parquet(postDir.toString)
+      postStored
+        .filter(pmod($"doc_id", lit(TombMod)) === TombRem)
+        .select($"doc_id", $"dl").distinct()
+        .repartition(1)
+        .write.mode("overwrite").parquet(tombDir.toString)
+      val tomb = s.read.parquet(tombDir.toString)
+
+      // 3. stats decrement from the tombstone rows alone — two scalars
+      val dead = tomb.agg(count(lit(1)).cast("long"), sum($"dl"))
+        .collect().head
+      Seq((full.getLong(0) - dead.getLong(0),
+          (if (full.isNullAt(1)) 0L else full.getLong(1)) -
+            (if (dead.isNullAt(1)) 0L else dead.getLong(1))))
+        .toDF("n_docs", "sum_dl")
+        .write.mode("overwrite").parquet(statsDir.toString)
+
+      // 4. compaction: physical deletion, bucket layout preserved —
+      // reads stored postings, never the corpus
+      postStored
+        .join(tomb.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(compDir.toString)
+
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    (s.read.parquet(postDir.toString), s.read.parquet(compDir.toString),
+      s.read.parquet(statsDir.toString), s.read.parquet(tombDir.toString),
+      !valid, stateDir)
+  }
+
+  /** The q9u masked serve — bucket-pruned postings, tombstones anti-
+    * joined broadcast BEFORE scoring (df/idf derive from the surviving
+    * rows, so no stored statistic goes stale). Exposed for the spec's
+    * plan assertions. */
+  def bm25Tombstoned(s: SparkSession, dir: String, queryTerms: Seq[String],
+      k: Int): DataFrame = {
+    import s.implicits._
+    val (post, _, statsLive, tomb, _, _) =
+      loadOrBuildTombstonedPostings(s, dir)
+    val buckets = queryTerms.toDF("term")
+      .select(pmod(xxhash64($"term"), lit(PostingsBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val tf = post
+      .filter($"term_bucket".isin(buckets: _*) &&
+        $"term".isin(queryTerms: _*))
+      .join(broadcast(tomb.select($"doc_id")), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"dl", $"term", $"tf")
+    bm25Score(tf, statsLive, k)
+  }
+
+  def tombstonePurge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, compacted, statsLive, tomb, _, _) =
+      loadOrBuildTombstonedPostings(s, dir)
+
+    // contract 1: the compacted index ≡ postings rebuilt from the live
+    // corpus — the purge dropped exactly the dead rows and nothing
+    // else. The corpus retokenize exists ONLY here, as the contract
+    // instrument (the maintained path above never runs it).
+    val rebuilt = postingsOf(tokenizedDocs(s, dir)
+      .filter(pmod($"doc_id", lit(TombMod)) =!= TombRem))
+    val postDiff = compacted
+      .select($"doc_id", $"term", $"tf", $"dl", $"term_bucket")
+      .unionAll(rebuilt
+        .select($"doc_id", $"term", $"tf", $"dl", $"term_bucket"))
+      .groupBy($"doc_id", $"term", $"tf", $"dl", $"term_bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" =!= 2)
+    require(postDiff.isEmpty,
+      "q9u: compacted postings diverged from a live-corpus rebuild")
+
+    // contract 2: decremented stats ≡ stats recomputed from the live
+    // corpus (scalar compare — two 1-row frames)
+    val liveStats = tokenizedDocs(s, dir)
+      .filter(pmod($"doc_id", lit(TombMod)) =!= TombRem)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"dl").as("sum_dl")).collect().head
+    val storedStats = statsLive.collect().head
+    require(liveStats.getLong(0) == storedStats.getLong(0) &&
+      liveStats.getLong(1) == storedStats.getLong(1),
+      "q9u: decremented stats diverged from live-corpus recompute")
+
+    // contract 3 (serve invariance): the masked serve ≡ serving from
+    // the compacted index — deletion's two physical forms answer
+    // identically. Both read stored state only.
+    val masked = bm25Tombstoned(s, dir, Bm25TombTerms, 10)
+      .localCheckpoint(true) // bounded: k rows
+    val fromCompacted = serveFromPostings(s, compacted, statsLive,
+      Bm25TombTerms, 10)
+    val serveDiff = masked.unionAll(fromCompacted)
+      .groupBy($"doc_id", $"n_terms_matched", $"score_micro")
+      .agg(count(lit(1)).as("n")).filter($"n" =!= 2)
+    require(serveDiff.isEmpty,
+      "q9u: masked serve diverged from compacted-index serve")
+
+    // a tombstoned doc must never surface (defense-in-depth; the
+    // oracle hash enforces the same from the other engine)
+    require(masked.join(tomb, Seq("doc_id"), "left_semi").isEmpty,
+      "q9u: tombstoned doc surfaced in served results")
+    masked
   }
 
   val BpeRounds = 3

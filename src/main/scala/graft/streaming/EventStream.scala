@@ -401,8 +401,11 @@ object EventStream {
     *  - LONG — INT64 TIMESTAMP(NANOS) read raw under the legacy conf
     *    (pre-r12 testdata); already the contract.
     *  - TIMESTAMP(µs) with or without zone — the r12 regeneration.
-    *    Naive wall times are interpreted in the pinned UTC session
-    *    zone, exactly how the DuckDB oracles read the same files, and
+    *    NTZ wall times convert via timestampdiff against the NTZ epoch,
+    *    which is timezone-INDEPENDENT (a cast to TimestampType would
+    *    read the naive time in the session zone — correct only because
+    *    every session builder pins UTC; this form needs no such pin),
+    *    matching how the DuckDB oracles read the same files, and are
     *    rebuilt as nanos (µs·1000 — lossless).
     * Downstream event-time code keeps ONE input contract either way. */
   def normalizeTs(df: DataFrame): DataFrame =
@@ -410,8 +413,8 @@ object EventStream {
       case org.apache.spark.sql.types.LongType => df
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts",
-          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
-            * lit(1000L))
+          expr("timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * lit(1000L))
       case org.apache.spark.sql.types.TimestampType =>
         df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case other => throw new IllegalStateException(

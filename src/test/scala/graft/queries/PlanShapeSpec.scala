@@ -173,7 +173,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // q9n/q9p execute full state build + merge-vs-rebuild require()
       // comparisons; q9j's lazy form is window-audited in its own test
       // above, the others in Round12OpsSpec
-      "q9j_pagerank", "q9n_ivf_incremental", "q9p_feature_moments")
+      "q9j_pagerank", "q9n_ivf_incremental", "q9p_feature_moments",
+      // r13: q9t/q9u execute state build + merge-vs-rebuild require()s
+      // in their fn; q9t's two windows are histogram-sized (≤ ~1.1k
+      // bucket rows / distinct cents at the gate scale) by construction
+      // — covered in Round13OpsSpec
+      "q9t_quantile_incremental", "q9u_tombstone_purge")
     def hasLimitBelow(p: LogicalPlan): Boolean =
       p.collectFirst { case _: GlobalLimit => (); case _: LocalLimit => () }.nonEmpty
     val offenders = graft.SparkEntry.allDefs

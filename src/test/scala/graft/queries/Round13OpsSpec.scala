@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 operators: q9t (incrementally maintained histogram quantile
+  * sketch) and q9u (tombstone purge through the stored postings index).
+  * Each gets an independent replay arm (plain Scala / the scan-once
+  * BM25 form) plus state-reuse and plan-evidence checks in the
+  * Round9/Round12 style. */
+class Round13OpsSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def delTree(p: java.nio.file.Path): Unit = {
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(del)
+      f.delete(); ()
+    }
+    del(p.toFile)
+  }
+
+  // ---------------------------------------------------------------
+  // q9t: histogram quantile sketch
+  // ---------------------------------------------------------------
+
+  test("q9t: estimated buckets contain the exact quantiles, replayed " +
+    "against a plain-Scala sort") {
+    val out = Relational.quantileIncremental(spark, sfDir).collect()
+    assert(out.length == 3, "one row per requested quantile")
+    assert(out.forall(_.getAs[Boolean]("within_bucket")))
+    assert(out.forall(_.getAs[Boolean]("merge_equals_rebuild")))
+
+    // independent arm: exact quantiles by sorting every cent value in
+    // plain Scala — no Spark aggregation or window shared with the
+    // query path
+    val cents = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("CAST(round(l_extendedprice * 100, 0) AS LONG) AS c")
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    for (r <- out) {
+      val p = r.getAs[Long]("p")
+      val target = ((p * n + 99) / 100).toInt // ceil(p·n/100)
+      val exact = cents(target - 1)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("exact_cents") == exact,
+        s"p=$p: query exact ${r.getAs[Long]("exact_cents")} != replay $exact")
+      assert(r.getAs[Long]("est_lo_cents") <= exact &&
+        exact <= r.getAs[Long]("est_hi_cents"),
+        s"p=$p: exact $exact outside estimated bucket")
+      assert(r.getAs[Long]("est_hi_cents") - r.getAs[Long]("est_lo_cents")
+        === Relational.QtBucketW - 1, "error bound must be one bucket width")
+    }
+  }
+
+  test("q9t: stored histogram state builds once and is reused") {
+    val (_, _, stateDir) = Relational.loadOrBuildQtState(spark, sfDir)
+    delTree(java.nio.file.Paths.get(stateDir))
+    val (_, builtFirst, _) = Relational.loadOrBuildQtState(spark, sfDir)
+    assert(builtFirst, "fresh dir must trigger a histogram build")
+    val (hist, builtSecond, _) = Relational.loadOrBuildQtState(spark, sfDir)
+    assert(!builtSecond, "unchanged corpus must reuse the stored histogram")
+    // state is histogram-sized, not corpus-sized: bucket count bounded
+    // by max-price / bucket-width, far under the row count
+    val nBuckets = hist.count()
+    val nRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(nBuckets > 10 && nBuckets < nRows / 2,
+      s"state has $nBuckets buckets for $nRows rows — not sketch-sized")
+  }
+
+  // ---------------------------------------------------------------
+  // q9u: tombstone purge
+  // ---------------------------------------------------------------
+
+  test("q9u: no tombstoned doc surfaces; masked serve ≡ scan-once BM25 " +
+    "over the live corpus") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.tombstonePurge(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    assert(out.forall(r =>
+        r.getLong(0) % TextOps.TombMod != TextOps.TombRem),
+      "a tombstoned doc surfaced in served results")
+
+    // independent arm: q98's scan-once form over the live documents —
+    // shares only the scoring formula, no index or stored state
+    val live = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(TextOps.TombMod)) =!= TextOps.TombRem)
+      .select(col("doc_id"), col("text"))
+    val expected = TextOps.bm25TopK(live, TextOps.Bm25TombTerms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"masked serve diverged from scan-once BM25 on live docs")
+  }
+
+  test("q9u: index state reused; masked serve reads only the index, " +
+    "bucket-pruned, corpus never opened") {
+    import org.apache.spark.sql.functions._
+    val (_, _, _, _, _, stateDir) =
+      TextOps.loadOrBuildTombstonedPostings(spark, sfDir)
+    delTree(java.nio.file.Paths.get(stateDir))
+    val (_, _, _, _, builtFirst, _) =
+      TextOps.loadOrBuildTombstonedPostings(spark, sfDir)
+    assert(builtFirst, "fresh dir must trigger an index build")
+    val (_, _, _, tomb, builtSecond, _) =
+      TextOps.loadOrBuildTombstonedPostings(spark, sfDir)
+    assert(!builtSecond, "unchanged corpus must reuse the index")
+    assert(tomb.count() > 0, "tombstone list must be non-empty")
+
+    val served = TextOps.bm25Tombstoned(spark, sfDir,
+      TextOps.Bm25TombTerms, 10)
+    served.collect() // finalize the adaptive plan
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+      }.flatten
+    val scans = allScans(served.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scans in the serve plan")
+    val files = scans.flatMap(_.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString))
+    assert(files.nonEmpty && files.forall(_.contains(stateDir)),
+      "serve path read outside the index state")
+    assert(!files.exists(_.contains("documents.parquet")),
+      "serve path re-read the corpus")
+    // q58-style directory pruning: only the query terms' buckets listed
+    val expectedBuckets = {
+      import spark.implicits._
+      TextOps.Bm25TombTerms.toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(TextOps.PostingsBuckets)))
+        .distinct().collect().map(_.getLong(0)).toSet
+    }
+    val touchedBuckets = files.flatMap(
+      "term_bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong)).toSet
+    assert(touchedBuckets.nonEmpty &&
+      touchedBuckets.subsetOf(expectedBuckets),
+      s"scan touched buckets $touchedBuckets beyond $expectedBuckets")
+    assert(touchedBuckets.size < TextOps.PostingsBuckets,
+      "no directory pruning: every bucket was listed")
+  }
+
+  test("q9u: compaction preserves the bucket layout and drops exactly " +
+    "the dead rows") {
+    import org.apache.spark.sql.functions._
+    val (post, compacted, _, tomb, _, _) =
+      TextOps.loadOrBuildTombstonedPostings(spark, sfDir)
+    // layout: compacted carries the same term_bucket partition column
+    assert(compacted.columns.contains("term_bucket"))
+    // row accounting: |compacted| = |postings| − |dead postings rows|
+    val deadRows = post.join(tomb.select(col("doc_id")), Seq("doc_id"),
+      "left_semi").count()
+    assert(deadRows > 0, "tombstones must kill at least one postings row")
+    assert(compacted.count() == post.count() - deadRows)
+    // and no dead doc survives compaction
+    assert(compacted.join(tomb.select(col("doc_id")), Seq("doc_id"),
+      "left_semi").isEmpty)
+  }
+}
