@@ -1264,6 +1264,101 @@ object Multimodal extends Registry {
       doc = "Baseline COLOR JPEG (YCbCr 4:2:0): interleaved MCUs, dual " +
         "Annex K table sets, per-component DC state, chroma upsample, " +
         "JFIF YCbCr-to-RGB — exact under constant chroma, Y entropy " +
-        "decode pinned in-band")
+        "decode pinned in-band"),
+
+    // ------------------------------------------------------------------
+    // q8h: SPECTRAL BAND ANALYSIS over real decoded audio — the
+    // frequency-domain feature pass every audio pipeline runs after
+    // decode (VAD banding, music/speech discrimination, spectral
+    // fingerprints). The transform is the 8-point WALSH–HADAMARD
+    // transform per window: WHT is the ±1-coefficient orthogonal
+    // transform real codecs use where DCT cost or float drift is
+    // unacceptable (SATD in video encoders), and here it is the POINT:
+    // every coefficient is c_k = Σ s_j·(−1)^popcount(j∧k) — pure
+    // integer adds/subtracts, so the whole spectrogram replays
+    // bit-for-bit in DuckDB (a float DCT would hash-desync at the ulp;
+    // WHT cannot). Per asset: full 8-sample windows (capped), 8
+    // sequency-band coefficients per window, per-band energies summed
+    // across windows, the dominant band, and the PARSEVAL CONTRACT
+    // in-band: Σ band_e = 8·Σ s² over the windowed samples — an
+    // energy-conservation identity any dropped window, sign error, or
+    // index off-by-one breaks, checked as data on both engines. Plan:
+    // decode + both HOF passes fuse into one narrow codegen projection
+    // per asset (no explode — the q8a per-row-reduction shape); the
+    // only shuffle is the final sort. At 100 TB: embarrassingly
+    // parallel per-asset work; band summaries (9 longs/asset) are what
+    // ships, never samples.
+    QueryDef(
+      "q8h_audio_wht_bands",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        import s.implicits._
+        corpus(s, dir).filter($"modality" === "audio")
+          .select($"doc_id",
+            expr("wav_pcm16_encode(payload, 16000)").as("wav"))
+          .select($"doc_id", expr("wav_pcm16_samples(wav)").as("smp"))
+          .filter(size($"smp") >= WhtN)
+          .withColumn("nw",
+            expr(s"CAST(least($MaxWhtWindows, size(smp) div $WhtN) AS INT)"))
+          .withColumn("co", expr(s"""transform(sequence(0, nw - 1), w ->
+            transform(sequence(0, ${WhtN - 1}), k ->
+              aggregate(sequence(0, ${WhtN - 1}), CAST(0 AS BIGINT),
+                (acc, j) -> acc +
+                  CAST(element_at(smp, w * $WhtN + j + 1) AS BIGINT) *
+                  (1 - 2 * pmod(bit_count(j & k), 2)))))"""))
+          .withColumn("band_e", expr(s"""transform(
+            sequence(0, ${WhtN - 1}), k ->
+              aggregate(co, CAST(0 AS BIGINT), (acc, cw) ->
+                acc + element_at(cw, k + 1) * element_at(cw, k + 1)))"""))
+          .select($"doc_id", $"nw".as("n_windows"), $"band_e",
+            expr("CAST(array_position(band_e, array_max(band_e)) - 1 " +
+              "AS BIGINT)").as("dom_band"),
+            (expr("aggregate(band_e, CAST(0 AS BIGINT), (a, x) -> a + x)")
+              === lit(WhtN) * expr(s"""aggregate(
+                slice(smp, 1, nw * $WhtN), CAST(0 AS BIGINT),
+                (a, x) -> a + CAST(x AS BIGINT) * x)"""))
+              .as("parseval_ok"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH a AS (
+             |  SELECT doc_id, encode(text) AS b FROM documents
+             |  WHERE doc_id % 3 = 1),
+             |s AS (
+             |  SELECT doc_id,
+             |    [CASE WHEN v > 32767 THEN v - 65536 ELSE v END
+             |     FOR v IN [CAST(('0x' || substr(hex(b), 4*i+3, 2)
+             |                          || substr(hex(b), 4*i+1, 2)) AS INT)
+             |               for i in range(0, octet_length(b) // 2)]] AS smp
+             |  FROM a),
+             |w AS (SELECT doc_id, smp,
+             |        least($MaxWhtWindows, len(smp) // $WhtN) AS nw
+             |      FROM s WHERE len(smp) >= $WhtN),
+             |c AS (
+             |  SELECT doc_id, nw, smp,
+             |    [[CAST(list_sum([smp[w*$WhtN+j+1] *
+             |        (1 - 2 * (bit_count(j & k) % 2))
+             |        for j in range($WhtN)]) AS BIGINT)
+             |      for k in range($WhtN)] for w in range(nw)] AS co
+             |  FROM w),
+             |e AS (
+             |  SELECT doc_id, nw, smp,
+             |    [CAST(list_sum([co[w+1][k+1] * co[w+1][k+1]
+             |       for w in range(nw)]) AS BIGINT)
+             |     for k in range($WhtN)] AS band_e
+             |  FROM c)
+             |SELECT doc_id, CAST(nw AS INTEGER) AS n_windows, band_e,
+             |  CAST(list_position(band_e, list_max(band_e)) - 1 AS BIGINT)
+             |    AS dom_band,
+             |  CAST(list_sum(band_e) AS BIGINT) = $WhtN *
+             |    CAST(list_sum([CAST(x AS BIGINT) * x
+             |      for x in smp[1 : nw * $WhtN]]) AS BIGINT) AS parseval_ok
+             |FROM e ORDER BY doc_id""".stripMargin),
+      doc = "Windowed 8-point Walsh-Hadamard spectral bands over real " +
+        "PCM16 decode: integer-exact sequency energies, dominant band, " +
+        "and an in-band Parseval energy-conservation contract")
   )
+
+  /** q8h: WHT size (8-point) and the per-asset window cap. */
+  val WhtN = 8
+  val MaxWhtWindows = 16
 }

@@ -1176,17 +1176,20 @@ object Relational extends Registry {
   /** The exact integer basis both engines share: l_extendedprice in
     * rounded cents (a raw double×100 cast would truncate 936.01→93600
     * on the float side; round() first is bit-stable in both engines). */
+  private[graft] def qtCentsOf(price: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    round(price * 100).cast("long")
+
   private def qtCents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.table(s, dir, "lineitem")
-      .select($"l_orderkey",
-        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .select($"l_orderkey", qtCentsOf($"l_extendedprice").as("cents"))
   }
 
   /** Histogram of a cents frame: one row per occupied bucket. ONE
     * shuffle bounded by |buckets| groups after map-side partial agg —
     * the reduce side is ≤ ~1.1k rows at any corpus scale. */
-  private def qtHist(cents: DataFrame): DataFrame = {
+  private[graft] def qtHist(cents: DataFrame): DataFrame = {
     val s = cents.sparkSession
     import s.implicits._
     cents.groupBy(expr(s"cents div $QtBucketW").as("b"))
@@ -1233,6 +1236,37 @@ object Relational extends Registry {
       .select($"b",
         (coalesce($"cnt_base", lit(0L)) + coalesce($"cnt_delta", lit(0L)))
           .as("cnt"))
+  }
+
+  /** Streaming-maintenance form of q9t: fold ONE micro-batch of
+    * lineitem rows into the stored bucket-count histogram (the
+    * foreachBatch production shape — state stays ≤ |buckets| rows
+    * regardless of stream volume, and because bucket addition is
+    * exactly mergeable the drained state equals a from-scratch
+    * histogram bit-for-bit: q9e's lossless guarantee, not q9c's
+    * estimator tolerance). The histogram is collected to the driver
+    * before the overwrite (bounded: ≤ ~1.1k rows), which also makes
+    * the read-modify-write safe against reading the directory being
+    * replaced. */
+  def qtFoldBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val histDir = java.nio.file.Paths.get(stateDir, "hist")
+    val bh = qtHist(batch
+        .select(qtCentsOf($"l_extendedprice").as("cents")))
+      .withColumnRenamed("cnt", "cnt_new")
+    val merged =
+      if (java.nio.file.Files.exists(histDir.resolve("_SUCCESS")))
+        s.read.parquet(histDir.toString)
+          .join(bh, Seq("b"), "full")
+          .select($"b",
+            (coalesce($"cnt", lit(0L)) + coalesce($"cnt_new", lit(0L)))
+              .as("cnt"))
+      else bh.select($"b", $"cnt_new".as("cnt"))
+    val rows = merged.collect() // bounded: ≤ |buckets| rows
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+        merged.schema)
+      .write.mode("overwrite").parquet(histDir.toString)
   }
 
   /** ceil(p·n / 100) over in-scope columns `p`/`n`, in pure integer

@@ -149,6 +149,51 @@ class Round13OpsSpec extends AnyFunSuite {
       "no directory pruning: every bucket was listed")
   }
 
+  // ---------------------------------------------------------------
+  // q8h: Walsh–Hadamard spectral bands
+  // ---------------------------------------------------------------
+
+  test("q8h: band energies replay in plain Scala and Parseval holds " +
+    "on every asset") {
+    val out = graft.SparkEntry.queries("q8h_audio_wht_bands")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("parseval_ok")),
+      "Parseval energy-conservation contract failed")
+
+    // independent arm: full WHT replay in plain Scala for every asset —
+    // byte decode, windowing, coefficients, band energies
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .filter(_.getLong(0) % 3 == 1)
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (row <- out.take(50)) {
+      val id = row.getLong(0)
+      val bytes = docs(id).getBytes("UTF-8")
+      val smp = (0 until bytes.length / 2).map { i =>
+        val v = (bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)
+        if (v > 32767) v - 65536 else v
+      }
+      val nw = math.min(Multimodal.MaxWhtWindows,
+        smp.length / Multimodal.WhtN)
+      assert(row.getAs[Int]("n_windows") == nw, s"doc $id window count")
+      val bandE = (0 until Multimodal.WhtN).map { k =>
+        (0 until nw).map { w =>
+          val c = (0 until Multimodal.WhtN).map { j =>
+            val sign = if (Integer.bitCount(j & k) % 2 == 0) 1L else -1L
+            smp(w * Multimodal.WhtN + j) * sign
+          }.sum
+          c * c
+        }.sum
+      }
+      assert(row.getAs[scala.collection.Seq[Long]]("band_e").toSeq
+          == bandE.toSeq,
+        s"doc $id band energies diverged from the Scala replay")
+      val dom = bandE.indexOf(bandE.max).toLong
+      assert(row.getAs[Long]("dom_band") == dom, s"doc $id dominant band")
+    }
+  }
+
   test("q9u: compaction preserves the bucket layout and drops exactly " +
     "the dead rows") {
     import org.apache.spark.sql.functions._

@@ -514,6 +514,49 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-folded grid diverged from rebuild")
   }
 
+  test("streaming quantile-histogram maintenance: per-trigger bucket " +
+    "folds equal a from-scratch histogram bit-for-bit") {
+    // the q9t state machine driven by a STREAM: lineitem rows arrive
+    // as three single-file micro-batches, each trigger adds its bucket
+    // counts into the stored histogram (Relational.qtFoldBatch — the
+    // foreachBatch production shape). Bucket addition is exactly
+    // mergeable, so the drained histogram must EQUAL one counting pass
+    // over the whole table — q9e's lossless guarantee; any quantile
+    // read from it is then identical to a batch read-out.
+    import org.apache.spark.sql.functions._
+    val streamDir = java.nio.file.Files.createTempDirectory("qt-stream")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("qt-state").toString
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    li.repartition(3).write.mode("overwrite")
+      .parquet(streamDir.toString)
+
+    val folds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = spark.readStream
+      .schema(li.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.queries.Relational.qtFoldBatch(spark, stateDir, df)
+        folds.incrementAndGet(); ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    assert(folds.get() == 3, s"expected 3 per-file folds, got ${folds.get()}")
+
+    val streamed = spark.read
+      .parquet(java.nio.file.Paths.get(stateDir, "hist").toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = graft.queries.Relational.qtHist(
+        li.select(graft.queries.Relational
+          .qtCentsOf(col("l_extendedprice")).as("cents")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == rebuilt && rebuilt.nonEmpty,
+      "stream-folded histogram diverged from rebuild")
+  }
+
   test("q6d transformWithState running totals carry ValueState across " +
     "triggers == batch window plan") {
     import org.apache.spark.sql.functions._
