@@ -900,7 +900,52 @@ object Relational extends Registry {
       doc = "Incrementally maintained histogram quantile sketch: stored " +
         "bucket counts + delta-only counts + lossless additive merge " +
         "(pinned exactly equal to rebuild), quantile read-out and " +
-        "containment contract replayed in SQL")
+        "containment contract replayed in SQL"),
+
+    // ------------------------------------------------------------------
+    // q9w: RANGE CARDINALITY from TIME-PARTITIONED sketches — the other
+    // production axis of the q9c sketch story: q9c keeps ONE sketch
+    // fresh under deltas; q9w stores one sketch PER DAY and answers
+    // "distinct users over any date range" by merging just that range's
+    // registers — the dashboard/retention-analytics shape (DAU over any
+    // window, rolling 7/28-day actives) where the event log is written
+    // once and every range query afterwards touches only KB-scale
+    // register files, never the log. Three ranges (full span, first
+    // half, last third — derived deterministically from the state's own
+    // day bounds so both engines agree) are each served by one
+    // hll_union_agg over ≤|days| sketches. Contract is q93's: the exact
+    // per-range distinct count (the contract-only arm — at target scale
+    // this is the full-log scan the sketches exist to avoid) rides
+    // along with a ±10% bound the estimate must meet, and DuckDB pins
+    // exact counts, day bounds, and merged-day counts; the estimate
+    // itself is datasketches-internal (the q9c precedent). At 100 TB:
+    // the state build is one partial-agged shuffle of |days| groups,
+    // state size is days × 2^lgK bytes regardless of event volume, and
+    // a range serve moves only the selected registers.
+    QueryDef(
+      "q9w_range_cardinality",
+      (s, dir) => rangeCardinality(s, dir),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+             |  FROM events),
+             |b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM e),
+             |r AS (
+             |  SELECT 1 AS range_id, dmin AS d_lo, dmax AS d_hi FROM b
+             |  UNION ALL
+             |  SELECT 2, dmin, dmin + (dmax - dmin) // 2 FROM b
+             |  UNION ALL
+             |  SELECT 3, dmax - (dmax - dmin) // 3, dmax FROM b)
+             |SELECT CAST(r.range_id AS BIGINT) AS range_id,
+             |  CAST(r.d_lo AS BIGINT) AS d_lo,
+             |  CAST(r.d_hi AS BIGINT) AS d_hi,
+             |  count(DISTINCT e.day) AS n_days_merged,
+             |  count(DISTINCT e.user_id) AS exact_users,
+             |  true AS within_10pct
+             |FROM r JOIN e ON e.day BETWEEN r.d_lo AND r.d_hi
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
+      doc = "Distinct-users-over-any-date-range served from stored " +
+        "per-day HLL registers: range merge touches KB-scale sketches, " +
+        "never the event log; exact counts + 10pct contract gated")
   )
 
   val HllLgK = 14
@@ -1330,5 +1375,79 @@ object Relational extends Registry {
     require(out.filter(!$"within_bucket").isEmpty,
       "q9t: exact quantile escaped the estimated bucket — histogram broken")
     out
+  }
+
+  // ------------------------------------------------------------------
+  // q9w: per-day HLL state + range serve (see the QueryDef for design)
+  // ------------------------------------------------------------------
+  private val DayNanos = 86400000000000L
+
+  /** Build-or-reuse the per-day HLL register store over the event log.
+    * Returns (state, rebuilt, stateDir). Torn-write rule shared with
+    * q9c/q9e/q9t: key file last. */
+  private[queries] def loadOrBuildDailyHll(s: SparkSession, dir: String)
+      : (DataFrame, Boolean, String) = {
+    import s.implicits._
+    val src = s"$dir/events.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|agg=daily-hll-user|lgk=$HllLgK"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = Tables.persistentScratchDir(s"q9w_dailyhll_$tag")
+    val skDir = java.nio.file.Paths.get(stateDir, "sketches")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(skDir.resolve("_SUCCESS"))
+    if (!valid) {
+      Tables.eventsRaw(s, dir)
+        .select($"user_id", expr(s"ts div $DayNanos").as("day"))
+        .groupBy($"day")
+        .agg(hll_sketch_agg($"user_id", lit(HllLgK)).as("sk"))
+        .write.mode("overwrite").parquet(skDir.toString)
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    (s.read.parquet(skDir.toString), !valid, stateDir)
+  }
+
+  /** The q9w serve path alone — range estimates from stored registers,
+    * zero event-log reads (the spec proves it from the executed plan's
+    * file list). */
+  def rangeEstimates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (state, _, _) = loadOrBuildDailyHll(s, dir)
+    // range bounds from the state's own day axis (bounded: 1 row)
+    val b = state.agg(min($"day"), max($"day")).collect().head
+    val (dmin, dmax) = (b.getLong(0), b.getLong(1))
+    val ranges = Seq(
+      (1L, dmin, dmax),
+      (2L, dmin, dmin + (dmax - dmin) / 2),
+      (3L, dmax - (dmax - dmin) / 3, dmax))
+      .toDF("range_id", "d_lo", "d_hi")
+    // the serve: union only the selected registers — |days| sketch rows
+    // join against 3 range rows, then one register-wise merge per range
+    state.join(broadcast(ranges), $"day".between($"d_lo", $"d_hi"))
+      .groupBy($"range_id", $"d_lo", $"d_hi")
+      .agg(count(lit(1)).as("n_days_merged"),
+        hll_sketch_estimate(hll_union_agg($"sk",
+          allowDifferentLgConfigK = false)).as("est_users"))
+  }
+
+  def rangeCardinality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val est = rangeEstimates(s, dir)
+    val ranges = est.select($"range_id", $"d_lo", $"d_hi")
+    // contract-only arm: the exact distinct scan the sketches replace
+    val exact = Tables.eventsRaw(s, dir)
+      .select($"user_id", expr(s"ts div $DayNanos").as("day"))
+      .join(broadcast(ranges), $"day".between($"d_lo", $"d_hi"))
+      .groupBy($"range_id")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    est.join(exact, Seq("range_id"))
+      .select($"range_id", $"d_lo", $"d_hi", $"n_days_merged",
+        $"exact_users",
+        (abs($"est_users" - $"exact_users") <= $"exact_users" * 0.10)
+          .as("within_10pct"))
+      .orderBy($"range_id")
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / splitting over `documents` — the dataset-
@@ -737,6 +737,73 @@ object Sampling extends Registry {
              |FROM j GROUP BY lang ORDER BY lang""".stripMargin),
       doc = "Corpus snapshot diff: full-outer digest join classifying " +
         "added/removed/kept/changed per language — digests, not text, " +
-        "cross the network")
+        "cross the network"),
+
+    // ------------------------------------------------------------------
+    // q9v: SCHEMA EVOLUTION — the drift every long-lived lake
+    // accumulates: files written before a column existed must stay
+    // readable as ONE table after the schema evolves. The corpus is
+    // written as two eras (era=v1: doc_id+n_chars only — "before we
+    // tracked language"; era=v2 adds lang), then read back in a single
+    // mergeSchema scan: partition discovery surfaces the era directory
+    // key as a column, footer-level schema merge unions the row
+    // schemas, and v1 rows materialize lang as NULL at the scan — no
+    // rewrite, no per-era reader code. The require() pins the merged
+    // schema (all four columns present), and the aggregate makes the
+    // null-fill semantics the gated answer: legacy rows group under a
+    // sentinel, per-group era span proves both eras actually
+    // contributed. At 100 TB: schema merge reads FOOTERS (cost bounds
+    // with file count, not bytes), missing columns are null-filled by
+    // the reader for free, and the same mechanics serve a
+    // catalog-pinned schema — this is how years of format drift stay
+    // queryable without rewriting a single historical file.
+    QueryDef(
+      "q9v_schema_evolution",
+      (s, dir) => schemaEvolution(s, dir),
+      Some("""WITH v AS (
+             |  SELECT doc_id, n_chars,
+             |    CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS era
+             |  FROM documents)
+             |SELECT coalesce(lang, '_legacy_') AS lang_group,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_legacy,
+             |  count(DISTINCT era) AS n_eras
+             |FROM v GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Schema evolution: two-era parquet layout read as one " +
+        "mergeSchema scan — partition discovery + footer schema union " +
+        "+ null-fill for pre-evolution rows, aggregated per language")
   )
+
+  /** q9v: write the two-era layout, read it back as one evolved table.
+    * Exposed for the spec's schema/pushdown assertions. */
+  def evolvedCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = Tables.scratchDir("q9v_evo")
+    val docs = table(s, dir, "documents")
+    docs.filter(pmod($"doc_id", lit(2)) === 0)
+      .select($"doc_id", $"n_chars")
+      .write.mode("overwrite").parquet(s"$out/era=v1")
+    docs.filter(pmod($"doc_id", lit(2)) === 1)
+      .select($"doc_id", $"n_chars", $"lang")
+      .write.mode("overwrite").parquet(s"$out/era=v2")
+    val merged = s.read.option("mergeSchema", "true").parquet(out)
+    require(merged.columns.toSet ==
+        Set("doc_id", "n_chars", "lang", "era"),
+      s"q9v: merged schema missing columns: ${merged.columns.mkString(",")}")
+    merged
+  }
+
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    evolvedCorpus(s, dir)
+      .groupBy(coalesce($"lang", lit("_legacy_")).as("lang_group"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum(when($"lang".isNull, 1L).otherwise(0L)).as("n_legacy"),
+        countDistinct($"era").as("n_eras"))
+      .orderBy($"lang_group")
+  }
 }

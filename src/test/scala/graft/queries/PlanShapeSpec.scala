@@ -178,7 +178,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // in their fn; q9t's two windows are histogram-sized (≤ ~1.1k
       // bucket rows / distinct cents at the gate scale) by construction
       // — covered in Round13OpsSpec
-      "q9t_quantile_incremental", "q9u_tombstone_purge")
+      "q9t_quantile_incremental", "q9u_tombstone_purge",
+      // q9v writes the two-era layout before its mergeSchema read;
+      // q9w builds/collects its per-day register state
+      "q9v_schema_evolution", "q9w_range_cardinality")
     def hasLimitBelow(p: LogicalPlan): Boolean =
       p.collectFirst { case _: GlobalLimit => (); case _: LocalLimit => () }.nonEmpty
     val offenders = graft.SparkEntry.allDefs

@@ -150,6 +150,88 @@ class Round13OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // q9w: range cardinality from per-day HLL registers
+  // ---------------------------------------------------------------
+
+  test("q9w: state reused; range estimates read only stored registers, " +
+    "never the event log") {
+    val (_, _, stateDir) = Relational.loadOrBuildDailyHll(spark, sfDir)
+    delTree(java.nio.file.Paths.get(stateDir))
+    val (_, builtFirst, _) = Relational.loadOrBuildDailyHll(spark, sfDir)
+    assert(builtFirst, "fresh dir must trigger a state build")
+    val (state, builtSecond, _) = Relational.loadOrBuildDailyHll(spark, sfDir)
+    assert(!builtSecond, "unchanged log must reuse the registers")
+    // state is day-partitioned and day-sized, not event-sized
+    val nDays = state.count()
+    assert(nDays > 5 && nDays < 100, s"expected ~30 day rows, got $nDays")
+
+    val est = Relational.rangeEstimates(spark, sfDir)
+    val rows = est.collect()
+    assert(rows.length == 3)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+      }.flatten
+    val files = allScans(est.queryExecution.executedPlan)
+      .flatMap(_.selectedPartitions.toPartitionArray
+        .map(_.filePath.toString))
+    assert(files.nonEmpty && files.forall(_.contains(stateDir)),
+      "serve path read outside the register state")
+    assert(!files.exists(_.contains("events.parquet")),
+      "serve path re-read the event log")
+
+    // and the estimates meet the contract vs an independent exact count
+    val full = rows.find(_.getLong(0) == 1L).get
+    val exactFull = graft.streaming.EventStream
+      .readBatch(spark, s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(math.abs(full.getAs[Long]("est_users") - exactFull)
+        <= exactFull * 0.10,
+      "full-span estimate outside the 10pct contract")
+  }
+
+  // ---------------------------------------------------------------
+  // q9v: schema evolution
+  // ---------------------------------------------------------------
+
+  test("q9v: merged read null-fills legacy rows and an era predicate " +
+    "prunes to one directory") {
+    import org.apache.spark.sql.functions._
+    val merged = Sampling.evolvedCorpus(spark, sfDir)
+    assert(merged.columns.toSet ==
+      Set("doc_id", "n_chars", "lang", "era"))
+    // null-fill semantics: every pre-evolution row surfaces lang NULL,
+    // every v2 row carries it
+    assert(merged.filter(col("era") === "v1" && col("lang").isNotNull)
+      .isEmpty)
+    assert(merged.filter(col("era") === "v2" && col("lang").isNull)
+      .isEmpty)
+    // the era partition key prunes at the directory level: a v2-only
+    // read must select no era=v1 file
+    val v2 = merged.filter(col("era") === "v2")
+    v2.collect()
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+      }.flatten
+    val files = allScans(v2.queryExecution.executedPlan)
+      .flatMap(_.selectedPartitions.toPartitionArray
+        .map(_.filePath.toString))
+    assert(files.nonEmpty && files.forall(_.contains("era=v2")),
+      s"era filter did not prune: $files")
+  }
+
+  // ---------------------------------------------------------------
   // q8h: Walsh–Hadamard spectral bands
   // ---------------------------------------------------------------
 
