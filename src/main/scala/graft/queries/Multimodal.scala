@@ -1355,10 +1355,94 @@ object Multimodal extends Registry {
              |FROM e ORDER BY doc_id""".stripMargin),
       doc = "Windowed 8-point Walsh-Hadamard spectral bands over real " +
         "PCM16 decode: integer-exact sequency energies, dominant band, " +
-        "and an in-band Parseval energy-conservation contract")
+        "and an in-band Parseval energy-conservation contract"),
+
+    // ------------------------------------------------------------------
+    // q8i: SCENE-CUT DETECTION over the real video decode — the
+    // keyframe-selection pass a video training pipeline runs after
+    // container decode (q86) and before frame sampling (q81): score
+    // every CONSECUTIVE frame pair by the L1 pixel distance Σ|p_f −
+    // p_f+1| and flag transitions above a cut threshold. All-integer
+    // per-asset work, so every distance, the cut count, and the max/
+    // total replay bit-for-bit from payload hex in the oracle (via the
+    // frame-stream identity: frame f byte k = payload byte f·96+k,
+    // zero past the tail — zero-padding matches the decoder's padded
+    // last row pair, so out-of-range coalesce(0) agrees on both
+    // engines). Plan shape: the frame pairing needs NO self-join and
+    // NO window — frames stay an ARRAY per asset and the pairing is a
+    // transform over the index sequence reading f and f+1 from the
+    // same array; decode + pairing + reduction fuse into one narrow
+    // projection, the only shuffle is the final sort. At 100 TB:
+    // embarrassingly parallel per asset; what ships is 5 longs per
+    // asset, never frames.
+    QueryDef(
+      "q8i_scene_cuts",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        import s.implicits._
+        corpus(s, dir).filter($"modality" === "video")
+          .select($"doc_id",
+            expr("avi_dib_frames(avi_dib_encode(payload, 96))")
+              .as("frames"))
+          .select($"doc_id",
+            expr("transform(frames, fb -> bmp_rgb24_pixels(fb))").as("pxs"))
+          .withColumn("nf", size($"pxs"))
+          .filter($"nf" >= 2)
+          .withColumn("diffs", expr(s"""transform(sequence(0, nf - 2), f ->
+            aggregate(sequence(0, ${FrameBytes - 1}), CAST(0 AS BIGINT),
+              (acc, k) -> acc + abs(
+                CAST(coalesce(try_element_at(element_at(pxs, f + 1), k + 1),
+                  0) AS BIGINT) -
+                CAST(coalesce(try_element_at(element_at(pxs, f + 2), k + 1),
+                  0) AS BIGINT))))"""))
+          .select($"doc_id", $"nf".as("n_frames"),
+            size($"diffs").as("n_transitions"),
+            size(filter($"diffs", d => d >= lit(CutThreshold)))
+              .cast("long").as("n_cuts"),
+            array_max($"diffs").as("max_diff"),
+            expr("aggregate(diffs, CAST(0 AS BIGINT), (a, x) -> a + x)")
+              .as("total_diff"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH a AS (
+             |  SELECT doc_id, encode(text) AS bl FROM documents
+             |  WHERE doc_id % 3 = 2),
+             |st AS (
+             |  SELECT doc_id, octet_length(bl) AS n,
+             |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(bl))] AS bs
+             |  FROM a),
+             |d AS (SELECT doc_id, greatest(1, (n + 95) // $FrameBytes)
+             |        AS nf, bs
+             |      FROM st),
+             |f AS (SELECT * FROM d WHERE nf >= 2),
+             |df AS (
+             |  SELECT doc_id, nf,
+             |    [CAST(list_sum([abs(coalesce(bs[f*$FrameBytes+k+1], 0)
+             |                      - coalesce(bs[(f+1)*$FrameBytes+k+1], 0))
+             |       for k in range($FrameBytes)]) AS BIGINT)
+             |     for f in range(nf - 1)] AS diffs
+             |  FROM f)
+             |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+             |  CAST(len(diffs) AS INTEGER) AS n_transitions,
+             |  CAST(len(list_filter(diffs, x -> x >= $CutThreshold))
+             |    AS BIGINT) AS n_cuts,
+             |  CAST(list_max(diffs) AS BIGINT) AS max_diff,
+             |  CAST(list_sum(diffs) AS BIGINT) AS total_diff
+             |FROM df ORDER BY doc_id""".stripMargin),
+      doc = "Scene-cut detection on real AVI/BMP decode: L1 distance " +
+        "per consecutive frame pair computed array-native (no self-join, " +
+        "no window), integer-exact cut counts vs the payload replay")
   )
 
   /** q8h: WHT size (8-point) and the per-asset window cap. */
   val WhtN = 8
   val MaxWhtWindows = 16
+
+  /** q8i: bytes per encoded AVI frame (the q86 geometry) and the L1
+    * cut threshold — near the expected distance of two independent
+    * text-derived frames (~30 per byte × 96), so real corpora yield a
+    * mixed cut/no-cut population rather than a degenerate constant. */
+  val FrameBytes = 96
+  val CutThreshold = 2500L
 }

@@ -774,7 +774,52 @@ object Sampling extends Registry {
              |FROM v GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "Schema evolution: two-era parquet layout read as one " +
         "mergeSchema scan — partition discovery + footer schema union " +
-        "+ null-fill for pre-evolution rows, aggregated per language")
+        "+ null-fill for pre-evolution rows, aggregated per language"),
+
+    // ------------------------------------------------------------------
+    // q9x: REPRODUCIBLE TRAINING-BATCH MANIFEST — the data-order ledger
+    // an LLM training run needs: a seed-determined global shuffle of
+    // the corpus, cut into fixed-size batches, such that ANY two runs
+    // (and any two engines) enumerate byte-identical batches. The
+    // shuffle key is md5(seed|doc_id) — no RNG state, reproducible
+    // forever — and the interesting part is HOW a global rank is
+    // computed at scale: NOT with a global-order window (a single-
+    // partition sort, the classic scale-killer PlanShapeSpec bans) but
+    // by the two-phase distributed enumeration a 1000-executor run
+    // uses: range-partition by the shuffle key, rank WITHIN each range
+    // partition (keyed window — parallel), then add per-partition
+    // offsets (P scalars through the driver). The global rank is
+    // partition-boundary-INDEPENDENT (the key order is total: md5 +
+    // doc_id tiebreak), so the result equals the oracle's one-window
+    // row_number replay while the plan stays fully parallel. The
+    // repartitioned frame is localCheckpoint()ed so the offset pass
+    // and the rank pass read the SAME materialized partitioning (the
+    // production form writes the manifest to storage — same property).
+    // Batches 0..7 ship with order-sensitive checksums: a manifest
+    // that permuted docs within a batch, swapped batches, or drifted
+    // one rank fails the hash.
+    QueryDef(
+      "q9x_batch_manifest",
+      (s, dir) => batchManifest(s, dir),
+      Some(s"""WITH k AS (
+             |  SELECT doc_id, n_chars,
+             |    md5('$ManifestSeed|' || CAST(doc_id AS VARCHAR)) AS k
+             |  FROM documents),
+             |r AS (SELECT doc_id, n_chars,
+             |        row_number() OVER (ORDER BY k, doc_id) AS grank
+             |      FROM k),
+             |b AS (SELECT doc_id, n_chars, grank,
+             |        (grank - 1) // $BatchSize AS batch FROM r)
+             |SELECT CAST(batch AS BIGINT) AS batch, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS token_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             |  CAST(sum(doc_id * ((grank - 1) % $BatchSize + 1)) AS BIGINT)
+             |    AS order_checksum
+             |FROM b WHERE batch < $ManifestBatchesOut
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Seed-deterministic training-batch manifest: distributed " +
+        "global enumeration (range partition + keyed rank + offsets, " +
+        "no single-partition window), order-sensitive batch checksums")
   )
 
   /** q9v: write the two-era layout, read it back as one evolved table.
@@ -805,5 +850,59 @@ object Sampling extends Registry {
         sum(when($"lang".isNull, 1L).otherwise(0L)).as("n_legacy"),
         countDistinct($"era").as("n_eras"))
       .orderBy($"lang_group")
+  }
+
+  // ------------------------------------------------------------------
+  // q9x: training-batch manifest (see the QueryDef for design)
+  // ------------------------------------------------------------------
+  val ManifestSeed = "r13"
+  val BatchSize = 32
+  val ManifestBatchesOut = 8
+  private val ManifestParts = 8
+
+  /** The distributed global enumeration: (doc_id, n_chars, grank) with
+    * grank equal to row_number over (md5(seed|id), id) — computed with
+    * NO global-order window. Exposed for the spec's plan assertion. */
+  def manifestRanks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val keyed = table(s, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        md5(concat(lit(s"$ManifestSeed|"), $"doc_id".cast("string")))
+          .as("k"))
+    // one materialized partitioning shared by the offset pass and the
+    // rank pass (production writes the manifest; same property)
+    val parts = keyed
+      .repartitionByRange(ManifestParts, $"k", $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    // per-partition offsets: P scalars through the driver — range
+    // partition p holds keys strictly below partition p+1, so the
+    // offset of p is the row count of partitions 0..p-1
+    val counts = parts.groupBy($"pid").agg(count(lit(1)).as("c"))
+      .orderBy($"pid").collect() // bounded: ManifestParts rows
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }.toSeq.toDF("pid", "off")
+    parts
+      .withColumn("lr", row_number().over(
+        Window.partitionBy($"pid").orderBy($"k", $"doc_id")))
+      .join(broadcast(offsets), Seq("pid"))
+      .select($"doc_id", $"n_chars", ($"off" + $"lr").as("grank"))
+  }
+
+  def batchManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    manifestRanks(s, dir)
+      .withColumn("batch", expr(s"(grank - 1) div $BatchSize"))
+      .filter($"batch" < ManifestBatchesOut)
+      .groupBy($"batch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("token_chars"),
+        sum($"doc_id").as("id_checksum"),
+        sum($"doc_id" * (pmod($"grank" - 1, lit(BatchSize)) + 1))
+          .as("order_checksum"))
+      .orderBy($"batch")
   }
 }

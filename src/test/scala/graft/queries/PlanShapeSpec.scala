@@ -181,7 +181,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "q9t_quantile_incremental", "q9u_tombstone_purge",
       // q9v writes the two-era layout before its mergeSchema read;
       // q9w builds/collects its per-day register state
-      "q9v_schema_evolution", "q9w_range_cardinality")
+      "q9v_schema_evolution", "q9w_range_cardinality",
+      // q9x localCheckpoints its range-partitioned frame for the
+      // two-pass enumeration; its no-global-window claim is asserted
+      // directly in Round13OpsSpec
+      "q9x_batch_manifest")
     def hasLimitBelow(p: LogicalPlan): Boolean =
       p.collectFirst { case _: GlobalLimit => (); case _: LocalLimit => () }.nonEmpty
     val offenders = graft.SparkEntry.allDefs

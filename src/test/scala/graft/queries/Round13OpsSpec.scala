@@ -150,6 +150,38 @@ class Round13OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // q9x: training-batch manifest
+  // ---------------------------------------------------------------
+
+  test("q9x: distributed enumeration equals a driver-side total sort " +
+    "and plans no global-order window") {
+    val ranks = Sampling.manifestRanks(spark, sfDir)
+    // no Window with an empty partitionSpec anywhere in the plan — the
+    // single-partition sort the two-phase enumeration exists to avoid
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = ranks.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(offenders.isEmpty, "q9x planned a global-order window")
+
+    // independent arm: total order replayed by a plain-Scala sort
+    val got = ranks.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (md5hex(s"${Sampling.ManifestSeed}|$id"), id))
+      .sorted.zipWithIndex
+      .map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    assert(got == expected,
+      "distributed ranks diverged from the total-order replay")
+    // ranks are a permutation: exactly 1..n once each
+    assert(got.values.toSeq.sorted == (1L to got.size.toLong))
+  }
+
+  // ---------------------------------------------------------------
   // q9w: range cardinality from per-day HLL registers
   // ---------------------------------------------------------------
 
