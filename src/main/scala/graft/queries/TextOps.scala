@@ -944,7 +944,72 @@ object TextOps extends Registry {
         docsWhere = s"WHERE doc_id % $TombMod <> $TombRem")),
       doc = "Tombstone deletion through a stored postings index: " +
         "broadcast-masked serve + layout-preserving compaction + " +
-        "index-only stats decrement, purge ≡ rebuild require()d")
+        "index-only stats decrement, purge ≡ rebuild require()d",
+    ),
+
+    // ------------------------------------------------------------------
+    // q9y: CROSS-SOURCE CONTAMINATION MATRIX — the dataset-card report
+    // q39's boolean decontamination cannot produce: for every PAIR of
+    // corpus sources, how much verbatim 8-gram material do they share?
+    // (Crawl snapshots overlapping, mirrors of the same site, a
+    // benchmark leaking into two collections — the questions a
+    // composition audit answers before training.) Shape: per-source
+    // DISTINCT shingle sets (the q39 codegen shingle_hashes kernel),
+    // then one digest-keyed self-join — the all-pairs explosion happens
+    // only at the SOURCE level (20×20 here), never at the document
+    // level, and the join shuffles by shingle hash with map-side
+    // distinct, so at 100 TB the cost is shingle-vocabulary-sized, the
+    // same index a MinHash pipeline already materializes. Jaccard ships
+    // in integer micro-units (div = floor on non-negatives, the q9s
+    // rule). The oracle replays with string 8-grams — equivalent modulo
+    // 2^-65 hash collisions, q39's accepted precedent.
+    QueryDef(
+      "q9y_contamination_matrix",
+      (s, dir) => {
+        import s.implicits._
+        graft.GraftExtensions.ensureRegistered(s)
+        val grams = table(s, dir, "documents")
+          .select($"source", explode(expr("shingle_hashes(text, 8)")).as("h"))
+          .distinct()
+        val sizes = grams.groupBy($"source").agg(count(lit(1)).as("c"))
+        val pairs = grams.as("a")
+          .join(grams.as("b"),
+            $"a.h" === $"b.h" && $"a.source" < $"b.source")
+          .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        pairs
+          .join(broadcast(sizes.select($"source".as("source_a"),
+            $"c".as("ca"))), Seq("source_a"))
+          .join(broadcast(sizes.select($"source".as("source_b"),
+            $"c".as("cb"))), Seq("source_b"))
+          .select($"source_a", $"source_b", $"n_shared",
+            expr("n_shared * 1000000 div (ca + cb - n_shared)")
+              .as("jaccard_micro"))
+          .orderBy($"source_a", $"source_b")
+      },
+      Some("""WITH sh AS (
+             |  SELECT source, CASE WHEN len(ws) < 8 THEN [text]
+             |    ELSE list_distinct([array_to_string(ws[i:i+7], ' ')
+             |                        for i in range(1, len(ws) - 6)]) END AS sg
+             |  FROM (SELECT source, text, string_split(text, ' ') AS ws
+             |        FROM documents) t),
+             |g AS (SELECT DISTINCT source, unnest(sg) AS g FROM sh),
+             |sz AS (SELECT source, count(*) AS c FROM g GROUP BY 1),
+             |p AS (
+             |  SELECT a.source AS source_a, b.source AS source_b,
+             |    count(*) AS n_shared
+             |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT p.source_a, p.source_b, p.n_shared,
+             |  CAST(p.n_shared * 1000000 // (ca.c + cb.c - p.n_shared)
+             |    AS BIGINT) AS jaccard_micro
+             |FROM p
+             |JOIN sz ca ON ca.source = p.source_a
+             |JOIN sz cb ON cb.source = p.source_b
+             |ORDER BY source_a, source_b""".stripMargin),
+      doc = "Cross-source contamination matrix: pairwise 8-gram overlap " +
+        "+ integer Jaccard per source pair via one digest-keyed join — " +
+        "all-pairs only at source level, never documents")
   )
 
   /** q9k per-domain document quota. */
