@@ -1953,9 +1953,17 @@ object TextOps extends Registry {
     * plan assertions. */
   def bm25Tombstoned(s: SparkSession, dir: String, queryTerms: Seq[String],
       k: Int): DataFrame = {
-    import s.implicits._
     val (post, _, statsLive, tomb, _, _) =
       loadOrBuildTombstonedPostings(s, dir)
+    maskedServe(s, post, statsLive, tomb, queryTerms, k)
+  }
+
+  /** The masked-serve kernel over explicit state frames, shared by
+    * the one-shot q9u path and the streaming fold's parity spec. */
+  private[graft] def maskedServe(s: SparkSession, post: DataFrame,
+      statsLive: DataFrame, tomb: DataFrame, queryTerms: Seq[String],
+      k: Int): DataFrame = {
+    import s.implicits._
     val buckets = queryTerms.toDF("term")
       .select(pmod(xxhash64($"term"), lit(PostingsBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
@@ -1965,6 +1973,67 @@ object TextOps extends Registry {
       .join(broadcast(tomb.select($"doc_id")), Seq("doc_id"), "left_anti")
       .select($"doc_id", $"dl", $"term", $"tf")
     bm25Score(tf, statsLive, k)
+  }
+
+  /** Streaming form of q9u: fold ONE micro-batch of takedown doc_ids
+    * into the stored index state — the foreachBatch production shape
+    * for a takedown FEED. Arriving ids are anti-joined against the
+    * stored tombstone list FIRST, so a redelivered batch changes
+    * nothing (exactly-once effect under at-least-once delivery: the
+    * stats decrement runs only for genuinely new victims), then the
+    * victims' (doc_id, dl) recover from their own postings rows and the
+    * two live-stats scalars decrement — the corpus is never consulted,
+    * and the postings layout is untouched (masked serves see the new
+    * tombstones instantly; physical compaction stays a scheduled
+    * offline pass, exactly as in production). The list is collected to
+    * the driver before the overwrite (bounded: takedown lists are
+    * orders of magnitude smaller than corpora), which also makes the
+    * read-modify-write safe against reading the directory being
+    * replaced. */
+  /** Seed a PRE-takedown index state (full-corpus postings + full
+    * stats, no tombstones yet) — "the index as built before the
+    * takedown feed started", the starting point of the streaming
+    * fold's lifecycle. */
+  def seedTombstoneState(s: SparkSession, dir: String,
+      stateDir: String): Unit = {
+    import s.implicits._
+    val docs = tokenizedDocs(s, dir)
+    postingsOf(docs)
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$stateDir/postings")
+    docs.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"dl").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$stateDir/stats_live")
+  }
+
+  def tombFoldBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val tombDir = java.nio.file.Paths.get(stateDir, "tombstones")
+    val statsDir = java.nio.file.Paths.get(stateDir, "stats_live")
+    val postDir = java.nio.file.Paths.get(stateDir, "postings")
+    val stored =
+      if (java.nio.file.Files.exists(tombDir.resolve("_SUCCESS")))
+        s.read.parquet(tombDir.toString)
+      else Seq.empty[(Long, Long)].toDF("doc_id", "dl")
+    val fresh = batch.select($"doc_id").distinct()
+      .join(stored.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val victims = s.read.parquet(postDir.toString)
+      .join(fresh, Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"dl").distinct()
+    val merged = stored.select($"doc_id", $"dl").unionAll(victims)
+    val rows = merged.collect() // bounded: tombstone-list-sized
+    val dead = victims.agg(count(lit(1)).cast("long"), sum($"dl"))
+      .collect().head
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+        merged.schema)
+      .write.mode("overwrite").parquet(tombDir.toString)
+    val st = s.read.parquet(statsDir.toString).collect().head
+    Seq((st.getLong(0) - dead.getLong(0),
+        st.getLong(1) -
+          (if (dead.isNullAt(1)) 0L else dead.getLong(1))))
+      .toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(statsDir.toString)
   }
 
   def tombstonePurge(s: SparkSession, dir: String): DataFrame = {

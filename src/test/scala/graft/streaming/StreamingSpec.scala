@@ -557,6 +557,72 @@ class StreamingSpec extends AnyFunSuite {
       "stream-folded histogram diverged from rebuild")
   }
 
+  test("streaming tombstone maintenance: takedown feed folds are " +
+    "redelivery-idempotent and converge to the one-shot purge") {
+    // the q9u state machine driven by a takedown STREAM: the index is
+    // seeded pre-takedown, the mod-13 tombstone ids arrive as three
+    // micro-batches (TextOps.tombFoldBatch — anti-join vs the stored
+    // list makes redelivery a no-op), and the drained state must serve
+    // exactly what q9u's one-shot purge serves.
+    import org.apache.spark.sql.functions._
+    import graft.queries.TextOps
+    val streamDir = java.nio.file.Files.createTempDirectory("tomb-stream")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("tomb-state").toString
+    TextOps.seedTombstoneState(spark, sfDir, stateDir)
+    val tombIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(TextOps.TombMod)) === TextOps.TombRem)
+    tombIds.repartition(3).write.mode("overwrite")
+      .parquet(streamDir.toString)
+
+    val folds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = spark.readStream
+      .schema(tombIds.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextOps.tombFoldBatch(spark, stateDir, df)
+        folds.incrementAndGet(); ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    assert(folds.get() == 3, s"expected 3 per-file folds, got ${folds.get()}")
+
+    // redelivery: folding the ENTIRE feed again must change nothing
+    def stateSnapshot(): (Set[Long], (Long, Long)) = {
+      val t = spark.read
+        .parquet(java.nio.file.Paths.get(stateDir, "tombstones").toString)
+        .collect().map(_.getLong(0)).toSet
+      val st = spark.read
+        .parquet(java.nio.file.Paths.get(stateDir, "stats_live").toString)
+        .collect().head
+      (t, (st.getLong(0), st.getLong(1)))
+    }
+    val before = stateSnapshot()
+    TextOps.tombFoldBatch(spark, stateDir, tombIds)
+    assert(stateSnapshot() == before,
+      "redelivered takedown batch mutated the state")
+
+    // convergence: the folded state's masked serve ≡ q9u's one-shot
+    // purge serve (same tombstone set, same decremented stats)
+    val post = spark.read
+      .parquet(java.nio.file.Paths.get(stateDir, "postings").toString)
+    val statsLive = spark.read
+      .parquet(java.nio.file.Paths.get(stateDir, "stats_live").toString)
+    val tomb = spark.read
+      .parquet(java.nio.file.Paths.get(stateDir, "tombstones").toString)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val folded = rows(TextOps.maskedServe(spark, post, statsLive, tomb,
+      TextOps.Bm25TombTerms, 10))
+    val oneShot = rows(TextOps.bm25Tombstoned(spark, sfDir,
+      TextOps.Bm25TombTerms, 10))
+    assert(folded == oneShot && folded.nonEmpty,
+      "stream-folded serve diverged from the one-shot purge")
+  }
+
   test("q6d transformWithState running totals carry ValueState across " +
     "triggers == batch window plan") {
     import org.apache.spark.sql.functions._
