@@ -328,12 +328,8 @@ object Sampling extends Registry {
       "q79_zorder_layout",
       (s, dir) => {
         import s.implicits._
-        def zExpr(a: String, b: String): String =
-          (0 until 16).map(i =>
-            s"(((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1}))")
-            .mkString(" | ")
         val out = Tables.scratchDir("q79_zorder")
-        val z = expr(zExpr("l_partkey", "l_suppkey")).as("z")
+        val z = expr(zInterleaveExpr("l_partkey", "l_suppkey")).as("z")
         table(s, dir, "lineitem")
           .select($"l_orderkey", $"l_partkey", $"l_suppkey", z)
           .repartitionByRange(8, $"z")
@@ -357,15 +353,11 @@ object Sampling extends Registry {
         Seq((agg.getLong(0), agg.getLong(1), ranges.length > 1, disjoint))
           .toDF("n_rows", "z_checksum", "multi_file", "ranges_disjoint")
       },
-      Some {
-        val zSql = (0 until 16).map(i =>
-          s"((((l_partkey >> $i) & 1) << ${2 * i}) | (((l_suppkey >> $i) & 1) << ${2 * i + 1}))")
-          .mkString(" | ")
-        s"""SELECT count(*) AS n_rows,
-           |  CAST(sum($zSql) AS BIGINT) AS z_checksum,
+      Some(s"""SELECT count(*) AS n_rows,
+           |  CAST(sum(${zInterleaveExpr("l_partkey", "l_suppkey")})
+           |    AS BIGINT) AS z_checksum,
            |  true AS multi_file, true AS ranges_disjoint
-           |FROM lineitem""".stripMargin
-      },
+           |FROM lineitem""".stripMargin),
       doc = "Z-order layout: bit-interleaved locality key, range write, disjoint file ranges"),
 
     // ------------------------------------------------------------------
@@ -819,7 +811,44 @@ object Sampling extends Registry {
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "Seed-deterministic training-batch manifest: distributed " +
         "global enumeration (range partition + keyed rank + offsets, " +
-        "no single-partition window), order-sensitive batch checksums")
+        "no single-partition window), order-sensitive batch checksums"),
+
+    // ------------------------------------------------------------------
+    // q7c: INCREMENTAL Z-ORDER MERGE — layout maintenance for q79's
+    // clustering, the lakehouse OPTIMIZE shape: a delta batch arrives
+    // against an existing z-ordered layout and must merge WITHOUT
+    // re-sorting the whole table. Mechanism: the base layout's per-file
+    // z-ranges are the routing table; only the files whose range
+    // overlaps the delta's z-span are VICTIMS — they are read back,
+    // merged with the delta, and rewritten sorted — while every other
+    // file is REFERENCED untouched (the final table is a manifest of
+    // untouched file paths + the merged region, exactly how table
+    // formats express OPTIMIZE without copying). The delta is the
+    // clustered slice real ingest produces (the middle z-band's mod-10
+    // rows — monotone ids landing in one key region); its span is
+    // guaranteed to overlap the file(s) holding that band's other
+    // rows, so the rewrite is provably SELECTIVE (victims < files,
+    // require()d) and provably SUFFICIENT (the final layout's per-file
+    // z-ranges are re-proven disjoint — q79's skippability invariant
+    // SURVIVES maintenance, the q7b rule for z-order). Untouched files
+    // are pinned byte-identical by size+mtime snapshot. The oracle
+    // pins content parity: the manifest table must hold exactly the
+    // full corpus (count + z-checksum) — a merge that dropped,
+    // duplicated, or double-routed a row hash-fails. At 100 TB this is
+    // THE difference between a nightly full re-sort of the table and
+    // rewriting only the key regions the day actually touched.
+    QueryDef(
+      "q7c_zorder_incremental",
+      (s, dir) => zorderIncremental(s, dir),
+      Some(s"""SELECT count(*) AS n_rows,
+             |  CAST(sum(${zInterleaveExpr("l_partkey", "l_suppkey")})
+             |    AS BIGINT) AS z_checksum,
+             |  true AS multi_file, true AS selective_rewrite,
+             |  true AS untouched_intact, true AS ranges_disjoint
+             |FROM lineitem""".stripMargin),
+      doc = "Incremental z-order merge: delta routed by per-file " +
+        "z-ranges, only overlapping files rewritten, untouched files " +
+        "referenced byte-identical, disjointness re-proven post-merge")
   )
 
   /** q9v: write the two-era layout, read it back as one evolved table.
@@ -890,6 +919,87 @@ object Sampling extends Registry {
         Window.partitionBy($"pid").orderBy($"k", $"doc_id")))
       .join(broadcast(offsets), Seq("pid"))
       .select($"doc_id", $"n_chars", ($"off" + $"lr").as("grank"))
+  }
+
+  // ------------------------------------------------------------------
+  // q7c: incremental z-order merge (see the QueryDef for design)
+  // ------------------------------------------------------------------
+  /** The 16-bit interleave both z-order queries and their oracles
+    * share: z = bits of `a` on even positions, bits of `b` on odd. */
+  private def zInterleaveExpr(a: String, b: String): String =
+    (0 until 16).map(i =>
+      s"(((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1}))")
+      .mkString(" | ")
+
+  def zorderIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val z = expr(zInterleaveExpr("l_partkey", "l_suppkey")).as("z")
+    val rows = table(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey", z)
+    // the delta band: the middle quarter of the observed z-span
+    // (derived from two scalars — bounded driver state), mod-10 rows
+    val mm = rows.agg(min($"z"), max($"z")).collect().head
+    val (zlo, zhi) = (mm.getLong(0), mm.getLong(1))
+    val b1 = zlo + (zhi - zlo) / 4
+    val b2 = zlo + (zhi - zlo) / 2
+    val isDelta = $"z" >= b1 && $"z" < b2 &&
+      pmod($"l_orderkey", lit(10)) === 0
+
+    // "last night": the z-ordered base layout
+    val baseDir = Tables.scratchDir("q7c_base")
+    rows.filter(!isDelta)
+      .repartitionByRange(8, $"z").sortWithinPartitions($"z")
+      .write.mode("overwrite").parquet(baseDir)
+    val inv = s.read.parquet(baseDir)
+      .select(input_file_name().as("f"), $"z")
+      .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"))
+      .collect() // bounded: 8 files
+
+    // "today": the clustered delta arrives; route by file z-ranges
+    val delta = rows.filter(isDelta)
+    val dmm = delta.agg(min($"z"), max($"z"), count(lit(1)))
+      .collect().head
+    require(dmm.getLong(2) > 0, "q7c: empty delta batch")
+    val (dlo, dhi) = (dmm.getLong(0), dmm.getLong(1))
+    val victims = inv.filter(r =>
+      r.getAs[Long]("hi") >= dlo && r.getAs[Long]("lo") <= dhi)
+      .map(_.getString(0)).toSeq
+    val untouched = inv.map(_.getString(0)).filterNot(victims.toSet).toSeq
+    require(victims.nonEmpty,
+      "q7c: delta overlapped no base file — routing broken")
+    val selective = victims.size < inv.length
+
+    def statOf(paths: Seq[String]): Seq[(String, Long, Long)] =
+      paths.sorted.map { p =>
+        val f = new java.io.File(new java.net.URI(p))
+        (p, f.length, f.lastModified)
+      }
+    val beforeStat = statOf(untouched)
+
+    // the merge: victims + delta re-sorted; everything else untouched
+    val mergedDir = Tables.scratchDir("q7c_merged")
+    s.read.parquet(victims: _*).unionByName(delta)
+      .repartitionByRange(2, $"z").sortWithinPartitions($"z")
+      .write.mode("overwrite").parquet(mergedDir)
+
+    // the post-merge table is a MANIFEST: untouched refs + merged dir
+    val finalDf = s.read.parquet(untouched :+ mergedDir: _*)
+    val ranges = finalDf
+      .select(input_file_name().as("f"), $"z")
+      .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"))
+      .orderBy($"lo")
+      .collect() // bounded: ≤ 10 files
+    val disjoint = ranges.sliding(2).forall {
+      case Array(a, b) => a.getAs[Long]("hi") < b.getAs[Long]("lo")
+      case _ => true
+    }
+    val intact = statOf(untouched) == beforeStat
+    val agg = finalDf.agg(count(lit(1)).as("n"), sum($"z").as("zsum"))
+      .collect().head
+    Seq((agg.getLong(0), agg.getLong(1), inv.length > 1, selective,
+        intact, disjoint))
+      .toDF("n_rows", "z_checksum", "multi_file", "selective_rewrite",
+        "untouched_intact", "ranges_disjoint")
   }
 
   def batchManifest(s: SparkSession, dir: String): DataFrame = {

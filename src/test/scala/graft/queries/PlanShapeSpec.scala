@@ -185,7 +185,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // q9x localCheckpoints its range-partitioned frame for the
       // two-pass enumeration; its no-global-window claim is asserted
       // directly in Round13OpsSpec
-      "q9x_batch_manifest")
+      "q9x_batch_manifest",
+      // q7c writes/merges the z-layout inside its fn (q79's family)
+      "q7c_zorder_incremental")
     def hasLimitBelow(p: LogicalPlan): Boolean =
       p.collectFirst { case _: GlobalLimit => (); case _: LocalLimit => () }.nonEmpty
     val offenders = graft.SparkEntry.allDefs
