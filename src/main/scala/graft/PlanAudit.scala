@@ -74,7 +74,16 @@ object PlanAudit {
     "q9h_lm_incremental",     // stored LM tables + delta counts, additive merge
     "q8d_png_adam7",          // seven-pass interlaced decode, one narrow pass
     "q8f_jpeg_gray8",         // baseline JPEG entropy+IDCT decode, narrow pass
-    "q2c_gtex_group_scale")   // 43,559-member collect-to-array + semi-join
+    "q2c_gtex_group_scale",   // 43,559-member collect-to-array + semi-join
+    "q9t_quantile_incremental", // stored buckets + delta, additive merge
+    "q9u_tombstone_purge",    // masked serve + layout-preserving compaction
+    "q9w_range_cardinality",  // per-day registers, range merge serve
+    "q9x_batch_manifest",     // distributed enumeration, no global window
+    "q9y_contamination_matrix", // digest-keyed source-pair join
+    "q9v_schema_evolution",   // mergeSchema scan + era partition pruning
+    "q8h_audio_wht_bands",    // integer WHT bands, narrow codegen pass
+    "q8i_scene_cuts",         // array-native frame pairing, no self-join
+    "q7c_zorder_incremental") // victims-only z-merge, manifest refs
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

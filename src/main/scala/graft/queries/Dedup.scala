@@ -981,8 +981,57 @@ object Dedup extends Registry {
              |  ON a.win = b.win AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 HAVING count(*) >= 2
              |ORDER BY doc_a, doc_b""".stripMargin),
-      doc = "Cross-document verbatim spans: content-defined anchor windows (alignment-independent), capped exact-text bucket join")
+      doc = "Cross-document verbatim spans: content-defined anchor windows (alignment-independent), capped exact-text bucket join"),
+
+    // ------------------------------------------------------------------
+    // q9z: FUZZY ENTITY RESOLUTION — the edit-distance member of the
+    // dedup family: near-identical record TITLES (truncated prefixes
+    // here; names/addresses/product titles in production) matched by
+    // bounded Levenshtein within BLOCKS. Blocking is the operation's
+    // whole scale story — Levenshtein cannot be indexed, so production
+    // ER never runs it all-pairs: candidates meet only inside an
+    // 8-char-prefix block (an equi-join key, shuffled once), and the
+    // quadratic work is bounded by block size, here naturally capped by
+    // duplicate-class size (a production blocker adds q42-style bucket
+    // caps). A prefix block also UNDERSTATES recall by construction
+    // (an edit inside the first 8 chars escapes the block) — the
+    // honest, documented trade every blocking scheme makes; multi-pass
+    // blocking (prefix + suffix + sorted-neighborhood) is the standard
+    // fix and shares this plan shape. Both engines compute classic
+    // unweighted edit distance, so every pair and distance
+    // hash-compares exactly.
+    QueryDef(
+      "q9z_fuzzy_join",
+      (s, dir) => {
+        import s.implicits._
+        val t = table(s, dir, "documents")
+          .select($"doc_id", substring($"text", 1, FuzzyTitleLen).as("title"),
+            substring($"text", 1, FuzzyBlockLen).as("blk"))
+        t.as("a").join(t.as("b"),
+            $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            levenshtein($"a.title", $"b.title").cast("long").as("lev"))
+          .filter($"lev" <= FuzzyMaxLev)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, substr(text, 1, $FuzzyTitleLen) AS title,
+             |    substr(text, 1, $FuzzyBlockLen) AS blk
+             |  FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS lev
+             |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.title, b.title) <= $FuzzyMaxLev
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "Fuzzy entity resolution: bounded Levenshtein inside " +
+        "prefix blocks — quadratic work bounded by block size, " +
+        "every pair and distance exactly cross-engine")
   )
+
+  /** q9z: title slice, blocking-prefix length, and the match radius. */
+  val FuzzyTitleLen = 24
+  val FuzzyBlockLen = 8
+  val FuzzyMaxLev = 6
 
   // ------------------------------------------------------------------
   // q9m's bloom machinery, shared with the streaming fold below.
