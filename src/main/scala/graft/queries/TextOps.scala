@@ -2044,9 +2044,12 @@ object TextOps extends Registry {
     // contract 1: the compacted index ≡ postings rebuilt from the live
     // corpus — the purge dropped exactly the dead rows and nothing
     // else. The corpus retokenize exists ONLY here, as the contract
-    // instrument (the maintained path above never runs it).
+    // instrument (the maintained path above never runs it);
+    // localCheckpoint so contract 2 reads it instead of tokenizing the
+    // corpus a second time.
     val rebuilt = postingsOf(tokenizedDocs(s, dir)
       .filter(pmod($"doc_id", lit(TombMod)) =!= TombRem))
+      .localCheckpoint(true)
     val postDiff = compacted
       .select($"doc_id", $"term", $"tf", $"dl", $"term_bucket")
       .unionAll(rebuilt
@@ -2058,9 +2061,12 @@ object TextOps extends Registry {
       "q9u: compacted postings diverged from a live-corpus rebuild")
 
     // contract 2: decremented stats ≡ stats recomputed from the live
-    // corpus (scalar compare — two 1-row frames)
-    val liveStats = tokenizedDocs(s, dir)
-      .filter(pmod($"doc_id", lit(TombMod)) =!= TombRem)
+    // corpus (scalar compare — two 1-row frames). The live (doc_id,
+    // dl) pairs come from the checkpointed rebuild — every live doc
+    // has ≥1 postings row, so this is the same doc set with no second
+    // corpus pass.
+    val liveStats = rebuilt
+      .select($"doc_id", $"dl").distinct()
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum($"dl").as("sum_dl")).collect().head
     val storedStats = statsLive.collect().head
