@@ -934,8 +934,11 @@ object Sampling extends Registry {
   def zorderIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val z = expr(zInterleaveExpr("l_partkey", "l_suppkey")).as("z")
+    // one parquet decode for the three input passes (z bounds, base
+    // write, delta) — the checkpointed projection is 4 narrow columns
     val rows = table(s, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey", $"l_suppkey", z)
+      .localCheckpoint(true)
     // the delta band: the middle quarter of the observed z-span
     // (derived from two scalars — bounded driver state), mod-10 rows
     val mm = rows.agg(min($"z"), max($"z")).collect().head
@@ -982,11 +985,15 @@ object Sampling extends Registry {
       .repartitionByRange(2, $"z").sortWithinPartitions($"z")
       .write.mode("overwrite").parquet(mergedDir)
 
-    // the post-merge table is a MANIFEST: untouched refs + merged dir
+    // the post-merge table is a MANIFEST: untouched refs + merged dir.
+    // ONE pass yields per-file ranges AND the global content totals
+    // (n = Σ per-file counts, checksum = Σ per-file z-sums) — the
+    // layout proof and the parity proof share the scan.
     val finalDf = s.read.parquet(untouched :+ mergedDir: _*)
     val ranges = finalDf
       .select(input_file_name().as("f"), $"z")
-      .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"))
+      .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"),
+        count(lit(1)).as("c"), sum($"z").as("zs"))
       .orderBy($"lo")
       .collect() // bounded: ≤ 10 files
     val disjoint = ranges.sliding(2).forall {
@@ -994,10 +1001,9 @@ object Sampling extends Registry {
       case _ => true
     }
     val intact = statOf(untouched) == beforeStat
-    val agg = finalDf.agg(count(lit(1)).as("n"), sum($"z").as("zsum"))
-      .collect().head
-    Seq((agg.getLong(0), agg.getLong(1), inv.length > 1, selective,
-        intact, disjoint))
+    val n = ranges.map(_.getAs[Long]("c")).sum
+    val zsum = ranges.map(_.getAs[Long]("zs")).sum
+    Seq((n, zsum, inv.length > 1, selective, intact, disjoint))
       .toDF("n_rows", "z_checksum", "multi_file", "selective_rewrite",
         "untouched_intact", "ranges_disjoint")
   }
