@@ -945,7 +945,106 @@ object Relational extends Registry {
              |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
       doc = "Distinct-users-over-any-date-range served from stored " +
         "per-day HLL registers: range merge touches KB-scale sketches, " +
-        "never the event log; exact counts + 10pct contract gated")
+        "never the event log; exact counts + 10pct contract gated"),
+
+    // ------------------------------------------------------------------
+    // qa0: COLUMN PROFILING — the Deequ/Great-Expectations first step
+    // every ingest runs before trusting a new drop: per-column null
+    // counts, distinct cardinalities, and min/max, in ONE pass over
+    // the corpus table. Shape: a single multi-aggregate scan (the
+    // count-distincts share one expand; nulls and extrema are plain
+    // partial aggs), pivoted to one row per column driver-side from a
+    // SINGLE collected row — no per-column rescans, which is the whole
+    // point at 100 TB (profiling five columns must not cost five
+    // scans). Extrema travel as strings so one schema carries numeric
+    // and text columns alike (lexicographic for text — stated, not
+    // hidden). The exact count-distincts are affordable because
+    // profiling output is per-COLUMN, not per-value; the production
+    // variant swaps in approx_count_distinct per q93's contract when
+    // even the distinct shuffle is too much.
+    QueryDef(
+      "qa0_profile",
+      (s, dir) => profileDocuments(s, dir),
+      Some("""WITH m AS (
+             |  SELECT count(*) AS n,
+             |    count(*) - count(doc_id) AS nn_doc_id,
+             |    count(DISTINCT doc_id) AS nd_doc_id,
+             |    CAST(min(doc_id) AS VARCHAR) AS mn_doc_id,
+             |    CAST(max(doc_id) AS VARCHAR) AS mx_doc_id,
+             |    count(*) - count(text) AS nn_text,
+             |    count(DISTINCT text) AS nd_text,
+             |    min(text) AS mn_text, max(text) AS mx_text,
+             |    count(*) - count(lang) AS nn_lang,
+             |    count(DISTINCT lang) AS nd_lang,
+             |    min(lang) AS mn_lang, max(lang) AS mx_lang,
+             |    count(*) - count(source) AS nn_source,
+             |    count(DISTINCT source) AS nd_source,
+             |    min(source) AS mn_source, max(source) AS mx_source,
+             |    count(*) - count(n_chars) AS nn_n_chars,
+             |    count(DISTINCT n_chars) AS nd_n_chars,
+             |    CAST(min(n_chars) AS VARCHAR) AS mn_n_chars,
+             |    CAST(max(n_chars) AS VARCHAR) AS mx_n_chars
+             |  FROM documents)
+             |SELECT 'doc_id' AS col_name, n AS n_rows,
+             |  nn_doc_id AS n_nulls, nd_doc_id AS n_distinct,
+             |  mn_doc_id AS min_value, mx_doc_id AS max_value FROM m
+             |UNION ALL SELECT 'lang', n, nn_lang, nd_lang,
+             |  mn_lang, mx_lang FROM m
+             |UNION ALL SELECT 'n_chars', n, nn_n_chars, nd_n_chars,
+             |  mn_n_chars, mx_n_chars FROM m
+             |UNION ALL SELECT 'source', n, nn_source, nd_source,
+             |  mn_source, mx_source FROM m
+             |UNION ALL SELECT 'text', n, nn_text, nd_text,
+             |  mn_text, mx_text FROM m
+             |ORDER BY col_name""".stripMargin),
+      doc = "One-pass column profiling of the corpus table: null " +
+        "counts, exact distincts, min/max per column from a single " +
+        "multi-aggregate scan, pivoted driver-side"),
+
+    // ------------------------------------------------------------------
+    // qa1: CONSTRAINT VALIDATION — the quality GATE the profile
+    // informs: declared expectations (key uniqueness, completeness,
+    // referential integrity, value ranges) each counted for violations
+    // in the cheapest plan that answers it — uniqueness as count −
+    // distinct (one agg, no self-join), completeness as a null count
+    // (partial agg), referential integrity as broadcast-able left-anti
+    // joins, range checks as predicate counts pushed to the scan. One
+    // (constraint, n_violations, pass) row each — the report a
+    // production gate turns into a hard stop. At 100 TB every check is
+    // a single scan or one anti-join on the FK; nothing is quadratic
+    // and nothing collects row-level violations to the driver (a real
+    // gate writes violating ROWS to a quarantine sink — V1's shape —
+    // but decides on the counts alone).
+    QueryDef(
+      "qa1_constraints",
+      (s, dir) => constraintReport(s, dir),
+      Some("""SELECT constraint_name, n_violations,
+             |  n_violations = 0 AS pass FROM (
+             |  SELECT 'lineitem_fk_orders' AS constraint_name,
+             |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |      (SELECT 1 FROM orders o
+             |       WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+             |  UNION ALL
+             |  SELECT 'lineitem_qty_range',
+             |    (SELECT count(*) FROM lineitem
+             |     WHERE l_quantity IS NULL
+             |        OR l_quantity < 1 OR l_quantity > 50)
+             |  UNION ALL
+             |  SELECT 'orders_custkey_complete',
+             |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+             |  UNION ALL
+             |  SELECT 'orders_fk_customer',
+             |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             |      (SELECT 1 FROM customer c
+             |       WHERE c.c_custkey = o.o_custkey))
+             |  UNION ALL
+             |  SELECT 'orders_key_unique',
+             |    (SELECT count(*) - count(DISTINCT o_orderkey)
+             |     FROM orders)) t
+             |ORDER BY constraint_name""".stripMargin),
+      doc = "Declared data-quality constraints (uniqueness, " +
+        "completeness, referential integrity, ranges) counted for " +
+        "violations in single-scan / single-anti-join plans")
   )
 
   val HllLgK = 14
@@ -1375,6 +1474,62 @@ object Relational extends Registry {
     require(out.filter(!$"within_bucket").isEmpty,
       "q9t: exact quantile escaped the estimated bucket — histogram broken")
     out
+  }
+
+  // ------------------------------------------------------------------
+  // qa0/qa1: data-quality ops (see the QueryDefs for design)
+  // ------------------------------------------------------------------
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  def profileDocuments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.table(s, dir, "documents")
+    val aggs = count(lit(1)).as("n") +: ProfileCols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    // ONE multi-aggregate pass; the pivot to per-column rows happens
+    // on a single collected row (bounded: 1 row × 21 cells)
+    val r = d.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = r.getAs[Long]("n")
+    ProfileCols.sorted.map { c =>
+      (c, n, r.getAs[Long](s"nn_$c"), r.getAs[Long](s"nd_$c"),
+        r.getAs[String](s"mn_$c"), r.getAs[String](s"mx_$c"))
+    }.toDF("col_name", "n_rows", "n_nulls", "n_distinct",
+      "min_value", "max_value")
+  }
+
+  def constraintReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.table(s, dir, "lineitem")
+    val o = Tables.table(s, dir, "orders")
+    val c = Tables.table(s, dir, "customer")
+    // each check is the cheapest plan answering it: counts come back
+    // as 5 driver scalars — no row-level violations leave the cluster
+    val checks = Seq(
+      ("lineitem_fk_orders",
+        li.select($"l_orderkey")
+          .join(o.select($"o_orderkey"),
+            $"l_orderkey" === $"o_orderkey", "left_anti").count()),
+      ("lineitem_qty_range",
+        li.filter($"l_quantity".isNull ||
+          $"l_quantity" < 1 || $"l_quantity" > 50).count()),
+      ("orders_custkey_complete",
+        o.filter($"o_custkey".isNull).count()),
+      ("orders_fk_customer",
+        o.select($"o_custkey")
+          .join(c.select($"c_custkey"),
+            $"o_custkey" === $"c_custkey", "left_anti").count()),
+      ("orders_key_unique", {
+        val r = o.agg(count(lit(1)), countDistinct($"o_orderkey"))
+          .collect().head
+        r.getLong(0) - r.getLong(1)
+      }))
+    checks.map { case (name, v) => (name, v, v == 0L) }
+      .toDF("constraint_name", "n_violations", "pass")
+      .orderBy($"constraint_name")
   }
 
   // ------------------------------------------------------------------

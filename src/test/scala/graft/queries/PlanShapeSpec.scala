@@ -186,8 +186,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // two-pass enumeration; its no-global-window claim is asserted
       // directly in Round13OpsSpec
       "q9x_batch_manifest",
-      // q7c writes/merges the z-layout inside its fn (q79's family)
-      "q7c_zorder_incremental")
+      // q7c writes/merges the z-layout inside its fn (q79's family);
+      // qa0/qa1 collect their bounded report scalars driver-side
+      "q7c_zorder_incremental", "qa0_profile", "qa1_constraints")
     def hasLimitBelow(p: LogicalPlan): Boolean =
       p.collectFirst { case _: GlobalLimit => (); case _: LocalLimit => () }.nonEmpty
     val offenders = graft.SparkEntry.allDefs
