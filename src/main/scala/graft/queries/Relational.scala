@@ -1044,7 +1044,53 @@ object Relational extends Registry {
              |ORDER BY constraint_name""".stripMargin),
       doc = "Declared data-quality constraints (uniqueness, " +
         "completeness, referential integrity, ranges) counted for " +
-        "violations in single-scan / single-anti-join plans")
+        "violations in single-scan / single-anti-join plans"),
+
+    // ------------------------------------------------------------------
+    // qa2: DISTRIBUTION DRIFT between corpus snapshots — the third
+    // data-quality step (PROFILE qa0 → CONSTRAIN qa1 → DRIFT qa2):
+    // after a refresh, did the corpus composition shift enough to care?
+    // Two snapshots (q9r's deterministic v1/v2 split) are compared on
+    // the per-language composition axis: each side reduces to
+    // |langs| share values in integer micro-units (cnt·1e6 div total —
+    // one partial-agged shuffle of |langs| groups per side), the
+    // per-language drift is the share delta, and the headline is the
+    // TOTAL VARIATION distance (Σ|Δ| div 2 in micro-units) plus a
+    // drift gate against a declared threshold — the number a retrain
+    // trigger or a data-contract alarm actually fires on. Everything
+    // is integer arithmetic on two model-sized aggregate results, so
+    // the full report hash-compares; at 100 TB each snapshot costs one
+    // narrow scan + a |langs|-group aggregate, and in a q9r-style
+    // manifest world even that scan is digest-manifest-sized.
+    QueryDef(
+      "qa2_snapshot_drift",
+      (s, dir) => snapshotDrift(s, dir),
+      Some(s"""WITH v1 AS (
+             |  SELECT lang, count(*) AS c FROM documents
+             |  WHERE doc_id % 7 <> 0 GROUP BY lang),
+             |v2 AS (
+             |  SELECT lang, count(*) AS c FROM documents
+             |  WHERE doc_id % 5 <> 0 GROUP BY lang),
+             |t1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM v1),
+             |t2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM v2),
+             |j AS (
+             |  SELECT coalesce(v1.lang, v2.lang) AS lang,
+             |    coalesce(v1.c, 0) * 1000000 // t1.n AS share1_micro,
+             |    coalesce(v2.c, 0) * 1000000 // t2.n AS share2_micro
+             |  FROM v1 FULL OUTER JOIN v2 ON v1.lang = v2.lang, t1, t2)
+             |SELECT lang,
+             |  CAST(share1_micro AS BIGINT) AS share1_micro,
+             |  CAST(share2_micro AS BIGINT) AS share2_micro,
+             |  CAST(abs(share1_micro - share2_micro) AS BIGINT)
+             |    AS drift_micro,
+             |  CAST((SELECT sum(abs(share1_micro - share2_micro))
+             |        FROM j) // 2 AS BIGINT) AS tv_distance_micro,
+             |  (SELECT sum(abs(share1_micro - share2_micro)) FROM j)
+             |    // 2 > $DriftGateMicro AS drift_alarm
+             |FROM j ORDER BY lang""".stripMargin),
+      doc = "Per-language composition drift between corpus snapshots: " +
+        "integer micro-unit shares, total-variation distance, and a " +
+        "declared-threshold alarm — two model-sized aggregates")
   )
 
   val HllLgK = 14
@@ -1530,6 +1576,33 @@ object Relational extends Registry {
     checks.map { case (name, v) => (name, v, v == 0L) }
       .toDF("constraint_name", "n_violations", "pass")
       .orderBy($"constraint_name")
+  }
+
+  /** qa2: total-variation alarm threshold (micro-units = 2%). */
+  val DriftGateMicro = 20000L
+
+  def snapshotDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.table(s, dir, "documents").select($"doc_id", $"lang")
+    def shares(f: org.apache.spark.sql.Column, name: String): DataFrame = {
+      val counts = d.filter(f).groupBy($"lang").agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum($"c").as("n"))
+      counts.crossJoin(broadcast(total))
+        .select($"lang", expr("c * 1000000 div n").as(name))
+    }
+    val j = shares($"doc_id" % 7 =!= 0, "share1_micro")
+      .join(shares($"doc_id" % 5 =!= 0, "share2_micro"), Seq("lang"), "full")
+      .select($"lang",
+        coalesce($"share1_micro", lit(0L)).as("share1_micro"),
+        coalesce($"share2_micro", lit(0L)).as("share2_micro"))
+      .localCheckpoint(true) // bounded: |langs| rows
+    val tv = j.agg(expr("sum(abs(share1_micro - share2_micro)) div 2"))
+      .collect().head.getLong(0)
+    j.select($"lang", $"share1_micro", $"share2_micro",
+        abs($"share1_micro" - $"share2_micro").as("drift_micro"),
+        lit(tv).as("tv_distance_micro"),
+        lit(tv > DriftGateMicro).as("drift_alarm"))
+      .orderBy($"lang")
   }
 
   // ------------------------------------------------------------------

@@ -188,7 +188,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q9x_batch_manifest",
       // q7c writes/merges the z-layout inside its fn (q79's family);
       // qa0/qa1 collect their bounded report scalars driver-side
-      "q7c_zorder_incremental", "qa0_profile", "qa1_constraints")
+      "q7c_zorder_incremental", "qa0_profile", "qa1_constraints",
+      "qa2_snapshot_drift")
     def hasLimitBelow(p: LogicalPlan): Boolean =
       p.collectFirst { case _: GlobalLimit => (); case _: LocalLimit => () }.nonEmpty
     val offenders = graft.SparkEntry.allDefs
