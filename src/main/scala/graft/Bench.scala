@@ -175,17 +175,19 @@ object Bench {
     val results = runSuite(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
     // vs_baseline: total / the pinned idle reference run, so a driver
     // readout separates machine contention from real regression without
-    // a manual rerun. PIN = 91.0s for the FINAL 163-query r13 suite
+    // a manual rerun. PIN = 91.0s for the FINAL 166-query r13 suite
     // (sf0.1, local[32], shuffle=32, min-of-2). Evidence trail: the
     // 148-query r12 suite pinned 66.0 (r12-close idle pairs 67.0/64.9;
     // r13-open idle 66.5 = 1.007 — the r12 driver's 124.1s readout did
     // NOT reproduce idle and is attributed to the storage accumulation
-    // releaseLeftovers now removes); round 13 then ADDED 15 gated
-    // queries (q2c/q5f/q8f-q8i/q9s-q9z/q7c, ~+22s of genuine new work
-    // at idle) and r13-close idle runs of the final suite read 91.4
-    // (load 2.2) and a 115.1 outlier that isolated q7c's
-    // pre-optimization cost (7.9s -> 1.7s after the one-decode fix);
-    // sum of per-query mins across the pair = 88.9. STEADY-STATE pin:
+    // releaseLeftovers now removes); round 13 then ADDED 18 gated
+    // queries (q2c/q5f/q7c/q8f-q8i/q9s-q9z/qa0-qa2, ~+25s of genuine
+    // new work at idle, ~-6s from the q7c one-decode fix that cut its
+    // pre-optimization 7.9s to 1.7s). r13-close idle runs of the FINAL
+    // suite read 99.4/92.1 (loads 2.2/3.9 — the 92.1 = 1.012× is the
+    // cleaner pair member), sum of per-query mins across the pair =
+    // 88.3, mid-round 163-query readings 91.4/115.1 (the outlier
+    // isolating the q7c cost). STEADY-STATE pin:
     // the content-addressed index state (q4b/q99/q9b/q9c/q9e/q9h/q9n/
     // q9t/q9u/q9w) is warm — the FIRST run after a driver testdata
     // regeneration pays each index's one-time rebuild (~+10s observed)
