@@ -1002,18 +1002,7 @@ object Dedup extends Registry {
     // hash-compares exactly.
     QueryDef(
       "q9z_fuzzy_join",
-      (s, dir) => {
-        import s.implicits._
-        val t = table(s, dir, "documents")
-          .select($"doc_id", substring($"text", 1, FuzzyTitleLen).as("title"),
-            substring($"text", 1, FuzzyBlockLen).as("blk"))
-        t.as("a").join(t.as("b"),
-            $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-            levenshtein($"a.title", $"b.title").cast("long").as("lev"))
-          .filter($"lev" <= FuzzyMaxLev)
-          .orderBy($"doc_a", $"doc_b")
-      },
+      (s, dir) => fuzzyJoin(table(s, dir, "documents")),
       Some(s"""WITH t AS (
              |  SELECT doc_id, substr(text, 1, $FuzzyTitleLen) AS title,
              |    substr(text, 1, $FuzzyBlockLen) AS blk
@@ -1032,6 +1021,22 @@ object Dedup extends Registry {
   val FuzzyTitleLen = 24
   val FuzzyBlockLen = 8
   val FuzzyMaxLev = 6
+
+  /** The q9z kernel over an explicit (doc_id, text) frame — factored
+    * so the spec can drive planted near-duplicates through it. */
+  def fuzzyJoin(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val t = docs
+      .select($"doc_id", substring($"text", 1, FuzzyTitleLen).as("title"),
+        substring($"text", 1, FuzzyBlockLen).as("blk"))
+    t.as("a").join(t.as("b"),
+        $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        levenshtein($"a.title", $"b.title").cast("long").as("lev"))
+      .filter($"lev" <= FuzzyMaxLev)
+      .orderBy($"doc_a", $"doc_b")
+  }
 
   // ------------------------------------------------------------------
   // q9m's bloom machinery, shared with the streaming fold below.

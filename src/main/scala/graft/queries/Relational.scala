@@ -1547,11 +1547,17 @@ object Relational extends Registry {
       "min_value", "max_value")
   }
 
-  def constraintReport(s: SparkSession, dir: String): DataFrame = {
+  def constraintReport(s: SparkSession, dir: String): DataFrame =
+    constraintChecks(s,
+      Tables.table(s, dir, "lineitem"),
+      Tables.table(s, dir, "orders"),
+      Tables.table(s, dir, "customer"))
+
+  /** The qa1 kernel over explicit frames — factored so the spec can
+    * plant violations and prove each check actually fires. */
+  private[graft] def constraintChecks(s: SparkSession, li: DataFrame,
+      o: DataFrame, c: DataFrame): DataFrame = {
     import s.implicits._
-    val li = Tables.table(s, dir, "lineitem")
-    val o = Tables.table(s, dir, "orders")
-    val c = Tables.table(s, dir, "customer")
     // each check is the cheapest plan answering it: counts come back
     // as 5 driver scalars — no row-level violations leave the cluster
     val checks = Seq(

@@ -150,6 +150,76 @@ class Round13OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // qa1: constraint validation — planted violations must fire
+  // ---------------------------------------------------------------
+
+  test("qa1: every declared constraint detects a planted violation") {
+    import spark.implicits._
+    // clean micro-tables: 2 customers, 2 orders, 2 lineitems
+    val c = Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
+    val o = Seq((10L, Option(1L)), (11L, Option(2L)))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq((10L, 5.0), (11L, 50.0))
+      .toDF("l_orderkey", "l_quantity")
+    def report(liX: org.apache.spark.sql.DataFrame,
+        oX: org.apache.spark.sql.DataFrame,
+        cX: org.apache.spark.sql.DataFrame): Map[String, (Long, Boolean)] =
+      Relational.constraintChecks(spark, liX, oX, cX).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // clean data: all pass
+    assert(report(li, o, c).values.forall { case (n, p) => n == 0L && p })
+    // orphan lineitem
+    val r1 = report(li.unionAll(Seq((99L, 1.0))
+      .toDF("l_orderkey", "l_quantity")), o, c)
+    assert(r1("lineitem_fk_orders") == ((1L, false)))
+    // out-of-range and null quantity (2 violations)
+    val r2 = report(li.unionAll(Seq((10L, 51.0))
+        .toDF("l_orderkey", "l_quantity"))
+      .unionAll(Seq(10L).toDF("l_orderkey")
+        .selectExpr("l_orderkey", "CAST(NULL AS DOUBLE) AS l_quantity")),
+      o, c)
+    assert(r2("lineitem_qty_range") == ((2L, false)))
+    // null custkey breaks completeness (and NOT the FK check — nulls
+    // are a completeness concern, not a referential one)
+    val r3 = report(li, o.unionAll(Seq(12L).toDF("o_orderkey")
+      .selectExpr("o_orderkey", "CAST(NULL AS BIGINT) AS o_custkey")), c)
+    assert(r3("orders_custkey_complete") == ((1L, false)))
+    // dangling FK
+    val r4 = report(li, o.unionAll(Seq((13L, Option(7L)))
+      .toDF("o_orderkey", "o_custkey")), c)
+    assert(r4("orders_fk_customer") == ((1L, false)))
+    // duplicate key
+    val r5 = report(li, o.unionAll(Seq((10L, Option(1L)))
+      .toDF("o_orderkey", "o_custkey")), c)
+    assert(r5("orders_key_unique") == ((1L, false)))
+  }
+
+  // ---------------------------------------------------------------
+  // q9z: fuzzy join — planted near-duplicates
+  // ---------------------------------------------------------------
+
+  test("q9z: planted near-duplicate titles pair at their exact edit " +
+    "distance; cross-block pairs never meet") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "acme corp inc annual report 2024"),   // base
+      (2L, "acme corp llc annual report 2024"),   // lev 2 within prefix-8 block
+      (3L, "acme corp inc annual report 2024"),   // exact dup, lev 0
+      (4L, "zcme corp inc annual report 2024"),   // edit INSIDE the block → escapes
+      (5L, "totally unrelated title here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 2L, "near-dup distance wrong")
+    assert(pairs((1L, 3L)) == 0L, "exact dup not at distance 0")
+    assert(pairs((2L, 3L)) == 2L)
+    // the blocking trade, pinned: doc 4 differs in the first 8 chars,
+    // so prefix blocking cannot surface it (documented recall cost)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  // ---------------------------------------------------------------
   // q9x: training-batch manifest
   // ---------------------------------------------------------------
 
