@@ -83,7 +83,8 @@ object PlanAudit {
     "q9v_schema_evolution",   // mergeSchema scan + era partition pruning
     "q8h_audio_wht_bands",    // integer WHT bands, narrow codegen pass
     "q8i_scene_cuts",         // array-native frame pairing, no self-join
-    "q7c_zorder_incremental") // victims-only z-merge, manifest refs
+    "q7c_zorder_incremental", // victims-only z-merge, manifest refs
+    "q9z_fuzzy_join")         // prefix-block equi-join + bounded levenshtein
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
