@@ -1527,20 +1527,26 @@ object Relational extends Registry {
   // ------------------------------------------------------------------
   private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
-  def profileDocuments(s: SparkSession, dir: String): DataFrame = {
+  def profileDocuments(s: SparkSession, dir: String): DataFrame =
+    profileOf(Tables.table(s, dir, "documents"), ProfileCols)
+
+  /** The qa0 kernel over an explicit frame — factored so the spec can
+    * prove planted nulls/duplicates land in the right report cells. */
+  private[graft] def profileOf(d: DataFrame, cols: Seq[String])
+      : DataFrame = {
+    val s = d.sparkSession
     import s.implicits._
-    val d = Tables.table(s, dir, "documents")
-    val aggs = count(lit(1)).as("n") +: ProfileCols.flatMap { c =>
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
         countDistinct(col(c)).as(s"nd_$c"),
         min(col(c)).cast("string").as(s"mn_$c"),
         max(col(c)).cast("string").as(s"mx_$c"))
     }
     // ONE multi-aggregate pass; the pivot to per-column rows happens
-    // on a single collected row (bounded: 1 row × 21 cells)
+    // on a single collected row (bounded: 1 row × 4·|cols|+1 cells)
     val r = d.agg(aggs.head, aggs.tail: _*).collect().head
     val n = r.getAs[Long]("n")
-    ProfileCols.sorted.map { c =>
+    cols.sorted.map { c =>
       (c, n, r.getAs[Long](s"nn_$c"), r.getAs[Long](s"nd_$c"),
         r.getAs[String](s"mn_$c"), r.getAs[String](s"mx_$c"))
     }.toDF("col_name", "n_rows", "n_nulls", "n_distinct",

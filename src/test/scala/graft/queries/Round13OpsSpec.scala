@@ -150,6 +150,39 @@ class Round13OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // qa0: profiling — planted nulls/dups must land in the right cells
+  // ---------------------------------------------------------------
+
+  test("qa0: planted nulls and duplicates land in the right report " +
+    "cells; extrema are exact") {
+    import spark.implicits._
+    val d = Seq(
+      (Option(1L), Option("aa")), (Option(2L), Option("bb")),
+      (Option(3L), Option("bb")), (Option(4L), None),
+      (None, Option("zz")))
+      .toDF("k", "v")
+    val rep = Relational.profileOf(d, Seq("k", "v"))
+    val byCol = rep.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(byCol("k") == ((5L, 1L, 4L, "1", "4")))
+    assert(byCol("v") == ((5L, 1L, 3L, "aa", "zz")))
+  }
+
+  test("q9t: a torn state directory (key file missing) is discarded " +
+    "and rebuilt wholesale") {
+    val (_, _, stateDir) = Relational.loadOrBuildQtState(spark, sfDir)
+    // simulate a torn write: state files present, key file gone
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    java.nio.file.Files.deleteIfExists(keyFile)
+    val (_, rebuilt, _) = Relational.loadOrBuildQtState(spark, sfDir)
+    assert(rebuilt, "torn state (no key) must trigger a rebuild")
+    assert(java.nio.file.Files.exists(keyFile), "rebuild must restore the key")
+    val (_, again, _) = Relational.loadOrBuildQtState(spark, sfDir)
+    assert(!again, "restored state must be reused")
+  }
+
+  // ---------------------------------------------------------------
   // qa1: constraint validation — planted violations must fire
   // ---------------------------------------------------------------
 
