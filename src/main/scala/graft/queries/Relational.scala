@@ -1673,6 +1673,41 @@ object Relational extends Registry {
           allowDifferentLgConfigK = false)).as("est_users"))
   }
 
+  /** Streaming-maintenance form of q9w: fold ONE micro-batch of
+    * events (ts long-nanos, user_id) into the per-day register store —
+    * the foreachBatch production shape for the DAU dashboard: each
+    * trigger sketches only itself and merges via hll_union, so state
+    * stays days × 2^lgK bytes regardless of stream volume. Because the
+    * union is a register-wise MAX, the fold is also IDEMPOTENT: a
+    * redelivered batch maxes registers against themselves and changes
+    * nothing — at-least-once delivery needs no dedup ledger here
+    * (contrast q9e's additive counters, which do). Collected to the
+    * driver before the overwrite (bounded: days × sketch bytes),
+    * making the read-modify-write safe. */
+  def dailyHllFoldBatch(s: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val skDir = java.nio.file.Paths.get(stateDir, "sketches")
+    val bs = batch
+      .select($"user_id", expr(s"ts div $DayNanos").as("day"))
+      .groupBy($"day")
+      .agg(hll_sketch_agg($"user_id", lit(HllLgK)).as("sk_new"))
+    val merged =
+      if (java.nio.file.Files.exists(skDir.resolve("_SUCCESS")))
+        s.read.parquet(skDir.toString)
+          .join(bs, Seq("day"), "full")
+          .select($"day",
+            when($"sk".isNull, $"sk_new")
+              .when($"sk_new".isNull, $"sk")
+              .otherwise(hll_union($"sk", $"sk_new",
+                allowDifferentLgConfigK = false)).as("sk"))
+      else bs.select($"day", $"sk_new".as("sk"))
+    val rows = merged.collect() // bounded: days × sketch bytes
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+        merged.schema)
+      .write.mode("overwrite").parquet(skDir.toString)
+  }
+
   def rangeCardinality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val est = rangeEstimates(s, dir)

@@ -557,6 +557,54 @@ class StreamingSpec extends AnyFunSuite {
       "stream-folded histogram diverged from rebuild")
   }
 
+  test("streaming per-day HLL maintenance: trigger folds equal a " +
+    "from-scratch build per day, and redelivery is a register-max no-op") {
+    // the q9w state machine driven by a STREAM: events arrive as three
+    // micro-batches, each trigger sketches only itself and merges into
+    // the per-day register store (Relational.dailyHllFoldBatch). HLL
+    // union is a register-wise max, so unlike the additive folds the
+    // SAME batch can be redelivered with no dedup ledger — estimates
+    // must be unchanged.
+    import org.apache.spark.sql.functions._
+    val streamDir = java.nio.file.Files.createTempDirectory("dhll-stream")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("dhll-state").toString
+    val ev = EventStream.readBatch(spark, s"$sfDir/events.parquet")
+      .select(col("ts"), col("user_id"))
+    ev.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+
+    val query = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.queries.Relational.dailyHllFoldBatch(spark, stateDir, df); ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+
+    def estimates(): Map[Long, Long] = spark.read
+      .parquet(java.nio.file.Paths.get(stateDir, "sketches").toString)
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = estimates()
+    val rebuilt = ev
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"),
+          lit(graft.queries.Relational.HllLgK))).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == rebuilt && rebuilt.size > 5,
+      "stream-folded per-day estimates diverged from a from-scratch build")
+
+    // redelivery: folding the ENTIRE feed again must change nothing
+    graft.queries.Relational.dailyHllFoldBatch(spark, stateDir, ev)
+    assert(estimates() == streamed,
+      "redelivered batch changed the register estimates")
+  }
+
   test("streaming tombstone maintenance: takedown feed folds are " +
     "redelivery-idempotent and converge to the one-shot purge") {
     // the q9u state machine driven by a takedown STREAM: the index is
