@@ -997,14 +997,22 @@ object Dedup extends Registry {
     // (an edit inside the first 8 chars escapes the block) — the
     // honest, documented trade every blocking scheme makes; multi-pass
     // blocking (prefix + suffix + sorted-neighborhood) is the standard
-    // fix and shares this plan shape. Both engines compute classic
-    // unweighted edit distance, so every pair and distance
-    // hash-compares exactly.
+    // fix and shares this plan shape. Cross-engine exactness needs one
+    // normalization: Spark's levenshtein counts CODEPOINTS while
+    // DuckDB's counts BYTES (levenshtein('café','cafe') = 1 vs 2), so
+    // the compared title is ASCII-PROJECTED on both sides (non-ASCII
+    // codepoints stripped) — on pure-ASCII strings codepoint distance
+    // ≡ byte distance, making "every pair and distance hash-compares
+    // exactly" hold on multilingual corpora instead of only
+    // accidentally on this one. Production ER would fold the
+    // projection into its usual case/accent normalization pass.
     QueryDef(
       "q9z_fuzzy_join",
       (s, dir) => fuzzyJoin(table(s, dir, "documents")),
       Some(s"""WITH t AS (
-             |  SELECT doc_id, substr(text, 1, $FuzzyTitleLen) AS title,
+             |  SELECT doc_id,
+             |    regexp_replace(substr(text, 1, $FuzzyTitleLen),
+             |      '[^\\x00-\\x7F]', '', 'g') AS title,
              |    substr(text, 1, $FuzzyBlockLen) AS blk
              |  FROM documents)
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1023,12 +1031,17 @@ object Dedup extends Registry {
   val FuzzyMaxLev = 6
 
   /** The q9z kernel over an explicit (doc_id, text) frame — factored
-    * so the spec can drive planted near-duplicates through it. */
+    * so the spec can drive planted near-duplicates through it. The
+    * compared title is ASCII-projected (see the QueryDef comment:
+    * Spark lev counts codepoints, DuckDB bytes — identical only on
+    * ASCII). */
   def fuzzyJoin(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val t = docs
-      .select($"doc_id", substring($"text", 1, FuzzyTitleLen).as("title"),
+      .select($"doc_id",
+        regexp_replace(substring($"text", 1, FuzzyTitleLen),
+          "[^\\x00-\\x7F]", "").as("title"),
         substring($"text", 1, FuzzyBlockLen).as("blk"))
     t.as("a").join(t.as("b"),
         $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")

@@ -255,13 +255,16 @@ object Multimodal extends Registry {
         graft.GraftExtensions.ensureRegistered(s)
         val nWin = least(lit(MaxWindows),
           ((size(col("smp")) - 1) / lit(WavWindowSamples)).cast("int") + 1)
+        // size(smp) > 0 gated pre-decode as octet_length(payload) >= 2
+        // (PCM16 = 2 bytes/sample, exact): filtering on the decoded
+        // array runs the codec in both Filter and Project
         corpus(s, dir).filter(col("modality") === "audio")
+          .filter(expr("octet_length(payload) >= 2"))
           .select(col("doc_id"),
             expr("wav_pcm16_encode(payload, 16000)").as("wav"))
           .select(col("doc_id"),
             expr("wav_sample_rate(wav)").as("sample_rate"),
             expr("wav_pcm16_samples(wav)").as("smp"))
-          .filter(size(col("smp")) > 0)
           .withColumn("es", transform(sequence(lit(0), nWin - 1), i =>
             aggregate(slice(col("smp"), i * lit(WavWindowSamples) + 1,
               lit(WavWindowSamples)),
@@ -325,13 +328,14 @@ object Multimodal extends Registry {
       "q8c_audio_resample",
       (s, dir) => {
         graft.GraftExtensions.ensureRegistered(s)
+        // same pre-decode gate as q84: octet_length >= 2 ⟺ ≥1 sample
         corpus(s, dir).filter(col("modality") === "audio")
+          .filter(expr("octet_length(payload) >= 2"))
           .select(col("doc_id"),
             expr("wav_pcm16_encode(payload, 16000)").as("wav"))
           .select(col("doc_id"),
             expr("wav_sample_rate(wav)").as("rate_in"),
             expr("wav_pcm16_samples(wav)").as("smp"))
-          .filter(size(col("smp")) > 0)
           .withColumn("ds", expr("""transform(
             sequence(0, CAST((size(smp) + 1) div 2 AS INT) - 1),
             k -> element_at(smp, 2 * k + 1))"""))
@@ -1293,11 +1297,17 @@ object Multimodal extends Registry {
       (s, dir) => {
         graft.GraftExtensions.ensureRegistered(s)
         import s.implicits._
+        // the size(smp) guard is applied BEFORE the codec as an exact
+        // byte-length precondition (PCM16 = 2 bytes/sample, so
+        // octet_length(payload) >= 2N ⟺ size(smp) >= N): filtering on
+        // the decoded array made the optimizer evaluate the full
+        // encode+decode chain in BOTH Filter and Project — the same
+        // double-decode q8a/q7c were built to avoid
         corpus(s, dir).filter($"modality" === "audio")
-          .select($"doc_id",
-            expr("wav_pcm16_encode(payload, 16000)").as("wav"))
-          .select($"doc_id", expr("wav_pcm16_samples(wav)").as("smp"))
-          .filter(size($"smp") >= WhtN)
+          .filter(expr(s"octet_length(payload) >= ${2 * WhtN}"))
+          .select($"doc_id", expr(
+            "wav_pcm16_samples(wav_pcm16_encode(payload, 16000))")
+            .as("smp"))
           .withColumn("nw",
             expr(s"CAST(least($MaxWhtWindows, size(smp) div $WhtN) AS INT)"))
           .withColumn("co", expr(s"""transform(sequence(0, nw - 1), w ->
@@ -1310,14 +1320,21 @@ object Multimodal extends Registry {
             sequence(0, ${WhtN - 1}), k ->
               aggregate(co, CAST(0 AS BIGINT), (acc, cw) ->
                 acc + element_at(cw, k + 1) * element_at(cw, k + 1)))"""))
-          .select($"doc_id", $"nw".as("n_windows"), $"band_e",
-            expr("CAST(array_position(band_e, array_max(band_e)) - 1 " +
-              "AS BIGINT)").as("dom_band"),
-            (expr("aggregate(band_e, CAST(0 AS BIGINT), (a, x) -> a + x)")
-              === lit(WhtN) * expr(s"""aggregate(
-                slice(smp, 1, nw * $WhtN), CAST(0 AS BIGINT),
-                (a, x) -> a + CAST(x AS BIGINT) * x)"""))
-              .as("parseval_ok"))
+          // band energies ship as SCALAR columns, not an array: the
+          // driver's pandas comparator cannot sort/hash array cells
+          // (the one r13 red), and 8 named longs is the layout a
+          // downstream feature store wants anyway
+          .select(Seq($"doc_id", $"nw".as("n_windows")) ++
+            (0 until WhtN).map(k =>
+              expr(s"element_at(band_e, ${k + 1})").as(s"band_e$k")) ++
+            Seq(
+              expr("CAST(array_position(band_e, array_max(band_e)) - 1 " +
+                "AS BIGINT)").as("dom_band"),
+              (expr("aggregate(band_e, CAST(0 AS BIGINT), (a, x) -> a + x)")
+                === lit(WhtN) * expr(s"""aggregate(
+                  slice(smp, 1, nw * $WhtN), CAST(0 AS BIGINT),
+                  (a, x) -> a + CAST(x AS BIGINT) * x)"""))
+                .as("parseval_ok")): _*)
           .orderBy($"doc_id")
       },
       Some(s"""WITH a AS (
@@ -1346,7 +1363,9 @@ object Multimodal extends Registry {
              |       for w in range(nw)]) AS BIGINT)
              |     for k in range($WhtN)] AS band_e
              |  FROM c)
-             |SELECT doc_id, CAST(nw AS INTEGER) AS n_windows, band_e,
+             |SELECT doc_id, CAST(nw AS INTEGER) AS n_windows,
+             |  ${(0 until WhtN).map(k =>
+                  s"band_e[${k + 1}] AS band_e$k").mkString(", ")},
              |  CAST(list_position(band_e, list_max(band_e)) - 1 AS BIGINT)
              |    AS dom_band,
              |  CAST(list_sum(band_e) AS BIGINT) = $WhtN *
@@ -1380,14 +1399,18 @@ object Multimodal extends Registry {
       (s, dir) => {
         graft.GraftExtensions.ensureRegistered(s)
         import s.implicits._
+        // nf >= 2 gated pre-decode: the encoder emits
+        // max(1, ceil(len/96)) frames (AviDib.scala:62), so ≥2 frames
+        // ⟺ octet_length(payload) > FrameBytes — exact, and keeps the
+        // full decode chain out of the Filter node
         corpus(s, dir).filter($"modality" === "video")
+          .filter(expr(s"octet_length(payload) > $FrameBytes"))
           .select($"doc_id",
             expr("avi_dib_frames(avi_dib_encode(payload, 96))")
               .as("frames"))
           .select($"doc_id",
             expr("transform(frames, fb -> bmp_rgb24_pixels(fb))").as("pxs"))
           .withColumn("nf", size($"pxs"))
-          .filter($"nf" >= 2)
           .withColumn("diffs", expr(s"""transform(sequence(0, nf - 2), f ->
             aggregate(sequence(0, ${FrameBytes - 1}), CAST(0 AS BIGINT),
               (acc, k) -> acc + abs(

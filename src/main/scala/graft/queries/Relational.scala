@@ -1656,8 +1656,14 @@ object Relational extends Registry {
   def rangeEstimates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (state, _, _) = loadOrBuildDailyHll(s, dir)
-    // range bounds from the state's own day axis (bounded: 1 row)
+    // range bounds from the state's own day axis (bounded: 1 row).
+    // Empty state (no events ingested / everything filtered) yields
+    // null min/max — return an empty frame of the serve's shape
+    // instead of NPEing on getLong
     val b = state.agg(min($"day"), max($"day")).collect().head
+    if (b.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("range_id", "d_lo", "d_hi", "n_days_merged", "est_users")
     val (dmin, dmax) = (b.getLong(0), b.getLong(1))
     val ranges = Seq(
       (1L, dmin, dmax),

@@ -1989,7 +1989,9 @@ object TextOps extends Registry {
     * the driver before the overwrite (bounded: takedown lists are
     * orders of magnitude smaller than corpora), which also makes the
     * read-modify-write safe against reading the directory being
-    * replaced. */
+    * replaced. Takedown ids with no postings rows are persisted with a
+    * null dl and no stats decrement — early-arriving takedowns (doc
+    * not yet indexed) survive to mask later appends. */
   /** Seed a PRE-takedown index state (full-corpus postings + full
     * stats, no tombstones yet) — "the index as built before the
     * takedown feed started", the starting point of the streaming
@@ -2018,10 +2020,18 @@ object TextOps extends Registry {
       else Seq.empty[(Long, Long)].toDF("doc_id", "dl")
     val fresh = batch.select($"doc_id").distinct()
       .join(stored.select($"doc_id"), Seq("doc_id"), "left_anti")
+    // dl recovers from the victims' own postings rows where the doc is
+    // indexed; ids with NO postings row are persisted too (null dl) —
+    // a takedown arriving before its document is indexed must still
+    // mask a later q9b-style append, not silently vanish. Stats
+    // decrement only for matched victims: an unindexed id never
+    // contributed to n_docs/sum_dl in the first place.
     val victims = s.read.parquet(postDir.toString)
       .join(fresh, Seq("doc_id"), "left_semi")
       .select($"doc_id", $"dl").distinct()
-    val merged = stored.select($"doc_id", $"dl").unionAll(victims)
+    val entries = fresh.join(victims, Seq("doc_id"), "left")
+      .select($"doc_id", $"dl")
+    val merged = stored.select($"doc_id", $"dl").unionAll(entries)
     val rows = merged.collect() // bounded: tombstone-list-sized
     val dead = victims.agg(count(lit(1)).cast("long"), sum($"dl"))
       .collect().head

@@ -36,13 +36,15 @@ class BenchSpec extends AnyFunSuite {
     assert(byName("q_bad_boom").min == 0.0)
   }
 
-  test("metric line: err list populated, vs_baseline null, total excludes errs") {
+  test("metric line: err_count populated, vs_baseline null, total excludes errs") {
     val results = Bench.runSuite(spark, sfDir,
       Seq("q_ok_fast" -> (ok _), "q_bad_boom" -> (boom _)))
     val line = Bench.metricLine(results, baselinePin = 66.0, loadAvg = 1.0,
       gcTotalSec = 0.1, rssMb = 100, sfDir = sfDir)
-    assert(line.contains(""""err":["q_bad_boom"]"""), line)
+    assert(line.contains(""""err_count":1"""), line)
     assert(line.contains(""""vs_baseline":null"""), line)
+    // the err NAMES live on the diag line, not the bounded metric line
+    assert(Bench.diagLine(results).contains(""""err":["q_bad_boom"]"""))
     // total = the ok query's time only — strictly less than a second
     // here, and definitely not a 66s-scale number
     val total = """"value":([0-9.]+)""".r.findFirstMatchIn(line)
@@ -52,15 +54,27 @@ class BenchSpec extends AnyFunSuite {
     assert(line.startsWith("{") && line.endsWith("}"))
   }
 
-  test("clean suite: no errs, vs_baseline numeric, diag line bounded") {
+  test("clean suite: no errs, vs_baseline numeric, per-query map on diag") {
     val results = Bench.runSuite(spark, sfDir, Seq("q_ok_fast" -> (ok _)))
     assert(results.forall(!_.err))
     val line = Bench.metricLine(results, 66.0, 1.0, 0.0, 100, sfDir)
-    assert(line.contains(""""err":[]"""), line)
+    assert(line.contains(""""err_count":0"""), line)
     assert(!line.contains(""""vs_baseline":null"""), line)
     val diag = Bench.diagLine(results)
-    assert(diag.contains("bench_diag") && diag.length < 2000,
-      s"diag line must stay well under the harness stdout-tail bound: " +
-        s"${diag.length}")
+    assert(diag.contains("bench_diag") && diag.contains(""""queries":{"""))
+  }
+
+  test("metric line stays constant-size: <400 bytes for a 200-query suite") {
+    // r13's line grew with the suite (2.5 KB of per-query entries) and
+    // scrolled its own head out of the driver's ~2.3 KB stdout tail —
+    // parsed:null. The line must not scale with the registry.
+    val results = (1 to 200).map(i =>
+      Bench.QTime(f"q$i%03d_synthetic_name_of_typical_length", Seq(1.234, 1.456),
+        0.05, err = false))
+    val line = Bench.metricLine(results, 91.0, 1.0, 12.3, 4096,
+      "/root/testdata/sf0.1")
+    assert(line.length < 400,
+      s"metric line must stay truncation-proof: ${line.length} bytes: $line")
+    assert(line.contains(""""n_queries":200"""))
   }
 }

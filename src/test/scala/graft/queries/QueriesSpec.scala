@@ -29,6 +29,17 @@ class QueriesSpec extends AnyFunSuite {
     test(s"${d.name} runs and is non-empty at sf0.001") {
       val df = d.fn(spark, sfDir)
       assert(df.columns.nonEmpty)
+      // the driver's pandas comparator cannot sort/hash array or map
+      // cells (r13: q8h's band_e array was the round's only red) —
+      // every registered result must be scalar-columned
+      import org.apache.spark.sql.types.{ArrayType, MapType}
+      val bad = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] => f.name
+      }
+      assert(bad.isEmpty,
+        s"${d.name} emits driver-incomparable array/map columns: " +
+          bad.mkString(", "))
       assert(df.count() > 0, s"${d.name} returned no rows")
     }
   }

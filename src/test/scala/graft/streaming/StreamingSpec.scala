@@ -653,6 +653,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateSnapshot() == before,
       "redelivered takedown batch mutated the state")
 
+    // early-arriving takedown: an id with NO postings row must be
+    // persisted (null dl, ready to mask a later append) WITHOUT
+    // touching the live stats — it never contributed to them
+    val unknownId = 999999999L
+    TextOps.tombFoldBatch(spark, stateDir,
+      spark.range(1).select(lit(unknownId).as("doc_id")))
+    val (tombsAfter, statsAfter) = stateSnapshot()
+    assert(tombsAfter == before._1 + unknownId,
+      "unindexed takedown id was not persisted to the tombstone list")
+    assert(statsAfter == before._2,
+      "unindexed takedown id must not decrement live stats")
+    // and redelivering it is still a no-op
+    TextOps.tombFoldBatch(spark, stateDir,
+      spark.range(1).select(lit(unknownId).as("doc_id")))
+    assert(stateSnapshot() == ((tombsAfter, statsAfter)),
+      "redelivered unknown-id batch mutated the state")
+
     // convergence: the folded state's masked serve ≡ q9u's one-shot
     // purge serve (same tombstone set, same decremented stats)
     val post = spark.read

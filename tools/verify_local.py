@@ -67,6 +67,17 @@ def main():
             failures.append((name, "no parquet output"))
             continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        # the DRIVER's comparator crashes on array/map cells
+        # (pandas sort_values: unhashable ndarray — r13 q8h); norm_cell
+        # below stringifies them, so without this check the local gate
+        # is more lenient than the real one. Fail here instead.
+        arr_cols = [c for c in got.columns if len(got) > 0 and any(
+            isinstance(v, (list, tuple)) or str(type(v)).endswith("ndarray'>")
+            for v in got[c].head(20))]
+        if arr_cols:
+            failures.append((name, "driver-incomparable array/map column(s): "
+                                   + ", ".join(arr_cols)))
+            continue
         if name not in oracles:
             print(f"  [rows-only] {name}: {len(got)} rows "
                   f"{'OK' if len(got) > 0 else 'EMPTY!'}")
