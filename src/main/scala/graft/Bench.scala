@@ -202,7 +202,13 @@ object Bench {
     // rescue pass (see runSuite). load_avg + gc_sec + rss_mb + the
     // bench_diag line carry the contention evidence into the artifact.
     val gcStart = gcMillis()
-    val results = runSuite(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
+    // local iteration aid: SPARK_GRAFT_ONLY=q1e_x,q43_y restricts the
+    // timed set (the driver never sets it — full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val results = runSuite(spark, sfDir,
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.isEmpty || only(n) })
     // vs_baseline: total / the pinned idle reference run, so a driver
     // readout separates machine contention from real regression without
     // a manual rerun. PIN = 91.0s for the FINAL 166-query r13 suite
@@ -226,6 +232,15 @@ object Bench {
     // noise (or a cold index rebuild) before suspecting a plan — the
     // bench_diag pass/GC evidence says which. Re-pin only when the
     // query set changes materially or the host demonstrably changes.
+    // r14 audit of the two r13-flagged regressions, re-measured idle
+    // (load 1.5, SPARK_GRAFT_ONLY): q1e passes [5.04,3.22,2.88] →
+    // 2.88s and q43 [2.82,1.47] → 1.47s, vs r12's 2.39/0.99 on the
+    // PREVIOUS testdata generation and the r13 driver's 3.72/2.14
+    // under load. Both plans unchanged and shape-audited (q1e: native
+    // recursive-CTE one-join-per-level, 3 levels; q43: banded+capped
+    // self-join, persist-shared) — the residual delta vs r12 tracks
+    // the regenerated corpus, the driver delta was contention. Pinned
+    // here as the honest idle reference for both.
     val baselinePin = 91.0
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
