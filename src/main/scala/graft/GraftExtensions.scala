@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -43,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pngAdam7Pixels)
     ext.injectFunction(GraftExtensions.pngAdam7FilterTypes)
     ext.injectFunction(GraftExtensions.jpegEncode)
+    ext.injectFunction(GraftExtensions.jpegEncodeRst)
     ext.injectFunction(GraftExtensions.jpegPixels)
     ext.injectFunction(GraftExtensions.jpegDcCategories)
     ext.injectFunction(GraftExtensions.jpegWidth)
@@ -285,6 +286,14 @@ object GraftExtensions {
       "jpeg_gray8_encode"),
     (args: Seq[Expression]) => JpegGray8EncodeExpr(args(0), args(1)))
 
+  private val jpegEncodeRst: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("jpeg_gray8_encode_rst"),
+    new ExpressionInfo(classOf[JpegGray8EncodeRstExpr].getName,
+      "jpeg_gray8_encode_rst"),
+    (args: Seq[Expression]) =>
+      JpegGray8EncodeRstExpr(args(0), args(1), args(2)))
+
   private val jpegPixels: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("jpeg_gray8_pixels"),
@@ -337,7 +346,7 @@ object GraftExtensions {
         aviEncode, aviFrames, anchorWindows, pngEncode, pngPixels,
         pngRgbEncode, pngRgbPixels, pngPaletteEncode, pngPaletteRgb,
         pngFilterTypes, pngWidth, pngHeight, pngAdam7Encode,
-        pngAdam7Pixels, pngAdam7FilterTypes, jpegEncode, jpegPixels,
+        pngAdam7Pixels, pngAdam7FilterTypes, jpegEncode, jpegEncodeRst, jpegPixels,
         jpegDcCategories, jpegWidth, jpegHeight, jpegYcbcrEncode,
         jpegRgbPixels))
       if (!registry.functionExists(fn._1))

@@ -197,9 +197,24 @@ object JpegGray8 {
     * All-ones DQT ⇒ the DC-only blocks decode EXACTLY (see class doc);
     * the entropy stream still rides the full Annex K huffman tables
     * with real DC differentials (categories up to 11 bits). */
-  def encode(payload: Array[Byte], widthBlocks: Int): Array[Byte] = {
+  def encode(payload: Array[Byte], widthBlocks: Int): Array[Byte] =
+    encodeRestart(payload, widthBlocks, 0)
+
+  /** `encode` with a DRI segment and RSTn markers every
+    * `restartInterval` MCUs (T.81 B.2.4.4 / E.2.4): the byte-aligned
+    * resync points real encoders emit so a corrupted scan loses one
+    * restart interval, not the rest of the image. At each boundary the
+    * entropy stream pads to a byte with 1-bits (F.1.2.3 — stuffed if
+    * the pad byte is 0xFF), the marker cycles RST0..RST7, and the DC
+    * predictor RESETS — an interval-spanning DC differential is the
+    * bug class this path exists to catch. restartInterval = 0 emits
+    * the classic single-segment scan. */
+  def encodeRestart(payload: Array[Byte], widthBlocks: Int,
+      restartInterval: Int): Array[Byte] = {
     require(widthBlocks > 0 && widthBlocks <= (1 << 13),
       s"jpeg: widthBlocks must be in (0, 2^13], got $widthBlocks")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"jpeg: restartInterval must fit DRI's u16, got $restartInterval")
     val wb = widthBlocks
     val hb = math.max(1, (payload.length + wb - 1) / wb)
     require(hb <= (1 << 13),
@@ -220,6 +235,8 @@ object JpegGray8 {
     out.write(0x00)
     var i = 0
     while (i < 64) { out.write(1); i += 1 }
+    // DRI: restart interval in MCUs (only when restarts are on)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
     // SOF0: 8-bit, 1 component, 1x1 sampling, qtable 0
     marker(0xc0); u16(8 + 3)
     out.write(8); u16(height); u16(width); out.write(1)
@@ -251,8 +268,18 @@ object JpegGray8 {
     }
     var prevDc = 0
     var bi = 0
+    var rstCount = 0
     val nBlocks = wb * hb
     while (bi < nBlocks) {
+      // restart boundary (gray 1x1 sampling ⇒ MCU index = block index):
+      // byte-align the entropy stream, emit the cycling RSTn RAW (a
+      // marker, never byte-stuffed), reset the DC predictor
+      if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+        if (nBits > 0) { val pad = 8 - nBits; putBits((1 << pad) - 1, pad) }
+        out.write(0xff); out.write(0xd0 + (rstCount % 8))
+        rstCount += 1
+        prevDc = 0
+      }
       val v = if (bi < payload.length) payload(bi) & 0xff else 0
       val dc = 8 * (v - 128) // forward DCT of a constant block, qDC=1
       val diff = dc - prevDc
@@ -851,6 +878,32 @@ case class JpegGray8EncodeExpr(left: Expression, right: Expression)
       s"graft.expressions.JpegGray8.encode($p, $w)")
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** `jpeg_gray8_encode_rst(payload, widthBlocks, restartInterval)` —
+  * the restart-marker form of the gray encode (DRI + cycling RSTn +
+  * per-interval DC predictor reset); interval 0 degenerates to the
+  * classic single-segment scan. */
+case class JpegGray8EncodeRstExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == IntegerType &&
+        third.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jpeg_gray8_encode_rst requires (binary, int, int), got " +
+        children.map(_.dataType).mkString(" / "))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_gray8_encode_rst"
+  override protected def nullSafeEval(p: Any, w: Any, r: Any): Any =
+    JpegGray8.encodeRestart(p.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, w, r) =>
+      s"graft.expressions.JpegGray8.encodeRestart($p, $w, $r)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
 case class JpegYcbcr420EncodeExpr(first: Expression, second: Expression,

@@ -1271,6 +1271,95 @@ object Multimodal extends Registry {
         "decode pinned in-band"),
 
     // ------------------------------------------------------------------
+    // q8j: JPEG RESTART MARKERS (DRI + RSTn) — the resync machinery
+    // real encoders emit so a corrupted scan loses one interval, not
+    // the rest of the image, and the one baseline feature q8f/q8g's
+    // single-segment scans structurally cannot exercise: byte-aligned
+    // RSTn consumption, the cycling RST0..RST7 index check, and the
+    // per-interval DC PREDICTOR RESET. Interval 3 is deliberately
+    // coprime to the 4-block row so restarts land mid-row. Exactness
+    // proofs, all in-band: pixels replay from payload bytes (a decoder
+    // ignoring the reset has a wrong DC chain from the first boundary
+    // — px_sum/pos_checksum catch it); n_dc_cats is recomputed by the
+    // oracle from RESET differentials (the first block of each
+    // interval codes dc − 0, not dc − prev, so the category set
+    // differs from q8f's on the same payload); n_rst counts the
+    // markers in the ACTUAL stream at byte stride (entropy 0xFF bytes
+    // are always stuffed FF00, and hex pairs are scanned byte-aligned,
+    // so nothing false-positives), pinned against the oracle's
+    // analytic (blocks − 1) div interval. Same narrow per-asset
+    // no-explode shape as q8g; the only shuffle is the final sort.
+    QueryDef(
+      "q8j_jpeg_restart",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        corpus(s, dir).filter(col("modality") === "image")
+          .select(col("doc_id"),
+            expr(s"jpeg_gray8_encode_rst(payload, $JpegRstWb, " +
+              s"$JpegRstInterval)").as("jpeg"))
+          .select(col("doc_id"), col("jpeg"),
+            hex(col("jpeg")).as("hx")) // hoisted: one hex per asset
+          .select(col("doc_id"),
+            expr("jpeg_width(jpeg)").as("width"),
+            expr("jpeg_height(jpeg)").as("height"),
+            size(array_distinct(expr("jpeg_dc_categories(jpeg)")))
+              .as("n_dc_cats"),
+            expr("""CAST(size(filter(
+              sequence(0, CAST(length(hx) div 2 AS INT) - 2),
+              i -> substr(hx, 2*i+1, 2) = 'FF' AND
+                   substr(hx, 2*i+3, 2) >= 'D0' AND
+                   substr(hx, 2*i+3, 2) <= 'D7')) AS BIGINT)""")
+              .as("n_rst"),
+            expr("jpeg_gray8_pixels(jpeg)").as("px"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("n_dc_cats"), col("n_rst"),
+            size(col("px")).cast("long").as("n_pixels"),
+            expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)")
+              .as("px_sum"),
+            expr("aggregate(sequence(0, size(px) - 1), " +
+              "CAST(0 AS BIGINT), (acc, i) -> " +
+              "acc + element_at(px, CAST(i + 1 AS INT)) * ((i % 1000) + 1))")
+              .as("pos_checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH a AS (
+             |  SELECT doc_id, encode(text) AS bl FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |st AS (
+             |  SELECT doc_id, octet_length(bl) AS n,
+             |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(bl))] AS bs
+             |  FROM a),
+             |g AS (SELECT doc_id, n,
+             |        bs || [0 for x in range($JpegRstWb *
+             |          greatest(1, (n + ${JpegRstWb - 1}) // $JpegRstWb) - n)]
+             |          AS bf,
+             |        greatest(1, (n + ${JpegRstWb - 1}) // $JpegRstWb) AS h
+             |      FROM st)
+             |SELECT doc_id, ${JpegRstWb * 8} AS width,
+             |  CAST(h * 8 AS INTEGER) AS height,
+             |  len(list_distinct([
+             |    CASE WHEN d = 0 THEN 0
+             |         ELSE CAST(floor(log2(abs(d))) AS INT) + 1 END
+             |    for d in [8*(bf[i+1]-128) -
+             |              CASE WHEN i % $JpegRstInterval = 0 THEN 0
+             |                   ELSE 8*(bf[i]-128) END
+             |              for i in range(len(bf))]])) AS n_dc_cats,
+             |  CAST((len(bf) - 1) // $JpegRstInterval AS BIGINT) AS n_rst,
+             |  CAST(h * $JpegRstWb * 64 AS BIGINT) AS n_pixels,
+             |  CAST(64 * coalesce(list_sum(bf), 0) AS BIGINT) AS px_sum,
+             |  CAST(coalesce(list_sum([bf[i+1] * list_sum([
+             |      ((((i // $JpegRstWb) * 8 + p // 8) * ${JpegRstWb * 8}
+             |          + (i % $JpegRstWb) * 8 + (p % 8)) % 1000) + 1
+             |      for p in range(64)])
+             |    for i in range(len(bf))]), 0) AS BIGINT) AS pos_checksum
+             |FROM g ORDER BY doc_id""".stripMargin),
+      doc = "JPEG restart markers: DRI + cycling RSTn + per-interval " +
+        "DC predictor reset, decoded through the real resync path — " +
+        "marker count, reset differentials, and pixels all pinned " +
+        "in-band"),
+
+    // ------------------------------------------------------------------
     // q8h: SPECTRAL BAND ANALYSIS over real decoded audio — the
     // frequency-domain feature pass every audio pipeline runs after
     // decode (VAD banding, music/speech discrimination, spectral
@@ -1461,6 +1550,11 @@ object Multimodal extends Registry {
   /** q8h: WHT size (8-point) and the per-asset window cap. */
   val WhtN = 8
   val MaxWhtWindows = 16
+
+  /** q8j: blocks per row and the DRI restart interval (MCUs) — 3 is
+    * coprime to the row width so restarts land mid-row. */
+  val JpegRstWb = 4
+  val JpegRstInterval = 3
 
   /** q8i: bytes per encoded AVI frame (the q86 geometry) and the L1
     * cut threshold — near the expected distance of two independent

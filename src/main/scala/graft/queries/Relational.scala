@@ -1090,7 +1090,54 @@ object Relational extends Registry {
              |FROM j ORDER BY lang""".stripMargin),
       doc = "Per-language composition drift between corpus snapshots: " +
         "integer micro-unit shares, total-variation distance, and a " +
-        "declared-threshold alarm — two model-sized aggregates")
+        "declared-threshold alarm — two model-sized aggregates"),
+
+    // ------------------------------------------------------------------
+    // qa3: ID WELL-FORMEDNESS — the governance check that closes the
+    // mint→validate loop: every id the F5 codegen minter
+    // (ids.Uuid5.mintCol — sha1, version/variant nibbles) produces for
+    // the orders table must satisfy the reference's own `is_valid_uuid`
+    // (F6, `fhir_etl/utils.py:34-42` semantics: syntactic UUID parse,
+    // any version) AND the strict canonical-form regex a production
+    // bulk gate would push through codegen (canonical ⊆ parseable, so
+    // the two counts agreeing is itself a contract). The mangled
+    // control (hex digits replaced with 'zz') proves the validator
+    // REJECTS — a validator that returns true for everything passes
+    // accept-only tests. Counts only; the oracle states the contract
+    // (all minted valid on every axis, every mangled form rejected) —
+    // Spark computes it for real through F5+F6, so a regression in
+    // either desyncs the driver compare. One narrow scan, one partial
+    // agg; the F6 UDF runs only here (validation gate), the bulk path
+    // is the codegen regex.
+    QueryDef(
+      "qa3_id_validity",
+      (s, dir) => {
+        import s.implicits._
+        val isValid = udf((x: String) => graft.ids.Uuid5.isValidUuid(x))
+        val canonical =
+          "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+        Tables.table(s, dir, "orders")
+          .select(graft.ids.IdMinter.oneKg
+            .mintIdentifierCol("Patient", "orders", $"o_orderkey")
+            .as("minted"))
+          .select($"minted",
+            concat(substring($"minted", 1, 34), lit("zz")).as("mangled"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(isValid($"minted"), 1L).otherwise(0L))
+              .as("n_minted_valid"),
+            sum(when($"minted".rlike(canonical), 1L).otherwise(0L))
+              .as("n_minted_canonical"),
+            sum(when(!isValid($"mangled"), 1L).otherwise(0L))
+              .as("n_mangled_rejected"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  count(*) AS n_minted_valid,
+             |  count(*) AS n_minted_canonical,
+             |  count(*) AS n_mangled_rejected
+             |FROM orders""".stripMargin),
+      doc = "Minted-id governance gate: every F5-minted uuid5 parses " +
+        "(reference is_valid_uuid) and matches the canonical codegen " +
+        "regex; a mangled control proves rejection fires")
   )
 
   val HllLgK = 14

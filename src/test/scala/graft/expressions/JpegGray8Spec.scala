@@ -89,6 +89,46 @@ class JpegGray8Spec extends AnyFunSuite {
     }
   }
 
+  test("restart markers: DRI/RSTn round-trip exactly, DC predictor " +
+    "resets per interval, and JDK ImageIO agrees") {
+    for ((n, wb, rst) <- Seq((1, 2, 1), (7, 2, 3), (40, 8, 3),
+        (64, 8, 8), (65, 8, 5), (500, 7, 11))) {
+      val p = det(n * 17 + rst, n)
+      val jpeg = JpegGray8.encodeRestart(p, wb, rst)
+      // pixels exact through the full resync path
+      assert(ints(JpegGray8.pixels(jpeg)) == expectedPixels(p, wb),
+        s"restart round-trip diverged (n=$n wb=$wb rst=$rst)")
+      // marker count: byte-aligned FFD0-FFD7 occurrences in the stream
+      val nRst = (0 until jpeg.length - 1).count(i =>
+        (jpeg(i) & 0xff) == 0xff && (jpeg(i + 1) & 0xff) >= 0xd0 &&
+          (jpeg(i + 1) & 0xff) <= 0xd7)
+      val hb = math.max(1, (n + wb - 1) / wb)
+      assert(nRst == (wb * hb - 1) / rst,
+        s"marker count (n=$n wb=$wb rst=$rst): got $nRst")
+      // DC categories reflect the per-interval predictor RESET
+      val cats = ints(JpegGray8.dcCategories(jpeg))
+      var prev = 0
+      val padded = p.map(_ & 0xff).toSeq.padTo(wb * hb, 0)
+      val expected = padded.zipWithIndex.map { case (b, i) =>
+        val dc = 8 * (b - 128)
+        val diff = dc - (if (i % rst == 0) 0 else prev)
+        prev = dc
+        32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      }
+      assert(cats == expected,
+        s"reset differentials (n=$n wb=$wb rst=$rst)")
+      // external validation: the JDK's own codec must read the
+      // restart-marked stream and agree pixel-for-pixel
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpeg))
+      assert(img != null, "ImageIO could not parse the restart JPEG")
+      val theirs = for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield img.getRaster.getSample(x, y, 0)
+      assert(theirs == expectedPixels(p, wb),
+        s"ImageIO diverged on the restart stream (n=$n wb=$wb rst=$rst)")
+    }
+  }
+
   /** ImageIO-encode a gray image at the given quality; returns jpeg
     * bytes. */
   private def imageIoEncode(px: Array[Int], w: Int, h: Int,
