@@ -1022,8 +1022,86 @@ object Dedup extends Registry {
              |ORDER BY doc_a, doc_b""".stripMargin),
       doc = "Fuzzy entity resolution: bounded Levenshtein inside " +
         "prefix blocks — quadratic work bounded by block size, " +
-        "every pair and distance exactly cross-engine")
+        "every pair and distance exactly cross-engine"),
+
+    // ------------------------------------------------------------------
+    // qb0: SORTED-NEIGHBORHOOD ER — the second pass of multipass
+    // blocking, covering exactly what q9z's prefix block misses BY
+    // CONSTRUCTION (an edit inside the first 8 chars escapes the
+    // prefix block; q9z's own doc names this trade). Records sort by
+    // the REVERSED title, so titles sharing a suffix cluster together
+    // regardless of how their heads differ; each record pairs with its
+    // W nearest sort neighbors inside a 2-char reversed-prefix bucket
+    // and bounded Levenshtein confirms. The distributed form is the
+    // Dedoop-style bucketed SNM: the per-bucket window is one shuffle
+    // by bucket key (never a global row_number — a single-partition
+    // sort is the classic SNM scale trap), and a pair can cross a
+    // bucket boundary only by differing in the title's last 2 chars —
+    // which is a suffix edit, the case the PREFIX pass catches: the
+    // two passes are complementary, and the missed_by_prefix_block
+    // column shows it as data (pairs only this pass finds). Same
+    // ASCII-projected titles as q9z so the distances replay exactly.
+    QueryDef(
+      "qb0_sorted_neighborhood",
+      (s, dir) => sortedNeighborhoodJoin(table(s, dir, "documents")),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id,
+             |    regexp_replace(substr(text, 1, $FuzzyTitleLen),
+             |      '[^\\x00-\\x7F]', '', 'g') AS title
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, title, reverse(title) AS skey,
+             |    substr(reverse(title), 1, $SnmBucketLen) AS bkt,
+             |    row_number() OVER (
+             |      PARTITION BY substr(reverse(title), 1, $SnmBucketLen)
+             |      ORDER BY reverse(title), doc_id) AS rn
+             |  FROM t)
+             |SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             |  greatest(a.doc_id, b.doc_id) AS doc_b,
+             |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS lev,
+             |  substr(a.title, 1, $FuzzyBlockLen) <>
+             |    substr(b.title, 1, $FuzzyBlockLen)
+             |    AS missed_by_prefix_block
+             |FROM r a JOIN r b
+             |  ON a.bkt = b.bkt AND b.rn > a.rn AND b.rn <= a.rn + $SnmW
+             |WHERE levenshtein(a.title, b.title) <= $FuzzyMaxLev
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "Sorted-neighborhood blocking (multipass ER pass 2): " +
+        "reversed-title sort inside buckets, W-nearest-neighbor " +
+        "candidates, bounded Levenshtein confirm — catches the " +
+        "head-edit pairs the prefix block misses")
   )
+
+  /** qb0: neighborhood width and the reversed-prefix bucket length. */
+  val SnmW = 3
+  val SnmBucketLen = 2
+
+  /** The qb0 kernel over an explicit (doc_id, text) frame — factored
+    * so the spec can plant a head-edited near-duplicate (invisible to
+    * fuzzyJoin's prefix block) and prove this pass finds it. */
+  def sortedNeighborhoodJoin(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val r = docs
+      .select($"doc_id",
+        regexp_replace(substring($"text", 1, FuzzyTitleLen),
+          "[^\\x00-\\x7F]", "").as("title"))
+      .withColumn("skey", reverse($"title"))
+      .withColumn("bkt", substring($"skey", 1, SnmBucketLen))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"bkt").orderBy($"skey", $"doc_id")))
+    r.as("a").join(r.as("b"),
+        $"a.bkt" === $"b.bkt" && $"b.rn" > $"a.rn" &&
+          $"b.rn" <= $"a.rn" + SnmW)
+      .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
+        greatest($"a.doc_id", $"b.doc_id").as("doc_b"),
+        levenshtein($"a.title", $"b.title").cast("long").as("lev"),
+        (substring($"a.title", 1, FuzzyBlockLen) =!=
+          substring($"b.title", 1, FuzzyBlockLen))
+          .as("missed_by_prefix_block"))
+      .filter($"lev" <= FuzzyMaxLev)
+      .orderBy($"doc_a", $"doc_b")
+  }
 
   /** q9z: title slice, blocking-prefix length, and the match radius. */
   val FuzzyTitleLen = 24

@@ -1137,8 +1137,133 @@ object Relational extends Registry {
              |FROM orders""".stripMargin),
       doc = "Minted-id governance gate: every F5-minted uuid5 parses " +
         "(reference is_valid_uuid) and matches the canonical codegen " +
-        "regex; a mangled control proves rejection fires")
+        "regex; a mangled control proves rejection fires"),
+
+    // ------------------------------------------------------------------
+    // qa5: K-ANONYMITY / L-DIVERSITY AUDIT — the privacy measurement a
+    // release gate runs before data leaves the fence: group the table
+    // by its QUASI-IDENTIFIERS (here nation × market segment — the
+    // columns an adversary can link from outside), and report each
+    // equivalence class's anonymity set size (k) and the diversity of
+    // the SENSITIVE attribute within it (l = distinct acctbal
+    // thousands-bracket): a class below K re-identifies its members by
+    // linkage; a class with one sensitive value discloses it even at
+    // large k (the homogeneity attack l-diversity exists to catch).
+    // n_suppressed carries the headline cost of enforcement (rows in
+    // sub-K classes a suppression release would drop). Plan: ONE
+    // partial-agged groupBy over the QI columns computes size and
+    // distinct-sensitive together; the suppression total is a second
+    // aggregate over the CLASS-level frame (model-sized, |QI classes|
+    // rows), never a second table scan — at 100 TB this is one shuffle
+    // of QI-key partial aggregates, the same shape as any rollup.
+    QueryDef(
+      "qa5_k_anonymity",
+      (s, dir) => kAnonymityAudit(Tables.table(s, dir, "customer")),
+      Some(s"""WITH cls AS (
+             |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             |    count(*) AS class_size,
+             |    count(DISTINCT CAST(floor(c_acctbal / 1000)
+             |      AS INT)) AS l_distinct
+             |  FROM customer GROUP BY 1, 2),
+             |sup AS (
+             |  SELECT CAST(coalesce(sum(CASE WHEN class_size < $AnonK
+             |    THEN class_size END), 0) AS BIGINT) AS n FROM cls)
+             |SELECT nation, segment, class_size,
+             |  class_size >= $AnonK AS k_anonymous,
+             |  CAST(l_distinct AS BIGINT) AS l_distinct,
+             |  l_distinct >= $AnonL AS l_diverse,
+             |  sup.n AS n_suppressed
+             |FROM cls, sup ORDER BY nation, segment""".stripMargin),
+      doc = "k-anonymity / l-diversity audit over quasi-identifier " +
+        "classes: anonymity set sizes, sensitive-value diversity, and " +
+        "the suppression cost — one partial-agged QI shuffle"),
+
+    // ------------------------------------------------------------------
+    // qa6: LOCAL-DP RANDOMIZED RESPONSE — the other privacy mechanism
+    // class (perturb, don't suppress): each row reports a BINARY
+    // attribute (segment = BUILDING) truthfully with p = 3/4, flipped
+    // with p = 1/4 — classic Warner randomized response, ε = ln 3
+    // local differential privacy — and the aggregate debiases the
+    // noisy count: with E[C] = n/4 + T/2, the unbiased estimate is
+    // T̂ = 2C − n/2, carried doubled (est2 = 4C − n) so everything
+    // stays integer-exact. The coin is an md5 hash of the row key —
+    // DETERMINISTIC so the DuckDB oracle replays every per-row flip
+    // and the debias identity bit-for-bit (same trade as q37's hash
+    // split; production swaps the keyed hash for a CSPRNG and keeps
+    // every aggregate shape). The ±5σ contract (σ(est2) = √(3n))
+    // is checked as data: a broken coin, flip rule, or debias
+    // constant lands outside it. Plan: one narrow scan, one 4-scalar
+    // partial agg — nothing row-level leaves the executors, which is
+    // the entire point of the LOCAL model.
+    QueryDef(
+      "qa6_randomized_response",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.table(s, dir, "customer")
+          .select(($"c_mktsegment" === "BUILDING").as("truth"),
+            (conv(substring(md5(concat(lit("rr:"),
+              $"c_custkey".cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 4 === 0).as("flip"))
+          .select($"truth", ($"truth" =!= $"flip").as("response"))
+        t.agg(count(lit(1)).as("n"),
+            sum(when($"truth", 1L).otherwise(0L)).as("true_cnt"),
+            sum(when($"response", 1L).otherwise(0L)).as("noisy_cnt"))
+          .select($"n", $"true_cnt", $"noisy_cnt",
+            (lit(4L) * $"noisy_cnt" - $"n").as("est2"),
+            (abs(lit(4L) * $"noisy_cnt" - $"n" - lit(2L) * $"true_cnt")
+              <= ceil(lit(5.0) * sqrt(lit(3.0) * $"n".cast("double")))
+                .cast("long")).as("within_5_sigma"))
+      },
+      Some("""WITH t AS (
+             |  SELECT c_mktsegment = 'BUILDING' AS truth,
+             |    CAST(('0x' || substr(md5('rr:' || c_custkey), 1, 8))
+             |      AS BIGINT) % 4 = 0 AS flip
+             |  FROM customer),
+             |r AS (SELECT truth, truth <> flip AS response FROM t),
+             |a AS (
+             |  SELECT count(*) AS n,
+             |    CAST(coalesce(sum(CASE WHEN truth THEN 1 END), 0)
+             |      AS BIGINT) AS true_cnt,
+             |    CAST(coalesce(sum(CASE WHEN response THEN 1 END), 0)
+             |      AS BIGINT) AS noisy_cnt
+             |  FROM r)
+             |SELECT n, true_cnt, noisy_cnt,
+             |  4 * noisy_cnt - n AS est2,
+             |  abs(4 * noisy_cnt - n - 2 * true_cnt) <=
+             |    CAST(ceil(5.0 * sqrt(3.0 * n)) AS BIGINT)
+             |    AS within_5_sigma
+             |FROM a""".stripMargin),
+      doc = "Warner randomized response (eps = ln 3 local DP) with a " +
+        "deterministic keyed coin: per-row perturbation, integer-exact " +
+        "debiased estimate, 5-sigma contract checked as data")
   )
+
+  /** qa5 thresholds: minimum anonymity set size and sensitive-value
+    * diversity. */
+  val AnonK = 5
+  val AnonL = 3
+
+  /** The qa5 kernel over an explicit customer-shaped frame — factored
+    * so the spec can plant a sub-K class and a homogeneous class and
+    * prove both gates fire. */
+  private[graft] def kAnonymityAudit(customer: DataFrame): DataFrame = {
+    val s = customer.sparkSession
+    import s.implicits._
+    val cls = customer
+      .groupBy($"c_nationkey".as("nation"), $"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(floor($"c_acctbal" / 1000).cast("int"))
+          .as("l_distinct_i"))
+    val sup = cls.agg(coalesce(sum(when($"class_size" < AnonK,
+      $"class_size")), lit(0L)).as("n_suppressed"))
+    cls.crossJoin(broadcast(sup)) // class-level frame × 1 scalar row
+      .select($"nation", $"segment", $"class_size",
+        ($"class_size" >= AnonK).as("k_anonymous"),
+        $"l_distinct_i".cast("long").as("l_distinct"),
+        ($"l_distinct_i" >= AnonL).as("l_diverse"),
+        $"n_suppressed")
+      .orderBy($"nation", $"segment")
+  }
 
   val HllLgK = 14
   private val HllDeltaMod = 10

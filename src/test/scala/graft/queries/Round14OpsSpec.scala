@@ -35,6 +35,56 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out.isEmpty, "empty per-day HLL state must serve zero ranges")
   }
 
+  test("qa5 k-anonymity audit: a planted sub-K class and a planted " +
+    "homogeneous class each trip their gate") {
+    import spark.implicits._
+    // class (1, A): 2 rows -> below K=5, diverse-enough irrelevant
+    // class (2, B): 6 rows, all the same acctbal bracket -> k ok, l=1
+    // class (3, C): 6 rows, 3 brackets -> both gates pass
+    val rows =
+      Seq((1, "A", 100.0), (1, "A", 2100.0)) ++
+        (1 to 6).map(i => (2, "B", 500.0 + i)) ++
+        (1 to 6).map(i => (3, "C", (i % 3) * 1000.0 + 1))
+    val df = rows.toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Relational.kAnonymityAudit(df).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3), r.getLong(4), r.getBoolean(5),
+          r.getLong(6))).toMap
+    assert(out((1, "A")) == ((2L, false, 2L, false, 2L)))
+    assert(out((2, "B")) == ((6L, true, 1L, false, 2L)))
+    assert(out((3, "C")) == ((6L, true, 3L, true, 2L)))
+  }
+
+  test("qb0 sorted-neighborhood pass finds a head-edited near-dup the " +
+    "q9z prefix block structurally misses") {
+    import spark.implicits._
+    // two titles differing only INSIDE the first 8 chars (3 subs, well
+    // under FuzzyMaxLev): different prefix blocks (q9z cannot pair
+    // them) but a shared suffix, so they sort adjacent on the
+    // reversed title
+    val docs = Seq(
+      (1L, "AAAxxAAA common tail here and beyond"),
+      (2L, "BBBxxAAA common tail here and beyond"),
+      (3L, "completely unrelated text zzz")).toDF("doc_id", "text")
+    assert(Dedup.fuzzyJoin(docs).collect().isEmpty,
+      "prefix-block pass should miss the head-edited pair")
+    val out = Dedup.sortedNeighborhoodJoin(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getLong(2) <= Dedup.FuzzyMaxLev)
+    assert(r.getBoolean(3), "pair must be flagged missed_by_prefix_block")
+  }
+
+  test("qa6 randomized response: debias identity holds and the noisy " +
+    "estimate honors its own 5-sigma contract at sf0.001") {
+    val row = SparkEntry.queries("qa6_randomized_response")(spark, sfDir)
+      .collect().head
+    val (n, noisy, est2) = (row.getLong(0), row.getLong(2), row.getLong(3))
+    assert(est2 == 4 * noisy - n, "debias identity broken")
+    assert(row.getBoolean(4), "5-sigma contract violated")
+  }
+
   test("q9z fuzzy join: non-ASCII titles are ASCII-projected so the " +
     "Spark distance equals DuckDB's byte-based distance") {
     import spark.implicits._
