@@ -400,18 +400,12 @@ object Multimodal extends Registry {
             expr("bmp_width(bmp)").as("width"),
             expr("bmp_height(bmp)").as("height"),
             expr("bmp_rgb24_pixels(bmp)").as("px"))
+          // per-row reductions (q8g shape): posexplode+groupBy both
+          // re-shuffled every decoded byte and let
+          // InferFiltersFromGenerate clone the decode into a Filter
           .select(col("doc_id"), col("width"), col("height"),
-            posexplode(col("px")).as(Seq("pos", "b")))
-          .groupBy(col("doc_id"), col("width"), col("height"))
-          .agg(
-            sum(when(pmod(col("pos"), lit(3)) === 0, col("b"))
-              .otherwise(0).cast("long")).as("b_sum"),
-            sum(when(pmod(col("pos"), lit(3)) === 1, col("b"))
-              .otherwise(0).cast("long")).as("g_sum"),
-            sum(when(pmod(col("pos"), lit(3)) === 2, col("b"))
-              .otherwise(0).cast("long")).as("r_sum"),
-            sum((col("b") * (pmod(col("pos"), lit(1000)) + 1)).cast("long"))
-              .as("pos_checksum"))
+            pxChanSum(0).as("b_sum"), pxChanSum(1).as("g_sum"),
+            pxChanSum(2).as("r_sum"), pxPosChecksum.as("pos_checksum"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH a AS (
@@ -475,14 +469,11 @@ object Multimodal extends Registry {
             size(array_distinct(expr("png_filter_types(png)")))
               .as("n_filter_types"),
             expr("png_gray8_pixels(png)").as("px"))
+          // per-row reductions (q8g shape; see q85)
           .select(col("doc_id"), col("width"), col("height"),
-            col("n_filter_types"), posexplode(col("px")).as(Seq("pos", "b")))
-          .groupBy(col("doc_id"), col("width"), col("height"),
-            col("n_filter_types"))
-          .agg(count(lit(1)).as("n_pixels"),
-            sum(col("b").cast("long")).as("px_sum"),
-            sum((col("b") * (pmod(col("pos"), lit(1000)) + 1)).cast("long"))
-              .as("pos_checksum"))
+            col("n_filter_types"),
+            size(col("px")).cast("long").as("n_pixels"),
+            pxSum.as("px_sum"), pxPosChecksum.as("pos_checksum"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH a AS (
@@ -534,19 +525,12 @@ object Multimodal extends Registry {
             size(array_distinct(expr("png_filter_types(png)")))
               .as("n_filter_types"),
             expr("png_rgb24_pixels(png)").as("px"))
+          // per-row reductions (q8g shape; see q85)
           .select(col("doc_id"), col("width"), col("height"),
-            col("n_filter_types"), posexplode(col("px")).as(Seq("pos", "b")))
-          .groupBy(col("doc_id"), col("width"), col("height"),
-            col("n_filter_types"))
-          .agg(count(lit(1)).as("n_pixel_bytes"),
-            sum(when(pmod(col("pos"), lit(3)) === 0, col("b"))
-              .otherwise(0).cast("long")).as("r_sum"),
-            sum(when(pmod(col("pos"), lit(3)) === 1, col("b"))
-              .otherwise(0).cast("long")).as("g_sum"),
-            sum(when(pmod(col("pos"), lit(3)) === 2, col("b"))
-              .otherwise(0).cast("long")).as("b_sum"),
-            sum((col("b") * (pmod(col("pos"), lit(1000)) + 1)).cast("long"))
-              .as("pos_checksum"))
+            col("n_filter_types"),
+            size(col("px")).cast("long").as("n_pixel_bytes"),
+            pxChanSum(0).as("r_sum"), pxChanSum(1).as("g_sum"),
+            pxChanSum(2).as("b_sum"), pxPosChecksum.as("pos_checksum"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH a AS (
@@ -609,19 +593,12 @@ object Multimodal extends Registry {
             size(array_distinct(expr("png_filter_types(png)")))
               .as("n_filter_types"),
             expr("png_palette_rgb(png)").as("px"))
+          // per-row reductions (q8g shape; see q85)
           .select(col("doc_id"), col("width"), col("height"),
-            col("n_filter_types"), posexplode(col("px")).as(Seq("pos", "b")))
-          .groupBy(col("doc_id"), col("width"), col("height"),
-            col("n_filter_types"))
-          .agg(count(lit(1)).as("n_pixel_bytes"),
-            sum(when(pmod(col("pos"), lit(3)) === 0, col("b"))
-              .otherwise(0).cast("long")).as("r_sum"),
-            sum(when(pmod(col("pos"), lit(3)) === 1, col("b"))
-              .otherwise(0).cast("long")).as("g_sum"),
-            sum(when(pmod(col("pos"), lit(3)) === 2, col("b"))
-              .otherwise(0).cast("long")).as("b_sum"),
-            sum((col("b") * (pmod(col("pos"), lit(1000)) + 1)).cast("long"))
-              .as("pos_checksum"))
+            col("n_filter_types"),
+            size(col("px")).cast("long").as("n_pixel_bytes"),
+            pxChanSum(0).as("r_sum"), pxChanSum(1).as("g_sum"),
+            pxChanSum(2).as("b_sum"), pxPosChecksum.as("pos_checksum"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH a AS (
@@ -842,23 +819,34 @@ object Multimodal extends Registry {
       "q86_avi_dib",
       (s, dir) => {
         graft.GraftExtensions.ensureRegistered(s)
+        // q8i's array-native shape: decode all frames into one nested
+        // array and reduce per ROW — the old double posexplode
+        // re-shuffled every pixel byte and let
+        // InferFiltersFromGenerate clone both decodes into Filters
+        def allFrames(ch: Int): org.apache.spark.sql.Column =
+          expr(s"""aggregate(pxs, CAST(0 AS BIGINT), (acc, p) ->
+            acc + aggregate(sequence(0, size(p) - 1), CAST(0 AS BIGINT),
+              (a, j) -> a + IF(j % 3 = $ch,
+                element_at(p, CAST(j + 1 AS INT)), 0)))""")
         corpus(s, dir).filter(col("modality") === "video")
-          .select(col("doc_id"), expr("avi_dib_encode(payload, 96)").as("avi"))
-          .select(col("doc_id"), expr("avi_dib_frames(avi)").as("frames"))
-          .select(col("doc_id"), size(col("frames")).as("n_frames"),
-            posexplode(col("frames")).as(Seq("f", "fbin")))
-          .select(col("doc_id"), col("n_frames"), col("f"),
-            posexplode(expr("bmp_rgb24_pixels(fbin)")).as(Seq("j", "b")))
-          .groupBy(col("doc_id"), col("n_frames"))
-          .agg(count(lit(1)).as("total_pixel_bytes"),
-            sum(when(pmod(col("j"), lit(3)) === 0, col("b"))
-              .otherwise(0).cast("long")).as("b_sum"),
-            sum(when(pmod(col("j"), lit(3)) === 1, col("b"))
-              .otherwise(0).cast("long")).as("g_sum"),
-            sum(when(pmod(col("j"), lit(3)) === 2, col("b"))
-              .otherwise(0).cast("long")).as("r_sum"),
-            sum((col("b") * (col("j") + 1) * (pmod(col("f"), lit(97)) + 1))
-              .cast("long")).as("frame_checksum"))
+          .select(col("doc_id"),
+            expr("avi_dib_frames(avi_dib_encode(payload, 96))")
+              .as("frames"))
+          .select(col("doc_id"),
+            expr("transform(frames, fb -> bmp_rgb24_pixels(fb))").as("pxs"))
+          .select(col("doc_id"), size(col("pxs")).as("n_frames"),
+            expr("""aggregate(pxs, CAST(0 AS BIGINT),
+              (acc, p) -> acc + size(p))""").as("total_pixel_bytes"),
+            allFrames(0).as("b_sum"), allFrames(1).as("g_sum"),
+            allFrames(2).as("r_sum"),
+            expr("""aggregate(sequence(0, size(pxs) - 1),
+              CAST(0 AS BIGINT), (acc, f) -> acc +
+                aggregate(
+                  sequence(0, size(element_at(pxs, f + 1)) - 1),
+                  CAST(0 AS BIGINT), (a, j) -> a +
+                    element_at(element_at(pxs, f + 1),
+                      CAST(j + 1 AS INT)) * (j + 1) * (f % 97 + 1)))""")
+              .as("frame_checksum"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH a AS (
@@ -914,37 +902,33 @@ object Multimodal extends Registry {
       "q8b_video_thumbnails",
       (s, dir) => {
         graft.GraftExtensions.ensureRegistered(s)
+        // array-native frame axis (q8i shape; see q86): thumbnails and
+        // their sums fold per ROW instead of exploding per frame
+        def thumbChan(ch: Int): org.apache.spark.sql.Column =
+          expr(s"""aggregate(rbs, CAST(0 AS BIGINT), (acc, rb) ->
+            acc + aggregate(sequence(0, 11), CAST(0 AS BIGINT),
+              (a, i) -> a + IF(i % 3 = $ch,
+                element_at(rb, CAST(i + 1 AS INT)), 0)))""")
         corpus(s, dir).filter(col("modality") === "video")
-          .select(col("doc_id"), expr("avi_dib_encode(payload, 96)").as("avi"))
-          .select(col("doc_id"), expr("avi_dib_frames(avi)").as("frames"))
-          .select(col("doc_id"), size(col("frames")).as("n_frames"),
-            posexplode(col("frames")).as(Seq("f", "fbin")))
-          .select(col("doc_id"), col("n_frames"), col("f"),
-            expr("bmp_rgb24_pixels(fbin)").as("px"))
-          .select(col("doc_id"), col("n_frames"), col("f"),
-            expr("""transform(sequence(0, 11), j ->
-              element_at(px,
-                CAST(12 * (j div 3) + (j % 3) + 1 AS INT)))""").as("rb"))
+          .select(col("doc_id"),
+            expr("avi_dib_frames(avi_dib_encode(payload, 96))")
+              .as("frames"))
+          .select(col("doc_id"),
+            expr("transform(frames, fb -> bmp_rgb24_pixels(fb))").as("pxs"))
+          .select(col("doc_id"), size(col("pxs")).as("n_frames"),
+            expr("""transform(pxs, p -> transform(sequence(0, 11), j ->
+              element_at(p,
+                CAST(12 * (j div 3) + (j % 3) + 1 AS INT))))""").as("rbs"))
           .select(col("doc_id"), col("n_frames"),
-            expr("""aggregate(zip_with(rb, sequence(0, 11),
-              (b, i) -> IF(i % 3 = 0, b, 0)),
-              CAST(0 AS BIGINT), (a, x) -> a + x)""").as("fb"),
-            expr("""aggregate(zip_with(rb, sequence(0, 11),
-              (b, i) -> IF(i % 3 = 1, b, 0)),
-              CAST(0 AS BIGINT), (a, x) -> a + x)""").as("fg"),
-            expr("""aggregate(zip_with(rb, sequence(0, 11),
-              (b, i) -> IF(i % 3 = 2, b, 0)),
-              CAST(0 AS BIGINT), (a, x) -> a + x)""").as("fr"),
-            (expr("""aggregate(zip_with(rb, sequence(1, 12),
-              (b, i) -> b * i),
-              CAST(0 AS BIGINT), (a, x) -> a + x)""")
-              * (pmod(col("f"), lit(97)) + 1)).cast("long").as("fck"))
-          .groupBy(col("doc_id"), col("n_frames"))
-          .agg(count(lit(1)).as("n_thumbs"),
-            sum(col("fb")).as("b_sum"),
-            sum(col("fg")).as("g_sum"),
-            sum(col("fr")).as("r_sum"),
-            sum(col("fck")).as("thumb_checksum"))
+            size(col("rbs")).cast("long").as("n_thumbs"),
+            thumbChan(0).as("b_sum"), thumbChan(1).as("g_sum"),
+            thumbChan(2).as("r_sum"),
+            expr("""aggregate(sequence(0, size(rbs) - 1),
+              CAST(0 AS BIGINT), (acc, f) -> acc +
+                aggregate(zip_with(element_at(rbs, f + 1),
+                    sequence(1, 12), (b, i) -> b * i),
+                  CAST(0 AS BIGINT), (a, x) -> a + x) * (f % 97 + 1))""")
+              .as("thumb_checksum"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH a AS (
@@ -1117,14 +1101,11 @@ object Multimodal extends Registry {
             size(array_distinct(expr("jpeg_dc_categories(jpeg)")))
               .as("n_dc_cats"),
             expr("jpeg_gray8_pixels(jpeg)").as("px"))
+          // per-row reductions (q8g shape; see q85)
           .select(col("doc_id"), col("width"), col("height"),
-            col("n_dc_cats"), posexplode(col("px")).as(Seq("pos", "b")))
-          .groupBy(col("doc_id"), col("width"), col("height"),
-            col("n_dc_cats"))
-          .agg(count(lit(1)).as("n_pixels"),
-            sum(col("b").cast("long")).as("px_sum"),
-            sum((col("b") * (pmod(col("pos"), lit(1000)) + 1)).cast("long"))
-              .as("pos_checksum"))
+            col("n_dc_cats"),
+            size(col("px")).cast("long").as("n_pixels"),
+            pxSum.as("px_sum"), pxPosChecksum.as("pos_checksum"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH a AS (
@@ -1548,6 +1529,23 @@ object Multimodal extends Registry {
   )
 
   /** q8h: WHT size (8-point) and the per-asset window cap. */
+  /** Per-row reductions over a decoded byte-array column `px` — the
+    * no-explode shape (q8g precedent): posexplode+groupBy re-shuffled
+    * every decoded byte AND let Catalyst's InferFiltersFromGenerate
+    * clone the whole decode chain into a Filter node (the r14
+    * decode-once plan gate). These fold in place inside the one
+    * codegen projection. */
+  private def pxChanSum(ch: Int): Column =
+    expr(s"""aggregate(sequence(0, size(px) - 1), CAST(0 AS BIGINT),
+      (acc, i) -> acc + IF(i % 3 = $ch,
+        element_at(px, CAST(i + 1 AS INT)), 0))""")
+  private def pxSum: Column =
+    expr("aggregate(px, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+  private def pxPosChecksum: Column =
+    expr("""aggregate(sequence(0, size(px) - 1), CAST(0 AS BIGINT),
+      (acc, i) -> acc + element_at(px, CAST(i + 1 AS INT))
+        * ((i % 1000) + 1))""")
+
   val WhtN = 8
   val MaxWhtWindows = 16
 

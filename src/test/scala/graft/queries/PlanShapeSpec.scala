@@ -161,35 +161,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // (q1c's ntile over o_custkey < 100 — documented there).
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
     val exempt = Set("q1c_window_analytics")
-    // eagerly-materializing defs (e2e writes, LSH checkpoint, CC rounds)
-    // are covered by their own specs; building them here would re-run
-    // whole pipelines just to look at a plan
-    val eager = Set("q42_minhash_lsh", "q43_simhash", "q46_minhash_fixture",
-      "q47_simhash_fixture", "q48_dup_clusters", "q4a_dedup_apply",
-      "q73_onekg_e2e",
-      "q74_gtex_e2e", "q77_partitioned_scan", "q78_compaction",
-      "q79_zorder_layout", "q58_ivfpq_partitioned", "q7a_bucketed_join",
-      // r12's eagerly-materializing defs: q9j runs a localCheckpoint job,
-      // q9n/q9p execute full state build + merge-vs-rebuild require()
-      // comparisons; q9j's lazy form is window-audited in its own test
-      // above, the others in Round12OpsSpec
-      "q9j_pagerank", "q9n_ivf_incremental", "q9p_feature_moments",
-      // r13: q9t/q9u execute state build + merge-vs-rebuild require()s
-      // in their fn; q9t's two windows are histogram-sized (≤ ~1.1k
-      // bucket rows / distinct cents at the gate scale) by construction
-      // — covered in Round13OpsSpec
-      "q9t_quantile_incremental", "q9u_tombstone_purge",
-      // q9v writes the two-era layout before its mergeSchema read;
-      // q9w builds/collects its per-day register state
-      "q9v_schema_evolution", "q9w_range_cardinality",
-      // q9x localCheckpoints its range-partitioned frame for the
-      // two-pass enumeration; its no-global-window claim is asserted
-      // directly in Round13OpsSpec
-      "q9x_batch_manifest",
-      // q7c writes/merges the z-layout inside its fn (q79's family);
-      // qa0/qa1 collect their bounded report scalars driver-side
-      "q7c_zorder_incremental", "qa0_profile", "qa1_constraints",
-      "qa2_snapshot_drift")
+    val eager = PlanShapeSpec.EagerDefs
     def hasLimitBelow(p: LogicalPlan): Boolean =
       p.collectFirst { case _: GlobalLimit => (); case _: LocalLimit => () }.nonEmpty
     val offenders = graft.SparkEntry.allDefs
@@ -203,6 +175,31 @@ class PlanShapeSpec extends AnyFunSuite {
       }.distinct
     assert(offenders.isEmpty,
       s"unpartitioned, unbounded Window in: ${offenders.mkString(", ")}")
+  }
+
+  test("no registered query evaluates a codec expression inside a " +
+    "Filter node (the decode-once rule)") {
+    // r13 found q8h/q84/q8c/q8i running their full encode+decode chain
+    // in BOTH Filter and Project: a guard on the decoded output gets
+    // inferred into the pushed filter and the optimizer happily
+    // evaluates the codec twice per row. The fix is an exact byte-
+    // length precondition BEFORE the codec; this gate keeps the next
+    // decoded-output guard from reintroducing the double decode.
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val codecPrefixes = Seq("Wav", "Bmp", "Avi", "Png", "Jpeg")
+    val offenders = graft.SparkEntry.allDefs
+      .filterNot(d => PlanShapeSpec.EagerDefs(d.name))
+      .flatMap { d =>
+        val lp = d.fn(spark, sfDir).queryExecution.optimizedPlan
+        lp.collect {
+          case f: Filter if f.condition.exists { e =>
+            e.getClass.getName.startsWith("graft.expressions.") &&
+              codecPrefixes.exists(e.getClass.getSimpleName.startsWith)
+          } => d.name
+        }
+      }.distinct
+    assert(offenders.isEmpty,
+      s"codec decode inside a Filter in: ${offenders.mkString(", ")}")
   }
 
   test("q68: range join is an equi join with a range residual — no cartesian") {
@@ -270,4 +267,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the 64-float vector column is shuffled where only (cell, cosine) " +
         s"are needed: $exchangeInputs")
   }
+}
+
+object PlanShapeSpec {
+  /** Eagerly-materializing defs (e2e writes, LSH checkpoints, CC
+    * rounds, stored-index builds with merge-vs-rebuild require()s,
+    * bounded driver-side report collects): building them just to look
+    * at a plan would re-run whole pipelines; each is plan-audited in
+    * its own spec instead. Shared by every registry-wide plan gate. */
+  val EagerDefs: Set[String] = Set(
+    "q42_minhash_lsh", "q43_simhash", "q46_minhash_fixture",
+    "q47_simhash_fixture", "q48_dup_clusters", "q4a_dedup_apply",
+    "q73_onekg_e2e",
+    "q74_gtex_e2e", "q77_partitioned_scan", "q78_compaction",
+    "q79_zorder_layout", "q58_ivfpq_partitioned", "q7a_bucketed_join",
+    // r12: q9j runs a localCheckpoint job, q9n/q9p execute full state
+    // build + merge-vs-rebuild require() comparisons; q9j's lazy form
+    // is window-audited in its own test, the others in Round12OpsSpec
+    "q9j_pagerank", "q9n_ivf_incremental", "q9p_feature_moments",
+    // r13: q9t/q9u execute state build + merge-vs-rebuild require()s
+    // in their fn; q9t's two windows are histogram-sized by
+    // construction — covered in Round13OpsSpec
+    "q9t_quantile_incremental", "q9u_tombstone_purge",
+    // q9v writes the two-era layout before its mergeSchema read;
+    // q9w builds/collects its per-day register state
+    "q9v_schema_evolution", "q9w_range_cardinality",
+    // q9x localCheckpoints its range-partitioned frame for the
+    // two-pass enumeration (no-global-window asserted in Round13OpsSpec)
+    "q9x_batch_manifest",
+    // q7c writes/merges the z-layout inside its fn (q79's family);
+    // qa0/qa1 collect their bounded report scalars driver-side
+    "q7c_zorder_incremental", "qa0_profile", "qa1_constraints",
+    "qa2_snapshot_drift",
+    // r14: q5b/q5f serve the content-addressed exact-top-k store and
+    // run driver-side recall require()s; qa5's kernel collects its
+    // class-level suppression scalar; qa2-style bounded collects
+    "q5b_ann_recall", "q5f_ann_recall_partitioned")
 }
