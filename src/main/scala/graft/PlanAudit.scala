@@ -84,7 +84,14 @@ object PlanAudit {
     "q8h_audio_wht_bands",    // integer WHT bands, narrow codegen pass
     "q8i_scene_cuts",         // array-native frame pairing, no self-join
     "q7c_zorder_incremental", // victims-only z-merge, manifest refs
-    "q9z_fuzzy_join")         // prefix-block equi-join + bounded levenshtein
+    "q9z_fuzzy_join",         // prefix-block equi-join + bounded levenshtein
+    "q8j_jpeg_restart",       // restart-marker decode, one codegen pass
+    "q85_bmp_rgb24",          // r14 no-explode rewrite: per-row reductions
+    "q86_avi_dib",            // r14 no-explode rewrite: nested frame folds
+    "qa3_id_validity",        // mint+validate loop, one 4-scalar agg
+    "qa5_k_anonymity",        // QI-class partial agg + class-level scalar
+    "qa6_randomized_response",// local-DP perturb, one narrow scan + agg
+    "qb0_sorted_neighborhood")// bucketed SNM window + W-neighbor join
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
