@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jpegHeight)
     ext.injectFunction(GraftExtensions.jpegYcbcrEncode)
     ext.injectFunction(GraftExtensions.jpegRgbPixels)
+    // optimizer rule: a guard on a codec's DECODED length becomes the
+    // exact byte-length precondition on the raw payload, so the codec
+    // never runs inside a Filter (the r13 q8h double-decode class,
+    // also manufactured by InferFiltersFromGenerate for explodes)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteCodecLengthGuards)
   }
 }
 
@@ -351,5 +356,13 @@ object GraftExtensions {
         jpegRgbPixels))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
+    // live sessions (harness-created, no spark.sql.extensions conf)
+    // get the codec-guard rule via experimental.extraOptimizations —
+    // idempotent, applied at the end of every optimization run
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RewriteCodecLengthGuards))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.RewriteCodecLengthGuards
   }
 }
