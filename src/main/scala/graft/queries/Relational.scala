@@ -1235,25 +1235,115 @@ object Relational extends Registry {
              |FROM a""".stripMargin),
       doc = "Warner randomized response (eps = ln 3 local DP) with a " +
         "deterministic keyed coin: per-row perturbation, integer-exact " +
-        "debiased estimate, 5-sigma contract checked as data")
+        "debiased estimate, 5-sigma contract checked as data"),
+
+    // ------------------------------------------------------------------
+    // qa7: INCREMENTALLY MAINTAINED k-ANONYMITY — qa5's audit kept
+    // fresh under streaming ingest, the q9c/q9e lifecycle applied to a
+    // PRIVACY gate (the audit a release fence consults must not cost a
+    // corpus rescan per arrival). State: per-batch PARTIAL bracket
+    // counts, each trigger owning its own partition directory keyed by
+    // batchId — a redelivered batch overwrites its own partition with
+    // identical content, so at-least-once delivery is idempotent with
+    // NO dedup ledger and NO read-modify-write (stronger than q9e's
+    // additive grid, which needs care under redelivery; this is the
+    // per-writer-delta + compaction shape real lakehouse ingest uses).
+    // Serve: Σ over partials (model-sized: classes × brackets × a few
+    // batches) → the same report qa5 computes — and the query
+    // require()s serve ≡ a from-scratch rebuild row-for-row before
+    // emitting, so the oracle (identical to qa5's) gates the
+    // maintained path, not a shortcut. StreamingSpec drives the same
+    // fold from a real foreachBatch stream with redelivery.
+    QueryDef(
+      "qa7_k_anonymity_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val (stateDir, _) = loadOrBuildKAnonState(s, dir)
+        val serve = kAnonServe(s, stateDir).localCheckpoint(true)
+        val rebuilt = kAnonymityAudit(Tables.table(s, dir, "customer"))
+        val a = serve.collect().toSeq
+        val b = rebuilt.collect().toSeq
+        require(a == b,
+          s"qa7: maintained audit diverged from rebuild " +
+            s"(${a.size} vs ${b.size} classes)")
+        serve
+      },
+      Some(s"""WITH cls AS (
+             |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             |    count(*) AS class_size,
+             |    count(DISTINCT CAST(floor(c_acctbal / 1000)
+             |      AS INT)) AS l_distinct
+             |  FROM customer GROUP BY 1, 2),
+             |sup AS (
+             |  SELECT CAST(coalesce(sum(CASE WHEN class_size < $AnonK
+             |    THEN class_size END), 0) AS BIGINT) AS n FROM cls)
+             |SELECT nation, segment, class_size,
+             |  class_size >= $AnonK AS k_anonymous,
+             |  CAST(l_distinct AS BIGINT) AS l_distinct,
+             |  l_distinct >= $AnonL AS l_diverse,
+             |  sup.n AS n_suppressed
+             |FROM cls, sup ORDER BY nation, segment""".stripMargin),
+      doc = "k-anonymity audit maintained incrementally: per-batch " +
+        "partial bracket counts (redelivery-idempotent by partition " +
+        "ownership), served from state with a merge-equals-rebuild " +
+        "contract")
   )
+
+  /** Build-or-reuse qa7's per-batch partial state: the customer table
+    * split into 3 deterministic arrival batches (c_custkey % 3), each
+    * folded exactly as a foreachBatch trigger would. Content-addressed
+    * on the source stamp (torn-write rule: key file last). */
+  private[queries] def loadOrBuildKAnonState(s: SparkSession,
+      dir: String): (String, Boolean) = {
+    import s.implicits._
+    val src = s"$dir/customer.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|qa7-brackets|k=$AnonK|l=$AnonL|batches=3"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = Tables.persistentScratchDir(s"qa7_kanon_$tag")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(stateDir, "partials"))
+    if (!valid) {
+      val c = Tables.table(s, dir, "customer")
+      (0L to 2L).foreach { b =>
+        kAnonFoldBatch(s, stateDir, b,
+          c.filter(pmod($"c_custkey", lit(3)) === b))
+      }
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    (stateDir, !valid)
+  }
 
   /** qa5 thresholds: minimum anonymity set size and sensitive-value
     * diversity. */
   val AnonK = 5
   val AnonL = 3
 
-  /** The qa5 kernel over an explicit customer-shaped frame — factored
-    * so the spec can plant a sub-K class and a homogeneous class and
-    * prove both gates fire. */
-  private[graft] def kAnonymityAudit(customer: DataFrame): DataFrame = {
+  /** qa5's model-sized intermediate: per (QI class, sensitive bracket)
+    * row counts — the ADDITIVE state the incremental form (qa7)
+    * maintains per micro-batch. */
+  private[graft] def kAnonBrackets(customer: DataFrame): DataFrame = {
     val s = customer.sparkSession
     import s.implicits._
-    val cls = customer
-      .groupBy($"c_nationkey".as("nation"), $"c_mktsegment".as("segment"))
-      .agg(count(lit(1)).as("class_size"),
-        countDistinct(floor($"c_acctbal" / 1000).cast("int"))
-          .as("l_distinct_i"))
+    customer
+      .groupBy($"c_nationkey".as("nation"), $"c_mktsegment".as("segment"),
+        floor($"c_acctbal" / 1000).cast("int").as("bracket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The audit report from bracket counts: class size = Σ cnt,
+    * l-diversity = distinct brackets present. Shared by the one-shot
+    * kernel (qa5) and the stored-state serve (qa7). */
+  private[graft] def kAnonFromBrackets(cb: DataFrame): DataFrame = {
+    val s = cb.sparkSession
+    import s.implicits._
+    val cls = cb.groupBy($"nation", $"segment")
+      .agg(sum($"cnt").as("class_size"),
+        countDistinct($"bracket").as("l_distinct_i"))
     val sup = cls.agg(coalesce(sum(when($"class_size" < AnonK,
       $"class_size")), lit(0L)).as("n_suppressed"))
     cls.crossJoin(broadcast(sup)) // class-level frame × 1 scalar row
@@ -1263,6 +1353,37 @@ object Relational extends Registry {
         ($"l_distinct_i" >= AnonL).as("l_diverse"),
         $"n_suppressed")
       .orderBy($"nation", $"segment")
+  }
+
+  /** The qa5 kernel over an explicit customer-shaped frame — factored
+    * so the spec can plant a sub-K class and a homogeneous class and
+    * prove both gates fire. */
+  private[graft] def kAnonymityAudit(customer: DataFrame): DataFrame =
+    kAnonFromBrackets(kAnonBrackets(customer))
+
+  /** Streaming-maintenance form of qa5 (qa7's state writer): fold ONE
+    * micro-batch of customer rows into the stored per-batch PARTIAL
+    * bracket counts. Unlike q9e's single additive grid (which is NOT
+    * redelivery-safe without a ledger), each batch owns its partition
+    * directory keyed by the trigger's batchId: a redelivered batch
+    * OVERWRITES its own partition with identical content, so
+    * at-least-once delivery is idempotent with no ledger and no
+    * read-modify-write — the production per-writer-delta + compaction
+    * shape. State is model-sized: |QI classes × brackets| rows per
+    * batch. */
+  def kAnonFoldBatch(s: SparkSession, stateDir: String, batchId: Long,
+      batch: DataFrame): Unit =
+    kAnonBrackets(batch).coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/partials/batch=$batchId")
+
+  /** The qa7 serve: audit from the stored partials only (Σ over batch
+    * partitions), never the corpus. */
+  def kAnonServe(s: SparkSession, stateDir: String): DataFrame = {
+    import s.implicits._
+    kAnonFromBrackets(
+      s.read.parquet(s"$stateDir/partials")
+        .groupBy($"nation", $"segment", $"bracket")
+        .agg(sum($"cnt").as("cnt")))
   }
 
   val HllLgK = 14

@@ -302,5 +302,8 @@ object PlanShapeSpec {
     // r14: q5b/q5f serve the content-addressed exact-top-k store and
     // run driver-side recall require()s; qa5's kernel collects its
     // class-level suppression scalar; qa2-style bounded collects
-    "q5b_ann_recall", "q5f_ann_recall_partitioned")
+    "q5b_ann_recall", "q5f_ann_recall_partitioned",
+    // qa7 builds its per-batch partial state and collect-compares the
+    // serve against a rebuild inside fn
+    "qa7_k_anonymity_incremental")
 }

@@ -1073,4 +1073,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(lines.forall(_.contains("\"v2\"")),
       s"updateExisting did not let the later trigger win: $lines")
   }
+
+  test("streaming k-anonymity maintenance: per-batch partial folds are " +
+    "redelivery-idempotent by partition ownership and serve == one-shot") {
+    // qa7's state machine on a REAL stream: customer arrives as three
+    // files, each trigger folds into its OWN batch partition
+    // (Relational.kAnonFoldBatch), and the drained serve must equal
+    // qa5's one-shot audit of the full table.
+    import org.apache.spark.sql.functions._
+    import graft.queries.{Relational, Tables}
+    val streamDir = java.nio.file.Files.createTempDirectory("kanon-stream")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("kanon-state").toString
+    val customer = Tables.table(spark, sfDir, "customer")
+    customer.repartition(3).write.mode("overwrite")
+      .parquet(streamDir.toString)
+
+    val query = spark.readStream
+      .schema(customer.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          Relational.kAnonFoldBatch(spark, stateDir, batchId, df); ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+
+    def serveRows() = Relational.kAnonServe(spark, stateDir)
+      .collect().toSeq
+    val drained = serveRows()
+    val oneShot = Relational.kAnonymityAudit(customer).collect().toSeq
+    assert(drained == oneShot && drained.nonEmpty,
+      "stream-folded k-anonymity audit diverged from the one-shot audit")
+
+    // redelivery: the FAILURE-RETRY case — the same trigger (same
+    // batchId, same rows) folds again and must change nothing, because
+    // the batch overwrites its own partition with identical content
+    val batch0 = spark.read.parquet(streamDir.toString).limit(0)
+      .unionAll(customer.filter(pmod(col("c_custkey"), lit(2)) === 0))
+    Relational.kAnonFoldBatch(spark, stateDir, 0L, batch0)
+    Relational.kAnonFoldBatch(spark, stateDir, 0L, batch0)
+    val after = serveRows()
+    // serve changed relative to `drained` only through batch 0's new
+    // content — but folding it TWICE equals folding it once
+    Relational.kAnonFoldBatch(spark, stateDir, 0L, batch0)
+    assert(serveRows() == after,
+      "redelivered batch (same batchId) mutated the served audit")
+  }
 }
