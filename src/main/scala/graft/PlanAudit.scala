@@ -91,6 +91,7 @@ object PlanAudit {
     "qa3_id_validity",        // mint+validate loop, one 4-scalar agg
     "qa5_k_anonymity",        // QI-class partial agg + class-level scalar
     "qa6_randomized_response",// local-DP perturb, one narrow scan + agg
+    "qa7_k_anonymity_incremental", // serve over stored per-batch partials
     "qb0_sorted_neighborhood")// bucketed SNM window + W-neighbor join
 
   def main(args: Array[String]): Unit = {

@@ -1009,8 +1009,114 @@ object TextOps extends Registry {
              |ORDER BY source_a, source_b""".stripMargin),
       doc = "Cross-source contamination matrix: pairwise 8-gram overlap " +
         "+ integer Jaccard per source pair via one digest-keyed join — " +
-        "all-pairs only at source level, never documents")
+        "all-pairs only at source level, never documents"),
+
+    // ------------------------------------------------------------------
+    // qb1: HTML MAIN-CONTENT EXTRACTION — the first step every crawl
+    // pipeline runs before any text op in this file sees a byte:
+    // strip script/style subtrees (their text is code, not content),
+    // strip markup, decode entities, collapse whitespace. Built on
+    // the family's encode-then-decode idiom (the codec queries'
+    // pattern): each doc is wrapped in a deterministic page — head
+    // with title + a style block, nav chrome, a script block, the
+    // entity-ESCAPED body — and the extractor must recover exactly
+    // the title + chrome + original text, proven by the
+    // content_preserved boolean computed identically on both engines
+    // (the escape→decode round trip makes this exact for ANY body
+    // content, incl. literal <, >, &). Every stage is a codegen
+    // string function (regexp_replace/replace/trim) the oracle
+    // replays verbatim; dialect-safe regexes only (no lookaround, no
+    // backrefs — RE2 ∩ java.util.regex). Scale: pure narrow per-row
+    // work, one pass, zero shuffles before the final sort — the
+    // classic map-only extraction stage.
+    QueryDef(
+      "qb1_html_extract",
+      (s, dir) => htmlExtract(table(s, dir, "documents")),
+      Some("""WITH b AS (
+             |  SELECT doc_id, text,
+             |    '<html><head><title>' ||
+             |    regexp_replace(substr(text, 1, 24), '[<>&]', '', 'g') ||
+             |    '</title><style>body{margin:0}</style></head>' ||
+             |    '<body><nav>Home | About | Contact</nav>' ||
+             |    '<script>var t=1;</script><p class="main">' ||
+             |    replace(replace(replace(text, '&', '&amp;'),
+             |      '<', '&lt;'), '>', '&gt;') ||
+             |    '</p><footer>(c) corp</footer></body></html>' AS html
+             |  FROM documents),
+             |x AS (
+             |  SELECT doc_id, text, html,
+             |    regexp_extract(html, '<title>([^<]*)</title>', 1)
+             |      AS title,
+             |    trim(regexp_replace(
+             |      replace(replace(replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(html,
+             |              '<script[^>]*>[^<]*</script>', ' ', 'g'),
+             |            '<style[^>]*>[^<]*</style>', ' ', 'g'),
+             |          '<[^>]*>', ' ', 'g'),
+             |        '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+             |      ' +', ' ', 'g')) AS extracted
+             |  FROM b)
+             |SELECT doc_id, title,
+             |  CAST(length(html) AS INTEGER) AS n_html,
+             |  CAST(length(extracted) AS INTEGER) AS n_text,
+             |  md5(extracted) AS text_md5,
+             |  extracted = trim(regexp_replace(
+             |    regexp_replace(substr(text, 1, 24), '[<>&]', '', 'g') ||
+             |    ' Home | About | Contact ' || text || ' (c) corp',
+             |    ' +', ' ', 'g')) AS content_preserved
+             |FROM x ORDER BY doc_id""".stripMargin),
+      doc = "HTML main-content extraction: script/style subtree drop, " +
+        "tag strip, entity decode, whitespace collapse — exact " +
+        "escape-decode round trip proven as data, pure map-only work")
   )
+
+  /** The qb1 kernel over an explicit (doc_id, text) frame — factored
+    * so the spec can drive adversarial bodies (literal <, >, &, runs
+    * of spaces) through the escape→decode round trip. */
+  def htmlExtract(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      $"text", "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    // title: markup-significant chars stripped (a raw < or & in the
+    // first 24 chars would break the <title> block itself)
+    val titleSrc =
+      regexp_replace(substring($"text", 1, 24), "[<>&]", "")
+    val html = concat(
+      lit("<html><head><title>"), titleSrc,
+      lit("</title><style>body{margin:0}</style></head>"),
+      lit("<body><nav>Home | About | Contact</nav>"),
+      lit("<script>var t=1;</script><p class=\"main\">"),
+      esc, lit("</p><footer>(c) corp</footer></body></html>"))
+    val noScript = regexp_replace(regexp_replace($"html",
+      "<script[^>]*>[^<]*</script>", " "),
+      "<style[^>]*>[^<]*</style>", " ")
+    val stripped = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      stripped, "&lt;", "<"), "&gt;", ">"), "&amp;", "&")
+    val clean = trim(regexp_replace(decoded, " +", " "))
+    docs
+      .select($"doc_id", $"text", html.as("html"))
+      .select($"doc_id", $"text", $"html",
+        regexp_extract($"html", "<title>([^<]*)</title>", 1)
+          .as("title"),
+        clean.as("extracted"))
+      .select($"doc_id", $"title",
+        length($"html").as("n_html"),
+        length($"extracted").as("n_text"),
+        md5($"extracted".cast("binary")).as("text_md5"),
+        // the semantic claim as data: extraction ≡ the collapsed
+        // concatenation of title + chrome + ORIGINAL body + footer
+        // (the escape→decode round trip is exact for any content)
+        ($"extracted" === trim(regexp_replace(concat(
+          regexp_replace(substring($"text", 1, 24), "[<>&]", ""),
+          lit(" Home | About | Contact "), $"text",
+          lit(" (c) corp")), " +", " ")))
+          .as("content_preserved"))
+      .orderBy($"doc_id")
+  }
 
   /** q9k per-domain document quota. */
   val DomainCap = 3

@@ -76,6 +76,26 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(r.getBoolean(3), "pair must be flagged missed_by_prefix_block")
   }
 
+  test("qb1 html extraction survives adversarial bodies: literal " +
+    "markup chars, entity-looking text, runs of spaces") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a < b and c > d & e"), // raw markup chars in the body
+      (2L, "looks like &amp; already"), // pre-existing entity text
+      (3L, "double  spaces   galore"),
+      (4L, "<script>alert(1)</script>"), // a whole fake tag as content
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextOps.htmlExtract(docs).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getBoolean(5),
+        s"content_preserved failed for doc ${r.getLong(0)}: $r")
+    }
+    // doc 4's body is rendered as TEXT, not executed as markup: the
+    // script-looking content survives extraction verbatim
+    assert(out.find(_.getLong(0) == 4L).get.getInt(3) > 0)
+  }
+
   test("qa6 randomized response: debias identity holds and the noisy " +
     "estimate honors its own 5-sigma contract at sf0.001") {
     val row = SparkEntry.queries("qa6_randomized_response")(spark, sfDir)
