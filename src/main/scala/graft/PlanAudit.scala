@@ -92,7 +92,8 @@ object PlanAudit {
     "qa5_k_anonymity",        // QI-class partial agg + class-level scalar
     "qa6_randomized_response",// local-DP perturb, one narrow scan + agg
     "qa7_k_anonymity_incremental", // serve over stored per-batch partials
-    "qb0_sorted_neighborhood")// bucketed SNM window + W-neighbor join
+    "qb0_sorted_neighborhood",// bucketed SNM window + W-neighbor join
+    "qb2_ann_recall_trained") // trained-cell routing + candidate rerank
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

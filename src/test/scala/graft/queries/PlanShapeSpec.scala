@@ -305,5 +305,8 @@ object PlanShapeSpec {
     "q5b_ann_recall", "q5f_ann_recall_partitioned",
     // qa7 builds its per-batch partial state and collect-compares the
     // serve against a rebuild inside fn
-    "qa7_k_anonymity_incremental")
+    "qa7_k_anonymity_incremental",
+    // qb2 runs the full Lloyd training loop (per-iteration collects)
+    // and a driver-side recall require() inside fn
+    "qb2_ann_recall_trained")
 }
