@@ -1090,14 +1090,20 @@ object Dedup extends Registry {
       .withColumn("bkt", substring($"skey", 1, SnmBucketLen))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"bkt").orderBy($"skey", $"doc_id")))
-    r.as("a").join(r.as("b"),
-        $"a.bkt" === $"b.bkt" && $"b.rn" > $"a.rn" &&
-          $"b.rn" <= $"a.rn" + SnmW)
-      .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
-        greatest($"a.doc_id", $"b.doc_id").as("doc_b"),
-        levenshtein($"a.title", $"b.title").cast("long").as("lev"),
-        (substring($"a.title", 1, FuzzyBlockLen) =!=
-          substring($"b.title", 1, FuzzyBlockLen))
+    // W-neighbor pairing as a pure EQUI join: each record probes
+    // (bkt, rn + 1 .. rn + W) and joins on the near-unique (bkt, rn)
+    // key — a bkt-only join with an rn range residual would hash on
+    // the 2-char bucket and skew with bucket size at scale; this
+    // shape's key cardinality is the row count (Dedoop's rank-block
+    // pairing)
+    val probes = r.select($"doc_id".as("id_a"), $"title".as("title_a"),
+      $"bkt", explode(array((1 to SnmW).map($"rn" + _): _*)).as("rn"))
+    probes.join(r, Seq("bkt", "rn"))
+      .select(least($"id_a", $"doc_id").as("doc_a"),
+        greatest($"id_a", $"doc_id").as("doc_b"),
+        levenshtein($"title_a", $"title").cast("long").as("lev"),
+        (substring($"title_a", 1, FuzzyBlockLen) =!=
+          substring($"title", 1, FuzzyBlockLen))
           .as("missed_by_prefix_block"))
       .filter($"lev" <= FuzzyMaxLev)
       .orderBy($"doc_a", $"doc_b")
