@@ -1575,10 +1575,17 @@ object Relational extends Registry {
     * equals a from-scratch build bit-for-bit, with no q9c-style
     * estimator caveat). The grid is collected to the driver before the
     * overwrite (bounded), which also makes the read-modify-write safe
-    * against reading the directory being replaced. */
-  def cmsFoldBatch(s: SparkSession, stateDir: String,
+    * against reading the directory being replaced. Additive counters
+    * are NOT naturally idempotent — a redelivered batch would
+    * double-count — so the fold carries q9n's applied-batch LEDGER:
+    * an already-applied batchId is skipped (the exactly-once-sink
+    * discipline over at-least-once delivery). */
+  def cmsFoldBatch(s: SparkSession, stateDir: String, batchId: Long,
       batch: DataFrame): Unit = {
     import s.implicits._
+    val appliedMark =
+      java.nio.file.Paths.get(stateDir, s"applied-$batchId")
+    if (java.nio.file.Files.exists(appliedMark)) return
     val gridDir = java.nio.file.Paths.get(stateDir, "counters")
     val bc = cmsCounters(batch.select($"user_id"))
       .withColumnRenamed("cnt", "cnt_new")
@@ -1594,6 +1601,7 @@ object Relational extends Registry {
     s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
         merged.schema)
       .write.mode("overwrite").parquet(gridDir.toString)
+    java.nio.file.Files.createFile(appliedMark); ()
   }
 
   def cmsIncremental(s: SparkSession, dir: String): DataFrame = {
@@ -1730,10 +1738,14 @@ object Relational extends Registry {
     * estimator tolerance). The histogram is collected to the driver
     * before the overwrite (bounded: ≤ ~1.1k rows), which also makes
     * the read-modify-write safe against reading the directory being
-    * replaced. */
-  def qtFoldBatch(s: SparkSession, stateDir: String,
+    * replaced. Additive — so q9n's applied-batch ledger guards
+    * redelivery (see cmsFoldBatch). */
+  def qtFoldBatch(s: SparkSession, stateDir: String, batchId: Long,
       batch: DataFrame): Unit = {
     import s.implicits._
+    val appliedMark =
+      java.nio.file.Paths.get(stateDir, s"applied-$batchId")
+    if (java.nio.file.Files.exists(appliedMark)) return
     val histDir = java.nio.file.Paths.get(stateDir, "hist")
     val bh = qtHist(batch
         .select(qtCentsOf($"l_extendedprice").as("cents")))
@@ -1750,6 +1762,7 @@ object Relational extends Registry {
     s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
         merged.schema)
       .write.mode("overwrite").parquet(histDir.toString)
+    java.nio.file.Files.createFile(appliedMark); ()
   }
 
   /** ceil(p·n / 100) over in-scope columns `p`/`n`, in pure integer

@@ -1453,10 +1453,15 @@ object TextOps extends Registry {
     * collected to the driver before the overwrite — bounded: the LM is
     * vocab-sized (corpus-size-independent once the vocab saturates),
     * and the collect also makes the read-modify-write safe against
-    * reading the directory being replaced. */
-  def lmFoldBatch(s: SparkSession, stateDir: String,
+    * reading the directory being replaced. Additive — so q9n's
+    * applied-batch ledger guards redelivery (see
+    * Relational.cmsFoldBatch). */
+  def lmFoldBatch(s: SparkSession, stateDir: String, batchId: Long,
       batch: DataFrame): Unit = {
     import s.implicits._
+    val appliedMark =
+      java.nio.file.Paths.get(stateDir, s"applied-$batchId")
+    if (java.nio.file.Files.exists(appliedMark)) return
     val ws = batch.select($"doc_id", split($"text", " ").as("ws"))
     val (bigB, uniB) = lmCountsOf(ws)
     def fold(dirName: String, add: DataFrame, keys: Seq[String],
@@ -1478,6 +1483,7 @@ object TextOps extends Registry {
     }
     fold("bigram", bigB, Seq("a", "b"), "c12")
     fold("unigram", uniB, Seq("w"), "c1")
+    java.nio.file.Files.createFile(appliedMark); ()
   }
 
   def lmIncremental(s: SparkSession, dir: String): DataFrame = {

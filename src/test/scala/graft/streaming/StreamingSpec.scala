@@ -497,8 +497,8 @@ class StreamingSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
       .writeStream
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.queries.Relational.cmsFoldBatch(spark, stateDir, df)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        graft.queries.Relational.cmsFoldBatch(spark, stateDir, bid, df)
         folds.incrementAndGet(); ()
       }
       .start()
@@ -512,6 +512,15 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(streamed == rebuilt && rebuilt.nonEmpty,
       s"stream-folded grid diverged from rebuild")
+
+    // redelivery: re-folding an already-applied batchId is a no-op
+    // (the applied-batch ledger — additive counters would otherwise
+    // double-count)
+    graft.queries.Relational.cmsFoldBatch(spark, stateDir, 0L, events)
+    val after = spark.read
+      .parquet(java.nio.file.Paths.get(stateDir, "counters").toString)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(after == streamed, "redelivered batchId mutated the grid")
   }
 
   test("streaming quantile-histogram maintenance: per-trigger bucket " +
@@ -538,8 +547,8 @@ class StreamingSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
       .writeStream
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.queries.Relational.qtFoldBatch(spark, stateDir, df)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        graft.queries.Relational.qtFoldBatch(spark, stateDir, bid, df)
         folds.incrementAndGet(); ()
       }
       .start()
@@ -555,6 +564,13 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == rebuilt && rebuilt.nonEmpty,
       "stream-folded histogram diverged from rebuild")
+
+    // redelivery: an already-applied batchId must be skipped
+    graft.queries.Relational.qtFoldBatch(spark, stateDir, 1L, li)
+    val after = spark.read
+      .parquet(java.nio.file.Paths.get(stateDir, "hist").toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == streamed, "redelivered batchId mutated the histogram")
   }
 
   test("streaming per-day HLL maintenance: trigger folds equal a " +
@@ -960,8 +976,8 @@ class StreamingSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
       .writeStream
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.queries.TextOps.lmFoldBatch(spark, stateDir, df)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        graft.queries.TextOps.lmFoldBatch(spark, stateDir, bid, df)
         folds.incrementAndGet(); ()
       }
       .start()
