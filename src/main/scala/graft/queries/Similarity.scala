@@ -429,6 +429,40 @@ object Similarity extends Registry {
   val NProbeTrained = 2
   val AnnRecallPinIvfTrained = 0.15
 
+  /** The qb3 kernel over an explicit (vec_id, embedding) frame —
+    * factored so the spec can plant a short vector, a NaN element and
+    * a zero vector and prove each gate fires. */
+  def embeddingHygiene(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    graft.GraftExtensions.ensureRegistered(s)
+    import s.implicits._
+    emb
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select($"vec_id", $"v", size($"v").as("nd"),
+        expr("exists(v, x -> isnan(x) OR abs(x) = " +
+          "CAST('Infinity' AS DOUBLE))").as("bad"))
+      // the micro-norm is guarded behind the non-finite flag: a NaN
+      // norm has no integer image (ANSI CAST throws; DuckDB errors
+      // too) and a non-finite vector should not contribute to the
+      // distribution anyway
+      .withColumn("nrm2_micro", when($"bad", lit(null))
+        .otherwise(expr(
+          "CAST(round(vec_dot(v, v) * 1000000) AS BIGINT)")))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when($"nd" =!= 64, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when($"bad", 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when($"nrm2_micro" === 0L, 1L).otherwise(0L))
+          .as("n_zero"),
+        round(expr("percentile(nrm2_micro, 0.05D)"), 4).as("p05"),
+        round(expr("percentile(nrm2_micro, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(nrm2_micro, 0.95D)"), 4).as("p95"))
+      .select($"n_vectors", $"n_bad_dim", $"n_nonfinite", $"n_zero",
+        $"p05", $"p50", $"p95",
+        ($"n_bad_dim" === 0L && $"n_nonfinite" === 0L &&
+          $"n_zero" === 0L).as("ingest_ok"))
+  }
+
   def annRecallTrained(s: SparkSession, dir: String): DataFrame = {
     val c = lloydCorpus(s, dir).persist()
     val (grid, _, _, _) = trainLloyd(c)
@@ -1434,6 +1468,56 @@ object Similarity extends Registry {
         "Lloyd loop supplies the cells, nprobe=2 + exact-cosine " +
         "rerank serve the q5b query set, and the measured training " +
         "gain over the untrained 0.05 floor is require()d driver-side"),
+
+    // ------------------------------------------------------------------
+    // qb3: EMBEDDING HYGIENE — qa0's profiling discipline applied to
+    // the vector table, the gate an embedding store runs at ingest:
+    // dimension consistency (a 63-dim vector poisons every dot
+    // product downstream), non-finite elements (one NaN propagates
+    // through cosine into NaN ranks), zero vectors (cosine undefined —
+    // divides by zero norm), and the squared-norm distribution
+    // (p05/p50/p95 — collapsed or exploding norms are the classic
+    // symptom of a broken encoder checkpoint). All-integer where it
+    // matters: norms are 6-decimal micro-longs via the same
+    // sequential-fold dot both engines share bit-exact (q51's
+    // verified basis), so the percentiles interpolate over identical
+    // integers (q95's pattern). ONE multi-aggregate scan — five
+    // checks must not cost five passes (qa0's rule); the gates ship
+    // as booleans so the report is a release decision, not a vibe.
+    QueryDef(
+      "qb3_embedding_hygiene",
+      (s, dir) => embeddingHygiene(table(s, dir, "embeddings")),
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |m AS (
+             |  SELECT vec_id, len(v) AS nd,
+             |    len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS bad,
+             |    CASE WHEN len(list_filter(v,
+             |           x -> isnan(x) OR isinf(x))) > 0 THEN NULL
+             |      ELSE CAST(round(list_dot_product(v, v) * 1000000)
+             |           AS BIGINT) END AS nrm2_micro
+             |  FROM e)
+             |SELECT count(*) AS n_vectors,
+             |  CAST(coalesce(sum(CASE WHEN nd <> 64 THEN 1 END), 0)
+             |    AS BIGINT) AS n_bad_dim,
+             |  CAST(coalesce(sum(CASE WHEN bad THEN 1 END), 0)
+             |    AS BIGINT) AS n_nonfinite,
+             |  CAST(coalesce(sum(CASE WHEN nrm2_micro = 0 THEN 1 END), 0)
+             |    AS BIGINT) AS n_zero,
+             |  round(quantile_cont(nrm2_micro, 0.05), 4) AS p05,
+             |  round(quantile_cont(nrm2_micro, 0.5), 4) AS p50,
+             |  round(quantile_cont(nrm2_micro, 0.95), 4) AS p95,
+             |  coalesce(sum(CASE WHEN nd <> 64 THEN 1 END), 0) = 0 AND
+             |  coalesce(sum(CASE WHEN bad THEN 1 END), 0) = 0 AND
+             |  coalesce(sum(CASE WHEN nrm2_micro = 0 THEN 1 END), 0) = 0
+             |    AS ingest_ok
+             |FROM m""".stripMargin),
+      doc = "Embedding ingest hygiene: dimension consistency, " +
+        "non-finite elements, zero vectors, and the micro-integer " +
+        "squared-norm distribution — one multi-aggregate scan with " +
+        "the release gate as data"),
 
     // ------------------------------------------------------------------
     // q55: product-quantization assignment — the vector-compression

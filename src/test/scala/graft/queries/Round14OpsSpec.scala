@@ -96,6 +96,24 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out.find(_.getLong(0) == 4L).get.getInt(3) > 0)
   }
 
+  test("qb3 embedding hygiene: planted short, NaN and zero vectors " +
+    "each trip their counter and fail the ingest gate") {
+    import spark.implicits._
+    val good = Seq.tabulate(64)(i => 0.1 * (i % 7 + 1))
+    val emb = Seq(
+      (1L, good),
+      (2L, good.take(63)), // dimension break
+      (3L, good.updated(5, Double.NaN)), // non-finite element
+      (4L, Seq.fill(64)(0.0))) // zero vector
+      .toDF("vec_id", "embedding")
+    val r = Similarity.embeddingHygiene(emb).collect().head
+    assert(r.getLong(0) == 4)
+    assert(r.getLong(1) == 1, s"n_bad_dim: $r")
+    assert(r.getLong(2) == 1, s"n_nonfinite: $r")
+    assert(r.getLong(3) == 1, s"n_zero: $r")
+    assert(!r.getBoolean(7), "ingest gate must fail on planted garbage")
+  }
+
   test("qa6 randomized response: debias identity holds and the noisy " +
     "estimate honors its own 5-sigma contract at sf0.001") {
     val row = SparkEntry.queries("qa6_randomized_response")(spark, sfDir)
