@@ -211,19 +211,20 @@ object Bench {
         .filter { case (n, _) => only.isEmpty || only(n) })
     // vs_baseline: total / the pinned idle reference run, so a driver
     // readout separates machine contention from real regression without
-    // a manual rerun. PIN = 91.0s for the FINAL 166-query r13 suite
-    // (sf0.1, local[32], shuffle=32, min-of-2). Evidence trail: the
-    // 148-query r12 suite pinned 66.0 (r12-close idle pairs 67.0/64.9;
-    // r13-open idle 66.5 = 1.007 — the r12 driver's 124.1s readout did
-    // NOT reproduce idle and is attributed to the storage accumulation
-    // releaseLeftovers now removes); round 13 then ADDED 18 gated
-    // queries (q2c/q5f/q7c/q8f-q8i/q9s-q9z/qa0-qa2, ~+25s of genuine
-    // new work at idle, ~-6s from the q7c one-decode fix that cut its
-    // pre-optimization 7.9s to 1.7s). r13-close idle runs of the FINAL
-    // suite read 99.4/92.1 (loads 2.2/3.9 — the 92.1 = 1.012× is the
-    // cleaner pair member), sum of per-query mins across the pair =
-    // 88.3, mid-round 163-query readings 91.4/115.1 (the outlier
-    // isolating the q7c cost). STEADY-STATE pin:
+    // a manual rerun. PIN = 98.0s for the FINAL 175-query r14 suite
+    // (sf0.1, local[32], shuffle=32, min-of-2). Evidence trail: r13
+    // pinned 91.0 for its 166-query suite (close pair 99.4/92.1, the
+    // 92.1 = 1.012 the cleaner member); round 14 then (a) SAVED time
+    // by content-addressing the exact-top-5 arm and the IVF cell
+    // layout (q5b+q5f 10.3s→~7.0 steady, q58 serve ~1.9) and killing
+    // eleven double-decodes (the decode-once gate), and (b) ADDED 9
+    // gated queries (q8j/qa3/qa5-qa7/qb0-qb3, ~+6s of genuine work,
+    // qb2's Lloyd loop the largest at ~2.5s). Mid-round 171-query
+    // reading 92.1 (load 4.1) = 1.012 vs the old pin; r14-close
+    // 175-query pair 98.4/111.2 (loads 4.0/2.1→3.1 rising — the 98.4
+    // is the cleaner member; the 111.2 run is uniformly ~10% inflated
+    // with pass disagreement across the board, classic co-tenancy).
+    // STEADY-STATE pin:
     // the content-addressed index state (q4b/q99/q9b/q9c/q9e/q9h/q9n/
     // q9t/q9u/q9w) is warm — the FIRST run after a driver testdata
     // regeneration pays each index's one-time rebuild (~+10s observed)
@@ -241,7 +242,7 @@ object Bench {
     // self-join, persist-shared) — the residual delta vs r12 tracks
     // the regenerated corpus, the driver delta was contention. Pinned
     // here as the honest idle reference for both.
-    val baselinePin = 91.0
+    val baselinePin = 98.0
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val gcTotal = (gcMillis() - gcStart) / 1e3

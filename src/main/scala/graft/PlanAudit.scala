@@ -93,7 +93,9 @@ object PlanAudit {
     "qa6_randomized_response",// local-DP perturb, one narrow scan + agg
     "qa7_k_anonymity_incremental", // serve over stored per-batch partials
     "qb0_sorted_neighborhood",// bucketed SNM window + W-neighbor join
-    "qb2_ann_recall_trained") // trained-cell routing + candidate rerank
+    "qb1_html_extract",       // map-only extraction, zero pre-sort shuffles
+    "qb2_ann_recall_trained", // trained-cell routing + candidate rerank
+    "qb3_embedding_hygiene")  // one multi-aggregate hygiene scan
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
