@@ -218,6 +218,40 @@ object Dedup extends Registry {
         expr("jaccard_sorted(a.sh, b.sh)").as("j"))
   }
 
+  /** The q48/q4a/qb4 oracle: the same two edge sources closed by a
+    * recursive CTE — DuckDB's independent transitive closure of the
+    * identical graph. */
+  private def dupClustersOracle: String =
+    """WITH RECURSIVE fp AS (
+      |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+      |    string_split(lower(text), ' '))), ' ')) AS fp
+      |  FROM documents),
+      |canon AS (SELECT doc_id AS src,
+      |    min(doc_id) OVER (PARTITION BY fp) AS dst FROM fp),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(ws) < 2 THEN [text]
+      |    ELSE list_distinct([array_to_string(ws[i:i+1], ' ')
+      |                        for i in range(1, len(ws))]) END AS sg
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+      |        FROM documents WHERE doc_id < 300) t),
+      |jac AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sg, b.sg))::DOUBLE
+      |        / len(list_distinct(list_concat(a.sg, b.sg))) >= 0.3),
+      |e0 AS (SELECT src, dst FROM canon WHERE src <> dst
+      |       UNION SELECT src, dst FROM jac),
+      |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT id AS doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM comp ORDER BY cluster_id, doc_id""".stripMargin
+
   /** (doc_id, cluster_id) duplicate-cluster assignments over the two
     * deterministic edge sources (canonical word-set star edges + bounded
     * exact bigram-Jaccard pairs), closed by alternating large-star/
@@ -678,35 +712,7 @@ object Dedup extends Registry {
           .withColumn("cluster_size", count(lit(1)).over(wC))
           .orderBy($"cluster_id", $"doc_id")
       },
-      Some("""WITH RECURSIVE fp AS (
-             |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
-             |    string_split(lower(text), ' '))), ' ')) AS fp
-             |  FROM documents),
-             |canon AS (SELECT doc_id AS src,
-             |    min(doc_id) OVER (PARTITION BY fp) AS dst FROM fp),
-             |sh AS (
-             |  SELECT doc_id, CASE WHEN len(ws) < 2 THEN [text]
-             |    ELSE list_distinct([array_to_string(ws[i:i+1], ' ')
-             |                        for i in range(1, len(ws))]) END AS sg
-             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
-             |        FROM documents WHERE doc_id < 300) t),
-             |jac AS (
-             |  SELECT a.doc_id AS src, b.doc_id AS dst
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE len(list_intersect(a.sg, b.sg))::DOUBLE
-             |        / len(list_distinct(list_concat(a.sg, b.sg))) >= 0.3),
-             |e0 AS (SELECT src, dst FROM canon WHERE src <> dst
-             |       UNION SELECT src, dst FROM jac),
-             |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-             |nodes AS (SELECT DISTINCT src AS id FROM edges),
-             |reach(id, r) AS (
-             |  SELECT id, id FROM nodes
-             |  UNION
-             |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
-             |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-             |SELECT id AS doc_id, cluster_id,
-             |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-             |FROM comp ORDER BY cluster_id, doc_id""".stripMargin),
+      Some(dupClustersOracle),
       doc = "Duplicate clusters: large-star/small-star CC over canonical + Jaccard edges"),
 
     // ------------------------------------------------------------------
@@ -1069,8 +1075,195 @@ object Dedup extends Registry {
       doc = "Sorted-neighborhood blocking (multipass ER pass 2): " +
         "reversed-title sort inside buckets, W-nearest-neighbor " +
         "candidates, bounded Levenshtein confirm — catches the " +
-        "head-edit pairs the prefix block misses")
+        "head-edit pairs the prefix block misses"),
+
+    // ------------------------------------------------------------------
+    // qb4: INCREMENTAL DUPLICATE CLUSTERS — the missing lifecycle arm
+    // of the dedup family: q48 resolves pairs into clusters FROM
+    // SCRATCH, but a production corpus appends daily and rebuilding
+    // the full component structure per arrival is exactly the rescan
+    // this family exists to avoid. The maintained form is GRAPH
+    // CONTRACTION: stored state is yesterday's (doc → min-id root)
+    // assignment plus the two edge-source indexes the delta needs to
+    // attach WITHOUT re-touching base texts (the fp→representative
+    // index for canonical duplicates; the bounded shingle arrays for
+    // the Jaccard source — q4b's stored-signature discipline). The
+    // delta's new edges map their endpoints through the stored roots,
+    // CC runs on the CONTRACTED graph only (|affected roots| + |delta|
+    // nodes — yesterday's clusters are single vertices), and the
+    // composed labels are EXACTLY the full rebuild's min-id labels:
+    // each stored root is the min of its old cluster, so the min over
+    // merged roots is the global min (require()d ≡ rebuild
+    // row-for-row before emitting; the rebuild exists only as the
+    // contract instrument). Oracle: the full recursive-CTE closure —
+    // identical to q48's, because the maintained answer must be
+    // indistinguishable from a rebuild. At 100 TB: the daily cost is
+    // fp/shingle work on the DELTA plus CC over a root-contracted
+    // graph orders of magnitude smaller than the corpus graph.
+    QueryDef(
+      "qb4_cc_incremental",
+      (s, dir) => ccIncremental(s, dir),
+      Some(dupClustersOracle),
+      doc = "Duplicate clusters maintained incrementally: delta edges " +
+        "attach through stored fp/shingle indexes, CC runs on the " +
+        "root-contracted graph, composed labels require()d equal to " +
+        "a from-scratch rebuild")
   )
+
+  /** qb4 delta split: doc_id % 10 == 3 are "today's arrivals". */
+  val CcDeltaMod = 10
+  val CcDeltaRem = 3
+
+  private def ccFp: Column = md5(concat_ws(" ",
+    array_sort(array_distinct(split(lower(col("text")), " ")))))
+
+  /** Build-or-reuse qb4's stored state over the base split: the (doc →
+    * root) assignment, the fp → min-base-doc representative index, and
+    * the bounded base shingle arrays. Content-addressed (torn-write
+    * rule: key file last). */
+  private[queries] def loadOrBuildCcState(s: SparkSession,
+      dir: String): (String, Boolean) = {
+    import s.implicits._
+    val src = s"$dir/documents.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|cc=canon+jac0.3lt300|delta=mod${CcDeltaMod}eq$CcDeltaRem"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = Tables.persistentScratchDir(s"qb4_cc_$tag")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val dirs = Seq("assign", "fpindex", "shingles")
+      .map(d => java.nio.file.Paths.get(stateDir, d))
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      dirs.forall(d => java.nio.file.Files.exists(d.resolve("_SUCCESS")))
+    if (!valid) {
+      graft.GraftExtensions.ensureRegistered(s)
+      val base = table(s, dir, "documents").select($"doc_id", $"text")
+        .filter(pmod($"doc_id", lit(CcDeltaMod)) =!= CcDeltaRem)
+      base.select($"doc_id", ccFp.as("fp"))
+        .groupBy($"fp").agg(min($"doc_id").as("rep"))
+        .write.mode("overwrite").parquet(s"$stateDir/fpindex")
+      base.filter($"doc_id" < 300)
+        .select($"doc_id", expr("shingle_hashes(text, 2)").as("sh"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$stateDir/shingles")
+      val wFp = Window.partitionBy($"fp")
+      val canonB = base.select($"doc_id", ccFp.as("fp"))
+        .withColumn("root", min($"doc_id").over(wFp))
+        .filter($"doc_id" =!= $"root")
+        .select($"doc_id".as("src"), $"root".as("dst"))
+      val bsh = readShingles(s, stateDir)
+      val jacB = bsh.as("a").join(bsh.as("b"), $"a.doc_id" < $"b.doc_id")
+        .filter(expr("jaccard_sorted(a.sh, b.sh) >= 0.3"))
+        .select($"a.doc_id".as("src"), $"b.doc_id".as("dst"))
+      graft.operators.ConnectedComponents.run(canonB.unionAll(jacB))
+        .select($"id", $"component".as("root"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/assign")
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    (stateDir, !valid)
+  }
+
+  /** The qb4 contraction algebra, factored for the spec's planted
+    * cases: map each delta edge's endpoints through the stored (id →
+    * root) assignment (identity outside it), run CC on the CONTRACTED
+    * graph only, and compose — final(doc) = cc2(root(doc)). Because
+    * every stored root is the min id of its old cluster, the composed
+    * labels equal a full rebuild's min-id labels exactly. Returns
+    * (doc_id, cluster_id) over stored ∪ delta-edge nodes. */
+  private[queries] def contractAndCompose(assign: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
+    val s = assign.sparkSession
+    import s.implicits._
+    val mapped = deltaEdges
+      .join(assign.withColumnRenamed("id", "src"), Seq("src"), "left")
+      .select(coalesce($"root", $"src").as("csrc"), $"dst")
+      .join(assign.withColumnRenamed("id", "dst")
+        .withColumnRenamed("root", "root2"), Seq("dst"), "left")
+      .select($"csrc", coalesce($"root2", $"dst").as("cdst"))
+      .filter($"csrc" =!= $"cdst")
+    val cc2 = graft.operators.ConnectedComponents.run(
+      mapped.select($"csrc".as("src"), $"cdst".as("dst")))
+      .withColumnRenamed("id", "r1").withColumnRenamed("component", "r2")
+    val deltaNodes = deltaEdges.select($"src".as("id"))
+      .unionAll(deltaEdges.select($"dst".as("id"))).distinct()
+      .join(assign.select($"id"), Seq("id"), "left_anti")
+      .select($"id", $"id".as("root"))
+    assign.unionAll(deltaNodes)
+      .join(cc2, $"root" === $"r1", "left")
+      .select($"id".as("doc_id"), coalesce($"r2", $"root").as("cluster_id"))
+  }
+
+  /** Stored shingle arrays, re-tightened to the non-null element type
+    * jaccard_sorted requires (parquet read-back widens array elements
+    * to nullable; the stored values never contain nulls). */
+  private def readShingles(s: SparkSession, stateDir: String): DataFrame =
+    s.read.parquet(s"$stateDir/shingles")
+      .select(col("doc_id"),
+        expr("transform(sh, x -> coalesce(x, CAST(0 AS BIGINT)))").as("sh"))
+
+  /** The qb4 serve: today's delta attaches through the stored indexes,
+    * CC contracts over stored roots, labels compose — and the result
+    * is require()d equal to a from-scratch rebuild before emitting. */
+  def ccIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
+    val (stateDir, _) = loadOrBuildCcState(s, dir)
+    val assign = s.read.parquet(s"$stateDir/assign") // (id, root)
+    val fpIndex = s.read.parquet(s"$stateDir/fpindex") // (fp, rep)
+    val baseSh = readShingles(s, stateDir) // (doc_id, sh)
+    val delta = table(s, dir, "documents").select($"doc_id", $"text")
+      .filter(pmod($"doc_id", lit(CcDeltaMod)) === CcDeltaRem)
+
+    // canonical-duplicate edges for the delta: attach to the base
+    // representative when the fp exists, star within the delta when it
+    // does not (spanning-equivalent to the full-corpus star set)
+    val fpd = delta.select($"doc_id", ccFp.as("fp"))
+      .join(fpIndex, Seq("fp"), "left")
+    val attach = fpd.filter($"rep".isNotNull)
+      .select($"doc_id".as("src"), $"rep".as("dst"))
+    val wFp = Window.partitionBy($"fp")
+    val newFpStars = fpd.filter($"rep".isNull)
+      .withColumn("r0", min($"doc_id").over(wFp))
+      .filter($"doc_id" =!= $"r0")
+      .select($"doc_id".as("src"), $"r0".as("dst"))
+
+    // Jaccard edges touching the delta (bounded <300 universe, q44's
+    // rationale): delta-vs-base serves the BASE side from the stored
+    // shingle index — base texts are never re-shingled
+    val deltaSh = delta.filter($"doc_id" < 300)
+      .select($"doc_id", expr("shingle_hashes(text, 2)").as("sh"))
+    val dvb = deltaSh.as("a").join(baseSh.as("b"),
+        $"a.doc_id" =!= $"b.doc_id")
+      .filter(expr("jaccard_sorted(a.sh, b.sh) >= 0.3"))
+      .select(least($"a.doc_id", $"b.doc_id").as("src"),
+        greatest($"a.doc_id", $"b.doc_id").as("dst"))
+    val dvd = deltaSh.as("a").join(deltaSh.as("b"),
+        $"a.doc_id" < $"b.doc_id")
+      .filter(expr("jaccard_sorted(a.sh, b.sh) >= 0.3"))
+      .select($"a.doc_id".as("src"), $"b.doc_id".as("dst"))
+
+    val deltaEdges = attach.unionAll(newFpStars).unionAll(dvb)
+      .unionAll(dvd).localCheckpoint(true) // bounded: delta-incident
+
+    val fin = contractAndCompose(assign, deltaEdges)
+    val wC = Window.partitionBy($"cluster_id")
+    val out = fin
+      .withColumn("cluster_size", count(lit(1)).over(wC))
+      .orderBy($"cluster_id", $"doc_id")
+      .localCheckpoint(true) // cluster-rows-sized; feeds the require()
+    // the contract: maintained ≡ rebuild, row for row (the rebuild
+    // exists ONLY here, as the contract instrument)
+    val rebuilt = dupClusterAssignments(s, dir)
+      .withColumn("cluster_size", count(lit(1)).over(wC))
+      .orderBy($"cluster_id", $"doc_id")
+    val a = out.collect().toSeq
+    val b = rebuilt.collect().toSeq
+    require(a == b,
+      s"qb4: maintained clusters diverged from rebuild " +
+        s"(${a.size} vs ${b.size} rows)")
+    out
+  }
 
   /** qb0: neighborhood width and the reversed-prefix bucket length. */
   val SnmW = 3

@@ -96,6 +96,25 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out.find(_.getLong(0) == 4L).get.getInt(3) > 0)
   }
 
+  test("qb4 contraction algebra: a delta edge merges two stored " +
+    "clusters into their global-min label; untouched clusters and " +
+    "pure-delta clusters compose correctly") {
+    import spark.implicits._
+    // stored state: cluster {1,2} (root 1), cluster {5,6} (root 5),
+    // untouched cluster {9,10} (root 9)
+    val assign = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L),
+      (9L, 9L), (10L, 9L)).toDF("id", "root")
+    // delta: doc 3 bridges the two clusters via NON-root members;
+    // docs 20,21 form a brand-new pure-delta cluster
+    val deltaEdges = Seq((3L, 2L), (3L, 6L), (21L, 20L))
+      .toDF("src", "dst")
+    val out = Dedup.contractAndCompose(assign, deltaEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L,
+      9L -> 9L, 10L -> 9L, 20L -> 20L, 21L -> 20L),
+      s"composed labels wrong: $out")
+  }
+
   test("qb3 embedding hygiene: planted short, NaN and zero vectors " +
     "each trip their counter and fail the ingest gate") {
     import spark.implicits._
