@@ -218,13 +218,15 @@ object Bench {
     // by content-addressing the exact-top-5 arm and the IVF cell
     // layout (q5b+q5f 10.3s→~7.0 steady, q58 serve ~1.9) and killing
     // eleven double-decodes (the decode-once gate), and (b) ADDED 9
-    // gated queries (q8j/qa3/qa5-qa7/qb0-qb3, ~+6s of genuine work,
-    // qb2's Lloyd loop the largest at ~2.5s). Mid-round 171-query
+    // gated queries (q8j/qa3/qa5-qa7/qb0-qb4, ~+8s of genuine work,
+    // qb2's Lloyd loop and qb4's contract rebuild the largest at
+    // ~2.5s each). Mid-round 171-query
     // reading 92.1 (load 4.1) = 1.012 vs the old pin; r14-close
     // 175-query pair 98.4/111.2 (loads 4.0/2.1→3.1 rising — the 98.4
     // is the cleaner member; the 111.2 run is uniformly ~10% inflated
-    // with pass disagreement across the board, classic co-tenancy).
-    // STEADY-STATE pin:
+    // with pass disagreement across the board, classic co-tenancy);
+    // the post-qb4 176-query reading 96.0 = 0.980 with warm stored
+    // state. STEADY-STATE pin:
     // the content-addressed index state (q4b/q99/q9b/q9c/q9e/q9h/q9n/
     // q9t/q9u/q9w) is warm — the FIRST run after a driver testdata
     // regeneration pays each index's one-time rebuild (~+10s observed)

@@ -95,7 +95,8 @@ object PlanAudit {
     "qb0_sorted_neighborhood",// bucketed SNM window + W-neighbor join
     "qb1_html_extract",       // map-only extraction, zero pre-sort shuffles
     "qb2_ann_recall_trained", // trained-cell routing + candidate rerank
-    "qb3_embedding_hygiene")  // one multi-aggregate hygiene scan
+    "qb3_embedding_hygiene",  // one multi-aggregate hygiene scan
+    "qb4_cc_incremental")     // contracted-graph CC + composed labels
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -308,5 +308,7 @@ object PlanShapeSpec {
     "qa7_k_anonymity_incremental",
     // qb2 runs the full Lloyd training loop (per-iteration collects)
     // and a driver-side recall require() inside fn
-    "qb2_ann_recall_trained")
+    "qb2_ann_recall_trained",
+    // qb4 builds stored CC state and collect-compares vs a rebuild
+    "qb4_cc_incremental")
 }
