@@ -155,6 +155,86 @@ class ExprPropertySpec extends AnyFunSuite {
     }
   }
 
+  private val rawBytes: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 255)))
+      .map(_.map(_.toByte).toArray)
+
+  test("WAV/BMP/AVI/PNG decode arbitrary payloads to their exact " +
+    "byte-identity models") {
+    for (seed <- 0 until 30) {
+      val p = sample(rawBytes, 9000 + seed)
+      val n = p.length
+      // WAV: floor(n/2) little-endian signed samples
+      val smp = WavPcm16.samples(WavPcm16.encode(p, 16000))
+        .toIntArray().toSeq
+      val smpModel = (0 until n / 2).map { i =>
+        val v = (p(2 * i) & 0xff) | ((p(2 * i + 1) & 0xff) << 8)
+        if (v > 32767) v - 65536 else v
+      }
+      assert(smp == smpModel, s"WAV seed=$seed n=$n")
+      assert(WavPcm16.sampleRate(WavPcm16.encode(p, 44100)) == 44100)
+      // BMP: payload zero-padded to 3·width·height pixel bytes
+      val bw = 16
+      val bpx = BmpRgb24.pixels(BmpRgb24.encode(p, bw)).toIntArray().toSeq
+      val nPx = (n + 2) / 3
+      val bh = math.max(1, (nPx + bw - 1) / bw)
+      assert(bpx == p.map(_ & 0xff).toSeq.padTo(3 * bw * bh, 0),
+        s"BMP seed=$seed n=$n")
+      // AVI: max(1, ceil(n/96)) frames; frame f's BMP decode is the
+      // payload slice [f·96, f·96+96) zero-padded (the frame-stream
+      // identity q86/q8i replay)
+      val fr = AviDib.frames(AviDib.encode(p, 96))
+      val nf = math.max(1, (n + 95) / 96)
+      assert(fr.numElements() == nf, s"AVI frame count seed=$seed n=$n")
+      for (f <- 0 until nf) {
+        val fp = BmpRgb24.pixels(fr.getBinary(f)).toIntArray().toSeq
+        // a PARTIAL last frame pads to its own BMP row geometry
+        // (48·rows), not to 96 — the q86 oracle's lastlen arithmetic
+        val flen = math.min(96, math.max(0, n - f * 96))
+        val fh = math.max(1, ((flen + 2) / 3 + 15) / 16)
+        val slice = (0 until 48 * fh).map(k =>
+          if (k < flen) p(f * 96 + k) & 0xff else 0)
+        assert(fp == slice, s"AVI frame $f seed=$seed n=$n")
+      }
+      // PNG gray + truecolor: payload zero-padded through the full
+      // deflate/unfilter path
+      val gp = PngGray8.pixels(PngGray8.encode(p, 16)).toIntArray().toSeq
+      val gh = math.max(1, (n + 15) / 16)
+      assert(gp == p.map(_ & 0xff).toSeq.padTo(16 * gh, 0),
+        s"PNG gray seed=$seed n=$n")
+      val rp = PngGray8.pixelsRgb24(PngGray8.encodeRgb24(p, 8))
+        .toIntArray().toSeq
+      val rh = math.max(1, (n + 23) / 24)
+      assert(rp == p.map(_ & 0xff).toSeq.padTo(24 * rh, 0),
+        s"PNG rgb seed=$seed n=$n")
+    }
+  }
+
+  test("JPEG: restart-marker encode decodes identically to the " +
+    "single-segment scan at ANY interval (restart invariance)") {
+    for (seed <- 0 until 20) {
+      val p = sample(rawBytes, 12000 + seed)
+      val wb = Seq(2, 4, 7, 8)(seed % 4)
+      val base = JpegGray8.pixels(JpegGray8.encode(p, wb)).toIntArray().toSeq
+      // every byte expands to one constant 8×8 block — the model the
+      // unit spec pins; here re-checked on arbitrary bytes
+      val hb = math.max(1, (p.length + wb - 1) / wb)
+      val model = for (y <- 0 until hb * 8; x <- 0 until wb * 8) yield {
+        val bi = (y / 8) * wb + (x / 8)
+        if (bi < p.length) p(bi) & 0xff else 0
+      }
+      assert(base == model, s"JPEG base seed=$seed wb=$wb")
+      // restart intervals, including > nBlocks (no markers emitted)
+      for (rst <- Seq(1, 2, 3, 5, 8, 17, 1000)) {
+        val withRst = JpegGray8.pixels(
+          JpegGray8.encodeRestart(p, wb, rst)).toIntArray().toSeq
+        assert(withRst == base,
+          s"restart interval $rst changed the decode (seed=$seed wb=$wb)")
+      }
+    }
+  }
+
   test("simhash64 is word-order-insensitive (bag-of-words sketch)") {
     graft.GraftExtensions.ensureRegistered(spark)
     import spark.implicits._
