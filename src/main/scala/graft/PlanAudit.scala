@@ -70,7 +70,7 @@ object PlanAudit {
     "q9f_perceptron_apply",   // literal-weight inference: scan+project only
     "q9g_bpe_encode",         // fitted-vocab join-back, token counts additive
     "q8a_image_resize",       // decode+NN-resize fused in one narrow pass
-    "q8b_video_thumbnails",   // frame explode + per-row thumb reduction
+    "q8b_video_thumbnails",   // array-native frame folds, no explode (r14)
     "q9h_lm_incremental",     // stored LM tables + delta counts, additive merge
     "q8d_png_adam7",          // seven-pass interlaced decode, one narrow pass
     "q8f_jpeg_gray8",         // baseline JPEG entropy+IDCT decode, narrow pass
