@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Results must be a function of the DATA, never of the partitioning —
+  * the distributed-engine bug class the DuckDB oracle can miss when
+  * both runs happen to use the same layout: a min-of-pairs that
+  * depends on partition visit order, a first()/head that floats, an
+  * aggregation whose merge isn't commutative, a window frame keyed on
+  * an under-specified sort. Each sampled query runs in two sibling
+  * sessions (spark.newSession() — shared context, independent SQLConf)
+  * at shuffle.partitions 4 vs 7 and default parallelism split, and the
+  * canonicalized results must match row-for-row.
+  *
+  * The sample spans every family's plan shapes (agg, window, join,
+  * top-k, sketch, codec, governance) but skips the stored-state
+  * builders and e2e writers — their cross-run determinism is pinned by
+  * their own merge≡rebuild contracts, and their side effects would
+  * race between the two sessions here.
+  */
+class ParallelismInvarianceSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Sampled = Seq(
+    "q01_pricing_summary", "q02_filter_topn", "q03_shipping_priority",
+    "q07_window_topk", "q09_rollup", "q10_count_distinct",
+    "q16_upsert_precedence", "q19_pivot", "q1c_window_analytics",
+    "q30_text_stats", "q33_lang_id", "q36_stratified_sample",
+    "q38_hash_sample_k", "q40_dedup_exact", "q44_ngram_jaccard",
+    "q50_knn_exact", "q56_pq_adc", "q60_tumbling_window",
+    "q63_asof_join", "q65_scd2_intervals", "q84_wav_pcm16",
+    "q8h_audio_wht_bands", "q8j_jpeg_restart", "q90_sequence_packing",
+    "q98_bm25_topk", "qa0_profile", "qa5_k_anonymity",
+    "qa6_randomized_response", "qb0_sorted_neighborhood",
+    "qb1_html_extract", "qb3_embedding_hygiene")
+
+  private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+    rows.map(_.toSeq.map {
+      case null => "NULL"
+      case d: Double => f"$d%.6g"
+      case x => x.toString
+    }.mkString("|")).sorted.toSeq
+
+  test("sampled queries are invariant to shuffle partitioning " +
+    "(4 vs 7 partitions, sibling sessions)") {
+    val s4 = spark.newSession()
+    s4.conf.set("spark.sql.shuffle.partitions", "4")
+    val s7 = spark.newSession()
+    s7.conf.set("spark.sql.shuffle.partitions", "7")
+    for (name <- Sampled) {
+      val fn = graft.SparkEntry.queries(name)
+      val a = canon(fn(s4, sfDir).collect())
+      val b = canon(fn(s7, sfDir).collect())
+      assert(a == b,
+        s"$name result depends on shuffle partitioning: " +
+          s"${a.size} vs ${b.size} rows, first diff: " +
+          a.zip(b).find { case (x, y) => x != y })
+      assert(a.nonEmpty, s"$name returned no rows")
+    }
+  }
+}
