@@ -1295,6 +1295,9 @@ object Dedup extends Registry {
       .select(least($"id_a", $"doc_id").as("doc_a"),
         greatest($"id_a", $"doc_id").as("doc_b"),
         levenshtein($"title_a", $"title").cast("long").as("lev"),
+        // compared on the PROJECTED title prefix (q9z's blk is the raw
+        // text prefix — identical on ASCII, and the projected form is
+        // the consistent basis once titles are multilingual)
         (substring($"title_a", 1, FuzzyBlockLen) =!=
           substring($"title", 1, FuzzyBlockLen))
           .as("missed_by_prefix_block"))
