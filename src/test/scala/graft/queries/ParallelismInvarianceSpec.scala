@@ -66,4 +66,22 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
       assert(a.nonEmpty, s"$name returned no rows")
     }
   }
+
+  test("sampled queries are invariant to adaptive execution " +
+    "(AQE on vs off)") {
+    // AQE re-plans at runtime (coalesced partitions, demoted
+    // broadcasts, skew splits) — none of which may change an answer
+    val on = spark.newSession()
+    on.conf.set("spark.sql.adaptive.enabled", "true")
+    val off = spark.newSession()
+    off.conf.set("spark.sql.adaptive.enabled", "false")
+    for (name <- Sampled) {
+      val fn = graft.SparkEntry.queries(name)
+      val a = canon(fn(on, sfDir).collect())
+      val b = canon(fn(off, sfDir).collect())
+      assert(a == b, s"$name result depends on AQE: ${a.size} vs " +
+        s"${b.size} rows, first diff: " +
+        a.zip(b).find { case (x, y) => x != y })
+    }
+  }
 }
