@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -48,6 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jpegDcCategories)
     ext.injectFunction(GraftExtensions.jpegWidth)
     ext.injectFunction(GraftExtensions.jpegHeight)
+    ext.injectFunction(GraftExtensions.jpegRstCount)
     ext.injectFunction(GraftExtensions.jpegYcbcrEncode)
     ext.injectFunction(GraftExtensions.jpegRgbPixels)
     // optimizer rule: a guard on a codec's DECODED length becomes the
@@ -340,6 +341,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[JpegHeightExpr].getName, "jpeg_height"),
     (args: Seq[Expression]) => JpegHeightExpr(args.head))
 
+  private val jpegRstCount: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("jpeg_rst_count"),
+    new ExpressionInfo(classOf[JpegRstCountExpr].getName, "jpeg_rst_count"),
+    (args: Seq[Expression]) => JpegRstCountExpr(args.head))
+
   /** Idempotent per-session registration for sessions not created with
     * the extensions config (e.g. the driver harness's own session). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -352,8 +359,8 @@ object GraftExtensions {
         pngRgbEncode, pngRgbPixels, pngPaletteEncode, pngPaletteRgb,
         pngFilterTypes, pngWidth, pngHeight, pngAdam7Encode,
         pngAdam7Pixels, pngAdam7FilterTypes, jpegEncode, jpegEncodeRst, jpegPixels,
-        jpegDcCategories, jpegWidth, jpegHeight, jpegYcbcrEncode,
-        jpegRgbPixels))
+        jpegDcCategories, jpegWidth, jpegHeight, jpegRstCount,
+        jpegYcbcrEncode, jpegRgbPixels))
       if (!registry.functionExists(fn._1))
         registry.registerFunction(fn._1, fn._2, fn._3)
     // live sessions (harness-created, no spark.sql.extensions conf)

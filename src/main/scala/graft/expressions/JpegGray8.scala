@@ -211,14 +211,18 @@ object JpegGray8 {
     * the classic single-segment scan. */
   def encodeRestart(payload: Array[Byte], widthBlocks: Int,
       restartInterval: Int): Array[Byte] = {
-    require(widthBlocks > 0 && widthBlocks <= (1 << 13),
-      s"jpeg: widthBlocks must be in (0, 2^13], got $widthBlocks")
+    // strictly below 2^13 blocks: 8192 blocks would put width/height at
+    // 65536, which overflows SOF's u16 dimension field to 0 and makes
+    // the decoder reject its own encoder's output ("bad SOF geometry");
+    // 8191 blocks (65528 px) is the largest that fits
+    require(widthBlocks > 0 && widthBlocks < (1 << 13),
+      s"jpeg: widthBlocks must be in (0, 2^13), got $widthBlocks")
     require(restartInterval >= 0 && restartInterval <= 0xffff,
       s"jpeg: restartInterval must fit DRI's u16, got $restartInterval")
     val wb = widthBlocks
     val hb = math.max(1, (payload.length + wb - 1) / wb)
-    require(hb <= (1 << 13),
-      s"jpeg: payload needs $hb block rows > 2^13 at widthBlocks $wb")
+    require(hb < (1 << 13),
+      s"jpeg: payload needs $hb block rows >= 2^13 at widthBlocks $wb")
     val width = wb * 8
     val height = hb * 8
     val out = new java.io.ByteArrayOutputStream(payload.length * 4 + 1024)
@@ -319,14 +323,16 @@ object JpegGray8 {
     * (16·ceil(len/(4·widthMcus))), zero-Y tail. */
   def encodeYcbcr420(payload: Array[Byte], widthMcus: Int,
       cb: Int, cr: Int): Array[Byte] = {
-    require(widthMcus > 0 && widthMcus <= (1 << 12),
-      s"jpeg: widthMcus must be in (0, 2^12], got $widthMcus")
+    // strictly below 2^12 MCUs: 4096 16-px MCUs would overflow SOF's
+    // u16 dimension field to 0 (same off-by-one class as encodeRestart)
+    require(widthMcus > 0 && widthMcus < (1 << 12),
+      s"jpeg: widthMcus must be in (0, 2^12), got $widthMcus")
     require(cb >= 0 && cb <= 255 && cr >= 0 && cr <= 255,
       s"jpeg: chroma constants must be bytes, got ($cb, $cr)")
     val wm = widthMcus
     val hm = math.max(1, (payload.length + 4 * wm - 1) / (4 * wm))
-    require(hm <= (1 << 12),
-      s"jpeg: payload needs $hm MCU rows > 2^12 at widthMcus $wm")
+    require(hm < (1 << 12),
+      s"jpeg: payload needs $hm MCU rows >= 2^12 at widthMcus $wm")
     val width = wm * 16
     val height = hm * 16
     val out = new java.io.ByteArrayOutputStream(payload.length * 4 + 1024)
@@ -859,6 +865,28 @@ object JpegGray8 {
 
   def width(jpeg: Array[Byte]): Int = parse(jpeg).width
   def height(jpeg: Array[Byte]): Int = parse(jpeg).height
+
+  /** RSTn markers in the ENTROPY-CODED SEGMENT only: marker-walks the
+    * header (following each segment's length field, like `parse`) to
+    * the first entropy byte after SOS, then counts FF D0..D7 pairs up
+    * to EOI, skipping stuffed FF00. A naive whole-container byte-pair
+    * scan false-positives when a header u16 happens to encode
+    * 0xFFD0..0xFFD7 — e.g. SOF height 65488 (= 0xFFD0) at 8186 block
+    * rows — which this walk is immune to by construction. */
+  def rstCount(jpeg: Array[Byte]): Int = {
+    val p = parse(jpeg)
+    var off = p.dataOff
+    var n = 0
+    while (off + 1 < jpeg.length) {
+      if ((jpeg(off) & 0xff) == 0xff) {
+        val m = jpeg(off + 1) & 0xff
+        if (m >= 0xd0 && m <= 0xd7) n += 1
+        else if (m == 0xd9) return n // EOI ends the scan
+        off += 2 // marker or stuffed FF00: both two bytes
+      } else off += 1
+    }
+    n
+  }
 }
 
 case class JpegGray8EncodeExpr(left: Expression, right: Expression)
@@ -989,6 +1017,22 @@ case class JpegWidthExpr(child: Expression) extends UnaryExpression {
     JpegGray8.width(jpeg.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, jpeg => s"graft.expressions.JpegGray8.width($jpeg)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class JpegRstCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jpeg_rst_count requires binary input, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "jpeg_rst_count"
+  override protected def nullSafeEval(jpeg: Any): Any =
+    JpegGray8.rstCount(jpeg.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, jpeg =>
+      s"graft.expressions.JpegGray8.rstCount($jpeg)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

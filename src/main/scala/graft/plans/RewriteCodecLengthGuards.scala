@@ -4,7 +4,7 @@ import graft.expressions.{AviDibEncodeExpr, AviDibFramesExpr,
   WavPcm16EncodeExpr, WavPcm16SamplesExpr}
 import org.apache.spark.sql.catalyst.expressions.{Expression,
   GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual,
-  Literal, OctetLength, Size}
+  Literal, OctetLength, PredicateHelper, Size}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -31,17 +31,28 @@ import org.apache.spark.sql.types.IntegerType
   * The rewrite fires only when the codec chain is DIRECT
   * (size(decode(encode(payload, lit)))) and the bound is an integer
   * literal — exactly the shape users and InferFiltersFromGenerate
-  * produce. Null semantics are preserved (p null ⇒ both forms null);
-  * the one observable difference is the error path: a row whose
-  * malformed arguments would have made the codec throw inside the
-  * Filter now gets filtered by byte length first — the same class of
-  * reordering latitude Spark's own filter pushdown already takes.
+  * produce — and ONLY when the comparison is a TOP-LEVEL CONJUNCT of
+  * the Filter condition. That restriction is what makes the rule
+  * sound for arbitrary user SQL: for a null payload the original
+  * conjunct evaluates false (legacy size(NULL) = −1, and −1 >= k is
+  * false for our k >= 0) or null (ANSI size semantics) while the
+  * rewritten form evaluates null — DIFFERENT values, but both drop
+  * the row in conjunct position, so the Filter's row set is
+  * identical. Under negation they are NOT interchangeable
+  * (NOT(false) keeps the row, NOT(null) drops it), so a guard inside
+  * NOT / OR / CASE is deliberately left alone — an optimizer rule
+  * injected session-wide must hold for inputs no in-repo query
+  * writes. The error path is the one observable difference: a row
+  * whose malformed arguments would have made the codec throw inside
+  * the Filter now gets filtered by byte length first — the same class
+  * of reordering latitude Spark's own filter pushdown already takes.
   *
   * Registered via `GraftExtensions` (injectOptimizerRule); proven by
   * PlanRuleSpec, which writes the naive guard and asserts the
   * optimized plan carries octet_length in the Filter and the codec
   * only in the Project. */
-object RewriteCodecLengthGuards extends Rule[LogicalPlan] {
+object RewriteCodecLengthGuards extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   private def intLit(e: Expression): Option[Long] = e match {
     case Literal(v: Int, _) => Some(v.toLong)
@@ -112,10 +123,14 @@ object RewriteCodecLengthGuards extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>
-      val rewritten = cond.transformUp {
-        case cmp if rewriteCmp(cmp).isDefined => rewriteCmp(cmp).get
-        case nn if rewriteNotNull(nn).isDefined => rewriteNotNull(nn).get
+      // rewrite whole top-level conjuncts only — never inside NOT/OR/
+      // CASE, where false-vs-null matters (see class doc)
+      val conjuncts = splitConjunctivePredicates(cond)
+      val rewritten = conjuncts.map { c =>
+        rewriteCmp(c).orElse(rewriteNotNull(c)).getOrElse(c)
       }
-      if (rewritten fastEquals cond) f else f.copy(condition = rewritten)
+      if (conjuncts.zip(rewritten).forall { case (a, b) => a fastEquals b }) f
+      else f.copy(condition = rewritten.reduceLeft(
+        org.apache.spark.sql.catalyst.expressions.And(_, _)))
   }
 }

@@ -1265,11 +1265,13 @@ object Multimodal extends Registry {
     // oracle from RESET differentials (the first block of each
     // interval codes dc − 0, not dc − prev, so the category set
     // differs from q8f's on the same payload); n_rst counts the
-    // markers in the ACTUAL stream at byte stride (entropy 0xFF bytes
-    // are always stuffed FF00, and hex pairs are scanned byte-aligned,
-    // so nothing false-positives), pinned against the oracle's
-    // analytic (blocks − 1) div interval. Same narrow per-asset
-    // no-explode shape as q8g; the only shuffle is the final sort.
+    // markers in the ACTUAL stream via jpeg_rst_count — a marker walk
+    // that scans ONLY the entropy segment after SOS (a whole-container
+    // byte-pair scan would false-positive when a header u16 encodes
+    // 0xFFD0..D7, e.g. SOF height 65488 on a ~32 KB payload), pinned
+    // against the oracle's analytic (blocks − 1) div interval. Same
+    // narrow per-asset no-explode shape as q8g; the only shuffle is
+    // the final sort.
     QueryDef(
       "q8j_jpeg_restart",
       (s, dir) => {
@@ -1278,19 +1280,12 @@ object Multimodal extends Registry {
           .select(col("doc_id"),
             expr(s"jpeg_gray8_encode_rst(payload, $JpegRstWb, " +
               s"$JpegRstInterval)").as("jpeg"))
-          .select(col("doc_id"), col("jpeg"),
-            hex(col("jpeg")).as("hx")) // hoisted: one hex per asset
           .select(col("doc_id"),
             expr("jpeg_width(jpeg)").as("width"),
             expr("jpeg_height(jpeg)").as("height"),
             size(array_distinct(expr("jpeg_dc_categories(jpeg)")))
               .as("n_dc_cats"),
-            expr("""CAST(size(filter(
-              sequence(0, CAST(length(hx) div 2 AS INT) - 2),
-              i -> substr(hx, 2*i+1, 2) = 'FF' AND
-                   substr(hx, 2*i+3, 2) >= 'D0' AND
-                   substr(hx, 2*i+3, 2) <= 'D7')) AS BIGINT)""")
-              .as("n_rst"),
+            expr("CAST(jpeg_rst_count(jpeg) AS BIGINT)").as("n_rst"),
             expr("jpeg_gray8_pixels(jpeg)").as("px"))
           .select(col("doc_id"), col("width"), col("height"),
             col("n_dc_cats"), col("n_rst"),

@@ -299,4 +299,50 @@ class JpegGray8Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](JpegGray8.encode(det(1, 8), 0))
     intercept[IllegalArgumentException](JpegGray8.encode(det(1, 8), 1 << 14))
   }
+
+  test("geometry bound is strictly below 2^13 blocks: 8191 fits SOF's " +
+    "u16, 8192 (= 65536 px, overflows to 0) is rejected") {
+    // 8191 blocks wide: the largest geometry whose pixel dimension
+    // (65528) still fits the SOF u16 field — encode and re-parse
+    val ok = JpegGray8.encode(det(9, 4), 8191)
+    assert(JpegGray8.width(ok) == 8191 * 8)
+    intercept[IllegalArgumentException](JpegGray8.encode(det(9, 4), 8192))
+    // same off-by-one class in the color encoder: 4096 16-px MCUs
+    intercept[IllegalArgumentException](
+      JpegGray8.encodeYcbcr420(det(9, 4), 4096, 128, 128))
+    val okC = JpegGray8.encodeYcbcr420(det(9, 4), 4095, 128, 128)
+    assert(JpegGray8.width(okC) == 4095 * 16)
+  }
+
+  test("rstCount scans only the entropy segment: immune to a SOF " +
+    "height that encodes 0xFFD0 (the whole-container scan's trap)") {
+    // wb=4, 32741-byte payload → hb = 8186 → height 65488 = 0xFFD0:
+    // the SOF dimension bytes form a fake 'RST0' pair in the header
+    val n = 32741; val wb = 4; val rst = 3
+    val p = det(77, n)
+    val jpeg = JpegGray8.encodeRestart(p, wb, rst)
+    assert(JpegGray8.height(jpeg) == 65488)
+    val hb = math.max(1, (n + wb - 1) / wb)
+    val analytic = (wb * hb - 1) / rst
+    assert(JpegGray8.rstCount(jpeg) == analytic,
+      "entropy-segment marker count must match the analytic count")
+    // the naive whole-container byte-pair scan DOES false-positive
+    // here (the SOF height bytes), which is exactly why rstCount walks
+    // the header instead
+    val naive = (0 until jpeg.length - 1).count(i =>
+      (jpeg(i) & 0xff) == 0xff && (jpeg(i + 1) & 0xff) >= 0xd0 &&
+        (jpeg(i + 1) & 0xff) <= 0xd7)
+    assert(naive == analytic + 1, "expected exactly one header false hit")
+  }
+
+  test("rstCount agrees with the naive scan when no header u16 fakes " +
+    "a marker") {
+    for ((n, wb, rst) <- Seq((7, 2, 3), (40, 8, 3), (500, 7, 11))) {
+      val jpeg = JpegGray8.encodeRestart(det(n, n), wb, rst)
+      val hb = math.max(1, (n + wb - 1) / wb)
+      assert(JpegGray8.rstCount(jpeg) == (wb * hb - 1) / rst)
+    }
+    // and zero for a classic single-segment scan
+    assert(JpegGray8.rstCount(JpegGray8.encode(det(3, 64), 8)) == 0)
+  }
 }

@@ -127,4 +127,36 @@ class PlanRuleSpec extends AnyFunSuite {
       s"inferred generate guard still decodes in a Filter: $conds")
     assert(df.count() == 0 + 0 + 5 + 48 + 150)
   }
+
+  test("a guard in non-conjunct position (inside OR) is NOT " +
+    "rewritten: only top-level conjuncts are sound") {
+    import spark.implicits._
+    // the rule's soundness argument (false-vs-null on a null payload
+    // under legacy size(NULL) = -1) only holds where both values drop
+    // the row, i.e. in conjunct position — under NOT / OR they can
+    // differ. Spark's BooleanSimplification rewrites NOT of a
+    // comparison into the flipped comparison before user rules run,
+    // so OR is the non-conjunct context that actually reaches us;
+    // assert the guard survives untouched there, with a null payload
+    // present to keep the plan honest about nullability
+    val dir = java.nio.file.Files.createTempDirectory("plan-rule-or")
+      .toString
+    Seq((1L, Some("abcdef")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(col("doc_id"),
+        expr("wav_pcm16_samples(wav_pcm16_encode(payload, 16000))")
+          .as("smp"))
+      .filter(size(col("smp")) >= 2 || col("doc_id") === 2L)
+    val cond = filterCond(df)
+    assert(!cond.contains("octet_length"),
+      s"a guard inside OR must be left alone: $cond")
+    assert(cond.contains("wav_pcm16"),
+      s"expected the codec guard to survive in the Filter: $cond")
+    // doc 1 passes the size arm (3 samples), doc 2 the OR arm
+    assert(df.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L)))
+  }
 }
