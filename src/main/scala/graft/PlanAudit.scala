@@ -99,6 +99,81 @@ object PlanAudit {
     "qb4_cc_incremental",     // contracted-graph CC + composed labels
     "qb5_classifier_auc")     // per-score histogram AUC, no global sort
 
+  /** A formatted physical plan whose ONLY node is the scan of an
+    * already-materialized RDD — the shape a checkpoint-terminated
+    * query presents, which audits as "no work" unless the
+    * pre-checkpoint plans are captured alongside (below). */
+  def isBareRddScan(formatted: String): Boolean =
+    formatted.contains("Scan ExistingRDD") &&
+      !formatted.linesIterator.exists(_.startsWith("(2)"))
+
+  /** Build a query's DataFrame while recording the formatted plan of
+    * every eager (local)checkpoint its construction executes — the
+    * real work a checkpoint-terminated query would otherwise hide
+    * from the audit (r14 blind spot: qb4's PLANS.md entry was a bare
+    * `Scan ExistingRDD`). Returns (df, capturedPlans, oldest first).
+    * The listener bus is async, so the capture waits until no new
+    * plan has arrived for 300 ms. */
+  def buildCapturing(spark: SparkSession,
+      build: () => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "localCheckpoint" || funcName == "checkpoint")
+          captured.add(qe.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = build()
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime < deadline) {
+        Thread.sleep(100)
+        val n = captured.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      (df, captured.toArray(Array.empty[String]).toSeq)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  /** Plan overrides for queries whose REGISTERED form hides the
+    * interesting plan for a documented reason (cache-hygiene
+    * checkpoints released lazily, driver-side training loops). Shared
+    * with PlanShapeSpec's audit gate. */
+  def overrides: Map[String, (SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "q42_minhash_lsh" -> ((s, d) => graft.queries.Dedup.minhashPairs(
+      s.read.parquet(s"$d/documents.parquet"), releaseCaches = false)),
+    // q5a's registered form ends in a localCheckpoint (cache
+    // hygiene), which truncates the visible plan — audit one Lloyd
+    // assignment instead: the map-side literal-centroid argmin that
+    // each iteration runs (no shuffle anywhere below the agg)
+    "q5a_kmeans_converge" -> ((s, d) => {
+      val c = graft.queries.Similarity.lloydCorpus(s, d)
+      graft.queries.Similarity.lloydAssign(c,
+        graft.queries.Similarity.seedGrid(c))
+        .groupBy(org.apache.spark.sql.functions.col("cell"))
+        .count()
+    }),
+    // q9a's registered form ends in a driver-local frame — audit
+    // the per-round plan the loop actually repeats
+    "q9a_perceptron_train" ->
+      ((s, d) => graft.queries.TextOps.perceptronRoundAgg(s, d)),
+    // q9e's registered form require()s contracts driver-side and
+    // ends in a localCheckpoint — audit the maintained-state merge
+    // itself: stored-grid scan + delta-only counters, full-outer
+    // additive merge, no base-corpus rescan
+    "q9e_cms_incremental" ->
+      ((s, d) => graft.queries.Relational.cmsMergedCounters(s, d)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "PLANS.md"
@@ -108,48 +183,47 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // the registered LSH forms eagerly checkpoint + release their caches
-    // (cache hygiene), which truncates the visible plan to a Scan of the
-    // checkpointed RDD — audit the lazy (releaseCaches=false) form so
-    // the artifact shows the real sketch/bucket-join plan
-    val overrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map(
-        "q42_minhash_lsh" -> ((s, d) => graft.queries.Dedup.minhashPairs(
-          s.read.parquet(s"$d/documents.parquet"), releaseCaches = false)),
-        // q5a's registered form ends in a localCheckpoint (cache
-        // hygiene), which truncates the visible plan — audit one Lloyd
-        // assignment instead: the map-side literal-centroid argmin that
-        // each iteration runs (no shuffle anywhere below the agg)
-        "q5a_kmeans_converge" -> ((s, d) => {
-          val c = graft.queries.Similarity.lloydCorpus(s, d)
-          graft.queries.Similarity.lloydAssign(c,
-            graft.queries.Similarity.seedGrid(c))
-            .groupBy(org.apache.spark.sql.functions.col("cell"))
-            .count()
-        }),
-        // q9a's registered form ends in a driver-local frame — audit
-        // the per-round plan the loop actually repeats
-        "q9a_perceptron_train" ->
-          ((s, d) => graft.queries.TextOps.perceptronRoundAgg(s, d)),
-        // q9e's registered form require()s contracts driver-side and
-        // ends in a localCheckpoint — audit the maintained-state merge
-        // itself: stored-grid scan + delta-only counters, full-outer
-        // additive merge, no base-corpus rescan
-        "q9e_cms_incremental" ->
-          ((s, d) => graft.queries.Relational.cmsMergedCounters(s, d)))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
     sb.append(s"Generated by `graft.PlanAudit` over `$sfDir`. One\n")
     sb.append("representative per plan family; see SCALING.md for the\n")
-    sb.append("claims these plans substantiate.\n")
+    sb.append("claims these plans substantiate. A query whose final\n")
+    sb.append("frame is an eager checkpoint audits the checkpointed\n")
+    sb.append("COMPUTATION too (\"materialized during construction\") —\n")
+    sb.append("a bare `Scan ExistingRDD` with no such subsection would\n")
+    sb.append("mean the audit saw no work at all (gated by\n")
+    sb.append("PlanShapeSpec).\n")
+    var blind = 0
     Headline.foreach { name =>
-      val df = overrides.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
+      val (df, captured) = buildCapturing(spark,
+        () => overrides.getOrElse(name, SparkEntry.queries(name))(spark, sfDir))
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name\n\n```\n$plan```\n")
+      if (isBareRddScan(plan)) {
+        // the final frame is a checkpointed RDD: the real work ran at
+        // construction time — show it (most-downstream plans last; cap
+        // at the last 4, which for iterative builders are the rounds
+        // that matter, and say what was elided)
+        val real = captured.filterNot(isBareRddScan)
+        if (real.isEmpty) {
+          blind += 1
+          sb.append("\n*AUDIT BLIND: checkpoint-terminated with no " +
+            "captured pre-checkpoint plan.*\n")
+        } else {
+          if (real.size > 4)
+            sb.append(s"\n*${real.size - 4} earlier construction plans " +
+              "elided (iterative build).*\n")
+          real.takeRight(4).foreach { p =>
+            sb.append(s"\n### $name — materialized during construction\n\n")
+            sb.append(s"```\n$p```\n")
+          }
+        }
+      }
     }
     Files.writeString(Paths.get(out), sb.toString)
-    println(s"wrote $out (${Headline.size} plans)")
+    println(s"wrote $out (${Headline.size} plans, $blind blind)")
     spark.stop()
+    if (blind > 0) sys.exit(1)
   }
 }

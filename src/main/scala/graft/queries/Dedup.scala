@@ -1093,10 +1093,12 @@ object Dedup extends Registry {
     // nodes — yesterday's clusters are single vertices), and the
     // composed labels are EXACTLY the full rebuild's min-id labels:
     // each stored root is the min of its old cluster, so the min over
-    // merged roots is the global min (require()d ≡ rebuild
-    // row-for-row before emitting; the rebuild exists only as the
-    // contract instrument). Oracle: the full recursive-CTE closure —
-    // identical to q48's, because the maintained answer must be
+    // merged roots is the global min. The merge≡rebuild contract runs
+    // ONLY on the state-BUILD run (the one execution that already
+    // pays a full base pass) as a distributed symmetric anti-join
+    // count — never in the cached-state serve, whose cost is delta
+    // work alone. Oracle: the full recursive-CTE closure — identical
+    // to q48's, because the maintained answer must be
     // indistinguishable from a rebuild. At 100 TB: the daily cost is
     // fp/shingle work on the DELTA plus CC over a root-contracted
     // graph orders of magnitude smaller than the corpus graph.
@@ -1106,8 +1108,8 @@ object Dedup extends Registry {
       Some(dupClustersOracle),
       doc = "Duplicate clusters maintained incrementally: delta edges " +
         "attach through stored fp/shingle indexes, CC runs on the " +
-        "root-contracted graph, composed labels require()d equal to " +
-        "a from-scratch rebuild")
+        "root-contracted graph; merge-equals-rebuild checked " +
+        "distributed, on the state-build run only")
   )
 
   /** qb4 delta split: doc_id % 10 == 3 are "today's arrivals". */
@@ -1203,12 +1205,16 @@ object Dedup extends Registry {
         expr("transform(sh, x -> coalesce(x, CAST(0 AS BIGINT)))").as("sh"))
 
   /** The qb4 serve: today's delta attaches through the stored indexes,
-    * CC contracts over stored roots, labels compose — and the result
-    * is require()d equal to a from-scratch rebuild before emitting. */
+    * CC contracts over stored roots, labels compose. The merge≡rebuild
+    * contract runs ONLY on the state-build run — the one execution
+    * that already pays a full base pass — as a DISTRIBUTED symmetric
+    * anti-join count (dup-cluster row collections don't fit a driver
+    * at scale); every cached-state serve does delta work only, which
+    * is the entire point of the incremental family. */
   def ccIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.ensureRegistered(s)
-    val (stateDir, _) = loadOrBuildCcState(s, dir)
+    val (stateDir, built) = loadOrBuildCcState(s, dir)
     val assign = s.read.parquet(s"$stateDir/assign") // (id, root)
     val fpIndex = s.read.parquet(s"$stateDir/fpindex") // (fp, rep)
     val baseSh = readShingles(s, stateDir) // (doc_id, sh)
@@ -1247,22 +1253,21 @@ object Dedup extends Registry {
       .unionAll(dvd).localCheckpoint(true) // bounded: delta-incident
 
     val fin = contractAndCompose(assign, deltaEdges)
+    if (built) {
+      // merge ≡ rebuild, checked exactly once per state build (the
+      // run that already paid a full base pass), and distributed: the
+      // symmetric except count is 0 iff the (doc_id, cluster_id) sets
+      // are identical — nothing is collected to the driver
+      val rebuilt = dupClusterAssignments(s, dir)
+      val diverged = fin.except(rebuilt).count() +
+        rebuilt.except(fin).count()
+      require(diverged == 0,
+        s"qb4: maintained clusters diverged from rebuild " +
+          s"($diverged rows in the symmetric difference)")
+    }
     val wC = Window.partitionBy($"cluster_id")
-    val out = fin
-      .withColumn("cluster_size", count(lit(1)).over(wC))
+    fin.withColumn("cluster_size", count(lit(1)).over(wC))
       .orderBy($"cluster_id", $"doc_id")
-      .localCheckpoint(true) // cluster-rows-sized; feeds the require()
-    // the contract: maintained ≡ rebuild, row for row (the rebuild
-    // exists ONLY here, as the contract instrument)
-    val rebuilt = dupClusterAssignments(s, dir)
-      .withColumn("cluster_size", count(lit(1)).over(wC))
-      .orderBy($"cluster_id", $"doc_id")
-    val a = out.collect().toSeq
-    val b = rebuilt.collect().toSeq
-    require(a == b,
-      s"qb4: maintained clusters diverged from rebuild " +
-        s"(${a.size} vs ${b.size} rows)")
-    out
   }
 
   /** qb0: neighborhood width and the reversed-prefix bucket length. */

@@ -1249,23 +1249,30 @@ object Relational extends Registry {
     // additive grid, which needs care under redelivery; this is the
     // per-writer-delta + compaction shape real lakehouse ingest uses).
     // Serve: Σ over partials (model-sized: classes × brackets × a few
-    // batches) → the same report qa5 computes — and the query
-    // require()s serve ≡ a from-scratch rebuild row-for-row before
-    // emitting, so the oracle (identical to qa5's) gates the
-    // maintained path, not a shortcut. StreamingSpec drives the same
+    // batches) → the same report qa5 computes. The serve ≡ rebuild
+    // contract runs ONLY on the state-build run (distributed
+    // symmetric except count, qb4's rule) — cached-state serves never
+    // rescan the customer table; the oracle (identical to qa5's)
+    // still gates every emitted result. StreamingSpec drives the same
     // fold from a real foreachBatch stream with redelivery.
     QueryDef(
       "qa7_k_anonymity_incremental",
       (s, dir) => {
-        import s.implicits._
-        val (stateDir, _) = loadOrBuildKAnonState(s, dir)
-        val serve = kAnonServe(s, stateDir).localCheckpoint(true)
-        val rebuilt = kAnonymityAudit(Tables.table(s, dir, "customer"))
-        val a = serve.collect().toSeq
-        val b = rebuilt.collect().toSeq
-        require(a == b,
-          s"qa7: maintained audit diverged from rebuild " +
-            s"(${a.size} vs ${b.size} classes)")
+        val (stateDir, built) = loadOrBuildKAnonState(s, dir)
+        val serve = kAnonServe(s, stateDir)
+        if (built) {
+          // merge ≡ rebuild, checked once per state build (qb4's
+          // rule): distributed symmetric except count — the audit is
+          // class-sized today, but the contract instrument must not
+          // assume that at scale, and the serve path must not pay a
+          // customer-table rescan per execution
+          val rebuilt = kAnonymityAudit(Tables.table(s, dir, "customer"))
+          val diverged = serve.except(rebuilt).count() +
+            rebuilt.except(serve).count()
+          require(diverged == 0,
+            s"qa7: maintained audit diverged from rebuild " +
+              s"($diverged classes in the symmetric difference)")
+        }
         serve
       },
       Some(s"""WITH cls AS (
@@ -1574,34 +1581,34 @@ object Relational extends Registry {
     * because counter addition is exactly mergeable the drained state
     * equals a from-scratch build bit-for-bit, with no q9c-style
     * estimator caveat). The grid is collected to the driver before the
-    * overwrite (bounded), which also makes the read-modify-write safe
-    * against reading the directory being replaced. Additive counters
-    * are NOT naturally idempotent — a redelivered batch would
-    * double-count — so the fold carries q9n's applied-batch LEDGER:
-    * an already-applied batchId is skipped (the exactly-once-sink
-    * discipline over at-least-once delivery). */
+    * write (bounded). Additive counters are NOT naturally idempotent —
+    * a redelivered batch would double-count — so the fold carries an
+    * applied-batch LEDGER, and state + ledger commit in ONE atomic
+    * rename via [[VersionedState]]: a crash can never leave merged
+    * counters marked unapplied (the window the old write-grid-then-
+    * touch-marker order had), which is what makes at-least-once
+    * redelivery exactly-once at the sink. */
   def cmsFoldBatch(s: SparkSession, stateDir: String, batchId: Long,
       batch: DataFrame): Unit = {
     import s.implicits._
-    val appliedMark =
-      java.nio.file.Paths.get(stateDir, s"applied-$batchId")
-    if (java.nio.file.Files.exists(appliedMark)) return
-    val gridDir = java.nio.file.Paths.get(stateDir, "counters")
+    if (VersionedState.applied(stateDir, batchId)) return
     val bc = cmsCounters(batch.select($"user_id"))
       .withColumnRenamed("cnt", "cnt_new")
-    val merged =
-      if (java.nio.file.Files.exists(gridDir.resolve("_SUCCESS")))
-        s.read.parquet(gridDir.toString)
+    val merged = VersionedState.tablePath(stateDir, "counters") match {
+      case Some(grid) =>
+        s.read.parquet(grid.toString)
           .join(bc, Seq("d", "w"), "full")
           .select($"d", $"w",
             (coalesce($"cnt", lit(0L)) + coalesce($"cnt_new", lit(0L)))
               .as("cnt"))
-      else bc.select($"d", $"w", $"cnt_new".as("cnt"))
+      case None => bc.select($"d", $"w", $"cnt_new".as("cnt"))
+    }
     val rows = merged.collect() // bounded: ≤ depth×width rows
-    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
-        merged.schema)
-      .write.mode("overwrite").parquet(gridDir.toString)
-    java.nio.file.Files.createFile(appliedMark); ()
+    VersionedState.commit(stateDir, batchId) { vdir =>
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+          merged.schema)
+        .write.parquet(vdir.resolve("counters").toString)
+    }
   }
 
   def cmsIncremental(s: SparkSession, dir: String): DataFrame = {
@@ -1736,33 +1743,31 @@ object Relational extends Registry {
     * exactly mergeable the drained state equals a from-scratch
     * histogram bit-for-bit: q9e's lossless guarantee, not q9c's
     * estimator tolerance). The histogram is collected to the driver
-    * before the overwrite (bounded: ≤ ~1.1k rows), which also makes
-    * the read-modify-write safe against reading the directory being
-    * replaced. Additive — so q9n's applied-batch ledger guards
-    * redelivery (see cmsFoldBatch). */
+    * before the write (bounded: ≤ ~1.1k rows). Additive — so the
+    * applied-batch ledger guards redelivery, committed atomically
+    * with the histogram via [[VersionedState]] (see cmsFoldBatch). */
   def qtFoldBatch(s: SparkSession, stateDir: String, batchId: Long,
       batch: DataFrame): Unit = {
     import s.implicits._
-    val appliedMark =
-      java.nio.file.Paths.get(stateDir, s"applied-$batchId")
-    if (java.nio.file.Files.exists(appliedMark)) return
-    val histDir = java.nio.file.Paths.get(stateDir, "hist")
+    if (VersionedState.applied(stateDir, batchId)) return
     val bh = qtHist(batch
         .select(qtCentsOf($"l_extendedprice").as("cents")))
       .withColumnRenamed("cnt", "cnt_new")
-    val merged =
-      if (java.nio.file.Files.exists(histDir.resolve("_SUCCESS")))
-        s.read.parquet(histDir.toString)
+    val merged = VersionedState.tablePath(stateDir, "hist") match {
+      case Some(hist) =>
+        s.read.parquet(hist.toString)
           .join(bh, Seq("b"), "full")
           .select($"b",
             (coalesce($"cnt", lit(0L)) + coalesce($"cnt_new", lit(0L)))
               .as("cnt"))
-      else bh.select($"b", $"cnt_new".as("cnt"))
+      case None => bh.select($"b", $"cnt_new".as("cnt"))
+    }
     val rows = merged.collect() // bounded: ≤ |buckets| rows
-    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
-        merged.schema)
-      .write.mode("overwrite").parquet(histDir.toString)
-    java.nio.file.Files.createFile(appliedMark); ()
+    VersionedState.commit(stateDir, batchId) { vdir =>
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+          merged.schema)
+        .write.parquet(vdir.resolve("hist").toString)
+    }
   }
 
   /** ceil(p·n / 100) over in-scope columns `p`/`n`, in pure integer

@@ -1482,39 +1482,44 @@ object TextOps extends Registry {
     * Count addition is exactly mergeable, so the drained state equals
     * a from-scratch build bit-for-bit, no estimator caveat. Tables are
     * collected to the driver before the overwrite — bounded: the LM is
-    * vocab-sized (corpus-size-independent once the vocab saturates),
-    * and the collect also makes the read-modify-write safe against
-    * reading the directory being replaced. Additive — so q9n's
-    * applied-batch ledger guards redelivery (see
-    * Relational.cmsFoldBatch). */
+    * vocab-sized (corpus-size-independent once the vocab saturates).
+    * Additive — so the applied-batch ledger guards redelivery, and
+    * BOTH tables + ledger commit in ONE atomic rename via
+    * [[graft.queries.VersionedState]] (see Relational.cmsFoldBatch):
+    * the old write-bigram, write-unigram, touch-marker order had two
+    * crash windows — a marker-less crash after the bigram write would
+    * double-count bigrams on redelivery. */
   def lmFoldBatch(s: SparkSession, stateDir: String, batchId: Long,
       batch: DataFrame): Unit = {
     import s.implicits._
-    val appliedMark =
-      java.nio.file.Paths.get(stateDir, s"applied-$batchId")
-    if (java.nio.file.Files.exists(appliedMark)) return
+    import graft.queries.VersionedState
+    if (VersionedState.applied(stateDir, batchId)) return
     val ws = batch.select($"doc_id", split($"text", " ").as("ws"))
     val (bigB, uniB) = lmCountsOf(ws)
-    def fold(dirName: String, add: DataFrame, keys: Seq[String],
-        cnt: String): Unit = {
-      val d = java.nio.file.Paths.get(stateDir, dirName)
+    def foldRows(dirName: String, add: DataFrame, keys: Seq[String],
+        cnt: String): (Array[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType) = {
       val renamed = add.withColumnRenamed(cnt, "cnt_new")
-      val merged =
-        if (java.nio.file.Files.exists(d.resolve("_SUCCESS")))
+      val merged = VersionedState.tablePath(stateDir, dirName) match {
+        case Some(d) =>
           s.read.parquet(d.toString)
             .join(renamed, keys, "full")
             .select(keys.map(col) :+
               (coalesce(col(cnt), lit(0L)) + coalesce(col("cnt_new"), lit(0L)))
                 .as(cnt): _*)
-        else renamed.select(keys.map(col) :+ col("cnt_new").as(cnt): _*)
-      val rows = merged.collect() // bounded: vocab-sized
-      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
-          merged.schema)
-        .write.mode("overwrite").parquet(d.toString)
+        case None =>
+          renamed.select(keys.map(col) :+ col("cnt_new").as(cnt): _*)
+      }
+      (merged.collect(), merged.schema) // bounded: vocab-sized
     }
-    fold("bigram", bigB, Seq("a", "b"), "c12")
-    fold("unigram", uniB, Seq("w"), "c1")
-    java.nio.file.Files.createFile(appliedMark); ()
+    val (bigRows, bigSchema) = foldRows("bigram", bigB, Seq("a", "b"), "c12")
+    val (uniRows, uniSchema) = foldRows("unigram", uniB, Seq("w"), "c1")
+    VersionedState.commit(stateDir, batchId) { vdir =>
+      s.createDataFrame(s.sparkContext.parallelize(bigRows.toSeq, 1),
+        bigSchema).write.parquet(vdir.resolve("bigram").toString)
+      s.createDataFrame(s.sparkContext.parallelize(uniRows.toSeq, 1),
+        uniSchema).write.parquet(vdir.resolve("unigram").toString)
+    }
   }
 
   def lmIncremental(s: SparkSession, dir: String): DataFrame = {

@@ -259,6 +259,33 @@ class PlanShapeSpec extends AnyFunSuite {
       "user_id bound did not reach PushedFilters through the typed fold")
   }
 
+  test("PLANS.md: every headline section audits real work — a bare " +
+    "ExistingRDD scan must carry captured construction plans") {
+    // the r14 blind spot: a checkpoint-terminated query's visible plan
+    // is just the scan of the materialized RDD, so its PLANS.md entry
+    // showed no work. PlanAudit now captures the checkpointed
+    // computations via a QueryExecutionListener; this gates the
+    // COMMITTED artifact — regenerate with
+    //   sbt "runMain graft.PlanAudit /root/testdata/sf0.01 PLANS.md"
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("PLANS.md"))
+    assert(!text.contains("AUDIT BLIND"),
+      "PLANS.md carries a blind (checkpoint-terminated, uncaptured) entry")
+    val sections = text.split("\n## ").drop(1)
+    val names = sections.map(_.linesIterator.next().trim).toSet
+    graft.PlanAudit.Headline.foreach(n =>
+      assert(names.contains(n), s"PLANS.md is stale: missing $n"))
+    sections.foreach { sec =>
+      val name = sec.linesIterator.next().trim
+      val blocks = "(?s)```\n(.*?)```".r.findAllMatchIn(sec)
+        .map(_.group(1)).toSeq
+      assert(blocks.nonEmpty, s"$name: no plan block")
+      if (graft.PlanAudit.isBareRddScan(blocks.head))
+        assert(blocks.tail.exists(b => !graft.PlanAudit.isBareRddScan(b)),
+          s"$name: bare Scan ExistingRDD with no captured construction plan")
+    }
+  }
+
   test("q52: dead embedding column does not ride the argmax exchange") {
     val p = plan("q52_ivf_assign")
     val exchangeInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
@@ -306,12 +333,13 @@ object PlanShapeSpec {
     // run driver-side recall require()s; qa5's kernel collects its
     // class-level suppression scalar; qa2-style bounded collects
     "q5b_ann_recall", "q5f_ann_recall_partitioned",
-    // qa7 builds its per-batch partial state and collect-compares the
-    // serve against a rebuild inside fn
+    // qa7 builds its per-batch partial state (and, on the build run
+    // only, checks serve ≡ rebuild distributed) inside fn
     "qa7_k_anonymity_incremental",
     // qb2 runs the full Lloyd training loop (per-iteration collects)
     // and a driver-side recall require() inside fn
     "qb2_ann_recall_trained",
-    // qb4 builds stored CC state and collect-compares vs a rebuild
+    // qb4 builds stored CC state (and, on the build run only, checks
+    // merge ≡ rebuild distributed) inside fn
     "qb4_cc_incremental")
 }

@@ -505,9 +505,11 @@ class StreamingSpec extends AnyFunSuite {
     try query.processAllAvailable() finally query.stop()
     assert(folds.get() == 3, s"expected 3 per-file folds, got ${folds.get()}")
 
-    val streamed = spark.read
-      .parquet(java.nio.file.Paths.get(stateDir, "counters").toString)
+    def grid() = spark.read
+      .parquet(graft.queries.VersionedState
+        .tablePath(stateDir, "counters").get.toString)
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = grid()
     val rebuilt = graft.queries.Relational.cmsCounters(events)
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(streamed == rebuilt && rebuilt.nonEmpty,
@@ -517,10 +519,22 @@ class StreamingSpec extends AnyFunSuite {
     // (the applied-batch ledger — additive counters would otherwise
     // double-count)
     graft.queries.Relational.cmsFoldBatch(spark, stateDir, 0L, events)
-    val after = spark.read
-      .parquet(java.nio.file.Paths.get(stateDir, "counters").toString)
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(after == streamed, "redelivered batchId mutated the grid")
+    assert(grid() == streamed, "redelivered batchId mutated the grid")
+    // atomicity: the applied ledger lives INSIDE the committed version
+    // (state and markers swap in one rename — no window where merged
+    // counters sit marked unapplied), and a torn pre-swap crash (an
+    // orphan version dir that never got the CURRENT swap) must neither
+    // be served nor confuse the ledger
+    val live = graft.queries.VersionedState.current(stateDir).get
+    assert(Seq(0L, 1L, 2L).forall(b => java.nio.file.Files
+      .exists(live.resolve(s"_applied-$b"))), "ledger not inside version")
+    val orphan = live.getParent.resolve("v-99-deadbeef")
+    java.nio.file.Files.createDirectories(orphan)
+    assert(!graft.queries.VersionedState.applied(stateDir, 99L))
+    assert(graft.queries.VersionedState.current(stateDir).get == live,
+      "an uncommitted version dir changed the served state")
+    graft.queries.Relational.cmsFoldBatch(spark, stateDir, 0L, events)
+    assert(grid() == streamed, "orphan dir broke redelivery idempotence")
   }
 
   test("streaming quantile-histogram maintenance: per-trigger bucket " +
@@ -555,9 +569,11 @@ class StreamingSpec extends AnyFunSuite {
     try query.processAllAvailable() finally query.stop()
     assert(folds.get() == 3, s"expected 3 per-file folds, got ${folds.get()}")
 
-    val streamed = spark.read
-      .parquet(java.nio.file.Paths.get(stateDir, "hist").toString)
+    def hist() = spark.read
+      .parquet(graft.queries.VersionedState
+        .tablePath(stateDir, "hist").get.toString)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = hist()
     val rebuilt = graft.queries.Relational.qtHist(
         li.select(graft.queries.Relational
           .qtCentsOf(col("l_extendedprice")).as("cents")))
@@ -567,10 +583,7 @@ class StreamingSpec extends AnyFunSuite {
 
     // redelivery: an already-applied batchId must be skipped
     graft.queries.Relational.qtFoldBatch(spark, stateDir, 1L, li)
-    val after = spark.read
-      .parquet(java.nio.file.Paths.get(stateDir, "hist").toString)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(after == streamed, "redelivered batchId mutated the histogram")
+    assert(hist() == streamed, "redelivered batchId mutated the histogram")
   }
 
   test("streaming per-day HLL maintenance: trigger folds equal a " +
@@ -985,11 +998,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(folds.get() == 3, s"expected 3 per-file folds, got ${folds.get()}")
 
     val sBig = spark.read
-      .parquet(java.nio.file.Paths.get(stateDir, "bigram").toString)
+      .parquet(graft.queries.VersionedState
+        .tablePath(stateDir, "bigram").get.toString)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
     val sUni = spark.read
-      .parquet(java.nio.file.Paths.get(stateDir, "unigram").toString)
+      .parquet(graft.queries.VersionedState
+        .tablePath(stateDir, "unigram").get.toString)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // from-scratch counting pass over the full corpus, written inline
     // with standard functions — independent of the TextOps helpers
