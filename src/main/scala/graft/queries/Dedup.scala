@@ -1005,20 +1005,25 @@ object Dedup extends Registry {
     // blocking (prefix + suffix + sorted-neighborhood) is the standard
     // fix and shares this plan shape. Cross-engine exactness needs one
     // normalization: Spark's levenshtein counts CODEPOINTS while
-    // DuckDB's counts BYTES (levenshtein('café','cafe') = 1 vs 2), so
-    // the compared title is ASCII-PROJECTED on both sides (non-ASCII
-    // codepoints stripped) — on pure-ASCII strings codepoint distance
-    // ≡ byte distance, making "every pair and distance hash-compares
-    // exactly" hold on multilingual corpora instead of only
-    // accidentally on this one. Production ER would fold the
-    // projection into its usual case/accent normalization pass.
+    // DuckDB's counts BYTES (levenshtein('café','cafe') = 1 vs 2).
+    // Both engines therefore compute the distance on the SAME basis —
+    // UTF-8 bytes: Spark re-reads the title's UTF-8 bytes as
+    // ISO-8859-1 (one char per byte, `byteStr`), making its codepoint
+    // distance over the projection equal DuckDB's native byte
+    // distance over the raw title — so non-ASCII titles are MATCHED,
+    // not stripped (the r14 form ASCII-projected both sides, which
+    // was honest but blind to multilingual near-dups). Slicing,
+    // blocking, and ordering agree without projection: substr/reverse
+    // are codepoint-based in both engines and BMP codepoint order ==
+    // UTF-8 byte order (caveat, documented: astral-plane titles sort
+    // differently in UTF-16, and DuckDB's reverse is grapheme-aware —
+    // combining sequences belong to a normalization pass upstream).
     QueryDef(
       "q9z_fuzzy_join",
       (s, dir) => fuzzyJoin(table(s, dir, "documents")),
       Some(s"""WITH t AS (
              |  SELECT doc_id,
-             |    regexp_replace(substr(text, 1, $FuzzyTitleLen),
-             |      '[^\\x00-\\x7F]', '', 'g') AS title,
+             |    substr(text, 1, $FuzzyTitleLen) AS title,
              |    substr(text, 1, $FuzzyBlockLen) AS blk
              |  FROM documents)
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1045,15 +1050,15 @@ object Dedup extends Registry {
     // bucket boundary only by differing in the title's last 2 chars —
     // which is a suffix edit, the case the PREFIX pass catches: the
     // two passes are complementary, and the missed_by_prefix_block
-    // column shows it as data (pairs only this pass finds). Same
-    // ASCII-projected titles as q9z so the distances replay exactly.
+    // column shows it as data (pairs only this pass finds). Distances
+    // share q9z's UTF-8-byte basis (byteStr projection Spark-side, the
+    // native basis DuckDB-side) so non-ASCII titles match exactly.
     QueryDef(
       "qb0_sorted_neighborhood",
       (s, dir) => sortedNeighborhoodJoin(table(s, dir, "documents")),
       Some(s"""WITH t AS (
              |  SELECT doc_id,
-             |    regexp_replace(substr(text, 1, $FuzzyTitleLen),
-             |      '[^\\x00-\\x7F]', '', 'g') AS title
+             |    substr(text, 1, $FuzzyTitleLen) AS title
              |  FROM documents),
              |r AS (
              |  SELECT doc_id, title, reverse(title) AS skey,
@@ -1282,8 +1287,7 @@ object Dedup extends Registry {
     import s.implicits._
     val r = docs
       .select($"doc_id",
-        regexp_replace(substring($"text", 1, FuzzyTitleLen),
-          "[^\\x00-\\x7F]", "").as("title"))
+        substring($"text", 1, FuzzyTitleLen).as("title"))
       .withColumn("skey", reverse($"title"))
       .withColumn("bkt", substring($"skey", 1, SnmBucketLen))
       .withColumn("rn", row_number().over(
@@ -1299,10 +1303,8 @@ object Dedup extends Registry {
     probes.join(r, Seq("bkt", "rn"))
       .select(least($"id_a", $"doc_id").as("doc_a"),
         greatest($"id_a", $"doc_id").as("doc_b"),
-        levenshtein($"title_a", $"title").cast("long").as("lev"),
-        // compared on the PROJECTED title prefix (q9z's blk is the raw
-        // text prefix — identical on ASCII, and the projected form is
-        // the consistent basis once titles are multilingual)
+        levenshtein(byteStr($"title_a"), byteStr($"title"))
+          .cast("long").as("lev"),
         (substring($"title_a", 1, FuzzyBlockLen) =!=
           substring($"title", 1, FuzzyBlockLen))
           .as("missed_by_prefix_block"))
@@ -1310,28 +1312,38 @@ object Dedup extends Registry {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** q9z: title slice, blocking-prefix length, and the match radius. */
+  /** q9z: title slice, blocking-prefix length, and the match radius
+    * (the radius is in UTF-8 BYTES — the basis both engines share). */
   val FuzzyTitleLen = 24
   val FuzzyBlockLen = 8
   val FuzzyMaxLev = 6
 
+  /** Byte-basis Levenshtein operand: the string's UTF-8 bytes re-read
+    * as ISO-8859-1 — one char per byte, so Spark's codepoint
+    * Levenshtein over the projection equals DuckDB's native byte
+    * distance over the raw string. This is what lets q9z/qb0 match
+    * non-ASCII titles instead of stripping them (see q9z's QueryDef
+    * comment for the full cross-engine basis analysis). */
+  private def byteStr(c: Column): Column =
+    decode(encode(c, "UTF-8"), "ISO-8859-1")
+
   /** The q9z kernel over an explicit (doc_id, text) frame — factored
-    * so the spec can drive planted near-duplicates through it. The
-    * compared title is ASCII-projected (see the QueryDef comment:
-    * Spark lev counts codepoints, DuckDB bytes — identical only on
-    * ASCII). */
+    * so the spec can drive planted near-duplicates through it.
+    * Distances are UTF-8-byte-basis via [[byteStr]] (Spark lev counts
+    * codepoints, DuckDB bytes — the projection puts Spark on DuckDB's
+    * basis, exact for any input). */
   def fuzzyJoin(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val t = docs
       .select($"doc_id",
-        regexp_replace(substring($"text", 1, FuzzyTitleLen),
-          "[^\\x00-\\x7F]", "").as("title"),
+        substring($"text", 1, FuzzyTitleLen).as("title"),
         substring($"text", 1, FuzzyBlockLen).as("blk"))
     t.as("a").join(t.as("b"),
         $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        levenshtein($"a.title", $"b.title").cast("long").as("lev"))
+        levenshtein(byteStr($"a.title"), byteStr($"b.title"))
+          .cast("long").as("lev"))
       .filter($"lev" <= FuzzyMaxLev)
       .orderBy($"doc_a", $"doc_b")
   }

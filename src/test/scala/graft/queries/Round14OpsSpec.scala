@@ -142,14 +142,15 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(row.getBoolean(4), "5-sigma contract violated")
   }
 
-  test("q9z fuzzy join: non-ASCII titles are ASCII-projected so the " +
-    "Spark distance equals DuckDB's byte-based distance") {
+  test("q9z fuzzy join: non-ASCII titles compare on the UTF-8 byte " +
+    "basis, so the Spark distance equals DuckDB's byte-based distance") {
     import spark.implicits._
     // 'café…' vs 'cafe…': raw Spark lev = 1 (codepoints) but DuckDB
-    // lev = 2 (bytes). Projected both become 'caf…' vs 'cafe…' → 1 on
-    // BOTH engines. The pair shares an 8-char block prefix after the
-    // divergence point... careful: block is the RAW prefix, so keep
-    // the edit beyond char 8.
+    // lev = 2 (bytes: é is C3 A9 → substitute + delete). Since r15 the
+    // Spark side projects the title to one-char-per-UTF-8-byte before
+    // the distance, so BOTH engines report 2 and the pair is matched
+    // instead of stripped. The edit sits beyond char 8 so the raw
+    // prefix blocks agree.
     val docs = Seq(
       (1L, "shared-bk café title x"),
       (2L, "shared-bk cafe title x")).toDF("doc_id", "text")
@@ -157,9 +158,6 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out.length == 1)
     val r = out.head
     assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
-    // projected: "shared-bk caf title x" vs "shared-bk cafe title x"
-    // → one insertion = distance 1, the byte distance DuckDB computes
-    // on the same projected strings
-    assert(r.getLong(2) == 1L, s"expected projected distance 1, got $r")
+    assert(r.getLong(2) == 2L, s"expected byte distance 2, got $r")
   }
 }

