@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavImaEncodeExpr, WavImaSamplesExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wavEncode)
     ext.injectFunction(GraftExtensions.wavSamples)
     ext.injectFunction(GraftExtensions.wavRate)
+    ext.injectFunction(GraftExtensions.wavImaEncode)
+    ext.injectFunction(GraftExtensions.wavImaSamples)
     ext.injectFunction(GraftExtensions.bmpEncode)
     ext.injectFunction(GraftExtensions.bmpPixels)
     ext.injectFunction(GraftExtensions.bmpWidth)
@@ -153,6 +155,18 @@ object GraftExtensions {
     FunctionIdentifier("wav_sample_rate"),
     new ExpressionInfo(classOf[WavSampleRateExpr].getName, "wav_sample_rate"),
     (args: Seq[Expression]) => WavSampleRateExpr(args.head))
+
+  private val wavImaEncode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("wav_ima_encode"),
+    new ExpressionInfo(classOf[WavImaEncodeExpr].getName, "wav_ima_encode"),
+    (args: Seq[Expression]) => WavImaEncodeExpr(args(0), args(1)))
+
+  private val wavImaSamples: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("wav_ima_samples"),
+    new ExpressionInfo(classOf[WavImaSamplesExpr].getName, "wav_ima_samples"),
+    (args: Seq[Expression]) => WavImaSamplesExpr(args.head))
 
   private val bmpEncode: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
@@ -354,6 +368,7 @@ object GraftExtensions {
       .sessionState.functionRegistry
     for (fn <- Seq(minhashBands, simhash64, vecDot, shingleHashes,
         shingleStrings, jaccardSorted, wavEncode, wavSamples, wavRate,
+        wavImaEncode, wavImaSamples,
         bmpEncode, bmpPixels, bmpWidth, bmpHeight, bpeMergeWord,
         aviEncode, aviFrames, anchorWindows, pngEncode, pngPixels,
         pngRgbEncode, pngRgbPixels, pngPaletteEncode, pngPaletteRgb,

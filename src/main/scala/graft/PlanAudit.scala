@@ -82,6 +82,7 @@ object PlanAudit {
     "q9y_contamination_matrix", // digest-keyed source-pair join
     "q9v_schema_evolution",   // mergeSchema scan + era partition pruning
     "q8h_audio_wht_bands",    // integer WHT bands, narrow codegen pass
+    "q8k_adpcm_audio",        // compressed-audio decode, narrow codegen pass
     "q8i_scene_cuts",         // array-native frame pairing, no self-join
     "q7c_zorder_incremental", // victims-only z-merge, manifest refs
     "q9z_fuzzy_join",         // prefix-block equi-join + bounded levenshtein

@@ -1336,6 +1336,106 @@ object Multimodal extends Registry {
         "in-band"),
 
     // ------------------------------------------------------------------
+    // q8k: IMA ADPCM DECODE — the COMPRESSED audio codec, closing the
+    // per-modality symmetry the image side already has (PNG = zlib,
+    // JPEG = huffman+DCT; audio stopped at uncompressed PCM16). IMA
+    // ADPCM (RIFF wFormatTag 0x11) is the classic 4:1
+    // adaptive-differential codec: each 4-bit nibble advances an
+    // integer predictor by a step-table delta and adapts the step
+    // index — ALL integer arithmetic, so the oracle replays the full
+    // predictor chain from payload hex (a single list fold carrying
+    // [stepIndex] ++ samples — no float, no tolerance). The container
+    // is real multi-block structure: 36-byte blocks whose 4-byte
+    // headers carry the RUNNING (predictor, stepIndex) — the format's
+    // byte-aligned resync machinery (q8j's restart markers, audio
+    // edition), with the header predictor emitted as the block's first
+    // sample per the standard. In-band pins: n_blocks is computed from
+    // the SAMPLE-COUNT IDENTITY n_samples − 2·payload_bytes (each
+    // byte = 2 nibble samples, each block adds 1 header sample)
+    // against the oracle's analytic ceil(bytes/32) — any lost header,
+    // dropped nibble, or block misalignment breaks it; final_predictor
+    // pins the entire chain; the positional checksum pins every
+    // sample in order. Plan: encode+decode fuse into one narrow
+    // codegen projection per asset, per-row reductions (no explode);
+    // the only shuffle is the final sort. At 100 TB: embarrassingly
+    // parallel per-asset decode, scalar summaries ship.
+    QueryDef(
+      "q8k_adpcm_audio",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        corpus(s, dir).filter(col("modality") === "audio")
+          .filter(expr("octet_length(payload) >= 1"))
+          .select(col("doc_id"),
+            octet_length(col("payload")).as("nb"),
+            expr("wav_ima_samples(wav_ima_encode(payload, 8000))")
+              .as("smp"))
+          .select(col("doc_id"),
+            size(col("smp")).as("n_samples"),
+            (size(col("smp")) - lit(2) * col("nb")).cast("long")
+              .as("n_blocks"),
+            element_at(col("smp"), -1).as("final_predictor"),
+            expr("aggregate(smp, CAST(0 AS BIGINT), (a, x) -> a + x)")
+              .as("sample_sum"),
+            expr("aggregate(sequence(0, size(smp) - 1), " +
+              "CAST(0 AS BIGINT), (acc, i) -> " +
+              "acc + element_at(smp, CAST(i + 1 AS INT)) * ((i % 1000) + 1))")
+              .as("pos_checksum"),
+            array_min(col("smp")).as("min_sample"),
+            array_max(col("smp")).as("max_sample"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH a AS (
+             |  SELECT doc_id, encode(text) AS b FROM documents
+             |  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 1),
+             |nib AS (
+             |  SELECT doc_id, octet_length(b) AS nbytes,
+             |    flatten([[v & 15, v >> 4] FOR v IN
+             |      [CAST(('0x' || substr(hex(b), 2*i+1, 2)) AS INT)
+             |       for i in range(0, octet_length(b))]]) AS ns
+             |  FROM a),
+             |ded AS (
+             |  SELECT doc_id, nbytes,
+             |    reduce(
+             |      [[0]] || [[ns[g+1], g] for g in range(0, len(ns))],
+             |      (acc, x) ->
+             |        [least(88, greatest(0,
+             |           acc[1] + [-1,-1,-1,-1,2,4,6,8][(x[1] & 7) + 1]))]
+             |        || acc[2:]
+             |        || CASE WHEN (x[2] % 64) = 0
+             |             THEN [CASE WHEN len(acc) >= 2
+             |                        THEN acc[-1] ELSE 0 END]
+             |             ELSE CAST([] AS INTEGER[]) END
+             |        || [least(32767, greatest(-32768,
+             |             CASE WHEN len(acc) >= 2 THEN acc[-1] ELSE 0 END
+             |             + (CASE WHEN (x[1] & 8) != 0 THEN -1 ELSE 1 END)
+             |               * (($ImaStepsSql[acc[1] + 1] >> 3)
+             |                  + CASE WHEN (x[1] & 4) != 0
+             |                         THEN $ImaStepsSql[acc[1] + 1]
+             |                         ELSE 0 END
+             |                  + CASE WHEN (x[1] & 2) != 0
+             |                         THEN ($ImaStepsSql[acc[1] + 1] >> 1)
+             |                         ELSE 0 END
+             |                  + CASE WHEN (x[1] & 1) != 0
+             |                         THEN ($ImaStepsSql[acc[1] + 1] >> 2)
+             |                         ELSE 0 END)))]
+             |      )[2:] AS smp
+             |  FROM nib)
+             |SELECT doc_id,
+             |  CAST(len(smp) AS INTEGER) AS n_samples,
+             |  CAST((nbytes + 31) // 32 AS BIGINT) AS n_blocks,
+             |  smp[-1] AS final_predictor,
+             |  CAST(list_sum(smp) AS BIGINT) AS sample_sum,
+             |  CAST(list_sum([smp[i+1] * CAST((i % 1000) + 1 AS BIGINT)
+             |    for i in range(0, len(smp))]) AS BIGINT) AS pos_checksum,
+             |  list_min(smp) AS min_sample,
+             |  list_max(smp) AS max_sample
+             |FROM ded ORDER BY doc_id""".stripMargin),
+      doc = "Real IMA ADPCM decode (multi-block container, running-" +
+        "state headers): integer predictor chain replayed nibble-for-" +
+        "nibble by the oracle, block structure pinned by the sample-" +
+        "count identity"),
+
+    // ------------------------------------------------------------------
     // q8h: SPECTRAL BAND ANALYSIS over real decoded audio — the
     // frequency-domain feature pass every audio pipeline runs after
     // decode (VAD banding, music/speech discrimination, spectral
@@ -1548,6 +1648,12 @@ object Multimodal extends Registry {
     * coprime to the row width so restarts land mid-row. */
   val JpegRstWb = 4
   val JpegRstInterval = 3
+
+  /** The IMA step table as a DuckDB list literal, for q8k's oracle
+    * (the single source of truth is
+    * `graft.expressions.WavImaAdpcm.StepTable`). */
+  private val ImaStepsSql: String =
+    graft.expressions.WavImaAdpcm.StepTable.mkString("[", ",", "]")
 
   /** q8i: bytes per encoded AVI frame (the q86 geometry) and the L1
     * cut threshold — near the expected distance of two independent
