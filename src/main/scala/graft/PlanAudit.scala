@@ -98,7 +98,8 @@ object PlanAudit {
     "qb2_ann_recall_trained", // trained-cell routing + candidate rerank
     "qb3_embedding_hygiene",  // one multi-aggregate hygiene scan
     "qb4_cc_incremental",     // contracted-graph CC + composed labels
-    "qb5_classifier_auc")     // per-score histogram AUC, no global sort
+    "qb5_classifier_auc",     // per-score histogram AUC, no global sort
+    "qb6_graph_ann")          // stored navigable graph, beam-walk serve
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated

@@ -692,8 +692,16 @@ object Relational extends Registry {
     // small-star CC operator, which is also the 100 TB path for
     // unbounded-diameter graphs — native recursion ships one join+
     // shuffle per LEVEL, perfect for shallow hierarchies, wrong for
-    // deep components. The oracle runs the IDENTICAL recursive program
-    // in DuckDB — independent recursive evaluation, same fixpoint.
+    // deep components. Because the readout only needs COUNTS, the
+    // anchor pre-aggregates to (parent, n_children) — path counts
+    // compose linearly through a DAG, so carrying one weighted row
+    // per distinct parent instead of one row per (child, ancestor)
+    // path is exact and shrinks every recursion level by the fan-in
+    // (~10× here: orders collapse onto customers before level 2; at
+    // 100 TB the recursion carries dimension-sized frontiers, not
+    // fact-sized ones). The oracle runs the IDENTICAL recursive
+    // program in DuckDB — independent recursive evaluation, same
+    // fixpoint.
     QueryDef(
       "q1e_recursive_hierarchy",
       (s, dir) => {
@@ -708,13 +716,14 @@ object Relational extends Registry {
             .select(concat(lit("n:"), $"n_nationkey"),
               concat(lit("r:"), $"n_regionkey")))
         edges.createOrReplaceTempView("g_entity_edges")
-        s.sql("""WITH RECURSIVE anc(child, ancestor, depth) AS (
-                |  SELECT child, parent, 1 FROM g_entity_edges
+        s.sql("""WITH RECURSIVE anc(ancestor, depth, cnt) AS (
+                |  SELECT parent, 1, count(*) FROM g_entity_edges
+                |  GROUP BY parent
                 |  UNION ALL
-                |  SELECT a.child, e.parent, a.depth + 1
+                |  SELECT e.parent, a.depth + 1, a.cnt
                 |  FROM anc a JOIN g_entity_edges e ON a.ancestor = e.child)
-                |SELECT depth, count(*) AS n_paths,
-                |  sum(CASE WHEN ancestor LIKE 'r:%' THEN 1 ELSE 0 END)
+                |SELECT depth, sum(cnt) AS n_paths,
+                |  sum(CASE WHEN ancestor LIKE 'r:%' THEN cnt ELSE 0 END)
                 |    AS n_to_region
                 |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
       },
@@ -725,13 +734,13 @@ object Relational extends Registry {
              |  SELECT 'c:' || c_custkey, 'n:' || c_nationkey FROM customer
              |  UNION ALL
              |  SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation),
-             |anc(child, ancestor, depth) AS (
-             |  SELECT child, parent, 1 FROM e
+             |anc(ancestor, depth, cnt) AS (
+             |  SELECT parent, 1, count(*) FROM e GROUP BY parent
              |  UNION ALL
-             |  SELECT a.child, e.parent, a.depth + 1
+             |  SELECT e.parent, a.depth + 1, a.cnt
              |  FROM anc a JOIN e ON a.ancestor = e.child)
-             |SELECT depth, count(*) AS n_paths,
-             |  CAST(sum(CASE WHEN ancestor LIKE 'r:%' THEN 1 ELSE 0 END)
+             |SELECT depth, CAST(sum(cnt) AS BIGINT) AS n_paths,
+             |  CAST(sum(CASE WHEN ancestor LIKE 'r:%' THEN cnt ELSE 0 END)
              |       AS BIGINT) AS n_to_region
              |FROM anc GROUP BY depth ORDER BY depth""".stripMargin),
       doc = "Native recursive CTE: depth-independent ancestor traversal of the entity DAG"),

@@ -2128,7 +2128,41 @@ object Similarity extends Registry {
              |GROUP BY cell ORDER BY cell""".stripMargin),
       doc = "IVF cell directory incrementally maintained: stored base " +
         "stats + delta-only assignment, additive merge pinned " +
-        "bit-for-bit to full reassignment")
+        "bit-for-bit to full reassignment"),
+
+    // ------------------------------------------------------------------
+    // qb6: GRAPH-BASED ANN (NSW class) — the industry-default index
+    // family (HNSW/NSW) gets its bounded, oracle-honest
+    // representative, closing the ANN taxonomy next to LSH (q51),
+    // IVF (q52/q57), PQ (q55/q56), and int8 (q5d). True incremental
+    // NSW insertion is order-dependent (research-grade to
+    // distribute), so the build here is the DETERMINISTIC member of
+    // the class: a per-partition bidirected exact M-NN graph — the
+    // navigable-graph core NN-descent converges to — built from a
+    // BOUNDED all-pairs inside each hash partition (q44's rationale:
+    // the quadratic term is |corpus/P|² per partition, P grows with
+    // the corpus at scale), then searched exactly the way NSW
+    // serves: greedy BEAM WALK from a per-partition entry point, H
+    // hops, expanding the current beam through graph edges and
+    // keeping the top-B by cosine, with a broadcast route-merge of
+    // the per-partition results (q57's nprobe shape). Every stage is
+    // deterministic (rounded cosine + vec_id tiebreaks), so the
+    // ORACLE REPLAYS THE WHOLE INDEX: graph build, every hop's beam,
+    // the route merge — not just the ground truth. The q5b recall
+    // discipline on top: recall@5 vs the stored exact top-5, floor
+    // require()d driver-side, per-query rows + micro-averaged mean
+    // emitted as data. At 100 TB: build is per-partition all-pairs
+    // (bounded, embarrassingly parallel), search cost is
+    // H·B·degree·P per query — independent of corpus size within a
+    // partition budget — and hop count is the honest knob the
+    // contract watches.
+    QueryDef(
+      "qb6_graph_ann",
+      (s, dir) => nswRecall(s, dir),
+      Some(nswRecallOracle),
+      doc = "Graph-ANN (NSW class): deterministic per-partition " +
+        "navigable graph + greedy beam search + route merge, fully " +
+        "replayed by the oracle, recall@5 floor-gated vs exact top-5")
   )
 
   // ------------------------------------------------------------------
@@ -2481,4 +2515,224 @@ object Similarity extends Registry {
        |SELECT t.q_id, t.neighbor_id, t.qcos, r.recall5
        |FROM top t JOIN rec r ON t.q_id = r.q_id
        |ORDER BY t.q_id, t.qcos DESC, t.neighbor_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // qb6: graph-ANN machinery (see the QueryDef for design).
+  // ------------------------------------------------------------------
+  val NswParts = 8
+  val NswM = 6
+  val NswBeam = 8
+  val NswHops = 4
+  /** Mean-recall@5 floor. Observed 1.0 at sf0.001/sf0.01 (beam covers
+    * the small partitions) and high at sf0.1; pinned conservatively —
+    * like q5b's families, the FLOOR is the contract, the emitted
+    * per-query recalls are the measurement. */
+  val NswRecallPin = 0.5
+
+  private def withPt(c: DataFrame): DataFrame =
+    c.withColumn("pt", pmod(col("vec_id"), lit(NswParts)))
+
+  /** The deterministic navigable-graph build: per-partition bidirected
+    * exact M-NN (bounded all-pairs inside each hash partition; ties
+    * broken on rounded cosine + vec_id so the oracle builds the
+    * identical graph). */
+  private[queries] def nswEdgesOn(c: DataFrame): DataFrame = {
+    val p = withPt(c)
+    val scored = p.as("a").join(p.as("b"),
+        col("a.pt") === col("b.pt") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.pt").as("pt"), col("a.vec_id").as("src"),
+        col("b.vec_id").as("dst"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)
+          .as("cos"))
+    val w = Window.partitionBy(col("pt"), col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val knn = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NswM).select(col("pt"), col("src"), col("dst"))
+    knn.unionAll(knn.select(col("pt"), col("dst").as("src"),
+      col("src").as("dst"))).distinct()
+  }
+
+  /** Content-addressed stored graph for the SF corpus — an ANN index
+    * is built once and served many times (q99/q5b's stored-state
+    * discipline): the bidirected M-NN edge list (≤ n × 2M rows) keyed
+    * on source stamp + build parameters; a regenerated corpus changes
+    * the stamp and rebuilds. */
+  private[queries] def nswEdgesStored(s: SparkSession,
+      dir: String): DataFrame = {
+    val src = s"$dir/embeddings.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|nsw|P=$NswParts|M=$NswM"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = Tables.persistentScratchDir(s"qb6_nsw_$tag")
+    val outDir = java.nio.file.Paths.get(stateDir, "edges")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
+    if (!valid) {
+      nswEdgesOn(corpus(s, dir)).coalesce(1)
+        .write.mode("overwrite").parquet(outDir.toString)
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    s.read.parquet(outDir.toString)
+  }
+
+  /** Greedy beam search over the navigable graph, per partition, then
+    * route-merged: H unrolled hops, each expanding the beam through
+    * graph edges and keeping top-B by (rounded cosine, vec_id); the
+    * final top-K ranks every node the walk VISITED (b0 ∪ all hop
+    * expansions), q-self excluded. */
+  private[queries] def nswTopkOn(c: DataFrame,
+      edgesIn: DataFrame): DataFrame = {
+    val p = withPt(c)
+    // bounded: ≤ n × 2M rows; materialized once so the unrolled hops
+    // read it instead of re-planning the edge source per hop
+    val edges = edgesIn.localCheckpoint(true)
+    val q = broadcast(queriesOf(c))
+    def scoreOf(cand: DataFrame): DataFrame =
+      cand.join(p.select(col("pt"), col("vec_id"), col("v"), col("nrm")),
+          Seq("pt", "vec_id"))
+        .join(q, Seq("q_id"))
+        .select(col("q_id"), col("pt"), col("vec_id"),
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4)
+            .as("cos"))
+    val entries = p.groupBy(col("pt")).agg(min(col("vec_id")).as("vec_id"))
+    val b0 = scoreOf(q.select(col("q_id")).crossJoin(entries))
+      .localCheckpoint(true) // |queries| × P rows; read by every hop
+    var beam = b0
+    var visited = b0
+    for (_ <- 1 to NswHops) {
+      // no distinct here: duplicate candidates score identically and
+      // collapse in the beam's DISTINCT — one fewer shuffle per hop
+      val expand = beam.select(col("q_id"), col("pt"),
+          col("vec_id").as("src"))
+        .join(edges, Seq("pt", "src"))
+        .select(col("q_id"), col("pt"), col("dst").as("vec_id"))
+      val scored = scoreOf(expand)
+      // DISTINCT + top-B per (q_id, pt) in ONE shuffle: dedupe and
+      // prune inside a grouped array fold instead of a distinct plus
+      // a row_number window (struct sorts (-cos, vec_id) = cosine
+      // DESC with the vec_id tiebreak — the oracle's row_number
+      // ordering exactly)
+      beam = beam.unionAll(scored)
+        .groupBy(col("q_id"), col("pt"))
+        .agg(slice(array_sort(array_distinct(collect_list(
+          // 0.0 - cos (not -cos): unary minus maps 0.0 to -0.0, which
+          // Spark's double ordering ranks below 0.0 while the rounded
+          // domain treats them as one value — the subtraction
+          // normalizes both zeros to +0.0
+          struct((lit(0.0) - col("cos")).as("nc"), col("vec_id"),
+            col("cos"))))),
+          1, NswBeam).as("top"))
+        .select(col("q_id"), col("pt"), explode(col("top")).as("t"))
+        .select(col("q_id"), col("pt"), col("t.vec_id").as("vec_id"),
+          col("t.cos").as("cos"))
+      visited = visited.unionAll(scored)
+    }
+    val cand = visited.select(col("q_id"), col("vec_id"), col("cos"))
+      .distinct().filter(col("vec_id") =!= col("q_id"))
+    topKPerQuery(cand.select(col("q_id"), col("vec_id").as("neighbor_id"),
+      col("cos").as("cosine")))
+  }
+
+  /** The qb6 surface: per-query recall@5 of the graph search vs the
+    * stored exact top-5, micro-averaged mean floor-gated driver-side. */
+  def nswRecall(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val ex = exactTopkStored(s, dir).select(col("q_id"), col("neighbor_id"))
+    val ann = nswTopkOn(c, nswEdgesStored(s, dir))
+      .select(col("q_id"), col("neighbor_id"))
+    val perQ = ex.groupBy(col("q_id")).agg(count(lit(1)).as("possible"))
+      .join(ann.join(ex, Seq("q_id", "neighbor_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("h")),
+        Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("h"), lit(0L)).as("hits"),
+        col("possible"))
+      .withColumn("recall",
+        round(col("hits").cast("double") / col("possible"), 4))
+    val out = perQ.crossJoin(broadcast(perQ.agg(
+        round(sum(col("hits")).cast("double") / sum(col("possible")), 4)
+          .as("mean_recall"))))
+      .select(col("q_id"), col("hits"), col("possible"), col("recall"),
+        col("mean_recall"), lit(NswRecallPin).as("min_recall"))
+      .orderBy(col("q_id"))
+      .localCheckpoint(true) // ≤ |queries| rows; feeds the require()
+    out.collect().headOption.foreach { r =>
+      require(r.getDouble(4) >= NswRecallPin,
+        s"qb6: graph-ANN mean recall ${r.getDouble(4)} below the " +
+          s"pinned floor $NswRecallPin")
+    }
+    out
+  }
+
+  /** One oracle hop: expand `prev` through the bidirected graph, score,
+    * keep top-B per (q_id, pt) over DISTINCT(prev ∪ scored). */
+  private def nswHopSql(i: Int, prev: String): String =
+    s"""x$i AS (SELECT b.q_id, b.pt, g.dst AS vec_id
+       |     FROM $prev b JOIN gb g ON g.pt = b.pt AND g.src = b.vec_id),
+       |s$i AS (SELECT x.q_id, x.pt, x.vec_id,
+       |         round(list_dot_product(q.qe, pv.e) / (q.qn * pv.nrm), 4)
+       |           AS cos
+       |       FROM x$i x JOIN pn pv ON pv.pt = x.pt
+       |              AND pv.vec_id = x.vec_id
+       |            JOIN q ON q.q_id = x.q_id),
+       |b$i AS (SELECT q_id, pt, vec_id, cos FROM (
+       |        SELECT d.*, row_number() OVER (PARTITION BY q_id, pt
+       |            ORDER BY cos DESC, vec_id) AS rn
+       |        FROM (SELECT DISTINCT * FROM (
+       |          SELECT * FROM $prev UNION ALL SELECT * FROM s$i) u) d) t
+       |       WHERE rn <= $NswBeam)"""
+
+  /** The qb6 oracle: the ENTIRE index replayed — partitioned M-NN
+    * graph build, entry points, every hop's beam, route merge, then
+    * recall@5 vs the exact top-5 with the same pinned floor. */
+  private def nswRecallOracle: String =
+    s"""WITH ${annNormSql("", "embeddings")},
+       |pn AS (SELECT vec_id, e, nrm, vec_id % $NswParts AS pt FROM n),
+       |ge AS (SELECT pt, src, dst FROM (
+       |    SELECT a.pt, a.vec_id AS src, b.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY a.pt, a.vec_id
+       |        ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm),
+       |                       4) DESC, b.vec_id) AS rn
+       |    FROM pn a JOIN pn b ON a.pt = b.pt AND a.vec_id <> b.vec_id) t
+       |  WHERE rn <= $NswM),
+       |gb AS (SELECT DISTINCT pt, src, dst FROM (
+       |    SELECT pt, src, dst FROM ge
+       |    UNION ALL SELECT pt, dst AS src, src AS dst FROM ge) u),
+       |ent AS (SELECT pt, min(vec_id) AS vec_id FROM pn GROUP BY pt),
+       |b0 AS (SELECT q.q_id, pv.pt, pv.vec_id,
+       |         round(list_dot_product(q.qe, pv.e) / (q.qn * pv.nrm), 4)
+       |           AS cos
+       |       FROM q CROSS JOIN ent
+       |            JOIN pn pv ON pv.pt = ent.pt
+       |              AND pv.vec_id = ent.vec_id),
+       |${nswHopSql(1, "b0")},
+       |${nswHopSql(2, "b1")},
+       |${nswHopSql(3, "b2")},
+       |${nswHopSql(4, "b3")},
+       |vis AS (SELECT DISTINCT q_id, vec_id, cos FROM (
+       |    SELECT q_id, vec_id, cos FROM b0
+       |    UNION ALL SELECT q_id, vec_id, cos FROM s1
+       |    UNION ALL SELECT q_id, vec_id, cos FROM s2
+       |    UNION ALL SELECT q_id, vec_id, cos FROM s3
+       |    UNION ALL SELECT q_id, vec_id, cos FROM s4) u
+       |  WHERE vec_id <> q_id),
+       |tnsw AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT v.q_id, v.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY v.q_id
+       |        ORDER BY v.cos DESC, v.vec_id) AS rn
+       |    FROM vis v) z WHERE rn <= $K),
+       |pq AS (
+       |  SELECT t50.q_id, CAST(count(*) AS BIGINT) AS possible,
+       |    CAST(coalesce(sum(CASE WHEN tn.neighbor_id IS NOT NULL
+       |                            THEN 1 END), 0) AS BIGINT) AS hits
+       |  FROM t50 LEFT JOIN tnsw tn USING (q_id, neighbor_id)
+       |  GROUP BY t50.q_id),
+       |m AS (SELECT round(CAST(sum(hits) AS DOUBLE) / sum(possible), 4)
+       |        AS mean_recall FROM pq)
+       |SELECT q_id, hits, possible,
+       |  round(CAST(hits AS DOUBLE) / possible, 4) AS recall,
+       |  mean_recall, CAST($NswRecallPin AS DOUBLE) AS min_recall
+       |FROM pq, m ORDER BY q_id""".stripMargin
 }

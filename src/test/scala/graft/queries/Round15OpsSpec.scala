@@ -46,6 +46,35 @@ class Round15OpsSpec extends AnyFunSuite {
       s"qb0 byte-basis pairs diverged from the DuckDB replay: $snm")
   }
 
+  test("qb6 navigable graph: symmetric, partition-local, degree-bounded") {
+    import spark.implicits._
+    val edges = Similarity.nswEdgesStored(spark, sfDir)
+      .select($"pt".cast("long"), $"src".cast("long"), $"dst".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(edges.nonEmpty)
+    val set = edges.map { case (_, s, d) => (s, d) }.toSet
+    // bidirected: every edge's reverse is present
+    assert(set.forall { case (s, d) => set((d, s)) }, "graph not symmetric")
+    // partition-local: both endpoints hash to the edge's partition
+    assert(edges.forall { case (p, s, d) =>
+      s % Similarity.NswParts == p && d % Similarity.NswParts == p },
+      "edge crosses a partition")
+    // edge bound: ≤ 2·M·n directed edges total (n nodes contribute M
+    // out-links each, then the reverse copies). Per-node degree is
+    // M + in-degree, and KNN-graph IN-degree is NOT bounded by M (hub
+    // nodes appear in many neighbors' top-M — HNSW prunes these;
+    // this deterministic build deliberately does not), so the honest
+    // invariants are the total and the out-link floor
+    val n = edges.flatMap(e => Seq(e._2, e._3)).distinct.size
+    assert(edges.length <= 2 * Similarity.NswM * n,
+      s"${edges.length} edges exceed the 2·M·n bound")
+    val outDeg = edges.groupBy(_._2).map(_._2.size)
+    assert(outDeg.min >= Similarity.NswM.min(n / Similarity.NswParts - 1),
+      "a node lost its own M out-links")
+    // no self-loops
+    assert(edges.forall { case (_, s, d) => s != d })
+  }
+
   test("qb4/qa7 serve path runs NO rebuild once state exists: cached " +
     "executions read stored state and delta only") {
     // the r14 defect: the merge≡rebuild contract (a full base rescan)
