@@ -244,6 +244,18 @@ object Bench {
     // self-join, persist-shared) — the residual delta vs r12 tracks
     // the regenerated corpus, the driver delta was contention. Pinned
     // here as the honest idle reference for both.
+    //
+    // r15 close: 179-query suite 91.7s = 0.936 at load 1.6 (warm
+    // state). Deltas vs r14: qb4 4.09→2.39 (the rebuild left the
+    // serve path; the remainder is O(log n) CC-round overhead on the
+    // contracted graph), qa7 →0.16, q1e 2.44→1.71 (pre-aggregated
+    // recursion anchor). The r14 q9a/q9b/q9c "creep" re-measured at
+    // 0.53/0.43/0.34 — BELOW r13 — confirming box variance, no pin
+    // note needed. New: q8k 0.12 (ADPCM decode, narrow), qb6 4.41 —
+    // now the suite's slowest: the 4-hop beam-walk serve over the
+    // stored navigable graph; ~20 tiny AQE stages of frontier work,
+    // stage-scheduling overhead on local[32], not data (per-query
+    // cost is H·B·degree·P at any corpus size). Pin unchanged.
     val baselinePin = 98.0
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
