@@ -99,7 +99,8 @@ object PlanAudit {
     "qb3_embedding_hygiene",  // one multi-aggregate hygiene scan
     "qb4_cc_incremental",     // contracted-graph CC + composed labels
     "qb5_classifier_auc",     // per-score histogram AUC, no global sort
-    "qb6_graph_ann")          // stored navigable graph, beam-walk serve
+    "qb6_graph_ann",          // stored navigable graph, beam-walk serve
+    "qb7_graph_ann_incremental") // batch-attach maintained graph serve
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated

@@ -40,7 +40,11 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     "q8h_audio_wht_bands", "q8j_jpeg_restart", "q90_sequence_packing",
     "q98_bm25_topk", "qa0_profile", "qa5_k_anonymity",
     "qa6_randomized_response", "qb0_sorted_neighborhood",
-    "qb1_html_extract", "qb3_embedding_hygiene")
+    "qb1_html_extract", "qb3_embedding_hygiene",
+    // r15: the compressed-audio decode and the graph-ANN beam walk —
+    // qb6 especially, whose per-hop grouped-array beam prune must not
+    // depend on how the frontier happens to be partitioned
+    "q8k_adpcm_audio", "qb6_graph_ann")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map(_.toSeq.map {

@@ -336,9 +336,9 @@ object PlanShapeSpec {
     // qa7 builds its per-batch partial state (and, on the build run
     // only, checks serve ≡ rebuild distributed) inside fn
     "qa7_k_anonymity_incremental",
-    // qb6 builds/loads the stored navigable graph, checkpoints the
-    // beam frontiers, and runs a driver-side recall require() in fn
-    "qb6_graph_ann",
+    // qb6/qb7 build/load stored navigable graphs, checkpoint beam
+    // frontiers, and run driver-side recall require()s in fn
+    "qb6_graph_ann", "qb7_graph_ann_incremental",
     // qb2 runs the full Lloyd training loop (per-iteration collects)
     // and a driver-side recall require() inside fn
     "qb2_ann_recall_trained",

@@ -75,6 +75,37 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(edges.forall { case (_, s, d) => s != d })
   }
 
+  test("qb7 batch-attach: every delta vector links within its own " +
+    "partition, at most M links, base graph untouched") {
+    import spark.implicits._
+    val maintained = Similarity.nswMaintainedStored(spark, sfDir)
+      .select($"pt".cast("long"), $"src".cast("long"), $"dst".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val base = Similarity.nswEdgesStored(spark, sfDir) // full-graph qb6 store
+    val isDelta = (id: Long) =>
+      id % Similarity.NswDeltaMod == Similarity.NswDeltaRem
+    val attach = maintained.filter { case (_, s, d) =>
+      isDelta(s) || isDelta(d) }
+    assert(attach.nonEmpty, "no delta vector acquired links")
+    // attach edges stay in the delta's hash partition, delta-delta
+    // links are deferred by design (segment model), and each delta's
+    // out-links are its top-M (≤ M)
+    assert(attach.forall { case (p, s, d) =>
+      s % Similarity.NswParts == p && d % Similarity.NswParts == p })
+    assert(attach.forall { case (_, s, d) => !(isDelta(s) && isDelta(d)) },
+      "a delta-delta link crept in (deferred to segment merge by design)")
+    val outPerDelta = attach.filter(e => isDelta(e._2))
+      .groupBy(_._2).map(_._2.size)
+    assert(outPerDelta.max <= Similarity.NswM,
+      "a delta vector exceeded its M attach links")
+    // the base subgraph inside the maintained store is exactly the
+    // base-only M-NN build: no base-base edge was added or dropped
+    val baseOnly = maintained.filter { case (_, s, d) =>
+      !isDelta(s) && !isDelta(d) }.toSet
+    val rebuilt = Similarity.nswEdgesOnBase(spark, sfDir)
+    assert(baseOnly == rebuilt, "maintained store mutated the base graph")
+  }
+
   test("qb4/qa7 serve path runs NO rebuild once state exists: cached " +
     "executions read stored state and delta only") {
     // the r14 defect: the merge≡rebuild contract (a full base rescan)

@@ -42,6 +42,11 @@ def canon(df: pd.DataFrame, ordered: bool):
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # the heavier replays (qb6/qb7 graph builds at sf0.1) spill; keep
+    # the spill off the CWD and bounded so a big oracle cannot flood
+    # the workspace (observed: .tmp/ in the repo root hit ENOSPC)
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql("SET max_temp_directory_size='20GiB'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
