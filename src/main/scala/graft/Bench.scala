@@ -246,19 +246,22 @@ object Bench {
     // here as the honest idle reference for both.
     //
     // r15 close readings: 179-query suite 91.7s = 0.936 at load 1.6
-    // (warm state, the cleaner reading), then 180-query 104.9s =
-    // 1.070 at load 2.1 after qb7 landed (+~4s genuine serve, rest
-    // contention). Deltas vs r14: qb4 4.09→2.4-2.6 (the rebuild left
+    // (warm state), 180-query 104.9s = 1.070 at load 2.1 after qb7
+    // landed pre-retune, and the FINAL 180-query 95.4s = 0.973 at
+    // load 1.9 after the graph-walk 3-hop×beam-16 retune. Deltas vs r14: qb4 4.09→2.4-2.6 (the rebuild left
     // the serve path; the remainder is O(log n) CC-round overhead on
     // the contracted graph), qa7 →0.16, q1e 2.44→1.71 (pre-aggregated
     // recursion anchor). The r14 q9a/q9b/q9c "creep" re-measured at
     // 0.53/0.43/0.34 — BELOW r13 — confirming box variance, no pin
-    // note needed. New: q8k 0.12 (ADPCM decode, narrow); qb6 ~4.4-4.8
-    // and qb7 ~4.0 are now the suite's slowest: 4-hop beam-walk
-    // serves over stored navigable graphs — ~20 tiny AQE stages of
-    // frontier work each, stage-scheduling overhead on local[32], not
-    // data (per-query cost is H·B·degree·P at any corpus size; the
-    // graphs and exact arms are stored, never rebuilt in the serve).
+    // note needed. New: q8k 0.12 (ADPCM decode, narrow); qb6 ~3.4
+    // and qb7 ~3.0 are the suite's slowest: 3-hop beam-walk serves
+    // over stored navigable graphs — tiny AQE stages of frontier
+    // work, stage-scheduling overhead on local[32], not data
+    // (per-query cost is H·B·degree·P at any corpus size; the graphs
+    // and exact arms are stored, never rebuilt in the serve; the
+    // 4-hop×beam-8 point measured ~4.8/4.0s for +0.05/+0.03 recall,
+    // and an explicit per-hop frontier broadcast measured SLOWER
+    // than AQE's localized shuffles — both experiments reverted).
     // Pin unchanged.
     val baselinePin = 98.0
     val loadAvg = java.lang.management.ManagementFactory

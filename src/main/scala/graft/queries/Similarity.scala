@@ -2551,12 +2551,14 @@ object Similarity extends Registry {
   // ------------------------------------------------------------------
   val NswParts = 8
   val NswM = 6
-  val NswBeam = 8
-  val NswHops = 4
-  /** Mean-recall@5 floor. Observed 1.0 at sf0.001/sf0.01 (beam covers
-    * the small partitions) and high at sf0.1; pinned conservatively —
+  val NswBeam = 16
+  val NswHops = 3
+  /** Mean-recall@5 floor. Observed 0.92/1.0/0.59 at
+    * sf0.001/sf0.01/sf0.1 at (H=3, B=16); pinned conservatively —
     * like q5b's families, the FLOOR is the contract, the emitted
-    * per-query recalls are the measurement. */
+    * per-query recalls are the measurement, and (hops, beam) is the
+    * knob (H=4/B=8 measured 0.64 at sf0.1 for ~40% more serve
+    * stages — the 3×16 point buys the same contract cheaper). */
   val NswRecallPin = 0.5
 
   private def withPt(c: DataFrame): DataFrame =
@@ -2623,6 +2625,11 @@ object Similarity extends Registry {
     // bounded: ≤ n × 2M rows; materialized once so the unrolled hops
     // read it instead of re-planning the edge source per hop
     val edges = edgesIn.localCheckpoint(true)
+    // the frontier is BOUNDED at any corpus size (|queries| × P × B
+    // rows) and would be the broadcast side on a real cluster; on
+    // local[32] an explicit per-hop broadcast build measured SLOWER
+    // than letting AQE localize the tiny shuffles (5.8s vs 4.8s for
+    // qb6), so the joins stay declarative and AQE picks the strategy
     def scoreOf(cand: DataFrame): DataFrame =
       cand.join(nodes.select(col("pt"), col("vec_id"), col("v"),
           col("nrm")), Seq("pt", "vec_id"))
@@ -2760,13 +2767,11 @@ object Similarity extends Registry {
        |${nswHopSql(1, "b0")},
        |${nswHopSql(2, "b1")},
        |${nswHopSql(3, "b2")},
-       |${nswHopSql(4, "b3")},
        |vis AS (SELECT DISTINCT q_id, vec_id, cos FROM (
        |    SELECT q_id, vec_id, cos FROM b0
        |    UNION ALL SELECT q_id, vec_id, cos FROM s1
        |    UNION ALL SELECT q_id, vec_id, cos FROM s2
-       |    UNION ALL SELECT q_id, vec_id, cos FROM s3
-       |    UNION ALL SELECT q_id, vec_id, cos FROM s4) u
+       |    UNION ALL SELECT q_id, vec_id, cos FROM s3) u
        |  WHERE vec_id <> q_id),
        |tnsw AS (SELECT q_id, neighbor_id FROM (
        |    SELECT v.q_id, v.vec_id AS neighbor_id,
@@ -2793,7 +2798,7 @@ object Similarity extends Registry {
   val NswDeltaRem = 7
   /** qb7's floor: the maintained graph must serve the qb6 query set
     * at least this well — attach quality is what the contract
-    * watches. Observed 1.0 at sf0.001/sf0.01, 0.66 at sf0.1. */
+    * watches. Observed 0.96/1.0/0.63 at sf0.001/sf0.01/sf0.1 (H=3, B=16). */
   val NswIncRecallPin = 0.5
 
   private def nswBase(c: DataFrame): DataFrame =
@@ -2947,13 +2952,11 @@ object Similarity extends Registry {
        |${nswHopSql(1, "ab0", "a", "gbb", "pnb", "dq")},
        |${nswHopSql(2, "ab1", "a", "gbb", "pnb", "dq")},
        |${nswHopSql(3, "ab2", "a", "gbb", "pnb", "dq")},
-       |${nswHopSql(4, "ab3", "a", "gbb", "pnb", "dq")},
        |avis AS MATERIALIZED (SELECT DISTINCT q_id, pt, vec_id, cos FROM (
        |    SELECT * FROM ab0
        |    UNION ALL SELECT * FROM as1
        |    UNION ALL SELECT * FROM as2
-       |    UNION ALL SELECT * FROM as3
-       |    UNION ALL SELECT * FROM as4) u),
+       |    UNION ALL SELECT * FROM as3) u),
        |att AS MATERIALIZED (SELECT pt, q_id AS src, vec_id AS dst FROM (
        |    SELECT v.*, row_number() OVER (PARTITION BY q_id, pt
        |        ORDER BY cos DESC, vec_id) AS rn FROM avis v) t
@@ -2972,13 +2975,11 @@ object Similarity extends Registry {
        |${nswHopSql(1, "mb0", "m", "gme", "pn", "q")},
        |${nswHopSql(2, "mb1", "m", "gme", "pn", "q")},
        |${nswHopSql(3, "mb2", "m", "gme", "pn", "q")},
-       |${nswHopSql(4, "mb3", "m", "gme", "pn", "q")},
        |mvis AS (SELECT DISTINCT q_id, vec_id, cos FROM (
        |    SELECT q_id, vec_id, cos FROM mb0
        |    UNION ALL SELECT q_id, vec_id, cos FROM ms1
        |    UNION ALL SELECT q_id, vec_id, cos FROM ms2
-       |    UNION ALL SELECT q_id, vec_id, cos FROM ms3
-       |    UNION ALL SELECT q_id, vec_id, cos FROM ms4) u
+       |    UNION ALL SELECT q_id, vec_id, cos FROM ms3) u
        |  WHERE vec_id <> q_id),
        |tm AS (SELECT q_id, neighbor_id FROM (
        |    SELECT v.q_id, v.vec_id AS neighbor_id,
