@@ -2816,9 +2816,15 @@ object Similarity extends Registry {
     * its top-M visited neighbors. Returns the attach edge list
     * (pt, src=delta, dst=base). */
   private[queries] def nswAttachOn(c: DataFrame,
-      baseEdges: DataFrame): DataFrame = {
-    val base = withPt(nswBase(c))
-    val delta = withPt(nswDelta(c))
+      baseEdges: DataFrame): DataFrame =
+    nswAttachDelta(withPt(nswBase(c)), baseEdges, withPt(nswDelta(c)))
+
+  /** Attach an EXPLICIT delta frame (the batch form above and the
+    * streaming fold both route here): each vector beam-searches its
+    * partition of the frozen base graph, links to its top-M visited
+    * neighbors. */
+  private[queries] def nswAttachDelta(base: DataFrame,
+      baseEdges: DataFrame, delta: DataFrame): DataFrame = {
     val dq = broadcast(delta.select(col("vec_id").as("q_id"),
       col("v").as("qv"), col("nrm").as("qn"), col("pt").as("q_pt")))
     val entB = base.groupBy(col("pt")).agg(min(col("vec_id")).as("vec_id"))
@@ -2834,6 +2840,48 @@ object Similarity extends Registry {
       .select(col("pt"), col("q_id").as("src"),
         explode(col("top")).as("t"))
       .select(col("pt"), col("src"), col("t.vec_id").as("dst"))
+  }
+
+  /** qb7 streaming-fold fixtures for StreamingSpec: (base nodes with
+    * pt, base edge list, raw delta vectors, one-shot batch attach
+    * links) over a testdata dir. */
+  def nswStreamFixtures(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val c = corpus(s, dir)
+    val baseEdges = nswEdgesOn(nswBase(c)).localCheckpoint(true)
+    val deltaRaw = Tables.table(s, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(NswDeltaMod)) === NswDeltaRem)
+      .select(col("vec_id"), col("embedding"))
+    (withPt(nswBase(c)), baseEdges, deltaRaw, nswAttachOn(c, baseEdges))
+  }
+
+  /** Streaming form of qb7's maintenance (cmsFoldBatch's discipline):
+    * each micro-batch of newly-arrived vectors (vec_id, embedding)
+    * attaches against the FROZEN base graph and its links merge into
+    * the stored attach-edge set by set union. Because every vector
+    * attaches against the same frozen base, the drained state equals
+    * the one-shot batch attach EXACTLY, whatever the batch
+    * boundaries — the order-independence that makes NSW insertion
+    * distributable is also what makes it streamable. Edge-set union
+    * is naturally idempotent, but the applied-batch ledger still
+    * skips a redelivered batch (no wasted re-search), and state +
+    * ledger commit in ONE atomic rename via [[VersionedState]]. */
+  def nswAttachFoldBatch(s: SparkSession, stateDir: String,
+      batchId: Long, batch: DataFrame, base: DataFrame,
+      baseEdges: DataFrame): Unit = {
+    if (VersionedState.applied(stateDir, batchId)) return
+    val links = nswAttachDelta(base, baseEdges,
+      withPt(corpusOf(batch)))
+    val merged = (VersionedState.tablePath(stateDir, "attach") match {
+      case Some(prev) => s.read.parquet(prev.toString).unionAll(links)
+      case None => links
+    }).distinct()
+    val rows = merged.collect() // bounded: ≤ |delta so far| × M rows
+    VersionedState.commit(stateDir, batchId) { vdir =>
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+          merged.schema)
+        .write.parquet(vdir.resolve("attach").toString)
+    }
   }
 
   /** Content-addressed MAINTAINED graph: base M-NN graph + batch

@@ -586,6 +586,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(hist() == streamed, "redelivered batchId mutated the histogram")
   }
 
+  test("streaming graph-ANN maintenance: per-trigger batch-attach " +
+    "folds equal the one-shot attach, whatever the batch boundaries") {
+    // qb7's maintenance driven by a STREAM: delta vectors arrive as
+    // three micro-batches, each trigger beam-searches ONLY its batch
+    // against the frozen base graph and set-unions the links into the
+    // stored attach table (Similarity.nswAttachFoldBatch). Because
+    // every vector attaches against the same frozen base, the drained
+    // edge set must EQUAL the one-shot batch attach exactly — the
+    // order-independence that makes the insert distributable is also
+    // what makes it streamable.
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val (base, baseEdges, deltaRaw, oneShot) =
+      graft.queries.Similarity.nswStreamFixtures(spark, sf)
+    val streamDir = java.nio.file.Files.createTempDirectory("nsw-stream")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("nsw-state").toString
+    deltaRaw.repartition(3).write.mode("overwrite")
+      .parquet(streamDir.toString)
+
+    val folds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = spark.readStream
+      .schema(deltaRaw.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        graft.queries.Similarity.nswAttachFoldBatch(
+          spark, stateDir, bid, df, base, baseEdges)
+        folds.incrementAndGet(); ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    assert(folds.get() == 3, s"expected 3 per-file folds, got ${folds.get()}")
+
+    def links(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("pt").cast("long"), col("src").cast("long"),
+        col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = links(spark.read.parquet(
+      graft.queries.VersionedState.tablePath(stateDir, "attach")
+        .get.toString))
+    val expected = links(oneShot)
+    assert(streamed == expected && expected.nonEmpty,
+      "stream-folded attach links diverged from the one-shot attach")
+
+    // redelivery: an already-applied batchId must be a ledger no-op
+    graft.queries.Similarity.nswAttachFoldBatch(
+      spark, stateDir, 0L, spark.read.parquet(streamDir.toString),
+      base, baseEdges)
+    val after = links(spark.read.parquet(
+      graft.queries.VersionedState.tablePath(stateDir, "attach")
+        .get.toString))
+    assert(after == streamed, "redelivered batchId mutated the links")
+  }
+
   test("streaming per-day HLL maintenance: trigger folds equal a " +
     "from-scratch build per day, and redelivery is a register-max no-op") {
     // the q9w state machine driven by a STREAM: events arrive as three
