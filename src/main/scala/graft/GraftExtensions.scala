@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavImaEncodeExpr, WavImaSamplesExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, AviRle8EncodeExpr, AviRle8PixelsExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavImaEncodeExpr, WavImaSamplesExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bpeMergeWord)
     ext.injectFunction(GraftExtensions.aviEncode)
     ext.injectFunction(GraftExtensions.aviFrames)
+    ext.injectFunction(GraftExtensions.aviRleEncode)
+    ext.injectFunction(GraftExtensions.aviRlePixels)
     ext.injectFunction(GraftExtensions.anchorWindows)
     ext.injectFunction(GraftExtensions.pngEncode)
     ext.injectFunction(GraftExtensions.pngPixels)
@@ -210,6 +212,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[AviDibFramesExpr].getName, "avi_dib_frames"),
     (args: Seq[Expression]) => AviDibFramesExpr(args.head))
 
+  private val aviRleEncode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("avi_rle8_encode"),
+    new ExpressionInfo(classOf[AviRle8EncodeExpr].getName, "avi_rle8_encode"),
+    (args: Seq[Expression]) => AviRle8EncodeExpr(args.head))
+
+  private val aviRlePixels: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("avi_rle8_pixels"),
+    new ExpressionInfo(classOf[AviRle8PixelsExpr].getName, "avi_rle8_pixels"),
+    (args: Seq[Expression]) => AviRle8PixelsExpr(args.head))
+
   private val anchorWindows: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("anchor_windows"),
@@ -370,7 +384,8 @@ object GraftExtensions {
         shingleStrings, jaccardSorted, wavEncode, wavSamples, wavRate,
         wavImaEncode, wavImaSamples,
         bmpEncode, bmpPixels, bmpWidth, bmpHeight, bpeMergeWord,
-        aviEncode, aviFrames, anchorWindows, pngEncode, pngPixels,
+        aviEncode, aviFrames, aviRleEncode, aviRlePixels,
+        anchorWindows, pngEncode, pngPixels,
         pngRgbEncode, pngRgbPixels, pngPaletteEncode, pngPaletteRgb,
         pngFilterTypes, pngWidth, pngHeight, pngAdam7Encode,
         pngAdam7Pixels, pngAdam7FilterTypes, jpegEncode, jpegEncodeRst, jpegPixels,

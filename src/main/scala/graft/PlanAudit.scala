@@ -83,6 +83,7 @@ object PlanAudit {
     "q9v_schema_evolution",   // mergeSchema scan + era partition pruning
     "q8h_audio_wht_bands",    // integer WHT bands, narrow codegen pass
     "q8k_adpcm_audio",        // compressed-audio decode, narrow codegen pass
+    "q8l_avi_rle8_video",     // RLE8 interframe video decode, one projection
     "q8i_scene_cuts",         // array-native frame pairing, no self-join
     "q7c_zorder_incremental", // victims-only z-merge, manifest refs
     "q9z_fuzzy_join",         // prefix-block equi-join + bounded levenshtein

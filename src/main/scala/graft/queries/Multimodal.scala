@@ -1620,7 +1620,103 @@ object Multimodal extends Registry {
              |FROM df ORDER BY doc_id""".stripMargin),
       doc = "Scene-cut detection on real AVI/BMP decode: L1 distance " +
         "per consecutive frame pair computed array-native (no self-join, " +
-        "no window), integer-exact cut counts vs the payload replay")
+        "no window), integer-exact cut counts vs the payload replay"),
+
+    // ------------------------------------------------------------------
+    // q8l: RLE8-COMPRESSED video decode (expressions.AviRle8) — the
+    // COMPRESSED member of the video family, completing the
+    // per-modality compression symmetry (images: zlib'd PNG + huffman
+    // JPEG; audio: IMA ADPCM; video stopped at uncompressed DIB, q86).
+    // Microsoft BI_RLE8 is run-length over 8-bit palette indices with
+    // escape codes, and its n=2 DELTA escape is a cursor jump whose
+    // skipped pixels RETAIN THE PREVIOUS FRAME'S CONTENT — real
+    // interframe/temporal compression, decoded against a persistent
+    // frame buffer. The fixture's row-color model (row y of frame f is
+    // a solid run of payload byte f·8+y; odd colors emit ABSOLUTE
+    // mode, even ones encoded runs; unchanged rows are delta-skipped,
+    // trailing ones covered by an early end-of-bitmap) exercises every
+    // RLE8 mode, so the oracle replays BOTH sides analytically from
+    // payload bytes: decoded content (palette formula
+    // c·65536+(255−c)·256+(c⊕85) per pixel, frame-and-position
+    // checksum) AND the exact encoded size — enc_bytes is measured
+    // in-band as octet_length of the real container and predicted by
+    // the oracle as 1248 header bytes + Σ_f(8 + frame RLE length),
+    // so a lost delta escape, a wrong mode choice, or a header byte
+    // off-by-one all hash-fail. Plan: encode feeds octet_length AND
+    // the decode from ONE projection — codegen subexpression
+    // elimination evaluates the encoder once per row (and the Filter
+    // holds no codec, per the decode-once gate); per-row array folds,
+    // no explode; the only shuffle is the final sort. At 100 TB:
+    // embarrassingly parallel per-asset decode; 8 scalars/asset ship.
+    QueryDef(
+      "q8l_avi_rle8_video",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        corpus(s, dir).filter(col("modality") === "video")
+          .select(col("doc_id"),
+            expr("avi_rle8_encode(payload)").as("avi"))
+          .select(col("doc_id"),
+            octet_length(col("avi")).as("enc_bytes"),
+            expr("avi_rle8_pixels(avi)").as("px"))
+          .select(col("doc_id"),
+            expr("CAST(size(px) div 128 AS INT)").as("n_frames"),
+            size(col("px")).as("n_px"),
+            col("enc_bytes"),
+            expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)")
+              .as("px_sum"),
+            expr("""aggregate(sequence(0, size(px) - 1), CAST(0 AS BIGINT),
+              (acc, i) -> acc +
+                CAST(element_at(px, CAST(i + 1 AS INT)) AS BIGINT)
+                * ((i % 997) + 1))""").as("pos_checksum"),
+            array_min(col("px")).as("min_pixel"),
+            array_max(col("px")).as("max_pixel"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS bl FROM documents
+             |  WHERE doc_id % 3 = 2),
+             |st AS (
+             |  SELECT doc_id, octet_length(bl) AS n,
+             |    [CAST(('0x' || substr(hex(bl), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(bl))] AS bs
+             |  FROM a),
+             |d AS (SELECT doc_id, greatest(1, (n + 7) // 8) AS nf, bs
+             |      FROM st),
+             |rc AS (SELECT doc_id, nf,
+             |    [coalesce(bs[i+1], 0) for i in range(nf*8)] AS c
+             |  FROM d),
+             |ch AS (SELECT doc_id, nf, c,
+             |    [CASE WHEN i < 8 THEN TRUE ELSE c[i+1] != c[i-7] END
+             |     for i in range(nf*8)] AS g
+             |  FROM rc),
+             |enc AS (SELECT doc_id, nf, c,
+             |    1248 + list_sum([10 + list_sum(
+             |      [CASE WHEN g[f*8+y+1] THEN
+             |         (CASE WHEN c[f*8+y+1] % 2 = 1 THEN 20 ELSE 4 END)
+             |         + (CASE WHEN y > 0 AND NOT g[f*8+y]
+             |            THEN 4 ELSE 0 END)
+             |       ELSE 0 END for y in range(8)])
+             |     for f in range(nf)]) AS enc_bytes
+             |  FROM ch),
+             |px AS (SELECT doc_id, nf, enc_bytes,
+             |    [c[i+1]*65536 + (255-c[i+1])*256 + xor(c[i+1], 85)
+             |     for i in range(nf*8)] AS v
+             |  FROM enc)
+             |SELECT doc_id,
+             |  CAST(nf AS INT) AS n_frames,
+             |  CAST(nf*128 AS INT) AS n_px,
+             |  CAST(enc_bytes AS INT) AS enc_bytes,
+             |  CAST(16 * list_sum(v) AS BIGINT) AS px_sum,
+             |  CAST(list_sum([CAST(v[r+1] AS BIGINT) *
+             |      list_sum([(r*16+k) % 997 + 1 for k in range(16)])
+             |    for r in range(nf*8)]) AS BIGINT) AS pos_checksum,
+             |  CAST(list_min(v) AS INT) AS min_pixel,
+             |  CAST(list_max(v) AS INT) AS max_pixel
+             |FROM px ORDER BY doc_id""".stripMargin),
+      doc = "RLE8-compressed AVI video decode: delta-escape interframe " +
+        "compression against a persistent frame buffer, encoded size " +
+        "and decoded content both replayed analytically from payload " +
+        "bytes")
   )
 
   /** q8h: WHT size (8-point) and the per-asset window cap. */
