@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, AviRle8EncodeExpr, AviRle8PixelsExpr, BmpHeightExpr, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavImaEncodeExpr, WavImaSamplesExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, AviRle8EncodeExpr, AviRle8PixelsExpr, BmpHeightExpr, KmvSketchAgg, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavImaEncodeExpr, WavImaSamplesExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.aviFrames)
     ext.injectFunction(GraftExtensions.aviRleEncode)
     ext.injectFunction(GraftExtensions.aviRlePixels)
+    ext.injectFunction(GraftExtensions.kmvSketch)
     ext.injectFunction(GraftExtensions.anchorWindows)
     ext.injectFunction(GraftExtensions.pngEncode)
     ext.injectFunction(GraftExtensions.pngPixels)
@@ -224,6 +225,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[AviRle8PixelsExpr].getName, "avi_rle8_pixels"),
     (args: Seq[Expression]) => AviRle8PixelsExpr(args.head))
 
+  private val kmvSketch: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_sketch"),
+    new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+    (args: Seq[Expression]) => args match {
+      case Seq(h, k) => KmvSketchAgg(h, constK("kmv_sketch", k))
+      case _ => throw new IllegalArgumentException("kmv_sketch(hash, k)")
+    })
+
   private val anchorWindows: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("anchor_windows"),
@@ -384,7 +394,7 @@ object GraftExtensions {
         shingleStrings, jaccardSorted, wavEncode, wavSamples, wavRate,
         wavImaEncode, wavImaSamples,
         bmpEncode, bmpPixels, bmpWidth, bmpHeight, bpeMergeWord,
-        aviEncode, aviFrames, aviRleEncode, aviRlePixels,
+        aviEncode, aviFrames, aviRleEncode, aviRlePixels, kmvSketch,
         anchorWindows, pngEncode, pngPixels,
         pngRgbEncode, pngRgbPixels, pngPaletteEncode, pngPaletteRgb,
         pngFilterTypes, pngWidth, pngHeight, pngAdam7Encode,

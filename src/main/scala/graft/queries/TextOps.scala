@@ -1100,7 +1100,40 @@ object TextOps extends Registry {
              |FROM x ORDER BY doc_id""".stripMargin),
       doc = "HTML main-content extraction: script/style subtree drop, " +
         "tag strip, entity decode, whitespace collapse — exact " +
-        "escape-decode round trip proven as data, pure map-only work")
+        "escape-decode round trip proven as data, pure map-only work"),
+
+    // ------------------------------------------------------------------
+    // qb8: CROSS-SOURCE OVERLAP FROM KMV SKETCHES — q9y answers "how
+    // much do these sources share" EXACTLY with a corpus-sized
+    // digest join; at 100 TB the first question is triage — WHICH of
+    // the O(S²) source pairs overlap enough to be worth that join —
+    // and the synopsis answering it is the KMV (bottom-k) sketch
+    // (Beyer et al., SIGMOD'07): unlike HLL (q93), KMV sketches
+    // compose under union/intersection, so per-pair union, Jaccard,
+    // and shared-count ESTIMATES come from two k-row summaries with
+    // the corpora never joined. The sketch is built by the engine's
+    // first native TypedImperativeAggregate (`kmv_sketch`,
+    // expressions.KmvSketch): bounded k-long state per group,
+    // map-side combine, so ONE corpus scan and a shuffle carrying ≤
+    // P×k values per source — vs q9y's full digest self-join. Every
+    // value is an md5-derived long both engines compute identically,
+    // and the sketch of a set is DETERMINISTIC (sorted k smallest
+    // distinct) — so the oracle replays the sketches, the pairwise
+    // estimators, and every estimate EXACTLY; no tolerance hides in
+    // the hash. The accuracy CONTRACT (q5b/q93 discipline) compares
+    // against the exact per-pair overlap, computed once on the
+    // build run and stored content-addressed (the serve path never
+    // re-runs the exact join — the qb4 lesson), with the
+    // micro-averaged union relative error floor require()d
+    // driver-side and every per-pair error emitted as data.
+    QueryDef(
+      "qb8_kmv_overlap",
+      (s, dir) => kmvOverlap(s, dir),
+      Some(kmvOverlapOracle),
+      doc = "Cross-source overlap estimation from KMV bottom-k " +
+        "sketches (native bounded TypedImperativeAggregate, one scan, " +
+        "no corpus join): union/Jaccard/shared estimates replayed " +
+        "exactly by the oracle, error gated vs the stored exact arm")
   )
 
   /** The qb1 kernel over an explicit (doc_id, text) frame — factored
@@ -2485,4 +2518,191 @@ object TextOps extends Registry {
        |FROM dw JOIN v$BpeRounds USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // qb8: KMV sketch machinery (see the QueryDef for design).
+  // ------------------------------------------------------------------
+  val KmvK = 128
+  /** Hash domain: 15 md5 hex chars ⇒ uniform in [0, 2^60). */
+  val KmvDomain = 1152921504606846976L
+  /** Micro-averaged |est_union − exact_union|/exact_union floor, in
+    * micro units. Expected error for KMV at k=128 is ~1/√(k−1) ≈ 9%;
+    * observed means are well under at all three SFs — pinned
+    * conservatively, the per-pair errors ship as data. */
+  val KmvErrPinMicro = 250000L
+
+  /** One corpus scan: per-source 8-gram md5-longs — the SAME gram
+    * strings q9y/q3f prove byte-identical across engines, hashed with
+    * the md5-prefix both engines compute exactly. */
+  private def kmvGrams(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(s)
+    table(s, dir, "documents")
+      .select(col("source"),
+        explode(expr("shingle_strings(text, 8)")).as("g"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+  }
+
+  /** The exact arm, content-addressed (q5b's stored-ground-truth
+    * discipline): per-pair distinct-gram counts and exact shared
+    * counts via the q9y-shaped digest join — run ONCE on the build
+    * run, never on serve. 190 rows at 20 sources. */
+  private[queries] def loadOrBuildKmvExact(s: SparkSession,
+      dir: String): DataFrame = {
+    val src = s"$dir/documents.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}|kmv-exact|sh8|md5hex15"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = Tables.persistentScratchDir(s"qb8_exact_$tag")
+    val outDir = java.nio.file.Paths.get(stateDir, "pairs")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
+    if (!valid) {
+      val d = kmvGrams(s, dir).distinct()
+      val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      val shared = d.as("a")
+        .join(d.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("exact_shared"))
+      sizes.as("x").join(sizes.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("source_a"),
+          col("y.source").as("source_b"),
+          col("x.c").as("ca"), col("y.c").as("cb"))
+        .join(shared, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"), col("ca"), col("cb"),
+          coalesce(col("exact_shared"), lit(0L)).as("exact_shared"))
+        .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    s.read.parquet(outDir.toString)
+  }
+
+  /** The standard KMV estimator on a sorted sketch column, integer-
+    * exact: a partial sketch IS the set (estimate = its size); a full
+    * one estimates (k−1)·D / kth — computed in DECIMAL(38,0) so the
+    * 2^67 numerator never overflows, floor-div like the oracle's
+    * HUGEINT //. */
+  private def kmvEst(sk: String): Column = expr(
+    s"""CASE WHEN size($sk) < $KmvK THEN CAST(size($sk) AS BIGINT)
+       |ELSE CAST((CAST(${KmvK - 1} AS DECIMAL(38, 0)) *
+       |           CAST($KmvDomain AS DECIMAL(38, 0)))
+       |          div element_at($sk, $KmvK) AS BIGINT) END""".stripMargin)
+
+  /** The qb8 surface: sketches from one bounded-state aggregation,
+    * pairwise estimators as pure array arithmetic over S² sketch
+    * rows, stored exact arm broadcast in, mean union error floor-
+    * gated driver-side. */
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sk = kmvGrams(s, dir).groupBy(col("source"))
+      .agg(expr(s"kmv_sketch(h, $KmvK)").as("sk"))
+    val pairs = sk.as("a").join(sk.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"),
+        col("b.source").as("source_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .withColumn("du", expr("array_sort(array_distinct(concat(ska, skb)))"))
+      .withColumn("ku", least(lit(KmvK), size(col("du"))))
+      .withColumn("est_a", kmvEst("ska"))
+      .withColumn("est_b", kmvEst("skb"))
+      .withColumn("est_union", kmvEst("du"))
+      .withColumn("kmv_overlap", expr(
+        s"""CAST(size(filter(slice(du, 1, $KmvK),
+           |x -> array_contains(ska, x) AND array_contains(skb, x)))
+           |AS BIGINT)""".stripMargin))
+      .withColumn("jaccard_est_micro",
+        expr("kmv_overlap * 1000000 div ku"))
+      .withColumn("est_shared", expr(
+        s"""CASE WHEN size(du) < $KmvK THEN kmv_overlap
+           |ELSE jaccard_est_micro * est_union div 1000000 END"""
+          .stripMargin))
+      .join(broadcast(loadOrBuildKmvExact(s, dir)),
+        Seq("source_a", "source_b"))
+      .withColumn("exact_union", expr("ca + cb - exact_shared"))
+      .withColumn("err_union_micro",
+        expr("abs(est_union - exact_union) * 1000000 div exact_union"))
+      .withColumn("jaccard_exact_micro",
+        expr("exact_shared * 1000000 div exact_union"))
+      .select(col("source_a"), col("source_b"), col("est_a"),
+        col("est_b"), col("est_union"), col("exact_union"),
+        col("err_union_micro"), col("kmv_overlap"),
+        col("jaccard_est_micro"), col("jaccard_exact_micro"),
+        col("est_shared"), col("exact_shared"))
+    val out = pairs.crossJoin(broadcast(pairs.agg(
+        expr("sum(err_union_micro) div count(1)").as("mean_err_micro"))))
+      .withColumn("err_pin_micro", lit(KmvErrPinMicro))
+      .orderBy(col("source_a"), col("source_b"))
+      .localCheckpoint(true) // ≤ S² rows; feeds the require()
+    out.select(col("mean_err_micro")).limit(1).collect()
+      .headOption.foreach { r =>
+        require(r.getLong(0) <= KmvErrPinMicro,
+          s"qb8: mean KMV union error ${r.getLong(0)}µ above the " +
+            s"pinned floor ${KmvErrPinMicro}µ")
+      }
+    out
+  }
+
+  /** The qb8 oracle: the ENTIRE synopsis replayed — per-source
+    * distinct md5-long sets, sorted bottom-k sketches, every pairwise
+    * estimator in HUGEINT floor-div arithmetic — plus the exact join
+    * the stored arm ran, and the same micro-mean. */
+  private def kmvOverlapOracle: String =
+    s"""WITH g0 AS (
+       |  SELECT source, CASE WHEN len(ws) < 8 THEN [text]
+       |    ELSE list_distinct([array_to_string(ws[i:i+7], ' ')
+       |                        for i in range(1, len(ws) - 6)]) END AS sg
+       |  FROM (SELECT source, text, string_split(text, ' ') AS ws
+       |        FROM documents) t),
+       |gh AS (SELECT DISTINCT source,
+       |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT source, unnest(sg) AS g FROM g0) u),
+       |sk AS (SELECT source, (list_sort(list(h)))[:$KmvK] AS sk,
+       |    count(*) AS c FROM gh GROUP BY source),
+       |shr AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    count(*) AS shared
+       |  FROM gh a JOIN gh b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |p AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    a.sk AS ska, b.sk AS skb, a.c AS ca, b.c AS cb,
+       |    list_sort(list_distinct(a.sk || b.sk)) AS du
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |e AS (SELECT source_a, source_b, ca, cb, du,
+       |    least($KmvK, len(du)) AS ku,
+       |    CASE WHEN len(ska) < $KmvK THEN CAST(len(ska) AS BIGINT)
+       |         ELSE CAST(CAST(${KmvK - 1} AS HUGEINT) * $KmvDomain
+       |              // ska[$KmvK] AS BIGINT) END AS est_a,
+       |    CASE WHEN len(skb) < $KmvK THEN CAST(len(skb) AS BIGINT)
+       |         ELSE CAST(CAST(${KmvK - 1} AS HUGEINT) * $KmvDomain
+       |              // skb[$KmvK] AS BIGINT) END AS est_b,
+       |    CASE WHEN len(du) < $KmvK THEN CAST(len(du) AS BIGINT)
+       |         ELSE CAST(CAST(${KmvK - 1} AS HUGEINT) * $KmvDomain
+       |              // du[$KmvK] AS BIGINT) END AS est_union,
+       |    CAST(len(list_filter(du[:$KmvK],
+       |      x -> list_contains(ska, x) AND list_contains(skb, x)))
+       |      AS BIGINT) AS kmv_overlap
+       |  FROM p),
+       |f AS (SELECT e.*, coalesce(shr.shared, 0) AS exact_shared
+       |  FROM e LEFT JOIN shr ON shr.source_a = e.source_a
+       |    AND shr.source_b = e.source_b),
+       |r AS (SELECT source_a, source_b, est_a, est_b, est_union,
+       |    ca + cb - exact_shared AS exact_union,
+       |    abs(est_union - (ca + cb - exact_shared)) * 1000000
+       |      // (ca + cb - exact_shared) AS err_union_micro,
+       |    kmv_overlap,
+       |    kmv_overlap * 1000000 // ku AS jaccard_est_micro,
+       |    exact_shared * 1000000 // (ca + cb - exact_shared)
+       |      AS jaccard_exact_micro,
+       |    CASE WHEN len(du) < $KmvK THEN kmv_overlap
+       |         ELSE (kmv_overlap * 1000000 // ku) * est_union
+       |              // 1000000 END AS est_shared,
+       |    exact_shared
+       |  FROM f)
+       |SELECT r.*,
+       |  (SELECT CAST(sum(err_union_micro) // count(*) AS BIGINT)
+       |   FROM r) AS mean_err_micro,
+       |  CAST($KmvErrPinMicro AS BIGINT) AS err_pin_micro
+       |FROM r ORDER BY source_a, source_b""".stripMargin
 }
