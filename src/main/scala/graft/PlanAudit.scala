@@ -85,6 +85,7 @@ object PlanAudit {
     "q8k_adpcm_audio",        // compressed-audio decode, narrow codegen pass
     "q8l_avi_rle8_video",     // RLE8 interframe video decode, one projection
     "qb8_kmv_overlap",        // bounded-state sketch agg, no corpus join
+    "qb9_kmv_incremental",    // delta-only scan + algebraic sketch merge
     "q8i_scene_cuts",         // array-native frame pairing, no self-join
     "q7c_zorder_incremental", // victims-only z-merge, manifest refs
     "q9z_fuzzy_join",         // prefix-block equi-join + bounded levenshtein

@@ -1133,7 +1133,36 @@ object TextOps extends Registry {
       doc = "Cross-source overlap estimation from KMV bottom-k " +
         "sketches (native bounded TypedImperativeAggregate, one scan, " +
         "no corpus join): union/Jaccard/shared estimates replayed " +
-        "exactly by the oracle, error gated vs the stored exact arm")
+        "exactly by the oracle, error gated vs the stored exact arm"),
+
+    // ------------------------------------------------------------------
+    // qb9: KMV SKETCHES MAINTAINED INCREMENTALLY — qb8's lifecycle
+    // arm (the q9n/q9b/qb4/qb7 family): a composition dashboard does
+    // not re-scan 100 TB when a delta batch lands, because the KMV
+    // sketch is LOSSLESSLY MERGEABLE — bottom-k of (bottom-k(A) ∪
+    // bottom-k(B)) = bottom-k(A ∪ B), exactly, by a two-line
+    // pigeonhole (any value in the union's true bottom-k is in its
+    // own side's bottom-k). So the maintained form is algebraic: the
+    // base slice's per-source sketches are stored content-addressed
+    // (20 rows × ≤k longs — corpus-size-independent state); on serve
+    // ONLY the delta slice is scanned and sketched (the doc_id
+    // predicate pushes to the parquet scan), and the merge is pure
+    // sorted-array arithmetic over ≤2k values per source — O(|delta|)
+    // work, never the base re-scan. The merge ≡ rebuild contract
+    // runs on the BUILD run only (the run that already paid a full
+    // pass; the qb4 lesson) and compares DISTRIBUTED — exploded
+    // (source, value) symmetric except count, nothing corpus-sized
+    // collected. The oracle replays base sketch, delta sketch, the
+    // merge, every estimator, and a position-weighted checksum that
+    // pins every merged value in order.
+    QueryDef(
+      "qb9_kmv_incremental",
+      (s, dir) => kmvIncremental(s, dir),
+      Some(kmvIncrementalOracle),
+      doc = "KMV sketches maintained by lossless merge: stored " +
+        "per-source base sketches + delta-only scan + sorted-array " +
+        "merge, merge≡rebuild contract on the build run only " +
+        "(distributed except), every merged value oracle-pinned")
   )
 
   /** The qb1 kernel over an explicit (doc_id, text) frame — factored
@@ -2534,14 +2563,17 @@ object TextOps extends Registry {
   /** One corpus scan: per-source 8-gram md5-longs — the SAME gram
     * strings q9y/q3f prove byte-identical across engines, hashed with
     * the md5-prefix both engines compute exactly. */
-  private def kmvGrams(s: SparkSession, dir: String): DataFrame = {
-    graft.GraftExtensions.ensureRegistered(s)
-    table(s, dir, "documents")
+  private def kmvGramsOf(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    docs
       .select(col("source"),
         explode(expr("shingle_strings(text, 8)")).as("g"))
       .select(col("source"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
   }
+
+  private def kmvGrams(s: SparkSession, dir: String): DataFrame =
+    kmvGramsOf(table(s, dir, "documents"))
 
   /** The exact arm, content-addressed (q5b's stored-ground-truth
     * discipline): per-pair distinct-gram counts and exact shared
@@ -2644,6 +2676,130 @@ object TextOps extends Registry {
       }
     out
   }
+
+  // ------------------------------------------------------------------
+  // qb9: incremental KMV machinery (see the QueryDef for design).
+  // ------------------------------------------------------------------
+  val KmvDeltaMod = 10
+
+  private def kmvSketchesOf(docs: DataFrame): DataFrame =
+    kmvGramsOf(docs).groupBy(col("source"))
+      .agg(expr(s"kmv_sketch(h, $KmvK)").as("sk"))
+
+  /** Stored per-source base-slice sketches, content-addressed:
+    * |sources| rows × ≤k longs — the corpus-size-independent state
+    * the maintained form serves from. */
+  private[queries] def loadOrBuildKmvBase(s: SparkSession,
+      dir: String): (DataFrame, Boolean) = {
+    val src = s"$dir/documents.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|kmv-base|k=$KmvK|base=mod${KmvDeltaMod}ne0"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = Tables.persistentScratchDir(s"qb9_kmv_$tag")
+    val outDir = java.nio.file.Paths.get(stateDir, "sketches")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
+    if (!valid) {
+      kmvSketchesOf(table(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(KmvDeltaMod)) =!= 0))
+        .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    (s.read.parquet(outDir.toString), !valid)
+  }
+
+  /** Position-weighted checksum over a sorted sketch column: pins
+    * every value in order while staying in long range (values are
+    * < 2^60, so each term is (v mod 1000003)·pos < 2^37). */
+  private def kmvChecksum(sk: String): Column = expr(
+    s"""aggregate(sequence(0, size($sk) - 1), CAST(0 AS BIGINT),
+       |(acc, i) -> acc + (element_at($sk, CAST(i + 1 AS INT)) % 1000003)
+       |  * (i + 1))""".stripMargin)
+
+  /** The qb9 surface: delta-only scan + sketch, algebraic merge with
+    * the stored base, merge≡rebuild contract on the build run only
+    * (distributed symmetric except over exploded values). */
+  def kmvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (baseSk, built) = loadOrBuildKmvBase(s, dir)
+    val deltaSk = kmvSketchesOf(table(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(KmvDeltaMod)) === 0))
+      .withColumnRenamed("sk", "skd")
+    val merged = baseSk.withColumnRenamed("sk", "skb")
+      .join(deltaSk, Seq("source"), "full")
+      .select(col("source"),
+        expr("coalesce(skb, CAST(array() AS ARRAY<BIGINT>))").as("skb"),
+        expr("coalesce(skd, CAST(array() AS ARRAY<BIGINT>))").as("skd"))
+      .withColumn("skm", expr(
+        s"slice(array_sort(array_distinct(concat(skb, skd))), 1, $KmvK)"))
+    if (built) {
+      val full = kmvSketchesOf(table(s, dir, "documents"))
+      val a = merged.select(col("source"), explode(col("skm")).as("v"))
+      val b = full.select(col("source"), explode(col("sk")).as("v"))
+      val diverged = a.except(b).count() + b.except(a).count()
+      require(diverged == 0,
+        s"qb9: merged sketches diverged from the full rebuild " +
+          s"($diverged values in the symmetric difference)")
+    }
+    merged
+      .withColumn("est_base", kmvEst("skb"))
+      .withColumn("est_delta", kmvEst("skd"))
+      .withColumn("est_merged", kmvEst("skm"))
+      .select(col("source"),
+        size(col("skb")).as("base_n"), size(col("skd")).as("delta_n"),
+        size(col("skm")).as("merged_n"),
+        col("est_base"), col("est_delta"), col("est_merged"),
+        expr("(est_merged - est_base) * 1000000 div est_merged")
+          .as("growth_micro"),
+        kmvChecksum("skm").as("merged_checksum"))
+      .orderBy(col("source"))
+  }
+
+  /** The qb9 oracle: base and delta sketches over their doc_id
+    * slices, the sorted-list merge, every estimator, the checksum. */
+  private def kmvIncrementalOracle: String =
+    s"""WITH g0 AS (
+       |  SELECT doc_id, source, CASE WHEN len(ws) < 8 THEN [text]
+       |    ELSE list_distinct([array_to_string(ws[i:i+7], ' ')
+       |                        for i in range(1, len(ws) - 6)]) END AS sg
+       |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS ws
+       |        FROM documents) t),
+       |gh AS (SELECT DISTINCT (doc_id % $KmvDeltaMod = 0) AS d, source,
+       |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, source, unnest(sg) AS g FROM g0) u),
+       |bb AS (SELECT source, (list_sort(list(h)))[:$KmvK] AS skb
+       |  FROM gh WHERE NOT d GROUP BY source),
+       |dd AS (SELECT source, (list_sort(list(h)))[:$KmvK] AS skd
+       |  FROM gh WHERE d GROUP BY source),
+       |m AS (SELECT coalesce(bb.source, dd.source) AS source,
+       |    coalesce(bb.skb, CAST([] AS BIGINT[])) AS skb,
+       |    coalesce(dd.skd, CAST([] AS BIGINT[])) AS skd,
+       |    (list_sort(list_distinct(
+       |       coalesce(bb.skb, CAST([] AS BIGINT[])) ||
+       |       coalesce(dd.skd, CAST([] AS BIGINT[])))))[:$KmvK] AS skm
+       |  FROM bb FULL JOIN dd ON bb.source = dd.source),
+       |e AS (SELECT source, skb, skd, skm,
+       |    CASE WHEN len(skb) < $KmvK THEN CAST(len(skb) AS BIGINT)
+       |         ELSE CAST(CAST(${KmvK - 1} AS HUGEINT) * $KmvDomain
+       |              // skb[$KmvK] AS BIGINT) END AS est_base,
+       |    CASE WHEN len(skd) < $KmvK THEN CAST(len(skd) AS BIGINT)
+       |         ELSE CAST(CAST(${KmvK - 1} AS HUGEINT) * $KmvDomain
+       |              // skd[$KmvK] AS BIGINT) END AS est_delta,
+       |    CASE WHEN len(skm) < $KmvK THEN CAST(len(skm) AS BIGINT)
+       |         ELSE CAST(CAST(${KmvK - 1} AS HUGEINT) * $KmvDomain
+       |              // skm[$KmvK] AS BIGINT) END AS est_merged
+       |  FROM m)
+       |SELECT source,
+       |  CAST(len(skb) AS INT) AS base_n,
+       |  CAST(len(skd) AS INT) AS delta_n,
+       |  CAST(len(skm) AS INT) AS merged_n,
+       |  est_base, est_delta, est_merged,
+       |  (est_merged - est_base) * 1000000 // est_merged AS growth_micro,
+       |  CAST(coalesce(list_sum([(skm[i+1] % 1000003) * (i + 1)
+       |    for i in range(len(skm))]), 0) AS BIGINT) AS merged_checksum
+       |FROM e ORDER BY source""".stripMargin
 
   /** The qb8 oracle: the ENTIRE synopsis replayed — per-source
     * distinct md5-long sets, sorted bottom-k sketches, every pairwise

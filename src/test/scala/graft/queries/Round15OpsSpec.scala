@@ -126,4 +126,61 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(SparkEntry.queries("qa7_k_anonymity_incremental")(spark, sfDir)
       .count() > 0)
   }
+
+  test("qb9 serve path: cached state skips the rebuild contract; the " +
+    "maintained sketches equal a from-scratch full-corpus sketch") {
+    import spark.implicits._
+    val (_, _) = TextOps.loadOrBuildKmvBase(spark, sfDir)
+    val (_, b2) = TextOps.loadOrBuildKmvBase(spark, sfDir)
+    assert(!b2, "second qb9 state load claims a rebuild")
+    // the merge lemma end-to-end on the real corpus: merged est and
+    // checksum from the incremental serve vs a full one-shot sketch
+    val inc = SparkEntry.queries("qb9_kmv_incremental")(spark, sfDir)
+      .select($"source", $"merged_n", $"merged_checksum")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val full = SparkEntry.queries("qb8_kmv_overlap")(spark, sfDir)
+    // qb8 doesn't emit sketches; recompute the one-shot checksum the
+    // qb9 way over the full corpus and compare
+    graft.GraftExtensions.ensureRegistered(spark)
+    val oneShot = Tables.table(spark, sfDir, "documents")
+      .select($"source",
+        explode(expr("shingle_strings(text, 8)")).as("g"))
+      .select($"source",
+        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy($"source")
+      .agg(expr(s"kmv_sketch(h, ${TextOps.KmvK})").as("sk"))
+      .select($"source", size($"sk").as("n"),
+        expr("""aggregate(sequence(0, size(sk) - 1), CAST(0 AS BIGINT),
+          (acc, i) -> acc + (element_at(sk, CAST(i + 1 AS INT)) % 1000003)
+            * (i + 1))""").as("ck"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(inc == oneShot,
+      "qb9 maintained sketches diverged from the one-shot sketch")
+    assert(full.count() > 0)
+  }
+
+  test("kmv estimator is integer-exact: DECIMAL(38,0) floor-div " +
+    "matches BigInt arithmetic at the domain edge") {
+    import spark.implicits._
+    graft.GraftExtensions.ensureRegistered(spark)
+    val k = TextOps.KmvK
+    // two full sketches: the densest possible (kth = 127, estimate
+    // 2^60 — the 127·2^60 ≈ 2^67 numerator overflows a bare long)
+    // and a realistic one (kth ≈ 1e15)
+    for (kth <- Seq(k - 1L, 999999999999937L)) {
+      val sk = (0L until k - 1L) ++ Seq(kth)
+      val got = Seq(Tuple1(sk)).toDF("sk")
+        .select(expr(
+          s"""CASE WHEN size(sk) < $k THEN CAST(size(sk) AS BIGINT)
+             ELSE CAST((CAST(${k - 1} AS DECIMAL(38, 0)) *
+                        CAST(${TextOps.KmvDomain} AS DECIMAL(38, 0)))
+                       div element_at(sk, $k) AS BIGINT) END""").as("e"))
+        .collect().head.getLong(0)
+      val want = (BigInt(k - 1) * BigInt(TextOps.KmvDomain) /
+        BigInt(kth)).toLong
+      assert(got == want, s"estimator(kth=$kth) $got != BigInt $want")
+    }
+  }
 }
