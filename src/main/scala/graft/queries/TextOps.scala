@@ -2757,6 +2757,40 @@ object TextOps extends Registry {
       .orderBy(col("source"))
   }
 
+  /** Streaming form of qb9's maintenance (cmsFoldBatch's discipline,
+    * one table): each micro-batch of newly-arrived documents is
+    * sketched per source (bounded-state aggregation over the batch
+    * only) and merged into the stored sketches by the lossless
+    * bottom-k merge. Unlike the counter folds (cms/qt/lm), KMV merge
+    * is IDEMPOTENT — bottom-k(S ∪ S) = bottom-k(S), so re-merging
+    * already-seen content cannot corrupt the state even when the
+    * applied-batch ledger MISSES it (content redelivered under a new
+    * batchId) — exactly-once by algebra, not just by bookkeeping.
+    * The ledger still skips known batchIds (no wasted scan), and
+    * state + ledger commit in one atomic rename. */
+  def kmvFoldBatch(s: SparkSession, stateDir: String, batchId: Long,
+      batch: DataFrame): Unit = {
+    if (VersionedState.applied(stateDir, batchId)) return
+    val delta = kmvSketchesOf(batch).withColumnRenamed("sk", "skd")
+    val merged = VersionedState.tablePath(stateDir, "sketches") match {
+      case Some(prev) =>
+        s.read.parquet(prev.toString).withColumnRenamed("sk", "skb")
+          .join(delta, Seq("source"), "full")
+          .select(col("source"), expr(
+            s"""slice(array_sort(array_distinct(concat(
+               |  coalesce(skb, CAST(array() AS ARRAY<BIGINT>)),
+               |  coalesce(skd, CAST(array() AS ARRAY<BIGINT>))))),
+               |1, $KmvK)""".stripMargin).as("sk"))
+      case None => delta.withColumnRenamed("skd", "sk")
+    }
+    val rows = merged.collect() // bounded: |sources| × ≤k longs
+    VersionedState.commit(stateDir, batchId) { vdir =>
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+          merged.schema)
+        .write.parquet(vdir.resolve("sketches").toString)
+    }
+  }
+
   /** The qb9 oracle: base and delta sketches over their doc_id
     * slices, the sorted-list merge, every estimator, the checksum. */
   private def kmvIncrementalOracle: String =

@@ -1209,4 +1209,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(serveRows() == after,
       "redelivered batch (same batchId) mutated the served audit")
   }
+
+  test("streaming KMV maintenance: per-trigger sketch merges equal a " +
+    "one-shot sketch, and redelivered CONTENT is idempotent by algebra") {
+    // qb9's fold on a real stream: documents arrive as three files,
+    // each trigger sketches its batch and bottom-k-merges into the
+    // stored per-source sketches (TextOps.kmvFoldBatch). The merge is
+    // lossless, so the drained state must EQUAL one sketch pass over
+    // the whole corpus — and, the KMV-specific property, it is
+    // IDEMPOTENT: re-merging already-seen content under a NEW batchId
+    // (the ledger-miss case the counter folds cannot survive) changes
+    // nothing, because bottom-k(S ∪ S) = bottom-k(S).
+    import org.apache.spark.sql.functions._
+    val streamDir = java.nio.file.Files.createTempDirectory("kmv-stream")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("kmv-state").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("text"))
+    docs.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+
+    val query = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        graft.queries.TextOps.kmvFoldBatch(spark, stateDir, bid, df); ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+
+    def drained(): Map[String, Seq[Long]] = spark.read
+      .parquet(graft.queries.VersionedState
+        .tablePath(stateDir, "sketches").get.toString)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+
+    // one-shot sketch over the full corpus, written inline
+    graft.GraftExtensions.ensureRegistered(spark)
+    val oneShot = docs
+      .select(col("source"),
+        explode(expr("shingle_strings(text, 8)")).as("g"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("source"))
+      .agg(expr(s"kmv_sketch(h, ${graft.queries.TextOps.KmvK})").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val folded = drained()
+    assert(folded == oneShot && folded.nonEmpty,
+      "stream-folded KMV sketches diverged from the one-shot sketch")
+
+    // ledger-miss redelivery: the full corpus re-arrives under a NEW
+    // batchId — the ledger does not skip it, the algebra absorbs it
+    graft.queries.TextOps.kmvFoldBatch(spark, stateDir, 99L, docs)
+    assert(drained() == oneShot,
+      "re-merged content mutated the KMV state (idempotence broken)")
+  }
 }
