@@ -283,6 +283,8 @@ object AviRle8 {
         val b1 = d(i + 1) & 0xff
         i += 2
         if (b0 > 0) { // encoded run
+          if (y >= FrameH)
+            fail(s"frame $f: run below the last row (y=$y)")
           if (x + b0 > FrameW)
             fail(s"frame $f: run of $b0 crosses the row end at x=$x")
           var k = 0
@@ -305,6 +307,8 @@ object AviRle8 {
             if (x > FrameW || y > FrameH)
               fail(s"frame $f: delta jumps out of bounds to ($x,$y)")
           case n => // absolute mode: n literal indices + word pad
+            if (y >= FrameH)
+              fail(s"frame $f: absolute run below the last row (y=$y)")
             if (x + n > FrameW)
               fail(s"frame $f: absolute run of $n crosses the row end")
             need(n + (n & 1))

@@ -2617,12 +2617,16 @@ object TextOps extends Registry {
     * exact: a partial sketch IS the set (estimate = its size); a full
     * one estimates (k−1)·D / kth — computed in DECIMAL(38,0) so the
     * 2^67 numerator never overflows, floor-div like the oracle's
-    * HUGEINT //. */
+    * HUGEINT //. The greatest(·,1) guards the measure-zero kth=0 hash
+    * (md5 prefix of 15 zero nybbles): without it Spark's div yields
+    * NULL where DuckDB's // raises — the guard keeps both engines
+    * total and identical. */
   private def kmvEst(sk: String): Column = expr(
     s"""CASE WHEN size($sk) < $KmvK THEN CAST(size($sk) AS BIGINT)
        |ELSE CAST((CAST(${KmvK - 1} AS DECIMAL(38, 0)) *
        |           CAST($KmvDomain AS DECIMAL(38, 0)))
-       |          div element_at($sk, $KmvK) AS BIGINT) END""".stripMargin)
+       |          div greatest(element_at($sk, $KmvK), 1L)
+       |     AS BIGINT) END""".stripMargin)
 
   /** The qb8 surface: sketches from one bounded-state aggregation,
     * pairwise estimators as pure array arithmetic over S² sketch
@@ -2817,13 +2821,13 @@ object TextOps extends Registry {
        |e AS (SELECT source, skb, skd, skm,
        |    CASE WHEN len(skb) < $KmvK THEN CAST(len(skb) AS BIGINT)
        |         ELSE CAST(CAST(${KmvK - 1} AS HUGEINT) * $KmvDomain
-       |              // skb[$KmvK] AS BIGINT) END AS est_base,
+       |              // greatest(skb[$KmvK], 1) AS BIGINT) END AS est_base,
        |    CASE WHEN len(skd) < $KmvK THEN CAST(len(skd) AS BIGINT)
        |         ELSE CAST(CAST(${KmvK - 1} AS HUGEINT) * $KmvDomain
-       |              // skd[$KmvK] AS BIGINT) END AS est_delta,
+       |              // greatest(skd[$KmvK], 1) AS BIGINT) END AS est_delta,
        |    CASE WHEN len(skm) < $KmvK THEN CAST(len(skm) AS BIGINT)
        |         ELSE CAST(CAST(${KmvK - 1} AS HUGEINT) * $KmvDomain
-       |              // skm[$KmvK] AS BIGINT) END AS est_merged
+       |              // greatest(skm[$KmvK], 1) AS BIGINT) END AS est_merged
        |  FROM m)
        |SELECT source,
        |  CAST(len(skb) AS INT) AS base_n,
@@ -2863,13 +2867,13 @@ object TextOps extends Registry {
        |    least($KmvK, len(du)) AS ku,
        |    CASE WHEN len(ska) < $KmvK THEN CAST(len(ska) AS BIGINT)
        |         ELSE CAST(CAST(${KmvK - 1} AS HUGEINT) * $KmvDomain
-       |              // ska[$KmvK] AS BIGINT) END AS est_a,
+       |              // greatest(ska[$KmvK], 1) AS BIGINT) END AS est_a,
        |    CASE WHEN len(skb) < $KmvK THEN CAST(len(skb) AS BIGINT)
        |         ELSE CAST(CAST(${KmvK - 1} AS HUGEINT) * $KmvDomain
-       |              // skb[$KmvK] AS BIGINT) END AS est_b,
+       |              // greatest(skb[$KmvK], 1) AS BIGINT) END AS est_b,
        |    CASE WHEN len(du) < $KmvK THEN CAST(len(du) AS BIGINT)
        |         ELSE CAST(CAST(${KmvK - 1} AS HUGEINT) * $KmvDomain
-       |              // du[$KmvK] AS BIGINT) END AS est_union,
+       |              // greatest(du[$KmvK], 1) AS BIGINT) END AS est_union,
        |    CAST(len(list_filter(du[:$KmvK],
        |      x -> list_contains(ska, x) AND list_contains(skb, x)))
        |      AS BIGINT) AS kmv_overlap
