@@ -44,7 +44,12 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // r15: the compressed-audio decode and the graph-ANN beam walk —
     // qb6 especially, whose per-hop grouped-array beam prune must not
     // depend on how the frontier happens to be partitioned
-    "q8k_adpcm_audio", "qb6_graph_ann")
+    "q8k_adpcm_audio", "qb6_graph_ann",
+    // r15 cont.: RLE8 video (interframe decode is per-row, must not
+    // care how assets split) and the KMV sketches — the bounded
+    // TypedImperativeAggregate's partial-merge order is EXACTLY the
+    // partitioning-dependence this gate exists to catch
+    "q8l_avi_rle8_video", "qb8_kmv_overlap", "qb9_kmv_incremental")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map(_.toSeq.map {
