@@ -2140,9 +2140,12 @@ object Similarity extends Registry {
     // distribute), so the build here is the DETERMINISTIC member of
     // the class: a per-partition bidirected exact M-NN graph — the
     // navigable-graph core NN-descent converges to — built from a
-    // BOUNDED all-pairs inside each hash partition (q44's rationale:
-    // the quadratic term is |corpus/P|² per partition, P grows with
-    // the corpus at scale), then searched exactly the way NSW
+    // BOUNDED all-pairs inside each hash partition (q44's rationale
+    // made REAL here: P = max(8, ceil(n/128)) derives from the
+    // corpus count, so the quadratic term is capped at ~128² pairs
+    // per partition — the build is O(n·128) total cosine pairs, not
+    // O((n/const)²) — and the oracle re-derives P from count(*); the
+    // result row emits p_used), then searched exactly the way NSW
     // serves: greedy BEAM WALK from a per-partition entry point, H
     // hops, expanding the current beam through graph edges and
     // keeping the top-B by cosine, with a broadcast route-merge of
@@ -2153,10 +2156,11 @@ object Similarity extends Registry {
     // discipline on top: recall@5 vs the stored exact top-5, floor
     // require()d driver-side, per-query rows + micro-averaged mean
     // emitted as data. At 100 TB: build is per-partition all-pairs
-    // (bounded, embarrassingly parallel), search cost is
-    // H·B·degree·P per query — independent of corpus size within a
-    // partition budget — and hop count is the honest knob the
-    // contract watches.
+    // (bounded by the budget, embarrassingly parallel), search is
+    // the sharded-ANN serve model — every shard walked (H·B·degree
+    // work per shard, shards in parallel across executors), results
+    // route-merged — and hop count is the honest knob the contract
+    // watches.
     QueryDef(
       "qb6_graph_ann",
       (s, dir) => nswRecall(s, dir),
@@ -2549,27 +2553,49 @@ object Similarity extends Registry {
   // ------------------------------------------------------------------
   // qb6: graph-ANN machinery (see the QueryDef for design).
   // ------------------------------------------------------------------
-  val NswParts = 8
+  /** NSW partition count scales with the corpus under a per-partition
+    * node budget (q5c's scaled-k discipline — the ONE scalar every
+    * index build already knows is the corpus count): P = max(8,
+    * ceil(n / 128)), so each hash partition holds ≤ ~128 nodes and the
+    * per-partition all-pairs M-NN build is BOUNDED at ≤ 128² cosine
+    * pairs whatever the corpus size — the build is O(n·B) total, not
+    * O((n/const)²). The shipped sf dirs exercise TWO distinct P
+    * against the same oracle text (sf0.001/sf0.01: n=500 → P=8;
+    * sf0.1: n=2000 → P=16), which re-derives P from count(*) in SQL.
+    * The serve trade is the standard sharded-ANN model (every shard
+    * searched, frontier |q|×P×B): per-shard work is constant and the
+    * shards run in parallel across executors. */
+  val NswMinParts = 8
+  val NswPartBudget = 128
+  def nswPartsFor(n: Long): Int =
+    math.max(NswMinParts, math.ceil(n / NswPartBudget.toDouble).toInt)
+  /** P for a testdata dir — a parquet metadata count, not a scan. */
+  private[graft] def nswPartsAt(s: SparkSession, dir: String): Int =
+    nswPartsFor(table(s, dir, "embeddings").count())
   val NswM = 6
   val NswBeam = 16
   val NswHops = 3
-  /** Mean-recall@5 floor. Observed 0.92/1.0/0.59 at
-    * sf0.001/sf0.01/sf0.1 at (H=3, B=16); pinned conservatively —
-    * like q5b's families, the FLOOR is the contract, the emitted
-    * per-query recalls are the measurement, and (hops, beam) is the
-    * knob (H=4/B=8 measured 0.64 at sf0.1 for ~40% more serve
+  /** Mean-recall@5 floor. Observed 0.92/1.0/0.82 at
+    * sf0.001/sf0.01/sf0.1 at (H=3, B=16) with the corpus-derived
+    * P (8/8/16) — the sf0.1 figure rose from 0.59 at the old
+    * constant P=8 because the budgeted partitions are small enough
+    * for the beam to cover. Pinned conservatively — like q5b's
+    * families, the FLOOR is the contract, the emitted per-query
+    * recalls are the measurement, and (hops, beam) is the knob
+    * (H=4/B=8 measured 0.64 at sf0.1/P=8 for ~40% more serve
     * stages — the 3×16 point buys the same contract cheaper). */
   val NswRecallPin = 0.5
 
-  private def withPt(c: DataFrame): DataFrame =
-    c.withColumn("pt", pmod(col("vec_id"), lit(NswParts)))
+  private def withPt(c: DataFrame, parts: Int): DataFrame =
+    c.withColumn("pt", pmod(col("vec_id"), lit(parts)))
 
   /** The deterministic navigable-graph build: per-partition bidirected
-    * exact M-NN (bounded all-pairs inside each hash partition; ties
+    * exact M-NN (bounded all-pairs inside each hash partition — ≤
+    * NswPartBudget² pairs per partition at the corpus-derived P; ties
     * broken on rounded cosine + vec_id so the oracle builds the
     * identical graph). */
-  private[queries] def nswEdgesOn(c: DataFrame): DataFrame = {
-    val p = withPt(c)
+  private[queries] def nswEdgesOn(c: DataFrame, parts: Int): DataFrame = {
+    val p = withPt(c, parts)
     val scored = p.as("a").join(p.as("b"),
         col("a.pt") === col("b.pt") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.pt").as("pt"), col("a.vec_id").as("src"),
@@ -2591,9 +2617,10 @@ object Similarity extends Registry {
     * the stamp and rebuilds. */
   private[queries] def nswEdgesStored(s: SparkSession,
       dir: String): DataFrame = {
+    val parts = nswPartsAt(s, dir)
     val src = s"$dir/embeddings.parquet"
     val key = s"v1|$src|${Tables.sourceStamp(src)}" +
-      s"|nsw|P=$NswParts|M=$NswM"
+      s"|nsw|P=$parts|M=$NswM"
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val stateDir = Tables.persistentScratchDir(s"qb6_nsw_$tag")
@@ -2603,7 +2630,7 @@ object Similarity extends Registry {
       java.nio.file.Files.readString(keyFile) == key &&
       java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
     if (!valid) {
-      nswEdgesOn(corpus(s, dir)).coalesce(1)
+      nswEdgesOn(corpus(s, dir), parts).coalesce(1)
         .write.mode("overwrite").parquet(outDir.toString)
       java.nio.file.Files.writeString(keyFile, key)
     }
@@ -2673,8 +2700,8 @@ object Similarity extends Registry {
   }
 
   private[queries] def nswTopkOn(c: DataFrame,
-      edgesIn: DataFrame): DataFrame = {
-    val p = withPt(c)
+      edgesIn: DataFrame, parts: Int): DataFrame = {
+    val p = withPt(c, parts)
     val q = broadcast(queriesOf(c))
     val entries = p.groupBy(col("pt")).agg(min(col("vec_id")).as("vec_id"))
     val visited = beamWalk(p, edgesIn, q,
@@ -2688,9 +2715,10 @@ object Similarity extends Registry {
   /** The qb6 surface: per-query recall@5 of the graph search vs the
     * stored exact top-5, micro-averaged mean floor-gated driver-side. */
   def nswRecall(s: SparkSession, dir: String): DataFrame = {
+    val parts = nswPartsAt(s, dir)
     val c = corpus(s, dir)
     val ex = exactTopkStored(s, dir).select(col("q_id"), col("neighbor_id"))
-    val ann = nswTopkOn(c, nswEdgesStored(s, dir))
+    val ann = nswTopkOn(c, nswEdgesStored(s, dir), parts)
       .select(col("q_id"), col("neighbor_id"))
     val perQ = ex.groupBy(col("q_id")).agg(count(lit(1)).as("possible"))
       .join(ann.join(ex, Seq("q_id", "neighbor_id"), "left_semi")
@@ -2704,7 +2732,8 @@ object Similarity extends Registry {
         round(sum(col("hits")).cast("double") / sum(col("possible")), 4)
           .as("mean_recall"))))
       .select(col("q_id"), col("hits"), col("possible"), col("recall"),
-        col("mean_recall"), lit(NswRecallPin).as("min_recall"))
+        col("mean_recall"), lit(NswRecallPin).as("min_recall"),
+        lit(parts).as("p_used"))
       .orderBy(col("q_id"))
       .localCheckpoint(true) // ≤ |queries| rows; feeds the require()
     out.collect().headOption.foreach { r =>
@@ -2745,8 +2774,11 @@ object Similarity extends Registry {
     * recall@5 vs the exact top-5 with the same pinned floor. */
   private def nswRecallOracle: String =
     s"""WITH ${annNormSql("", "embeddings")},
+       |pp AS (SELECT CAST(GREATEST($NswMinParts,
+       |         CAST(ceil(count(*) / $NswPartBudget.0) AS BIGINT)) AS INT)
+       |         AS p FROM n),
        |pn AS MATERIALIZED (
-       |  SELECT vec_id, e, nrm, vec_id % $NswParts AS pt FROM n),
+       |  SELECT vec_id, e, nrm, vec_id % (SELECT p FROM pp) AS pt FROM n),
        |ge AS (SELECT pt, src, dst FROM (
        |    SELECT a.pt, a.vec_id AS src, b.vec_id AS dst,
        |      row_number() OVER (PARTITION BY a.pt, a.vec_id
@@ -2788,7 +2820,8 @@ object Similarity extends Registry {
        |        AS mean_recall FROM pq)
        |SELECT q_id, hits, possible,
        |  round(CAST(hits AS DOUBLE) / possible, 4) AS recall,
-       |  mean_recall, CAST($NswRecallPin AS DOUBLE) AS min_recall
+       |  mean_recall, CAST($NswRecallPin AS DOUBLE) AS min_recall,
+       |  (SELECT p FROM pp) AS p_used
        |FROM pq, m ORDER BY q_id""".stripMargin
 
   // ------------------------------------------------------------------
@@ -2798,7 +2831,8 @@ object Similarity extends Registry {
   val NswDeltaRem = 7
   /** qb7's floor: the maintained graph must serve the qb6 query set
     * at least this well — attach quality is what the contract
-    * watches. Observed 0.96/1.0/0.63 at sf0.001/sf0.01/sf0.1 (H=3, B=16). */
+    * watches. Observed 0.96/1.0/0.89 at sf0.001/sf0.01/sf0.1
+    * (H=3, B=16, corpus-derived P = 8/8/16). */
   val NswIncRecallPin = 0.5
 
   private def nswBase(c: DataFrame): DataFrame =
@@ -2816,8 +2850,9 @@ object Similarity extends Registry {
     * its top-M visited neighbors. Returns the attach edge list
     * (pt, src=delta, dst=base). */
   private[queries] def nswAttachOn(c: DataFrame,
-      baseEdges: DataFrame): DataFrame =
-    nswAttachDelta(withPt(nswBase(c)), baseEdges, withPt(nswDelta(c)))
+      baseEdges: DataFrame, parts: Int): DataFrame =
+    nswAttachDelta(withPt(nswBase(c), parts), baseEdges,
+      withPt(nswDelta(c), parts))
 
   /** Attach an EXPLICIT delta frame (the batch form above and the
     * streaming fold both route here): each vector beam-searches its
@@ -2847,12 +2882,14 @@ object Similarity extends Registry {
     * links) over a testdata dir. */
   def nswStreamFixtures(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val parts = nswPartsAt(s, dir)
     val c = corpus(s, dir)
-    val baseEdges = nswEdgesOn(nswBase(c)).localCheckpoint(true)
+    val baseEdges = nswEdgesOn(nswBase(c), parts).localCheckpoint(true)
     val deltaRaw = Tables.table(s, dir, "embeddings")
       .filter(pmod(col("vec_id"), lit(NswDeltaMod)) === NswDeltaRem)
       .select(col("vec_id"), col("embedding"))
-    (withPt(nswBase(c)), baseEdges, deltaRaw, nswAttachOn(c, baseEdges))
+    (withPt(nswBase(c), parts), baseEdges, deltaRaw,
+      nswAttachOn(c, baseEdges, parts))
   }
 
   /** Streaming form of qb7's maintenance (cmsFoldBatch's discipline):
@@ -2868,10 +2905,10 @@ object Similarity extends Registry {
     * ledger commit in ONE atomic rename via [[VersionedState]]. */
   def nswAttachFoldBatch(s: SparkSession, stateDir: String,
       batchId: Long, batch: DataFrame, base: DataFrame,
-      baseEdges: DataFrame): Unit = {
+      baseEdges: DataFrame, parts: Int): Unit = {
     if (VersionedState.applied(stateDir, batchId)) return
     val links = nswAttachDelta(base, baseEdges,
-      withPt(corpusOf(batch)))
+      withPt(corpusOf(batch), parts))
     val merged = (VersionedState.tablePath(stateDir, "attach") match {
       case Some(prev) => s.read.parquet(prev.toString).unionAll(links)
       case None => links
@@ -2893,9 +2930,10 @@ object Similarity extends Registry {
     * silently serve the base graph and still look green). */
   private[queries] def nswMaintainedStored(s: SparkSession,
       dir: String): DataFrame = {
+    val parts = nswPartsAt(s, dir)
     val src = s"$dir/embeddings.parquet"
     val key = s"v1|$src|${Tables.sourceStamp(src)}" +
-      s"|nsw-inc|P=$NswParts|M=$NswM|B=$NswBeam|H=$NswHops" +
+      s"|nsw-inc|P=$parts|M=$NswM|B=$NswBeam|H=$NswHops" +
       s"|delta=mod${NswDeltaMod}eq$NswDeltaRem"
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -2907,9 +2945,8 @@ object Similarity extends Registry {
       java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
     if (!valid) {
       val c = corpus(s, dir)
-      val baseEdges = nswEdgesOn(withPt(nswBase(c))
-        .select(col("vec_id"), col("v"), col("nrm")))
-      val att = nswAttachOn(c, baseEdges).localCheckpoint(true)
+      val baseEdges = nswEdgesOn(nswBase(c), parts)
+      val att = nswAttachOn(c, baseEdges, parts).localCheckpoint(true)
       // build-run contract: no delta vector may end up linkless
       val nDelta = nswDelta(c).count()
       val linked = att.select(col("src")).distinct().count()
@@ -2930,7 +2967,7 @@ object Similarity extends Registry {
     * graph's base-base subset against this. */
   private[queries] def nswEdgesOnBase(s: SparkSession, dir: String)
       : Set[(Long, Long, Long)] =
-    nswEdgesOn(nswBase(corpus(s, dir)))
+    nswEdgesOn(nswBase(corpus(s, dir)), nswPartsAt(s, dir))
       .select(col("pt").cast("long"), col("src").cast("long"),
         col("dst").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -2941,9 +2978,10 @@ object Similarity extends Registry {
     * through their attach links), recall@5 vs the same stored exact
     * top-5, floor-gated. */
   def nswIncrementalRecall(s: SparkSession, dir: String): DataFrame = {
+    val parts = nswPartsAt(s, dir)
     val c = corpus(s, dir)
     val ex = exactTopkStored(s, dir).select(col("q_id"), col("neighbor_id"))
-    val ann = nswTopkOn(c, nswMaintainedStored(s, dir))
+    val ann = nswTopkOn(c, nswMaintainedStored(s, dir), parts)
       .select(col("q_id"), col("neighbor_id"))
     val perQ = ex.groupBy(col("q_id")).agg(count(lit(1)).as("possible"))
       .join(ann.join(ex, Seq("q_id", "neighbor_id"), "left_semi")
@@ -2957,7 +2995,8 @@ object Similarity extends Registry {
         round(sum(col("hits")).cast("double") / sum(col("possible")), 4)
           .as("mean_recall"))))
       .select(col("q_id"), col("hits"), col("possible"), col("recall"),
-        col("mean_recall"), lit(NswIncRecallPin).as("min_recall"))
+        col("mean_recall"), lit(NswIncRecallPin).as("min_recall"),
+        lit(parts).as("p_used"))
       .orderBy(col("q_id"))
       .localCheckpoint(true) // ≤ |queries| rows; feeds the require()
     out.collect().headOption.foreach { r =>
@@ -2973,7 +3012,11 @@ object Similarity extends Registry {
     * the full serve walk — ALL replayed, then recall@5 vs t50. */
   private def nswIncrementalOracle: String =
     s"""WITH ${annNormSql("", "embeddings")},
-       |pn AS (SELECT vec_id, e, nrm, vec_id % $NswParts AS pt FROM n),
+       |pp AS (SELECT CAST(GREATEST($NswMinParts,
+       |         CAST(ceil(count(*) / $NswPartBudget.0) AS BIGINT)) AS INT)
+       |         AS p FROM n),
+       |pn AS (SELECT vec_id, e, nrm, vec_id % (SELECT p FROM pp) AS pt
+       |       FROM n),
        |pnb AS MATERIALIZED (SELECT * FROM pn
        |        WHERE vec_id % $NswDeltaMod <> $NswDeltaRem),
        |geb AS (SELECT pt, src, dst FROM (
@@ -3044,6 +3087,7 @@ object Similarity extends Registry {
        |        AS mean_recall FROM pq)
        |SELECT q_id, hits, possible,
        |  round(CAST(hits AS DOUBLE) / possible, 4) AS recall,
-       |  mean_recall, CAST($NswIncRecallPin AS DOUBLE) AS min_recall
+       |  mean_recall, CAST($NswIncRecallPin AS DOUBLE) AS min_recall,
+       |  (SELECT p FROM pp) AS p_used
        |FROM pq, m ORDER BY q_id""".stripMargin
 }

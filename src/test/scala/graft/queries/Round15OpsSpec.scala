@@ -48,6 +48,7 @@ class Round15OpsSpec extends AnyFunSuite {
 
   test("qb6 navigable graph: symmetric, partition-local, degree-bounded") {
     import spark.implicits._
+    val nswP = Similarity.nswPartsAt(spark, sfDir)
     val edges = Similarity.nswEdgesStored(spark, sfDir)
       .select($"pt".cast("long"), $"src".cast("long"), $"dst".cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -57,7 +58,7 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(set.forall { case (s, d) => set((d, s)) }, "graph not symmetric")
     // partition-local: both endpoints hash to the edge's partition
     assert(edges.forall { case (p, s, d) =>
-      s % Similarity.NswParts == p && d % Similarity.NswParts == p },
+      s % nswP == p && d % nswP == p },
       "edge crosses a partition")
     // edge bound: ≤ 2·M·n directed edges total (n nodes contribute M
     // out-links each, then the reverse copies). Per-node degree is
@@ -69,7 +70,7 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(edges.length <= 2 * Similarity.NswM * n,
       s"${edges.length} edges exceed the 2·M·n bound")
     val outDeg = edges.groupBy(_._2).map(_._2.size)
-    assert(outDeg.min >= Similarity.NswM.min(n / Similarity.NswParts - 1),
+    assert(outDeg.min >= Similarity.NswM.min(n / nswP - 1),
       "a node lost its own M out-links")
     // no self-loops
     assert(edges.forall { case (_, s, d) => s != d })
@@ -78,6 +79,7 @@ class Round15OpsSpec extends AnyFunSuite {
   test("qb7 batch-attach: every delta vector links within its own " +
     "partition, at most M links, base graph untouched") {
     import spark.implicits._
+    val nswP = Similarity.nswPartsAt(spark, sfDir)
     val maintained = Similarity.nswMaintainedStored(spark, sfDir)
       .select($"pt".cast("long"), $"src".cast("long"), $"dst".cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -91,7 +93,7 @@ class Round15OpsSpec extends AnyFunSuite {
     // links are deferred by design (segment model), and each delta's
     // out-links are its top-M (≤ M)
     assert(attach.forall { case (p, s, d) =>
-      s % Similarity.NswParts == p && d % Similarity.NswParts == p })
+      s % nswP == p && d % nswP == p })
     assert(attach.forall { case (_, s, d) => !(isDelta(s) && isDelta(d)) },
       "a delta-delta link crept in (deferred to segment merge by design)")
     val outPerDelta = attach.filter(e => isDelta(e._2))

@@ -598,6 +598,7 @@ class StreamingSpec extends AnyFunSuite {
     // what makes it streamable.
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
+    val nswP = graft.queries.Similarity.nswPartsAt(spark, sf)
     val (base, baseEdges, deltaRaw, oneShot) =
       graft.queries.Similarity.nswStreamFixtures(spark, sf)
     val streamDir = java.nio.file.Files.createTempDirectory("nsw-stream")
@@ -614,7 +615,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
         graft.queries.Similarity.nswAttachFoldBatch(
-          spark, stateDir, bid, df, base, baseEdges)
+          spark, stateDir, bid, df, base, baseEdges, nswP)
         folds.incrementAndGet(); ()
       }
       .start()
@@ -635,7 +636,7 @@ class StreamingSpec extends AnyFunSuite {
     // redelivery: an already-applied batchId must be a ledger no-op
     graft.queries.Similarity.nswAttachFoldBatch(
       spark, stateDir, 0L, spark.read.parquet(streamDir.toString),
-      base, baseEdges)
+      base, baseEdges, nswP)
     val after = links(spark.read.parquet(
       graft.queries.VersionedState.tablePath(stateDir, "attach")
         .get.toString))
