@@ -1013,11 +1013,11 @@ object Dedup extends Registry {
     // distance over the raw title — so non-ASCII titles are MATCHED,
     // not stripped (the r14 form ASCII-projected both sides, which
     // was honest but blind to multilingual near-dups). Slicing,
-    // blocking, and ordering agree without projection: substr/reverse
-    // are codepoint-based in both engines and BMP codepoint order ==
+    // blocking, and ordering agree without projection: substr is
+    // codepoint-based in both engines and BMP codepoint order ==
     // UTF-8 byte order (caveat, documented: astral-plane titles sort
-    // differently in UTF-16, and DuckDB's reverse is grapheme-aware —
-    // combining sequences belong to a normalization pass upstream).
+    // differently in UTF-16; qb0's reversed SORT KEY is hex-of-bytes
+    // precisely so no engine's reverse() semantics are relied on).
     QueryDef(
       "q9z_fuzzy_join",
       (s, dir) => fuzzyJoin(table(s, dir, "documents")),
@@ -1040,9 +1040,12 @@ object Dedup extends Registry {
     // blocking, covering exactly what q9z's prefix block misses BY
     // CONSTRUCTION (an edit inside the first 8 chars escapes the
     // prefix block; q9z's own doc names this trade). Records sort by
-    // the REVERSED title, so titles sharing a suffix cluster together
+    // the REVERSED title — keyed as HEX of the reversed UTF-8 bytes,
+    // a pure-ASCII key both engines order and slice identically (no
+    // reverse() semantics relied on: Spark's is codepoint, DuckDB's
+    // grapheme) — so titles sharing a suffix cluster together
     // regardless of how their heads differ; each record pairs with its
-    // W nearest sort neighbors inside a 2-char reversed-prefix bucket
+    // W nearest sort neighbors inside a 2-byte reversed-prefix bucket
     // and bounded Levenshtein confirms. The distributed form is the
     // Dedoop-style bucketed SNM: the per-bucket window is one shuffle
     // by bucket key (never a global row_number — a single-partition
@@ -1060,13 +1063,19 @@ object Dedup extends Registry {
              |  SELECT doc_id,
              |    substr(text, 1, $FuzzyTitleLen) AS title
              |  FROM documents),
+             |h AS (
+             |  SELECT doc_id, title,
+             |    array_to_string(list_reverse(
+             |      [hx[i:i+1] for i in range(1, len(hx), 2)]), '') AS skey
+             |  FROM (SELECT doc_id, title, hex(encode(title)) AS hx
+             |        FROM t) z),
              |r AS (
-             |  SELECT doc_id, title, reverse(title) AS skey,
-             |    substr(reverse(title), 1, $SnmBucketLen) AS bkt,
+             |  SELECT doc_id, title, skey,
+             |    substr(skey, 1, ${2 * SnmBucketLen}) AS bkt,
              |    row_number() OVER (
-             |      PARTITION BY substr(reverse(title), 1, $SnmBucketLen)
-             |      ORDER BY reverse(title), doc_id) AS rn
-             |  FROM t)
+             |      PARTITION BY substr(skey, 1, ${2 * SnmBucketLen})
+             |      ORDER BY skey, doc_id) AS rn
+             |  FROM h)
              |SELECT least(a.doc_id, b.doc_id) AS doc_a,
              |  greatest(a.doc_id, b.doc_id) AS doc_b,
              |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS lev,
@@ -1285,11 +1294,18 @@ object Dedup extends Registry {
   def sortedNeighborhoodJoin(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // sort key = HEX of the title's REVERSED UTF-8 bytes: pure-ASCII
+    // on both engines, so bucket, rank order, and neighborhood are
+    // byte-basis-identical cross-engine — no reliance on either
+    // engine's reverse() semantics (Spark reverses codepoints,
+    // DuckDB graphemes; combining sequences diverged under the old
+    // reverse(title) key — that caveat is now unreachable)
     val r = docs
       .select($"doc_id",
         substring($"text", 1, FuzzyTitleLen).as("title"))
-      .withColumn("skey", reverse($"title"))
-      .withColumn("bkt", substring($"skey", 1, SnmBucketLen))
+      .withColumn("skey",
+        hex(encode(reverse(byteStr($"title")), "ISO-8859-1")))
+      .withColumn("bkt", substring($"skey", 1, 2 * SnmBucketLen))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"bkt").orderBy($"skey", $"doc_id")))
     // W-neighbor pairing as a pure EQUI join: each record probes

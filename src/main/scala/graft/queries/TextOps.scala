@@ -2559,6 +2559,13 @@ object TextOps extends Registry {
     * observed means are well under at all three SFs — pinned
     * conservatively, the per-pair errors ship as data. */
   val KmvErrPinMicro = 250000L
+  /** Micro-averaged |est_shared − exact_shared|/exact_union floor
+    * (union-normalized so empty intersections stay total). Observed
+    * means 1,487µ/1,183µ/2,811µ at sf0.001/0.01/0.1 (max per-pair
+    * ≤ 47,192µ) — union-normalizing makes the compound estimator's
+    * relative error small because most pairs share little; pinned
+    * at 5% like the union's conservative-multiple discipline. */
+  val KmvSharedErrPinMicro = 50000L
 
   /** One corpus scan: per-source 8-gram md5-longs — the SAME gram
     * strings q9y/q3f prove byte-identical across engines, hashed with
@@ -2649,8 +2656,12 @@ object TextOps extends Registry {
         s"""CAST(size(filter(slice(du, 1, $KmvK),
            |x -> array_contains(ska, x) AND array_contains(skb, x)))
            |AS BIGINT)""".stripMargin))
+      // greatest(·,1): both sketches empty ⇒ ku=0 — Spark's div
+      // yields NULL where DuckDB's // raises; the guard keeps the
+      // estimator total and identical across engines (kmvEst's
+      // kth=0 discipline applied to the union size)
       .withColumn("jaccard_est_micro",
-        expr("kmv_overlap * 1000000 div ku"))
+        expr("kmv_overlap * 1000000 div greatest(ku, 1)"))
       .withColumn("est_shared", expr(
         s"""CASE WHEN size(du) < $KmvK THEN kmv_overlap
            |ELSE jaccard_est_micro * est_union div 1000000 END"""
@@ -2662,21 +2673,32 @@ object TextOps extends Registry {
         expr("abs(est_union - exact_union) * 1000000 div exact_union"))
       .withColumn("jaccard_exact_micro",
         expr("exact_shared * 1000000 div exact_union"))
+      // intersection error, union-normalized (exact_shared may be 0)
+      .withColumn("err_shared_micro", expr(
+        "abs(est_shared - exact_shared) * 1000000 div " +
+          "greatest(exact_union, 1)"))
       .select(col("source_a"), col("source_b"), col("est_a"),
         col("est_b"), col("est_union"), col("exact_union"),
         col("err_union_micro"), col("kmv_overlap"),
         col("jaccard_est_micro"), col("jaccard_exact_micro"),
-        col("est_shared"), col("exact_shared"))
+        col("est_shared"), col("exact_shared"), col("err_shared_micro"))
     val out = pairs.crossJoin(broadcast(pairs.agg(
-        expr("sum(err_union_micro) div count(1)").as("mean_err_micro"))))
+        expr("sum(err_union_micro) div count(1)").as("mean_err_micro"),
+        expr("sum(err_shared_micro) div count(1)")
+          .as("mean_err_shared_micro"))))
       .withColumn("err_pin_micro", lit(KmvErrPinMicro))
+      .withColumn("err_shared_pin_micro", lit(KmvSharedErrPinMicro))
       .orderBy(col("source_a"), col("source_b"))
       .localCheckpoint(true) // ≤ S² rows; feeds the require()
-    out.select(col("mean_err_micro")).limit(1).collect()
+    out.select(col("mean_err_micro"), col("mean_err_shared_micro"))
+      .limit(1).collect()
       .headOption.foreach { r =>
         require(r.getLong(0) <= KmvErrPinMicro,
           s"qb8: mean KMV union error ${r.getLong(0)}µ above the " +
             s"pinned floor ${KmvErrPinMicro}µ")
+        require(r.getLong(1) <= KmvSharedErrPinMicro,
+          s"qb8: mean KMV intersection error ${r.getLong(1)}µ above " +
+            s"the pinned floor ${KmvSharedErrPinMicro}µ")
       }
     out
   }
@@ -2886,17 +2908,24 @@ object TextOps extends Registry {
        |    abs(est_union - (ca + cb - exact_shared)) * 1000000
        |      // (ca + cb - exact_shared) AS err_union_micro,
        |    kmv_overlap,
-       |    kmv_overlap * 1000000 // ku AS jaccard_est_micro,
+       |    kmv_overlap * 1000000 // greatest(ku, 1) AS jaccard_est_micro,
        |    exact_shared * 1000000 // (ca + cb - exact_shared)
        |      AS jaccard_exact_micro,
        |    CASE WHEN len(du) < $KmvK THEN kmv_overlap
-       |         ELSE (kmv_overlap * 1000000 // ku) * est_union
-       |              // 1000000 END AS est_shared,
+       |         ELSE (kmv_overlap * 1000000 // greatest(ku, 1))
+       |              * est_union // 1000000 END AS est_shared,
        |    exact_shared
-       |  FROM f)
-       |SELECT r.*,
+       |  FROM f),
+       |r2 AS (SELECT r.*,
+       |    abs(est_shared - exact_shared) * 1000000
+       |      // greatest(exact_union, 1) AS err_shared_micro
+       |  FROM r)
+       |SELECT r2.*,
        |  (SELECT CAST(sum(err_union_micro) // count(*) AS BIGINT)
-       |   FROM r) AS mean_err_micro,
-       |  CAST($KmvErrPinMicro AS BIGINT) AS err_pin_micro
-       |FROM r ORDER BY source_a, source_b""".stripMargin
+       |   FROM r2) AS mean_err_micro,
+       |  (SELECT CAST(sum(err_shared_micro) // count(*) AS BIGINT)
+       |   FROM r2) AS mean_err_shared_micro,
+       |  CAST($KmvErrPinMicro AS BIGINT) AS err_pin_micro,
+       |  CAST($KmvSharedErrPinMicro AS BIGINT) AS err_shared_pin_micro
+       |FROM r2 ORDER BY source_a, source_b""".stripMargin
 }

@@ -70,34 +70,39 @@ object VersionedState {
     val vdir = Paths.get(stateDir, vname)
     write(vdir)
     prev.foreach { p =>
-      val it = Files.list(p).iterator()
-      while (it.hasNext) {
-        val f = it.next()
+      eachEntry(p) { f =>
         if (f.getFileName.toString.startsWith("_applied-"))
           Files.copy(f, vdir.resolve(f.getFileName.toString))
       }
     }
-    Files.createFile(vdir.resolve(s"_applied-$batchId"))
+    // idempotent on a misused re-commit of an applied batch: its
+    // marker just arrived via the carry-forward copy above
+    val marker = vdir.resolve(s"_applied-$batchId")
+    if (!Files.exists(marker)) Files.createFile(marker)
     val tmp = Files.createTempFile(Paths.get(stateDir), "CURRENT-", ".tmp")
     Files.writeString(tmp, vname)
     Files.move(tmp, currentFile(stateDir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // GC: anything that isn't the live version is a superseded or
     // torn-write orphan; single-writer contract makes this safe
-    val it = Files.list(Paths.get(stateDir)).iterator()
-    while (it.hasNext) {
-      val f = it.next()
+    eachEntry(Paths.get(stateDir)) { f =>
       val n = f.getFileName.toString
       if (n.startsWith("v-") && n != vname && Files.isDirectory(f))
         deleteRecursively(f)
     }
   }
 
+  /** Directory iteration with the stream CLOSED afterwards — a bare
+    * Files.list leaks one open directory handle per call, which a
+    * per-micro-batch commit loop turns into fd exhaustion. */
+  private def eachEntry(dir: Path)(f: Path => Unit): Unit = {
+    val s = Files.list(dir)
+    try { val it = s.iterator(); while (it.hasNext) f(it.next()) }
+    finally s.close()
+  }
+
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val it = Files.list(p).iterator()
-      while (it.hasNext) deleteRecursively(it.next())
-    }
+    if (Files.isDirectory(p)) eachEntry(p)(deleteRecursively)
     Files.deleteIfExists(p); ()
   }
 }

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 hardening: items flagged by the r15 review — the NSW
+  * partition count must DERIVE from the corpus size (the constant
+  * P=8 made the graph build quadratic at scale), VersionedState must
+  * not leak directory handles or fail on a re-committed batch, and
+  * qb8's estimators must stay total on degenerate inputs. */
+class Round16OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("qb6 partition count derives from the corpus under the " +
+    "per-partition budget — bounded build at any scale") {
+    // the r15 defect: NswParts = 8 constant ⇒ O((n/8)²) build. The
+    // formula must (a) floor at 8, (b) grow linearly past the budget,
+    // (c) keep the per-partition node count ≤ ~budget at ANY n —
+    // which is what bounds the all-pairs build.
+    assert(Similarity.nswPartsFor(0) == Similarity.NswMinParts)
+    assert(Similarity.nswPartsFor(500) == 8)   // sf0.001 / sf0.01
+    assert(Similarity.nswPartsFor(2000) == 16) // sf0.1 — a SECOND P
+    assert(Similarity.nswPartsFor(1L << 30) ==
+      math.ceil((1L << 30) / Similarity.NswPartBudget.toDouble).toInt)
+    for (n <- Seq(500L, 2000L, 1000000L, 1L << 30)) {
+      val p = Similarity.nswPartsFor(n)
+      assert(n.toDouble / p <= Similarity.NswPartBudget,
+        s"partition budget exceeded at n=$n: n/P=${n / p}")
+    }
+    // the shipped sf dirs exercise two DISTINCT P against one oracle
+    assert(Similarity.nswPartsAt(spark, "/root/testdata/sf0.001") !=
+      Similarity.nswPartsFor(2000))
+  }
+
+  test("VersionedState.commit is idempotent for an already-applied " +
+    "batchId (API misuse must not throw after the write work)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("vstate-idem").toString
+    def writeTable(vdir: java.nio.file.Path): Unit =
+      Seq((1L, 10L)).toDF("k", "v")
+        .coalesce(1).write.parquet(vdir.resolve("t").toString)
+    VersionedState.commit(dir, 7L)(writeTable)
+    assert(VersionedState.applied(dir, 7L))
+    // the r15 advice: re-committing batch 7 carried the existing
+    // _applied-7 marker into the new version dir and createFile threw
+    // FileAlreadyExistsException AFTER the parquet write
+    VersionedState.commit(dir, 7L)(writeTable)
+    assert(VersionedState.applied(dir, 7L))
+    val live = VersionedState.tablePath(dir, "t")
+    assert(live.nonEmpty)
+    assert(spark.read.parquet(live.get.toString).count() == 1)
+  }
+}
