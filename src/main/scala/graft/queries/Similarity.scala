@@ -56,7 +56,7 @@ object Similarity extends Registry {
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }
 
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private[queries] def corpus(s: SparkSession, dir: String): DataFrame =
     corpusOf(table(s, dir, "embeddings"))
 
   /** Query set: every 100th vec_id, capped to a CONSTANT id range so the
@@ -67,7 +67,7 @@ object Similarity extends Registry {
     * modulo-only set at every shipped sf (max vec_id 1999). */
   private val MaxQueryId = 2000
 
-  private def queriesOf(c: DataFrame): DataFrame =
+  private[queries] def queriesOf(c: DataFrame): DataFrame =
     c.filter(col("vec_id") % 100 === 0 && col("vec_id") < MaxQueryId)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
 
@@ -2586,7 +2586,7 @@ object Similarity extends Registry {
     * stages — the 3×16 point buys the same contract cheaper). */
   val NswRecallPin = 0.5
 
-  private def withPt(c: DataFrame, parts: Int): DataFrame =
+  private[queries] def withPt(c: DataFrame, parts: Int): DataFrame =
     c.withColumn("pt", pmod(col("vec_id"), lit(parts)))
 
   /** The deterministic navigable-graph build: per-partition bidirected
@@ -2647,16 +2647,119 @@ object Similarity extends Registry {
     * scoring against `qs` (q_id, qv, qn), keeping top-B per
     * (q_id, pt) each round; returns every VISITED (q_id, pt, vec_id,
     * cos). Fully deterministic: rounded cosines, vec_id tiebreaks. */
-  private def beamWalk(nodes: DataFrame, edgesIn: DataFrame,
+  private[queries] def beamWalk(nodes: DataFrame, edgesIn: DataFrame,
       qs: DataFrame, starts: DataFrame): DataFrame = {
-    // bounded: ≤ n × 2M rows; materialized once so the unrolled hops
-    // read it instead of re-planning the edge source per hop
+    // SHARDED walk (r16): the per-hop declarative form (kept below as
+    // [[beamWalkDeclarative]], spec-pinned equivalent) was correct
+    // but paid ~12 stage schedulings per serve for frontiers of a
+    // few thousand rows — ~3s of pure scheduling at sf0.1, the
+    // suite's two slowest queries. A shard's walk is genuine
+    // per-partition imperative logic — the in-memory greedy search
+    // every real NSW store runs per shard — so this is the
+    // mapPartitions-class case the operator guidance reserves for
+    // exactly this: ONE row per pt shard carries its nodes
+    // (≤ ~NswPartBudget vectors), adjacency (≤ 2M per node), and the
+    // (query, entry) pairs that start there; the whole H-hop walk
+    // runs inside the shard. THREE bounded shuffles total (group
+    // nodes / edges / starts by pt) instead of shuffles-per-hop,
+    // shards in parallel across executors, per-shard state bounded
+    // by the partition budget at ANY corpus size. Every arithmetic
+    // step reproduces the declarative form bit-for-bit (VectorDot's
+    // sequential loop, codegen round = BigDecimal.valueOf half-up,
+    // (0.0−cos, vec_id) beam order), so the DuckDB oracle still
+    // replays every hop — NswWalkSpec pins fused ≡ declarative on
+    // the real corpora.
+    val s = nodes.sparkSession
+    import s.implicits._
+    val ns = nodes.select(col("pt"), col("vec_id"), col("v"), col("nrm"))
+      .groupBy(col("pt")).agg(collect_list(
+        struct(col("vec_id"), col("v"), col("nrm"))).as("ns"))
+    val es = edgesIn.groupBy(col("pt")).agg(collect_list(
+      struct(col("src"), col("dst"))).as("es"))
+    val ss = starts.join(qs, Seq("q_id")).groupBy(col("pt")).agg(
+      collect_list(struct(col("q_id"), col("vec_id"), col("qv"),
+        col("qn"))).as("ss"))
+    ns.join(es, Seq("pt"), "left").join(ss, Seq("pt"))
+      .select(col("pt").cast("long").as("pt"), col("ns"), col("es"),
+        col("ss"))
+      .as[(Long, Seq[(Long, Seq[Double], Double)],
+        Option[Seq[(Long, Long)]],
+        Seq[(Long, Long, Seq[Double], Double)])]
+      .flatMap { case (pt, nsL, esL, ssL) =>
+        walkShard(pt, nsL, esL.getOrElse(Nil), ssL)
+      }
+      .toDF("q_id", "pt", "vec_id", "cos")
+  }
+
+  /** The in-shard greedy beam walk — the imperative twin of
+    * [[beamWalkDeclarative]], step-for-step: b0 scores the entry,
+    * each hop expands the CURRENT beam through the adjacency, scores
+    * candidates (round-4 cosine — BigDecimal.valueOf half-up, the
+    * exact arithmetic Spark codegen emits for `round` on doubles),
+    * keeps top-B by (0.0−cos, vec_id), and `visited` accumulates
+    * every scored node. Emits each visited (q_id, pt, vec_id, cos)
+    * once — downstream consumers dedupe anyway, so collapsing the
+    * declarative form's duplicates is lossless. */
+  private def walkShard(pt: Long,
+      nsL: Seq[(Long, Seq[Double], Double)],
+      esL: Seq[(Long, Long)],
+      ssL: Seq[(Long, Long, Seq[Double], Double)])
+      : Iterator[(Long, Long, Long, Double)] = {
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vecs = new scala.collection.mutable.HashMap[Long,
+      (Array[Double], Double)]
+    nsL.foreach { case (id, v, nrm) => vecs(id) = (v.toArray, nrm) }
+    val adj = new scala.collection.mutable.HashMap[Long,
+      scala.collection.mutable.ArrayBuffer[Long]]
+    esL.foreach { case (src, dst) =>
+      adj.getOrElseUpdate(src,
+        new scala.collection.mutable.ArrayBuffer[Long]) += dst
+    }
+    val beamOrd =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    ssL.iterator.flatMap { case (qId, entry, qv, qn) =>
+      val q = qv.toArray
+      def score(id: Long): Double = {
+        val (v, nrm) = vecs(id)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(v.length, q.length)
+        while (i < n) { acc += v(i) * q(i); i += 1 }
+        round4(acc / (nrm * qn))
+      }
+      val visited =
+        new scala.collection.mutable.LinkedHashMap[Long, Double]
+      visited(entry) = score(entry)
+      var beam = List(entry -> visited(entry))
+      for (_ <- 1 to NswHops) {
+        val cand = beam.iterator
+          .flatMap(b => adj.getOrElse(b._1, Nil)).toSet
+        val scored = cand.iterator.map { id =>
+          val c = visited.getOrElse(id, score(id))
+          visited(id) = c
+          id -> c
+        }.toList
+        beam = (beam ++ scored).distinctBy(_._1)
+          .sortBy { case (id, c) => (0.0 - c, id) }(beamOrd)
+          .take(NswBeam)
+      }
+      visited.iterator.map { case (id, c) => (qId, pt, id, c) }
+    }
+  }
+
+  /** The declarative per-hop walk the sharded form replaced — kept
+    * as the semantic REFERENCE: NswWalkSpec asserts the two produce
+    * identical (q_id, pt, vec_id, cos) sets on the shipped corpora.
+    * Plan shape: each hop expands the beam through the edge list,
+    * scores against nodes/queries, and keeps DISTINCT top-B per
+    * (q_id, pt) in ONE grouped-array shuffle (struct sort on
+    * (0.0−cos, vec_id) — the subtraction normalizes −0.0 so the
+    * rounded domain's two zeros rank identically). */
+  private[queries] def beamWalkDeclarative(nodes: DataFrame,
+      edgesIn: DataFrame, qs: DataFrame, starts: DataFrame): DataFrame = {
     val edges = edgesIn.localCheckpoint(true)
-    // the frontier is BOUNDED at any corpus size (|queries| × P × B
-    // rows) and would be the broadcast side on a real cluster; on
-    // local[32] an explicit per-hop broadcast build measured SLOWER
-    // than letting AQE localize the tiny shuffles (5.8s vs 4.8s for
-    // qb6), so the joins stay declarative and AQE picks the strategy
     def scoreOf(cand: DataFrame): DataFrame =
       cand.join(nodes.select(col("pt"), col("vec_id"), col("v"),
           col("nrm")), Seq("pt", "vec_id"))
@@ -2664,30 +2767,18 @@ object Similarity extends Registry {
         .select(col("q_id"), col("pt"), col("vec_id"),
           round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4)
             .as("cos"))
-    val b0 = scoreOf(starts)
-      .localCheckpoint(true) // |queries| × P rows; read by every hop
+    val b0 = scoreOf(starts).localCheckpoint(true)
     var beam = b0
     var visited = b0
     for (_ <- 1 to NswHops) {
-      // no distinct here: duplicate candidates score identically and
-      // collapse in the beam's DISTINCT — one fewer shuffle per hop
       val expand = beam.select(col("q_id"), col("pt"),
           col("vec_id").as("src"))
         .join(edges, Seq("pt", "src"))
         .select(col("q_id"), col("pt"), col("dst").as("vec_id"))
       val scored = scoreOf(expand)
-      // DISTINCT + top-B per (q_id, pt) in ONE shuffle: dedupe and
-      // prune inside a grouped array fold instead of a distinct plus
-      // a row_number window (struct sorts (-cos, vec_id) = cosine
-      // DESC with the vec_id tiebreak — the oracle's row_number
-      // ordering exactly)
       beam = beam.unionAll(scored)
         .groupBy(col("q_id"), col("pt"))
         .agg(slice(array_sort(array_distinct(collect_list(
-          // 0.0 - cos (not -cos): unary minus maps 0.0 to -0.0, which
-          // Spark's double ordering ranks below 0.0 while the rounded
-          // domain treats them as one value — the subtraction
-          // normalizes both zeros to +0.0
           struct((lit(0.0) - col("cos")).as("nc"), col("vec_id"),
             col("cos"))))),
           1, NswBeam).as("top"))
@@ -2835,9 +2926,9 @@ object Similarity extends Registry {
     * (H=3, B=16, corpus-derived P = 8/8/16). */
   val NswIncRecallPin = 0.5
 
-  private def nswBase(c: DataFrame): DataFrame =
+  private[queries] def nswBase(c: DataFrame): DataFrame =
     c.filter(pmod(col("vec_id"), lit(NswDeltaMod)) =!= NswDeltaRem)
-  private def nswDelta(c: DataFrame): DataFrame =
+  private[queries] def nswDelta(c: DataFrame): DataFrame =
     c.filter(pmod(col("vec_id"), lit(NswDeltaMod)) === NswDeltaRem)
 
   /** Batch-attach the delta split to the stored BASE graph: each new
@@ -2945,7 +3036,9 @@ object Similarity extends Registry {
       java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
     if (!valid) {
       val c = corpus(s, dir)
-      val baseEdges = nswEdgesOn(nswBase(c), parts)
+      // computed edges ARE checkpointed (build path only): the walk's
+      // unrolled hops would otherwise re-run the M-NN build per hop
+      val baseEdges = nswEdgesOn(nswBase(c), parts).localCheckpoint(true)
       val att = nswAttachOn(c, baseEdges, parts).localCheckpoint(true)
       // build-run contract: no delta vector may end up linkless
       val nDelta = nswDelta(c).count()
