@@ -392,6 +392,52 @@ object Dedup extends Registry {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** qba: seed length and the smallest maximal match worth reporting.
+    * SeedLen 16 bounds the shuffle key; MinMatchLen 24 < q4c's 32-char
+    * window, so runs q4c cannot even HOLD a window of are in scope. */
+  val SubstrSeedLen = 16
+  val SubstrMinMatch = 24
+
+  /** qba's detector over any (doc_id, text) frame — maximal exact
+    * matches (MEM) by seed-and-diagonal-islands: every position's
+    * 16-char seed joins exact-text buckets (capped — ubiquitous
+    * boilerplate seeds are the same skew bomb as q4c's windows); a
+    * shared occurrence is a dot on the (doc_a, doc_b, pa−pb) diagonal,
+    * and a maximal run of CONSECUTIVE dots on one diagonal IS a
+    * maximal match of length run+k−1: the dot at s−1 being absent
+    * means the k-grams at s−1 differ, and since the k−1 chars after
+    * s−1 match, the chars AT s−1 differ — maximality by construction,
+    * no per-pair text extension. The island id is the classic
+    * gaps-and-islands pa − row_number(), pure SQL, so the oracle
+    * replays every span. span_md5 is computed from doc_a's text HERE
+    * and from doc_b's text in the oracle — the hash compare proves
+    * each reported span is byte-identical in both documents. */
+  private[queries] def exactSubstringPairs(reps: DataFrame): DataFrame = {
+    import reps.sparkSession.implicits._
+    graft.GraftExtensions.ensureRegistered(reps.sparkSession)
+    val seeds = reps.filter(length($"text") >= SubstrMinMatch)
+      .select($"doc_id",
+        explode(expr(s"seed_windows(text, $SubstrSeedLen)")).as("s"))
+      .select($"doc_id", $"s.pos".cast("long").as("pos"), $"s.win".as("win"))
+    val capped = capBuckets(seeds, Seq("win"))
+    val occ = capped.as("a").join(capped.as("b"),
+        $"a.win" === $"b.win" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.pos".as("pa"), $"b.pos".as("pb"))
+    val wd = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")
+    val runs = occ.withColumn("diag", $"pa" - $"pb")
+      .withColumn("isl", $"pa" - row_number().over(wd))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"isl")
+      .agg(min($"pa").as("start_a"), min($"pb").as("start_b"),
+        (max($"pa") - min($"pa") + SubstrSeedLen).as("match_len"))
+      .filter($"match_len" >= SubstrMinMatch)
+    runs.join(reps.select($"doc_id".as("doc_a"), $"text"), Seq("doc_a"))
+      .select($"doc_a", $"doc_b", $"start_a", $"start_b", $"match_len",
+        md5(expr("substring(text, CAST(start_a AS INT), " +
+          "CAST(match_len AS INT))")).as("span_md5"))
+      .orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
+  }
+
   /** One side of the q4b oracle: q42's full sketch replay (shingles →
     * md5_63 bases → rotl-xor salted minima → band hashes → per-side
     * bucket cap), restricted to one doc_id parity and suffixed so the
@@ -988,6 +1034,83 @@ object Dedup extends Registry {
              |GROUP BY 1, 2 HAVING count(*) >= 2
              |ORDER BY doc_a, doc_b""".stripMargin),
       doc = "Cross-document verbatim spans: content-defined anchor windows (alignment-independent), capped exact-text bucket join"),
+
+    // ------------------------------------------------------------------
+    // qba: EXACT-SUBSTRING dedup (the suffix-array / "ExactSubstr"
+    // class) — the one text-dedup modality q4c structurally cannot
+    // cover: q4c reports a shared run only if the run holds ≥ 2
+    // content-defined 32-char anchor windows, so (a) any shared run
+    // under 32 chars is invisible and (b) a longer run whose content
+    // happens to carry < 2 anchors is silently missed (1-in-8 residue
+    // — about 1 in 8 eligible 33-char runs carries none). This pass
+    // reports MAXIMAL exact matches ≥ 24 chars with exact spans, the
+    // ExactSubstr contract (Lee et al.'s dedup tool class), without a
+    // suffix array: every position's 16-char seed (one codegen walk,
+    // expressions.SeedWindows) bucket-joins on exact seed TEXT (no
+    // hash collisions; buckets capped like q4c — boilerplate seeds
+    // are the skew bomb), shared occurrences land on (pair, pa−pb)
+    // diagonals, and gaps-and-islands (pa − row_number) turns
+    // CONSECUTIVE diagonal dots into maximal runs: the missing dot
+    // left of an island start proves the preceding chars differ, so
+    // every reported span is maximal by construction — no per-pair
+    // extension step, every span replayable in SQL. span_md5 is
+    // hashed from doc_a's text Spark-side and doc_b's text in the
+    // oracle: the hash-equality gate proves each span byte-identical
+    // in BOTH documents. Round15OpsSpec's sibling (Round16) plants a
+    // 28-char off-anchor copy q4c provably misses and this finds.
+    // At 100 TB: seeds are O(corpus bytes) rows — the inherent cost
+    // of the exact-substring class (a suffix array also touches
+    // every byte) — through ONE shuffle with 16-char keys, capped
+    // buckets bounding every join group; islands are a second
+    // shuffle on (pair, diag), whose input is only the SHARED seed
+    // occurrences. The corpus is never pairwise-joined.
+    QueryDef(
+      "qba_exact_substring",
+      (s, dir) => exactSubstringPairs(contentClassReps(
+        table(s, dir, "documents"))),
+      Some(s"""WITH reps AS (
+             |  SELECT min(doc_id) AS doc_id, min(text) AS text
+             |  FROM documents GROUP BY md5(text)),
+             |s0 AS (
+             |  SELECT doc_id, text,
+             |    unnest(range(1, len(text) - ${SubstrSeedLen - 2}))
+             |      AS pos
+             |  FROM reps WHERE len(text) >= $SubstrMinMatch),
+             |s AS (
+             |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             |    substr(text, CAST(pos AS INT), $SubstrSeedLen) AS win
+             |  FROM s0),
+             |capped AS (
+             |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY win)
+             |                   AS bsz FROM s) z
+             |  WHERE bsz <= $MaxBucketSize),
+             |occ AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    a.pos AS pa, b.pos AS pb
+             |  FROM capped a JOIN capped b
+             |    ON a.win = b.win AND a.doc_id < b.doc_id),
+             |i AS (
+             |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+             |    pa - row_number() OVER (PARTITION BY doc_a, doc_b,
+             |      pa - pb ORDER BY pa) AS isl
+             |  FROM occ),
+             |runs AS (
+             |  SELECT doc_a, doc_b, diag, isl,
+             |    min(pa) AS start_a, min(pb) AS start_b,
+             |    max(pa) - min(pa) + $SubstrSeedLen AS match_len
+             |  FROM i GROUP BY 1, 2, 3, 4
+             |  HAVING max(pa) - min(pa) + $SubstrSeedLen
+             |    >= $SubstrMinMatch)
+             |SELECT r.doc_a, r.doc_b, r.start_a, r.start_b,
+             |  CAST(r.match_len AS BIGINT) AS match_len,
+             |  md5(substr(t.text, CAST(r.start_b AS INT),
+             |             CAST(r.match_len AS INT))) AS span_md5
+             |FROM runs r JOIN reps t ON t.doc_id = r.doc_b
+             |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin),
+      doc = "Exact-substring dedup (ExactSubstr class): maximal " +
+        "exact matches >= 24 chars via seeded diagonal islands — " +
+        "exact spans, maximality by construction, span bytes proven " +
+        "identical in both documents by the cross-text hash gate"),
 
     // ------------------------------------------------------------------
     // q9z: FUZZY ENTITY RESOLUTION — the edit-distance member of the

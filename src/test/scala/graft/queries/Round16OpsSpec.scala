@@ -38,6 +38,37 @@ class Round16OpsSpec extends AnyFunSuite {
       Similarity.nswPartsFor(2000))
   }
 
+  test("qba finds the off-anchor exact substring q4c structurally " +
+    "misses, with the exact maximal span") {
+    import spark.implicits._
+    // a 28-char exact copy inside otherwise-different documents:
+    // shorter than q4c's 32-char window, so q4c cannot report it
+    // REGARDLESS of anchor luck — while qba must report the maximal
+    // span exactly (the copy, not a sub-seed of it).
+    val shared = "the quick brown fox jumps ov" // 28 chars
+    assert(shared.length == 28)
+    val docs = Seq(
+      (1L, s"AAAA $shared BBBB padding text to reach the q4c length " +
+        "floor of thirty-two characters easily"),
+      (2L, s"XXXXXXX $shared YYYY entirely different tail content " +
+        "with nothing else in common at all zz"),
+      (3L, "no overlap here whatsoever, a control document of " +
+        "comparable length and no shared content")).toDF("doc_id", "text")
+    val q4c = Dedup.verbatimSpanPairs(docs).collect()
+    assert(q4c.isEmpty,
+      s"q4c unexpectedly reported ${q4c.length} pairs for a sub-window run")
+    val qba = Dedup.exactSubstringPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // maximal span: both docs also share the SPACE before and after
+    // the planted 28 chars, so the true maximal match is
+    // " the quick brown fox jumps ov " = 30 chars, starting at doc1
+    // pos 5 (after "AAAA") and doc2 pos 8 (after "XXXXXXX") —
+    // maximality extends through every shared boundary char
+    assert(qba.toSeq == Seq((1L, 2L, 5L, 8L, 30L)),
+      s"qba spans diverged from the planted copy: ${qba.toSeq}")
+  }
+
   test("VersionedState.commit is idempotent for an already-applied " +
     "batchId (API misuse must not throw after the write work)") {
     import spark.implicits._
