@@ -1436,6 +1436,80 @@ object Multimodal extends Registry {
         "count identity"),
 
     // ------------------------------------------------------------------
+    // q8m: µ-LAW DECODE (G.711, RIFF wFormatTag 7) — the COMPANDED
+    // audio codec, the last audio-format box: PCM16 is uncompressed
+    // (q84), ADPCM is adaptive-differential with running state (q8k),
+    // µ-law is logarithmic companding with NO state — each 8-bit code
+    // expands independently to the canonical 16-bit reconstruction
+    // level (the ±32124 table, computed not tabulated: u = ~code,
+    // (mantissa << (exp+3)) + (132 << exp) − 132, sign from bit 7).
+    // Statelessness is the format's defining contrast with q8k and
+    // exactly why its oracle needs no fold: every sample replays from
+    // payload hex with per-byte integer arithmetic. In-band pins: the
+    // 1-byte-per-sample identity (n_samples = payload bytes — the
+    // companded 2:1 size ratio vs PCM16, structural), the final
+    // sample, the positional checksum pinning every sample in order,
+    // and min/max. Plan: encode+decode fuse into one narrow codegen
+    // projection per asset (no explode); the only shuffle is the
+    // final sort. At 100 TB: embarrassingly parallel per-asset
+    // decode, scalar summaries ship.
+    QueryDef(
+      "q8m_mulaw_audio",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        corpus(s, dir).filter(col("modality") === "audio")
+          .filter(expr("octet_length(payload) >= 1"))
+          .select(col("doc_id"),
+            octet_length(col("payload")).as("nb"),
+            expr("wav_mulaw_samples(wav_mulaw_encode(payload, 8000))")
+              .as("smp"))
+          .select(col("doc_id"),
+            size(col("smp")).as("n_samples"),
+            (size(col("smp")) === col("nb")).as("byte_sample_identity"),
+            element_at(col("smp"), -1).as("final_sample"),
+            expr("aggregate(smp, CAST(0 AS BIGINT), (a, x) -> a + x)")
+              .as("sample_sum"),
+            expr("aggregate(sequence(0, size(smp) - 1), " +
+              "CAST(0 AS BIGINT), (acc, i) -> " +
+              "acc + element_at(smp, CAST(i + 1 AS INT)) * ((i % 1000) + 1))")
+              .as("pos_checksum"),
+            array_min(col("smp")).as("min_sample"),
+            array_max(col("smp")).as("max_sample"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS b FROM documents
+             |  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 1),
+             |u AS (
+             |  SELECT doc_id, octet_length(b) AS nbytes,
+             |    [255 - CAST(('0x' || substr(hex(b), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(b))] AS us
+             |  FROM a),
+             |d AS (
+             |  SELECT doc_id, nbytes,
+             |    [CAST(CASE WHEN (x & 128) != 0
+             |       THEN -(((x & 15) << (((x >> 4) & 7) + 3))
+             |              + (132 << ((x >> 4) & 7)) - 132)
+             |       ELSE ((x & 15) << (((x >> 4) & 7) + 3))
+             |              + (132 << ((x >> 4) & 7)) - 132
+             |     END AS INTEGER) for x in us] AS smp
+             |  FROM u)
+             |SELECT doc_id,
+             |  CAST(len(smp) AS INTEGER) AS n_samples,
+             |  len(smp) = nbytes AS byte_sample_identity,
+             |  smp[-1] AS final_sample,
+             |  CAST(list_sum(smp) AS BIGINT) AS sample_sum,
+             |  CAST(list_sum([smp[i+1] * CAST((i % 1000) + 1 AS BIGINT)
+             |    for i in range(0, len(smp))]) AS BIGINT) AS pos_checksum,
+             |  list_min(smp) AS min_sample,
+             |  list_max(smp) AS max_sample
+             |FROM d ORDER BY doc_id""".stripMargin),
+      doc = "G.711 mu-law decode (companded audio): stateless per-" +
+        "byte expansion to the canonical 16-bit table, every sample " +
+        "replayed from payload hex, byte-per-sample identity pinned " +
+        "in-band"),
+
+    // ------------------------------------------------------------------
     // q8h: SPECTRAL BAND ANALYSIS over real decoded audio — the
     // frequency-domain feature pass every audio pipeline runs after
     // decode (VAD banding, music/speech discrimination, spectral
