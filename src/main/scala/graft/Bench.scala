@@ -262,8 +262,25 @@ object Bench {
     // 4-hop×beam-8 point measured ~4.8/4.0s for +0.05/+0.03 recall,
     // and an explicit per-hop frontier broadcast measured SLOWER
     // than AQE's localized shuffles — both experiments reverted).
-    // Pin unchanged.
-    val baselinePin = 98.0
+    //
+    // r16 RE-PIN = 98.3s for the 185-query suite (sf0.1, local[32],
+    // shuffle=32, min-of-2 per query). Evidence pair: back-to-back
+    // idle full-suite runs 98.263s (load 0.04 at start, GC 2.7s) and
+    // 99.850s (GC 3.4s) — the 98.3 is the cleaner member, pinned per
+    // the r13 precedent. Deltas vs the 98.0 pin's 175-query suite:
+    // +8 r15 queries (~9.4s genuine work), +2 r16 queries (qba
+    // exact-substring ~1.7-2.6s — the every-position seed emit is
+    // the class's honest price; q8m µ-law 0.13s), MINUS the r16
+    // in-shard NSW walk (qb6+qb7 7.8s → ~3.0s in-suite: the per-hop
+    // declarative walk was ~12 stage schedulings of frontier work;
+    // the sharded form is 3 bounded shuffles, NswWalkSpec pins
+    // bit-equality). The r15 co-tenancy smear (q42/q4c/q56/q73/q7a,
+    // +0.3-0.8s each at load 2.7) re-measured in these idle runs at
+    // r14-level times (q42 1.49, q4c 1.11-1.35, q56 0.75, q73 2.9,
+    // q7a 1.07 vs r14's 1.23/1.12/0.69/2.44/1.01) — contention, no
+    // plan regression; q73's ~+0.45 residual is within the ±6% box
+    // variance band on the largest e2e pipeline.
+    val baselinePin = 98.3
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val gcTotal = (gcMillis() - gcStart) / 1e3

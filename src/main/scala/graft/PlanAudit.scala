@@ -102,8 +102,10 @@ object PlanAudit {
     "qb3_embedding_hygiene",  // one multi-aggregate hygiene scan
     "qb4_cc_incremental",     // contracted-graph CC + composed labels
     "qb5_classifier_auc",     // per-score histogram AUC, no global sort
-    "qb6_graph_ann",          // stored navigable graph, beam-walk serve
-    "qb7_graph_ann_incremental") // batch-attach maintained graph serve
+    "qb6_graph_ann",          // stored navigable graph, in-shard beam walk
+    "qb7_graph_ann_incremental", // batch-attach maintained graph serve
+    "qba_exact_substring",    // seeded diagonal islands, capped buckets
+    "q8m_mulaw_audio")        // companded-audio decode, narrow codegen pass
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated
