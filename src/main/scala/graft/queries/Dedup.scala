@@ -438,6 +438,106 @@ object Dedup extends Registry {
       .orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
   }
 
+  /** qbb's rewriter over any (doc_id, text) frame — the DELIVERABLE of
+    * the exact-substring pass (q4a's role for q48): each pair's span
+    * is CUT from the higher doc_id (the lower keeps its copy — the
+    * min-id survivor policy the whole dedup family uses). A doc's
+    * spans from different pairs may overlap, so intervals first merge
+    * per doc (gaps-and-islands again: a new island starts where s
+    * exceeds the running max of prior ends — the same running-max
+    * both engines compute over the same (s, e) order), then the kept
+    * text is rebuilt as the concatenation of the GAP substrings via
+    * one zip of bounds (1 :: merged ends) with stops (merged starts
+    * :: len+1) — no fold, no per-char work, identical construction in
+    * SQL. Single-pass by policy (cut text is not re-scanned for new
+    * matches — the production ExactSubstr trade). Emitted per
+    * affected doc: cut count, chars removed, the cleaned length, the
+    * length identity clean_len + removed = original (any interval
+    * mishandling breaks it), and md5 of the cleaned text — recomputed
+    * by the oracle from ITS independently-derived spans, so the hash
+    * gate pins every byte of the rewrite. */
+  private[queries] def exactSubstringApply(reps: DataFrame): DataFrame = {
+    import reps.sparkSession.implicits._
+    // DISTINCT before the running-max window: the same (doc, span)
+    // arrives once per doc_a partner, and duplicate (s, e) rows make
+    // the ROWS-frame's tie order load-bearing (observed: DuckDB's
+    // parallel window intermittently gave BOTH duplicates an
+    // island-start, double-counting the cut) — deduped, (s, e) is a
+    // total order and the window is deterministic on both engines
+    val iv = exactSubstringPairs(reps)
+      .select($"doc_b".as("doc_id"), $"start_b".as("s"),
+        ($"start_b" + $"match_len").as("e"))
+      .distinct()
+    val w = Window.partitionBy($"doc_id").orderBy($"s", $"e")
+    val marked = iv
+      .withColumn("pmax",
+        max($"e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when($"pmax".isNull || $"s" > $"pmax", 1L).otherwise(0L))
+      .withColumn("isl",
+        sum($"ni").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val merged = marked.groupBy($"doc_id", $"isl")
+      .agg(min($"s").as("s"), max($"e").as("e"))
+    val perDoc = merged.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"s", $"e"))).as("ivs"),
+        count(lit(1)).as("n_cuts"),
+        sum($"e" - $"s").as("chars_removed"))
+    perDoc.join(reps, Seq("doc_id"))
+      .withColumn("clean_text", expr(
+        """array_join(zip_with(
+          |  concat(array(CAST(1 AS BIGINT)), transform(ivs, x -> x.e)),
+          |  concat(transform(ivs, x -> x.s),
+          |         array(CAST(length(text) + 1 AS BIGINT))),
+          |  (b, st) -> substring(text, CAST(b AS INT),
+          |                       CAST(st - b AS INT))), '')""".stripMargin))
+      .select($"doc_id", $"n_cuts", $"chars_removed",
+        length($"clean_text").cast("long").as("clean_len"),
+        (length($"clean_text").cast("long") + $"chars_removed" ===
+          length($"text").cast("long")).as("length_identity"),
+        md5($"clean_text").as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** The qba span-derivation CTE chain (reps → every-position seeds →
+    * capped buckets → diagonal occurrences → islands → maximal `runs`),
+    * shared by the qba and qbb oracles. Returned UN-stripped (margins
+    * intact, q4bSideSql's rule): the caller's single .stripMargin does
+    * the one and only strip. */
+  private def substrSpansSql: String =
+    s"""reps AS (
+       |  SELECT min(doc_id) AS doc_id, min(text) AS text
+       |  FROM documents GROUP BY md5(text)),
+       |s0 AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, len(text) - ${SubstrSeedLen - 2}))
+       |      AS pos
+       |  FROM reps WHERE len(text) >= $SubstrMinMatch),
+       |s AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    substr(text, CAST(pos AS INT), $SubstrSeedLen) AS win
+       |  FROM s0),
+       |capped AS (
+       |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY win)
+       |                   AS bsz FROM s) z
+       |  WHERE bsz <= $MaxBucketSize),
+       |occ AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.pos AS pa, b.pos AS pb
+       |  FROM capped a JOIN capped b
+       |    ON a.win = b.win AND a.doc_id < b.doc_id),
+       |i AS (
+       |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b,
+       |      pa - pb ORDER BY pa) AS isl
+       |  FROM occ),
+       |runs AS (
+       |  SELECT doc_a, doc_b, diag, isl,
+       |    min(pa) AS start_a, min(pb) AS start_b,
+       |    max(pa) - min(pa) + $SubstrSeedLen AS match_len
+       |  FROM i GROUP BY 1, 2, 3, 4
+       |  HAVING max(pa) - min(pa) + $SubstrSeedLen
+       |    >= $SubstrMinMatch)"""
+
   /** One side of the q4b oracle: q42's full sketch replay (shingles →
     * md5_63 bases → rotl-xor salted minima → band hashes → per-side
     * bucket cap), restricted to one doc_id parity and suffixed so the
@@ -1068,39 +1168,7 @@ object Dedup extends Registry {
       "qba_exact_substring",
       (s, dir) => exactSubstringPairs(contentClassReps(
         table(s, dir, "documents"))),
-      Some(s"""WITH reps AS (
-             |  SELECT min(doc_id) AS doc_id, min(text) AS text
-             |  FROM documents GROUP BY md5(text)),
-             |s0 AS (
-             |  SELECT doc_id, text,
-             |    unnest(range(1, len(text) - ${SubstrSeedLen - 2}))
-             |      AS pos
-             |  FROM reps WHERE len(text) >= $SubstrMinMatch),
-             |s AS (
-             |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-             |    substr(text, CAST(pos AS INT), $SubstrSeedLen) AS win
-             |  FROM s0),
-             |capped AS (
-             |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY win)
-             |                   AS bsz FROM s) z
-             |  WHERE bsz <= $MaxBucketSize),
-             |occ AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |    a.pos AS pa, b.pos AS pb
-             |  FROM capped a JOIN capped b
-             |    ON a.win = b.win AND a.doc_id < b.doc_id),
-             |i AS (
-             |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
-             |    pa - row_number() OVER (PARTITION BY doc_a, doc_b,
-             |      pa - pb ORDER BY pa) AS isl
-             |  FROM occ),
-             |runs AS (
-             |  SELECT doc_a, doc_b, diag, isl,
-             |    min(pa) AS start_a, min(pb) AS start_b,
-             |    max(pa) - min(pa) + $SubstrSeedLen AS match_len
-             |  FROM i GROUP BY 1, 2, 3, 4
-             |  HAVING max(pa) - min(pa) + $SubstrSeedLen
-             |    >= $SubstrMinMatch)
+      Some(s"""WITH $substrSpansSql
              |SELECT r.doc_a, r.doc_b, r.start_a, r.start_b,
              |  CAST(r.match_len AS BIGINT) AS match_len,
              |  md5(substr(t.text, CAST(r.start_b AS INT),
@@ -1111,6 +1179,84 @@ object Dedup extends Registry {
         "exact matches >= 24 chars via seeded diagonal islands — " +
         "exact spans, maximality by construction, span bytes proven " +
         "identical in both documents by the cross-text hash gate"),
+
+    // ------------------------------------------------------------------
+    // qbb: EXACT-SUBSTRING DEDUP APPLIED — qba's deliverable, q4a's
+    // role for q48: the corpus a training run actually reads has the
+    // duplicated spans CUT, not merely reported. Each qba span is
+    // removed from the pair's higher doc_id (min-id keeps its copy,
+    // the family's survivor policy); a doc's spans from different
+    // pairs may overlap, so intervals merge per doc first
+    // (gaps-and-islands over a running max of ends), and the kept
+    // text is rebuilt as the concatenation of gap substrings — one
+    // zip of (1 :: merged-ends) with (merged-starts :: len+1), no
+    // fold, the identical construction in both engines. Single-pass
+    // by policy: cut text is not re-scanned (the production
+    // ExactSubstr trade; a second pass is just the operator run
+    // again). The oracle derives its OWN spans (the full qba replay),
+    // merges, and rebuilds — clean_md5 equality pins every byte of
+    // every rewritten document, and the in-band length identity
+    // clean_len + chars_removed = original catches any interval
+    // mishandling. At 100 TB: everything after qba's bounded span
+    // derivation is per-doc work over interval lists (≤ spans-sized
+    // shuffles — affected docs only), and the rewrite itself is a
+    // narrow per-row projection.
+    QueryDef(
+      "qbb_exact_substring_apply",
+      (s, dir) => exactSubstringApply(contentClassReps(
+        table(s, dir, "documents"))),
+      Some(s"""WITH $substrSpansSql,
+             |iv AS (
+             |  SELECT DISTINCT doc_b AS doc_id, start_b AS s,
+             |    start_b + match_len AS e
+             |  FROM runs),
+             |mk AS (
+             |  SELECT doc_id, s, e,
+             |    CASE WHEN pmax IS NULL OR s > pmax
+             |         THEN 1 ELSE 0 END AS ni
+             |  FROM (SELECT doc_id, s, e,
+             |          max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+             |            ROWS BETWEEN UNBOUNDED PRECEDING
+             |            AND 1 PRECEDING) AS pmax
+             |        FROM iv) z),
+             |isl AS (
+             |  SELECT doc_id, s, e,
+             |    sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS isl
+             |  FROM mk),
+             |mg AS (
+             |  SELECT doc_id, isl, min(s) AS s, max(e) AS e
+             |  FROM isl GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT doc_id, count(*) AS n_cuts,
+             |    CAST(sum(e - s) AS BIGINT) AS chars_removed,
+             |    list(s ORDER BY s) AS ss, list(e ORDER BY s) AS es
+             |  FROM mg GROUP BY doc_id),
+             |cut AS (
+             |  SELECT a.doc_id, a.n_cuts, a.chars_removed,
+             |    len(t.text) AS orig_len,
+             |    array_to_string([
+             |      substr(t.text,
+             |        CAST((list_prepend(CAST(1 AS BIGINT), a.es))[i+1]
+             |             AS INT),
+             |        CAST((a.ss || [CAST(len(t.text) + 1 AS BIGINT)])[i+1]
+             |             - (list_prepend(CAST(1 AS BIGINT), a.es))[i+1]
+             |             AS INT))
+             |      for i in range(0, len(a.ss) + 1)], '') AS clean_text
+             |  FROM agg a JOIN reps t ON t.doc_id = a.doc_id)
+             |SELECT doc_id, CAST(n_cuts AS BIGINT) AS n_cuts,
+             |  chars_removed,
+             |  CAST(len(clean_text) AS BIGINT) AS clean_len,
+             |  len(clean_text) + chars_removed = orig_len
+             |    AS length_identity,
+             |  md5(clean_text) AS clean_md5
+             |FROM cut ORDER BY doc_id""".stripMargin),
+      doc = "Exact-substring dedup APPLIED: merged duplicate spans " +
+        "cut from the higher doc of each pair, kept text rebuilt " +
+        "from gap substrings — every rewritten byte pinned by the " +
+        "oracle's independently-derived clean_md5, length identity " +
+        "in-band"),
 
     // ------------------------------------------------------------------
     // q9z: FUZZY ENTITY RESOLUTION — the edit-distance member of the

@@ -49,7 +49,12 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // care how assets split) and the KMV sketches — the bounded
     // TypedImperativeAggregate's partial-merge order is EXACTLY the
     // partitioning-dependence this gate exists to catch
-    "q8l_avi_rle8_video", "qb8_kmv_overlap", "qb9_kmv_incremental")
+    "q8l_avi_rle8_video", "qb8_kmv_overlap", "qb9_kmv_incremental",
+    // r16: the exact-substring islands (the window's rank order and
+    // the in-shard walk's shard grouping must not depend on layout)
+    // and the stateless µ-law decode
+    "qba_exact_substring", "qbb_exact_substring_apply",
+    "q8m_mulaw_audio")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map(_.toSeq.map {

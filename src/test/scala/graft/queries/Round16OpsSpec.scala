@@ -69,6 +69,80 @@ class Round16OpsSpec extends AnyFunSuite {
       s"qba spans diverged from the planted copy: ${qba.toSeq}")
   }
 
+  test("qbb cuts the merged span set: overlapping spans from two " +
+    "partners collapse to one cut, and the kept text is exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 9 shares overlapping runs with docs 1 and 2: "AAAA...MMMM"
+    // via doc 1 and "GGGG...SSSS" via doc 2 — the union is one
+    // contiguous region of doc 9, so the merge must produce ONE cut,
+    // and doc 9 is always the higher id (spans cut from it only).
+    val core = "AAAA BBBB CCCC DDDD EEEE FFFF GGGG HHHH IIII JJJJ " +
+      "KKKK LLLL MMMM NNNN OOOO PPPP QQQQ RRRR SSSS"
+    // head/tail overlap inside doc 9 (so the cuts merge) but share
+    // only 15 chars with each other (< 24: docs 1 and 2 must not
+    // pair with each other, only with doc 9)
+    val head = core.substring(0, 50)  // "AAAA".."JJJJ "
+    val tail = core.substring(35)     // "HHH.."..."SSSS"
+    val docs = Seq(
+      (1L, s"x1 $head y1 unrelated tail piece one"),
+      (2L, s"z2 w2 different head $tail q2"),
+      (9L, s"prefix9 $core suffix9")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringApply(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getString(5)))
+    assert(out.length == 1 && out.head._1 == 9L,
+      s"expected only doc 9 rewritten, got ${out.toSeq}")
+    val (_, nCuts, removed, cleanLen, identity, md5got) = out.head
+    assert(nCuts == 1, s"overlapping spans did not merge: $nCuts cuts")
+    assert(identity, "length identity violated")
+    val text9 = s"prefix9 $core suffix9"
+    assert(removed > head.length && removed > tail.length,
+      s"merged cut ($removed) should exceed either span alone")
+    assert(cleanLen == text9.length - removed)
+    // cross-check the exact clean text against a brute-force oracle:
+    // remove every maximal shared substring >= 24 chars (computed
+    // naively) from doc 9 and compare hashes
+    def maximalSpans(x: String, y: String): Seq[(Int, Int)] = {
+      // naive O(n*m) diagonal scan, 1-based [s, e) over x
+      val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      for (d <- -(y.length) to x.length) {
+        var i = math.max(0, d)
+        while (i < x.length && i - d < y.length) {
+          if (x(i) == y(i - d)) {
+            var j = i
+            while (j < x.length && j - d < y.length && x(j) == y(j - d))
+              j += 1
+            if (j - i >= Dedup.SubstrMinMatch) spans += ((i + 1, j + 1))
+            i = j
+          } else i += 1
+        }
+      }
+      spans.toSeq
+    }
+    val all = (maximalSpans(text9, s"x1 $head y1 unrelated tail piece one")
+      ++ maximalSpans(text9, s"z2 w2 different head $tail q2"))
+      .distinct.sortBy(x => x)
+    val mergedIv = all.foldLeft(List.empty[(Int, Int)]) {
+      case (acc, (s, e)) => acc match {
+        case (ps, pe) :: rest if s <= pe => (ps, math.max(pe, e)) :: rest
+        case _ => (s, e) :: acc
+      }
+    }.reverse
+    val cleanRef = {
+      val sb = new StringBuilder
+      var cur = 1
+      mergedIv.foreach { case (s, e) =>
+        sb.append(text9.substring(cur - 1, s - 1)); cur = e }
+      sb.append(text9.substring(cur - 1)).toString
+    }
+    val md5ref = java.security.MessageDigest.getInstance("MD5")
+      .digest(cleanRef.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md5got == md5ref,
+      s"clean text diverged from the brute-force reference")
+  }
+
   test("VersionedState.commit is idempotent for an already-applied " +
     "batchId (API misuse must not throw after the write work)") {
     import spark.implicits._
