@@ -106,6 +106,7 @@ object PlanAudit {
     "qb7_graph_ann_incremental", // batch-attach maintained graph serve
     "qba_exact_substring",    // seeded diagonal islands, capped buckets
     "qbb_exact_substring_apply", // interval merge + gap-substring rewrite
+    "qbc_exact_substring_incremental", // batch seeds vs stored seed index
     "q8m_mulaw_audio")        // companded-audio decode, narrow codegen pass
 
   /** A formatted physical plan whose ONLY node is the scan of an

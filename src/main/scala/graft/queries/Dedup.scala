@@ -412,14 +412,20 @@ object Dedup extends Registry {
     * replays every span. span_md5 is computed from doc_a's text HERE
     * and from doc_b's text in the oracle — the hash compare proves
     * each reported span is byte-identical in both documents. */
-  private[queries] def exactSubstringPairs(reps: DataFrame): DataFrame = {
+  /** Every position's seed over a rep frame — the shared front of the
+    * qba/qbb/qbc passes (and the content of qbc's stored index). */
+  private def substrSeeds(reps: DataFrame): DataFrame = {
     import reps.sparkSession.implicits._
     graft.GraftExtensions.ensureRegistered(reps.sparkSession)
-    val seeds = reps.filter(length($"text") >= SubstrMinMatch)
+    reps.filter(length($"text") >= SubstrMinMatch)
       .select($"doc_id",
         explode(expr(s"seed_windows(text, $SubstrSeedLen)")).as("s"))
       .select($"doc_id", $"s.pos".cast("long").as("pos"), $"s.win".as("win"))
-    val capped = capBuckets(seeds, Seq("win"))
+  }
+
+  private[queries] def exactSubstringPairs(reps: DataFrame): DataFrame = {
+    import reps.sparkSession.implicits._
+    val capped = capBuckets(substrSeeds(reps), Seq("win"))
     val occ = capped.as("a").join(capped.as("b"),
         $"a.win" === $"b.win" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
@@ -497,6 +503,93 @@ object Dedup extends Registry {
         md5($"clean_text").as("clean_md5"))
       .orderBy($"doc_id")
   }
+
+  /** qbc: the stored seed index of the corpus half (even doc_ids) —
+    * q4b's signature-index discipline applied to the exact-substring
+    * pass: per-position capped seeds of the corpus content-class reps
+    * written once, content-addressed on the corpus stamp + every
+    * parameter that shapes the index; the serve path reads it back
+    * and never re-seeds the corpus. The index is O(corpus chars) rows
+    * — the inherent footprint of the exact-substring class (a suffix
+    * array is also O(n)) — paid at BUILD time; serve cost is
+    * seed(batch) + the win-keyed index join. */
+  private[queries] def loadOrBuildSubstrIndex(s: SparkSession,
+      dir: String): (DataFrame, Boolean) = {
+    import s.implicits._
+    val p = s"$dir/documents.parquet"
+    val key = s"v1|$p|${Tables.sourceStamp(p)}" +
+      s"|k=$SubstrSeedLen|min=$SubstrMinMatch|cap=$MaxBucketSize|even"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val indexDir = Tables.persistentScratchDir(s"qbc_seedindex_$tag")
+    val dataDir = java.nio.file.Paths.get(indexDir, "data")
+    val keyFile = java.nio.file.Paths.get(indexDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(dataDir.resolve("_SUCCESS"))
+    if (!valid) {
+      val reps = contentClassReps(table(s, dir, "documents")
+        .select($"doc_id", $"text").filter($"doc_id" % 2 === 0))
+      capBuckets(substrSeeds(reps), Seq("win"))
+        .write.mode("overwrite").parquet(dataDir.toString)
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    (s.read.parquet(dataDir.toString), !valid)
+  }
+
+  /** qbc's serve: the batch half's seeds (computed fresh, capped per
+    * side — q4b's rule) join the STORED corpus seed index on exact
+    * win text; shared occurrences land on (batch, corpus, pb−pc)
+    * diagonals and the qba island machinery reports maximal spans.
+    * Pairs are batch×corpus only (batch-batch belongs to the next
+    * full qba pass — q4b's trade, documented there). span_md5 hashes
+    * the BATCH text here and the CORPUS text in the oracle: equality
+    * proves each span byte-identical across the pair. */
+  def exactSubstringIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents").select($"doc_id", $"text")
+    val batchReps = contentClassReps(docs.filter($"doc_id" % 2 === 1))
+    val index = loadOrBuildSubstrIndex(s, dir)._1
+      .select($"doc_id".as("corpus_doc"), $"pos".as("pc"), $"win")
+    val batchSeeds = capBuckets(substrSeeds(batchReps), Seq("win"))
+      .select($"doc_id".as("batch_doc"), $"pos".as("pb"), $"win")
+    val occ = batchSeeds.join(index, Seq("win"))
+      .select($"batch_doc", $"corpus_doc", $"pb", $"pc")
+    val wd = Window.partitionBy($"batch_doc", $"corpus_doc", $"diag")
+      .orderBy($"pb")
+    val runs = occ.withColumn("diag", $"pb" - $"pc")
+      .withColumn("isl", $"pb" - row_number().over(wd))
+      .groupBy($"batch_doc", $"corpus_doc", $"diag", $"isl")
+      .agg(min($"pb").as("start_b"), min($"pc").as("start_c"),
+        (max($"pb") - min($"pb") + SubstrSeedLen).as("match_len"))
+      .filter($"match_len" >= SubstrMinMatch)
+    runs.join(batchReps.select($"doc_id".as("batch_doc"), $"text"),
+        Seq("batch_doc"))
+      .select($"batch_doc", $"corpus_doc", $"start_b", $"start_c",
+        $"match_len",
+        md5(expr("substring(text, CAST(start_b AS INT), " +
+          "CAST(match_len AS INT))")).as("span_md5"))
+      .orderBy($"batch_doc", $"corpus_doc", $"start_b", $"start_c")
+  }
+
+  /** One side of the qbc oracle: content-class reps of one doc_id
+    * parity → every-position seeds → per-side capped buckets.
+    * UN-stripped (q4bSideSql's rule). */
+  private def substrSideSql(sfx: String, parity: Int): String =
+    s"""reps_$sfx AS (
+       |  SELECT min(doc_id) AS doc_id, min(text) AS text
+       |  FROM documents WHERE doc_id % 2 = $parity GROUP BY md5(text)),
+       |sx_$sfx AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    substr(text, CAST(pos AS INT), $SubstrSeedLen) AS win
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(1, len(text) - ${SubstrSeedLen - 2}))
+       |            AS pos
+       |        FROM reps_$sfx WHERE len(text) >= $SubstrMinMatch) z),
+       |cap_$sfx AS (
+       |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY win)
+       |                   AS bsz FROM sx_$sfx) z
+       |  WHERE bsz <= $MaxBucketSize)"""
 
   /** The qba span-derivation CTE chain (reps → every-position seeds →
     * capped buckets → diagonal occurrences → islands → maximal `runs`),
@@ -1257,6 +1350,59 @@ object Dedup extends Registry {
         "from gap substrings — every rewritten byte pinned by the " +
         "oracle's independently-derived clean_md5, length identity " +
         "in-band"),
+
+    // ------------------------------------------------------------------
+    // qbc: EXACT-SUBSTRING INCREMENTAL — q4b's daily-crawl discipline
+    // applied to the ExactSubstr pass: a production corpus appends
+    // batches, and re-seeding the WHOLE corpus per arrival is exactly
+    // the rescan the incremental family exists to avoid. The corpus
+    // half's capped per-position seeds are STORED content-addressed
+    // (built once per corpus generation — O(corpus chars) rows, the
+    // class's inherent index footprint; a suffix array is also O(n));
+    // the serve path seeds ONLY the batch half (the parity predicate
+    // pushes to the scan), joins the stored index on exact win text,
+    // and runs qba's diagonal-island machinery on the matches —
+    // maximal batch-vs-corpus spans with exact positions. Pairs are
+    // batch×corpus only; batch-batch waits for the next full pass
+    // (q4b's segment trade). The oracle replays BOTH sides from
+    // scratch — per-parity reps, seeds, per-side caps, islands — and
+    // span_md5 crosses the pair: batch text hashed engine-side,
+    // corpus text oracle-side. At 100 TB: daily cost is
+    // seed(batch) + one win-keyed join against the stored index +
+    // islands over SHARED occurrences, never a corpus re-seed.
+    QueryDef(
+      "qbc_exact_substring_incremental",
+      (s, dir) => exactSubstringIncremental(s, dir),
+      Some(s"""WITH ${substrSideSql("c", 0)},
+             |${substrSideSql("b", 1)},
+             |occ AS (
+             |  SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+             |    b.pos AS pb, c.pos AS pc
+             |  FROM cap_b b JOIN cap_c c ON b.win = c.win),
+             |i AS (
+             |  SELECT batch_doc, corpus_doc, pb, pc, pb - pc AS diag,
+             |    pb - row_number() OVER (PARTITION BY batch_doc,
+             |      corpus_doc, pb - pc ORDER BY pb) AS isl
+             |  FROM occ),
+             |runs AS (
+             |  SELECT batch_doc, corpus_doc, diag, isl,
+             |    min(pb) AS start_b, min(pc) AS start_c,
+             |    max(pb) - min(pb) + $SubstrSeedLen AS match_len
+             |  FROM i GROUP BY 1, 2, 3, 4
+             |  HAVING max(pb) - min(pb) + $SubstrSeedLen
+             |    >= $SubstrMinMatch)
+             |SELECT r.batch_doc, r.corpus_doc, r.start_b, r.start_c,
+             |  CAST(r.match_len AS BIGINT) AS match_len,
+             |  md5(substr(t.text, CAST(r.start_c AS INT),
+             |             CAST(r.match_len AS INT))) AS span_md5
+             |FROM runs r JOIN reps_c t ON t.doc_id = r.corpus_doc
+             |ORDER BY batch_doc, corpus_doc, start_b, start_c"""
+        .stripMargin),
+      doc = "Exact-substring dedup incrementally served: batch seeds " +
+        "vs the stored corpus seed index, maximal batch-vs-corpus " +
+        "spans with exact positions — the corpus is never re-seeded, " +
+        "span bytes proven identical across the pair by the " +
+        "cross-side hash gate"),
 
     // ------------------------------------------------------------------
     // q9z: FUZZY ENTITY RESOLUTION — the edit-distance member of the

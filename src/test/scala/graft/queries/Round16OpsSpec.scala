@@ -143,6 +143,21 @@ class Round16OpsSpec extends AnyFunSuite {
       s"clean text diverged from the brute-force reference")
   }
 
+  test("qbc serve reuses the stored seed index: the second call " +
+    "reports no rebuild and still finds batch-vs-corpus spans") {
+    val sfDir = "/root/testdata/sf0.001"
+    Dedup.loadOrBuildSubstrIndex(spark, sfDir)
+    val (_, builtAgain) = Dedup.loadOrBuildSubstrIndex(spark, sfDir)
+    assert(!builtAgain, "second qbc index load claims a rebuild")
+    val out = Dedup.exactSubstringIncremental(spark, sfDir)
+    assert(out.count() > 0, "no batch-vs-corpus spans at sf0.001")
+    // every pair crosses the parity split by construction
+    import org.apache.spark.sql.functions._
+    assert(out.filter(pmod(col("batch_doc"), lit(2)) =!= 1 ||
+      pmod(col("corpus_doc"), lit(2)) =!= 0).count() == 0,
+      "a pair failed the batch/corpus parity contract")
+  }
+
   test("VersionedState.commit is idempotent for an already-applied " +
     "batchId (API misuse must not throw after the write work)") {
     import spark.implicits._
