@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, SeedWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, AviRle8EncodeExpr, AviRle8PixelsExpr, BmpHeightExpr, KmvSketchAgg, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavImaEncodeExpr, WavImaSamplesExpr, WavMulawEncodeExpr, WavMulawSamplesExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, SeedWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, AviRle8EncodeExpr, AviRle8PixelsExpr, BmpHeightExpr, KmvSketchAgg, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavAlawEncodeExpr, WavAlawSamplesExpr, WavImaEncodeExpr, WavImaSamplesExpr, WavMulawEncodeExpr, WavMulawSamplesExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.aviRlePixels)
     ext.injectFunction(GraftExtensions.kmvSketch)
     ext.injectFunction(GraftExtensions.anchorWindows)
+    ext.injectFunction(GraftExtensions.seedWindows)
+    ext.injectFunction(GraftExtensions.wavMulawEncode)
+    ext.injectFunction(GraftExtensions.wavMulawSamples)
+    ext.injectFunction(GraftExtensions.wavAlawEncode)
+    ext.injectFunction(GraftExtensions.wavAlawSamples)
     ext.injectFunction(GraftExtensions.pngEncode)
     ext.injectFunction(GraftExtensions.pngPixels)
     ext.injectFunction(GraftExtensions.pngRgbEncode)
@@ -255,6 +260,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WavMulawSamplesExpr].getName, "wav_mulaw_samples"),
     (args: Seq[Expression]) => WavMulawSamplesExpr(args.head))
 
+  private val wavAlawEncode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("wav_alaw_encode"),
+    new ExpressionInfo(classOf[WavAlawEncodeExpr].getName, "wav_alaw_encode"),
+    (args: Seq[Expression]) => WavAlawEncodeExpr(args(0), args(1)))
+
+  private val wavAlawSamples: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("wav_alaw_samples"),
+    new ExpressionInfo(classOf[WavAlawSamplesExpr].getName, "wav_alaw_samples"),
+    (args: Seq[Expression]) => WavAlawSamplesExpr(args.head))
+
   private val anchorWindows: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("anchor_windows"),
@@ -417,6 +434,7 @@ object GraftExtensions {
         bmpEncode, bmpPixels, bmpWidth, bmpHeight, bpeMergeWord,
         aviEncode, aviFrames, aviRleEncode, aviRlePixels, kmvSketch,
         anchorWindows, seedWindows, wavMulawEncode, wavMulawSamples,
+        wavAlawEncode, wavAlawSamples,
         pngEncode, pngPixels,
         pngRgbEncode, pngRgbPixels, pngPaletteEncode, pngPaletteRgb,
         pngFilterTypes, pngWidth, pngHeight, pngAdam7Encode,

@@ -107,7 +107,8 @@ object PlanAudit {
     "qba_exact_substring",    // seeded diagonal islands, capped buckets
     "qbb_exact_substring_apply", // interval merge + gap-substring rewrite
     "qbc_exact_substring_incremental", // batch seeds vs stored seed index
-    "q8m_mulaw_audio")        // companded-audio decode, narrow codegen pass
+    "q8m_mulaw_audio",        // companded-audio decode, narrow codegen pass
+    "q8n_alaw_audio")         // A-law decode + cross-law gate, one pass
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated

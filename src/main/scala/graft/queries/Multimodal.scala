@@ -1510,6 +1510,100 @@ object Multimodal extends Registry {
         "in-band"),
 
     // ------------------------------------------------------------------
+    // q8n: A-LAW DECODE (G.711, RIFF wFormatTag 6) — the EUROPEAN
+    // companding branch, closing the other half of the G.711 box q8m
+    // opened. Same stateless 1-byte-per-sample structure, genuinely
+    // different curve: u = code ^ 0x55 (even-bit inversion, vs
+    // µ-law's full complement), segment-0 is linear-with-offset
+    // ((m<<4)+8) instead of everywhere-log, range ±32256 vs ±32124,
+    // and the SIGN POLARITY IS FLIPPED (bit 7 set ⇒ positive). Those
+    // asymmetries are exactly what the cross-law gate pins: the same
+    // payload is decoded under BOTH laws in one projection and the
+    // per-asset L1 distance between the two reconstructions rides the
+    // result — a wrong sign convention, transfer curve, or inversion
+    // mask in either codec shifts it, and DuckDB replays both laws
+    // per byte from payload hex. In-band pins mirror q8m (byte-per-
+    // sample identity, final sample, positional checksum, min/max).
+    // Plan: both encode+decode pairs fuse into one narrow codegen
+    // projection per asset (no explode); the only shuffle is the
+    // final sort. At 100 TB: embarrassingly parallel per-asset
+    // decode, scalar summaries ship.
+    QueryDef(
+      "q8n_alaw_audio",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        corpus(s, dir).filter(col("modality") === "audio")
+          .filter(expr("octet_length(payload) >= 1"))
+          .select(col("doc_id"),
+            octet_length(col("payload")).as("nb"),
+            expr("wav_alaw_samples(wav_alaw_encode(payload, 8000))")
+              .as("smp"),
+            expr("wav_mulaw_samples(wav_mulaw_encode(payload, 8000))")
+              .as("mul"))
+          .select(col("doc_id"),
+            size(col("smp")).as("n_samples"),
+            (size(col("smp")) === col("nb")).as("byte_sample_identity"),
+            element_at(col("smp"), -1).as("final_sample"),
+            expr("aggregate(smp, CAST(0 AS BIGINT), (a, x) -> a + x)")
+              .as("sample_sum"),
+            expr("aggregate(sequence(0, size(smp) - 1), " +
+              "CAST(0 AS BIGINT), (acc, i) -> " +
+              "acc + element_at(smp, CAST(i + 1 AS INT)) * ((i % 1000) + 1))")
+              .as("pos_checksum"),
+            array_min(col("smp")).as("min_sample"),
+            array_max(col("smp")).as("max_sample"),
+            expr("aggregate(zip_with(smp, mul, (a, b) -> " +
+              "CAST(abs(a - b) AS BIGINT)), CAST(0 AS BIGINT), " +
+              "(acc, d) -> acc + d)").as("vs_mulaw_l1"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, encode(text) AS b FROM documents
+             |  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 1),
+             |u AS (
+             |  SELECT doc_id, octet_length(b) AS nbytes,
+             |    [xor(CAST(('0x' || substr(hex(b), 2*i+1, 2)) AS INT), 85)
+             |     for i in range(0, octet_length(b))] AS us,
+             |    [255 - CAST(('0x' || substr(hex(b), 2*i+1, 2)) AS INT)
+             |     for i in range(0, octet_length(b))] AS ms
+             |  FROM a),
+             |d AS (
+             |  SELECT doc_id, nbytes,
+             |    [CAST(CASE WHEN (x & 128) != 0
+             |       THEN CASE WHEN ((x >> 4) & 7) = 0
+             |              THEN ((x & 15) << 4) + 8
+             |              ELSE (((x & 15) << 4) + 264)
+             |                     << (((x >> 4) & 7) - 1) END
+             |       ELSE -(CASE WHEN ((x >> 4) & 7) = 0
+             |              THEN ((x & 15) << 4) + 8
+             |              ELSE (((x & 15) << 4) + 264)
+             |                     << (((x >> 4) & 7) - 1) END)
+             |     END AS INTEGER) for x in us] AS smp,
+             |    [CAST(CASE WHEN (x & 128) != 0
+             |       THEN -(((x & 15) << (((x >> 4) & 7) + 3))
+             |              + (132 << ((x >> 4) & 7)) - 132)
+             |       ELSE ((x & 15) << (((x >> 4) & 7) + 3))
+             |              + (132 << ((x >> 4) & 7)) - 132
+             |     END AS INTEGER) for x in ms] AS mul
+             |  FROM u)
+             |SELECT doc_id,
+             |  CAST(len(smp) AS INTEGER) AS n_samples,
+             |  len(smp) = nbytes AS byte_sample_identity,
+             |  smp[-1] AS final_sample,
+             |  CAST(list_sum(smp) AS BIGINT) AS sample_sum,
+             |  CAST(list_sum([smp[i+1] * CAST((i % 1000) + 1 AS BIGINT)
+             |    for i in range(0, len(smp))]) AS BIGINT) AS pos_checksum,
+             |  list_min(smp) AS min_sample,
+             |  list_max(smp) AS max_sample,
+             |  CAST(list_sum([abs(smp[i+1] - mul[i+1])
+             |    for i in range(0, len(smp))]) AS BIGINT) AS vs_mulaw_l1
+             |FROM d ORDER BY doc_id""".stripMargin),
+      doc = "G.711 A-law decode (companded audio): even-bit-inverted " +
+        "segment expansion to the canonical 16-bit table, every sample " +
+        "replayed from payload hex, cross-law L1 distance vs mu-law " +
+        "pinned in-band"),
+
+    // ------------------------------------------------------------------
     // q8h: SPECTRAL BAND ANALYSIS over real decoded audio — the
     // frequency-domain feature pass every audio pipeline runs after
     // decode (VAD banding, music/speech discrimination, spectral

@@ -54,7 +54,7 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // the in-shard walk's shard grouping must not depend on layout)
     // and the stateless µ-law decode
     "qba_exact_substring", "qbb_exact_substring_apply",
-    "q8m_mulaw_audio")
+    "q8m_mulaw_audio", "q8n_alaw_audio")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map(_.toSeq.map {
