@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, SeedWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, AviRle8EncodeExpr, AviRle8PixelsExpr, BmpHeightExpr, KmvSketchAgg, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavAlawEncodeExpr, WavAlawSamplesExpr, WavImaEncodeExpr, WavImaSamplesExpr, WavMulawEncodeExpr, WavMulawSamplesExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, SeedWindowsExpr, AviDibEncodeExpr, AviDibFramesExpr, AviRle8EncodeExpr, AviRle8PixelsExpr, BmpHeightExpr, KmvSketchAgg, TopKPairsAgg, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavAlawEncodeExpr, WavAlawSamplesExpr, WavImaEncodeExpr, WavImaSamplesExpr, WavMulawEncodeExpr, WavMulawSamplesExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.aviRleEncode)
     ext.injectFunction(GraftExtensions.aviRlePixels)
     ext.injectFunction(GraftExtensions.kmvSketch)
+    ext.injectFunction(GraftExtensions.topkPairs)
     ext.injectFunction(GraftExtensions.anchorWindows)
     ext.injectFunction(GraftExtensions.seedWindows)
     ext.injectFunction(GraftExtensions.wavMulawEncode)
@@ -272,6 +273,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WavAlawSamplesExpr].getName, "wav_alaw_samples"),
     (args: Seq[Expression]) => WavAlawSamplesExpr(args.head))
 
+  private val topkPairs: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("topk_pairs"),
+    new ExpressionInfo(classOf[TopKPairsAgg].getName, "topk_pairs"),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b, k) => TopKPairsAgg(a, b, constK("topk_pairs", k))
+      case _ => throw new IllegalArgumentException("topk_pairs(a, b, k)")
+    })
+
   private val anchorWindows: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("anchor_windows"),
@@ -433,6 +443,7 @@ object GraftExtensions {
         wavImaEncode, wavImaSamples,
         bmpEncode, bmpPixels, bmpWidth, bmpHeight, bpeMergeWord,
         aviEncode, aviFrames, aviRleEncode, aviRlePixels, kmvSketch,
+        topkPairs,
         anchorWindows, seedWindows, wavMulawEncode, wavMulawSamples,
         wavAlawEncode, wavAlawSamples,
         pngEncode, pngPixels,

@@ -108,7 +108,9 @@ object PlanAudit {
     "qbb_exact_substring_apply", // interval merge + gap-substring rewrite
     "qbc_exact_substring_incremental", // batch seeds vs stored seed index
     "q8m_mulaw_audio",        // companded-audio decode, narrow codegen pass
-    "q8n_alaw_audio")         // A-law decode + cross-law gate, one pass
+    "q8n_alaw_audio",         // A-law decode + cross-law gate, one pass
+    "qc0_skew_topk_native",   // bounded topk_pairs agg, no window sort
+    "qc1_skew_topk_salted")   // corpus-derived salt fan-out, 2-phase merge
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated

@@ -30,6 +30,14 @@ object Sampling extends Registry {
   /** Stable per-row bucket in [0, 100). */
   def bucket100(key: Column): Column = md5Prefix16(key) % 100
 
+  /** qc0/qc1: per-key top-k size, and qc1's per-salt-bucket row budget
+    * (S = max(4, ceil(n/budget)) — small here so the shipped sf dirs
+    * exercise multiple S values; a production 100 TB run sets the
+    * budget to ~10^6 so bucket width and S·k merge fan-in are both
+    * ordinary task sizes). */
+  val SkewTopK = 8
+  val SkewSaltBudget = 256
+
   /** Count ShuffleExchangeExec nodes BELOW the first sort-merge join of
     * `df`'s prepared physical plan (AQE root unwrapped) — the
     * zero-exchange proof shared by q7a (bucketed join) and q7b
@@ -848,7 +856,124 @@ object Sampling extends Registry {
              |FROM lineitem""".stripMargin),
       doc = "Incremental z-order merge: delta routed by per-file " +
         "z-ranges, only overlapping files rewritten, untouched files " +
-        "referenced byte-identical, disjointness re-proven post-merge")
+        "referenced byte-identical, disjointness re-proven post-merge"),
+
+    // ------------------------------------------------------------------
+    // qc0: PER-KEY TOP-K OVER A SKEWED KEY, the NATIVE-AGGREGATE way —
+    // the missing skew story of the suite made concrete. The textbook
+    // formulation (`row_number() OVER (PARTITION BY lang ORDER BY
+    // n_chars DESC, doc_id)` then rank ≤ k) shuffles the WHOLE corpus
+    // onto |langs| partitions and sorts each language's full row set
+    // in ONE task; window partitions are atomic to AQE, so the 44 %-
+    // share 'en' key means one task sorting 44 % of the corpus — the
+    // single-reducer death every 100 TB pipeline hits first. The
+    // engine answer is to make top-k ALGEBRAIC: `topk_pairs` (the
+    // second native TypedImperativeAggregate after kmv_sketch) keeps a
+    // k-bounded sorted pair buffer per group, PARTIAL aggregation
+    // combines map-side, and the shuffle carries ≤ k pairs per
+    // (lang, map partition) — the hot key costs each map task k
+    // entries instead of a sort of its row share, with NO salt needed.
+    // Sort order rides the pair: (a, b) = (−n_chars, doc_id) encodes
+    // "longest first, doc_id tiebreak"; the result set is the k
+    // lexicographically-smallest distinct pairs — order-independent
+    // and duplicate-insensitive, so a plain SQL window oracle replays
+    // every row exactly. Plan: two ObjectHashAggregates (partial +
+    // final) and NO Window/global sort — pinned by PlanShapeSpec.
+    QueryDef(
+      "qc0_skew_topk_native",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        import s.implicits._
+        table(s, dir, "documents")
+          .groupBy($"lang")
+          .agg(expr(s"topk_pairs(-n_chars, doc_id, $SkewTopK)").as("top"))
+          .select($"lang", posexplode($"top"))
+          .select($"lang", ($"pos" + 1).cast("int").as("rank"),
+            $"col.b".as("doc_id"), (-$"col.a").as("n_chars"))
+          .orderBy($"lang", $"rank")
+      },
+      Some(s"""SELECT lang, CAST(rank AS INT) AS rank, doc_id, n_chars
+             |FROM (SELECT lang, doc_id, n_chars,
+             |        row_number() OVER (PARTITION BY lang
+             |          ORDER BY n_chars DESC, doc_id) AS rank
+             |      FROM documents)
+             |WHERE rank <= $SkewTopK ORDER BY lang, rank""".stripMargin),
+      doc = "Skew-proof per-key top-k via the native bounded topk_pairs " +
+        "aggregate: map-side partial top-k, <=k pairs per (key, task) " +
+        "through the shuffle, no window sort, no salt"),
+
+    // ------------------------------------------------------------------
+    // qc1: the SAME top-k by SALTED TWO-PHASE COMPOSITION — the
+    // fallback shape for engines/aggregates where a native bounded
+    // aggregate is not available (holistic aggs, UDAF-hostile
+    // runtimes), and the suite's explicit demonstration that "salting
+    // for skew" composes from stock operators with NO custom code.
+    // Phase 1 groups by (lang, salt) — salt = md5-hash of doc_id mod
+    // S, so the hot key's rows spread over S buckets — and keeps each
+    // bucket's local top-k (sort+slice of a bucket-bounded
+    // collect_list); phase 2 re-groups by lang and merges the S
+    // bounded candidate lists. Any global top-k member is its
+    // bucket's local top-k member, so the composition is EXACT. S is
+    // CORPUS-DERIVED (S = max(4, ceil(n/$SkewSaltBudget)) — the q5c
+    // scaled-k discipline; the shipped sf dirs exercise S=4 and S=20)
+    // and the oracle RE-DERIVES it from count(*) and replays the salt
+    // itself: the per-lang max phase-1 bucket width rides the result,
+    // pinning the spread as data, not prose. Both phase states are
+    // bounded: bucket width ≈ share·n/S ≤ ~budget rows, phase-2
+    // fan-in = S·k pairs per key; at 100 TB a 10^6-row budget keeps
+    // the hot key's largest task at ~10^6 rows and the merge at
+    // (n/10^6)·k — both ordinary task sizes. Contrast with qc0: one
+    // extra shuffle and bucket-sized intermediate state vs the native
+    // aggregate's k-bounded buffers — the measured price of staying
+    // compose-only.
+    QueryDef(
+      "qc1_skew_topk_salted",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val n = docs.count()
+        val sBuckets =
+          math.max(4, math.ceil(n.toDouble / SkewSaltBudget).toInt)
+        val keyed = docs.select($"lang", $"doc_id", $"n_chars",
+          (md5Prefix16($"doc_id") % sBuckets).as("salt"))
+        val phase1 = keyed.groupBy($"lang", $"salt")
+          .agg(count(lit(1)).as("bucket_rows"),
+            slice(sort_array(collect_list(
+              struct((-$"n_chars").as("a"), $"doc_id".as("b")))),
+              1, SkewTopK).as("part"))
+        val phase2 = phase1.groupBy($"lang")
+          .agg(max($"bucket_rows").as("max_bucket"),
+            slice(sort_array(flatten(collect_list($"part"))),
+              1, SkewTopK).as("top"))
+        phase2.select($"lang", $"max_bucket", posexplode($"top"))
+          .select($"lang", ($"pos" + 1).cast("int").as("rank"),
+            $"col.b".as("doc_id"), (-$"col.a").as("n_chars"),
+            $"max_bucket".as("max_bucket_rows"),
+            lit(sBuckets).as("n_salt_buckets"))
+          .orderBy($"lang", $"rank")
+      },
+      Some(s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+             |ss AS (SELECT GREATEST(4, CAST(ceil(n / $SkewSaltBudget.0)
+             |         AS INT)) AS s FROM nn),
+             |k AS (SELECT lang, doc_id, n_chars,
+             |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+             |          1, 4)) AS BIGINT) % (SELECT s FROM ss) AS salt
+             |      FROM documents),
+             |bw AS (SELECT lang, max(cnt) AS max_bucket_rows
+             |       FROM (SELECT lang, salt, count(*) AS cnt
+             |             FROM k GROUP BY 1, 2) GROUP BY 1),
+             |r AS (SELECT lang, doc_id, n_chars,
+             |        row_number() OVER (PARTITION BY lang
+             |          ORDER BY n_chars DESC, doc_id) AS rank
+             |      FROM documents)
+             |SELECT r.lang, CAST(rank AS INT) AS rank, doc_id, n_chars,
+             |  bw.max_bucket_rows, (SELECT s FROM ss) AS n_salt_buckets
+             |FROM r JOIN bw ON r.lang = bw.lang
+             |WHERE rank <= $SkewTopK ORDER BY r.lang, rank""".stripMargin),
+      doc = "Skew-proof per-key top-k by salted two-phase composition: " +
+        "corpus-derived salt fan-out spreads the hot key, bucket-local " +
+        "top-k then bounded merge, exact result; salt and bucket " +
+        "widths replayed by the oracle")
   )
 
   /** q9v: write the two-era layout, read it back as one evolved table.

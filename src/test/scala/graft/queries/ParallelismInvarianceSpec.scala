@@ -54,7 +54,11 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // the in-shard walk's shard grouping must not depend on layout)
     // and the stateless µ-law decode
     "qba_exact_substring", "qbb_exact_substring_apply",
-    "q8m_mulaw_audio", "q8n_alaw_audio")
+    "q8m_mulaw_audio", "q8n_alaw_audio",
+    // r16 cont.: the bounded top-k aggregate's partial-merge order and
+    // the salted composition's bucket layout are EXACTLY the
+    // partitioning-dependence this gate exists to catch
+    "qc0_skew_topk_native", "qc1_skew_topk_salted")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map(_.toSeq.map {

@@ -129,6 +129,30 @@ class PlanShapeSpec extends AnyFunSuite {
         "aggregate + output sort only")
   }
 
+  test("qc0: native top-k plans partial+final ObjectHashAggregate — " +
+    "no window, no corpus sort") {
+    val p = plan("qc0_skew_topk_native")
+    assert(!p.contains("Window"),
+      "qc0 regressed to a row_number window — the single-reducer sort " +
+        "per key the bounded aggregate exists to avoid")
+    assert(p.contains("partial_topk_pairs"),
+      "no map-side partial aggregation: the shuffle would carry row " +
+        "sets instead of k-bounded buffers")
+    val oha = "(?m)^\\(\\d+\\) ObjectHashAggregate".r.findAllIn(p).length
+    assert(oha >= 2, s"expected partial+final ObjectHashAggregate, got $oha")
+  }
+
+  test("qc1: salted top-k is two bounded aggregations — no window") {
+    val p = plan("qc1_skew_topk_salted")
+    assert(!p.contains("Window"),
+      "qc1 regressed to a window sort; the salted phases must stay " +
+        "plain aggregations")
+    val hashAggs = "(?m)^\\(\\d+\\) (Object)?HashAggregate".r
+      .findAllIn(p).length
+    assert(hashAggs >= 4, // (partial+final) × two phases
+      s"expected two two-stage aggregations, got $hashAggs aggregate nodes")
+  }
+
   test("q9l: weighted top-k plans TakeOrderedAndProject, no global sort") {
     val p = plan("q9l_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
