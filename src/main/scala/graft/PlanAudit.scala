@@ -110,7 +110,8 @@ object PlanAudit {
     "q8m_mulaw_audio",        // companded-audio decode, narrow codegen pass
     "q8n_alaw_audio",         // A-law decode + cross-law gate, one pass
     "qc0_skew_topk_native",   // bounded topk_pairs agg, no window sort
-    "qc1_skew_topk_salted")   // corpus-derived salt fan-out, 2-phase merge
+    "qc1_skew_topk_salted",   // corpus-derived salt fan-out, 2-phase merge
+    "qc2_bloom_join_reduction") // bloom probe below the join exchange
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated

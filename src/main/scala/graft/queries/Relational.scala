@@ -1302,7 +1302,100 @@ object Relational extends Registry {
       doc = "k-anonymity audit maintained incrementally: per-batch " +
         "partial bracket counts (redelivery-idempotent by partition " +
         "ownership), served from state with a merge-equals-rebuild " +
-        "contract")
+        "contract"),
+
+    // ------------------------------------------------------------------
+    // qc2: BLOOM SEMI-JOIN REDUCTION — the shuffle-volume lever for
+    // selective fact-fact joins. When a filtered build side selects few
+    // join keys out of a huge fact, the naive shuffle join still ships
+    // the ENTIRE probe side through the exchange; the classic fix
+    // (Bloom-join / runtime filter) compresses the build side's KEY SET
+    // into a bit array (16 KB here for 2^16 bits — vs gigabytes of
+    // keys) and filters the probe MAP-SIDE, below the exchange, so the
+    // shuffle carries ~selectivity × |fact| rows instead of |fact|. At
+    // 100 TB with a 1 % predicate that is the difference between
+    // shuffling 100 TB and 1 TB. The machinery is q9m's md5 bloom
+    // (BloomBits=2^16, k=4 probes — shared helpers, one definition),
+    // materialized as a dense word-array LITERAL in the probe
+    // predicate: ≤2048 longs collected driver-side (the bounded read
+    // that stands in for a broadcast var at scale) and evaluated as
+    // pure scalar arithmetic inside whole-stage codegen. Honesty
+    // gates: the join is hint("merge") so a broadcast join cannot fake
+    // the demonstration (the q7a rule — bloom reduction matters
+    // precisely when the build side's ROWS don't broadcast but its
+    // keys' BLOOM does); no false negatives is structural (a selected
+    // key's bits are all set), and FALSE POSITIVES are not hidden —
+    // bloom-passing rows whose order is NOT selected survive to the
+    // left join and group under '__bloom_fp__', a row the oracle
+    // replays by rebuilding the identical bloom in SQL (expect 0 at
+    // small sf, a visible count at sf0.1). One pass over the fact:
+    // probe bits are 4 md5s per row, narrow; the only shuffles are the
+    // reduced join's and the final 5-row aggregate's.
+    QueryDef(
+      "qc2_bloom_join_reduction",
+      (s, dir) => {
+        import s.implicits._
+        val sel = table(s, dir, "orders")
+          .filter($"o_totalprice" > lit(BloomJoinPriceMin))
+          .select($"o_orderkey", $"o_orderpriority")
+        val words = Dedup.bloomWordsOf(
+          sel.select(md5($"o_orderkey".cast("string")).as("h"))).collect()
+        val dense = new Array[Long](Dedup.BloomBits / 32)
+        words.foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
+        val probe = table(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice",
+            md5($"l_orderkey".cast("string")).as("h"),
+            typedLit(dense.toSeq).as("bw"))
+        val withPos = (0 until Dedup.BloomK).foldLeft(probe) { (df, j) =>
+          df.withColumn(s"p$j", Dedup.bloomPos($"h", lit(j)))
+        }
+        val pass = (0 until Dedup.BloomK).map(j =>
+          expr(s"((element_at(bw, CAST(p$j div 32 AS INT) + 1) >> " +
+            s"CAST(p$j % 32 AS INT)) & 1) = 1")).reduce(_ && _)
+        withPos.filter(pass)
+          .select($"l_orderkey", $"l_extendedprice")
+          .join(sel.hint("merge"),
+            $"l_orderkey" === $"o_orderkey", "left")
+          .groupBy(coalesce($"o_orderpriority", lit("__bloom_fp__"))
+            .as("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum($"l_extendedprice"), 2).as("revenue"))
+          .orderBy($"o_orderpriority")
+      },
+      Some(s"""WITH sel AS (
+             |  SELECT o_orderkey, o_orderpriority FROM orders
+             |  WHERE o_totalprice > $BloomJoinPriceMin),
+             |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+             |bloom AS (
+             |  SELECT pos // 32 AS w,
+             |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+             |  FROM (SELECT (CAST(('0x' || substr(md5(
+             |      md5(CAST(o_orderkey AS VARCHAR)) || '#' ||
+             |      CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 65536) AS pos
+             |    FROM sel, js) GROUP BY 1),
+             |keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+             |kpos AS (
+             |  SELECT l_orderkey,
+             |    (CAST(('0x' || substr(md5(
+             |      md5(CAST(l_orderkey AS VARCHAR)) || '#' ||
+             |      CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 65536) AS p
+             |  FROM keys, js),
+             |khit AS (
+             |  SELECT l_orderkey,
+             |    min(COALESCE((bits >> CAST(p % 32 AS INT)) & 1, 0)) AS hit
+             |  FROM kpos LEFT JOIN bloom ON p // 32 = w GROUP BY 1),
+             |red AS (
+             |  SELECT l.l_orderkey, l.l_extendedprice
+             |  FROM lineitem l JOIN khit USING (l_orderkey) WHERE hit = 1)
+             |SELECT COALESCE(s.o_orderpriority, '__bloom_fp__')
+             |    AS o_orderpriority,
+             |  count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
+             |FROM red LEFT JOIN sel s ON red.l_orderkey = s.o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Bloom semi-join reduction: the filtered build side's key " +
+        "set compressed to a 16 KB bit-array literal, probe filtered " +
+        "map-side below the exchange, false positives surfaced as a " +
+        "replayed row, merge-hinted join keeps the demonstration honest")
   )
 
   /** Build-or-reuse qa7's per-batch partial state: the customer table
@@ -1336,6 +1429,11 @@ object Relational extends Registry {
 
   /** qa5 thresholds: minimum anonymity set size and sensitive-value
     * diversity. */
+  /** qc2: the selective build-side predicate (~1 % of orders at every
+    * shipped sf — scale-invariant selectivity, so the reduction ratio
+    * the query demonstrates holds at any corpus size). */
+  val BloomJoinPriceMin = 495000
+
   val AnonK = 5
   val AnonL = 3
 

@@ -153,6 +153,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected two two-stage aggregations, got $hashAggs aggregate nodes")
   }
 
+  test("qc2: bloom probe filters the fact below a real shuffle join") {
+    val p = plan("qc2_bloom_join_reduction")
+    assert(p.contains("SortMergeJoin"),
+      "the merge hint was lost — a broadcast join would fake the " +
+        "reduction demonstration (bloom-join matters when the build " +
+        "side's rows don't broadcast)")
+    assert(!p.contains("BroadcastHashJoin"),
+      "probe side joined by broadcast; the bloom filter must be what " +
+        "reduces the exchange, not a broadcast join")
+    assert(p.contains("element_at"),
+      "no bloom bit-test filter in the plan — the probe side ships " +
+        "unreduced through the exchange")
+  }
+
   test("q9l: weighted top-k plans TakeOrderedAndProject, no global sort") {
     val p = plan("q9l_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
