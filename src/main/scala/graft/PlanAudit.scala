@@ -111,7 +111,8 @@ object PlanAudit {
     "q8n_alaw_audio",         // A-law decode + cross-law gate, one pass
     "qc0_skew_topk_native",   // bounded topk_pairs agg, no window sort
     "qc1_skew_topk_salted",   // corpus-derived salt fan-out, 2-phase merge
-    "qc2_bloom_join_reduction") // bloom probe below the join exchange
+    "qc2_bloom_join_reduction", // bloom probe below the join exchange
+    "qc3_skew_join_salted")   // hot-key replication join, per-key fan-out
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated

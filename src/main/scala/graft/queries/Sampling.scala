@@ -38,6 +38,17 @@ object Sampling extends Registry {
   val SkewTopK = 8
   val SkewSaltBudget = 256
 
+  /** qc3: per-key replication budget for the salted join — a key whose
+    * row count exceeds the budget gets fanned out over
+    * ceil(count/budget) salt buckets. 100 makes the shipped corpora
+    * exercise three regimes: sf0.001 only 'en' replicates (R=2),
+    * sf0.01 'en' R=3 with the other langs at R=1 (selective
+    * replication — rare keys pay nothing), sf0.1 every key replicates
+    * at distinct fan-outs (en R=21, others R=8). At 100 TB the budget
+    * rises to ~10^6 rows so the hot key's largest join task stays an
+    * ordinary task size. */
+  val SkewJoinBudget = 100
+
   /** Count ShuffleExchangeExec nodes BELOW the first sort-merge join of
     * `df`'s prepared physical plan (AQE root unwrapped) — the
     * zero-exchange proof shared by q7a (bucketed join) and q7b
@@ -973,7 +984,103 @@ object Sampling extends Registry {
       doc = "Skew-proof per-key top-k by salted two-phase composition: " +
         "corpus-derived salt fan-out spreads the hot key, bucket-local " +
         "top-k then bounded merge, exact result; salt and bucket " +
-        "widths replayed by the oracle")
+        "widths replayed by the oracle"),
+
+    // ------------------------------------------------------------------
+    // qc3: SKEWED JOIN BY HOT-KEY REPLICATION (salted join) — the third
+    // skew lever, completing the trilogy: qc0/qc1 fix skewed
+    // AGGREGATION, AQE's skew-join split handles sort-merge skew at
+    // runtime, and THIS is the manual production shape for when a
+    // skewed fact must equi-join a dimension that is too large (or
+    // contractually forbidden) to broadcast and the engine's runtime
+    // splitting is unavailable — the hot key's entire row set lands in
+    // one merge-join task, the same single-reducer death as qc0's
+    // window. Mechanism: per-key fan-out R(key) = max(1,
+    // ceil(count/budget)) is derived from a per-key frequency pass
+    // (|keys| rows — broadcastable at any corpus size, since the
+    // DISTINCT key count, not the row count, bounds it); the fact
+    // attaches R by broadcast join and salts each row into
+    // salt = hash(row) mod R(key); the DIM side replicates each key's
+    // row R(key) times via explode(sequence(0, R−1)) — rare keys
+    // replicate ZERO extra copies (R=1), only hot keys pay — and the
+    // join runs on (key, salt), splitting the hot key's single task
+    // into R tasks of ≤ budget rows. EXACT by construction: every fact
+    // row matches exactly the ONE dim replica carrying its salt, so
+    // the joined multiset equals the plain join's — pinned by the
+    // oracle computing the PLAIN join aggregate while re-deriving R,
+    // the salt (same md5-prefix hash), and the max per-(key, salt)
+    // bucket width as data; a duplicate or dropped match shifts n_docs
+    // and hash-fails. The merge hint keeps the demonstration honest
+    // (the q7a/qc2 rule: at corpus scale the dim does not broadcast;
+    // only the |keys|-row stats frame does). Plan pinned: one
+    // BroadcastHashJoin (the stats attach), one SortMergeJoin on
+    // (lang, salt) (the replicated join), a Generate (the dim
+    // explode), no window. At 100 TB with a 10^6 budget: the frequency
+    // pass is one map-side-combined aggregate, replication inflates
+    // the dim by Σ(R−1) ≈ n_fact/10^6 rows, and the join's largest
+    // task is ~10^6 rows regardless of key skew.
+    QueryDef(
+      "qc3_skew_join_salted",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val stats = docs.groupBy($"lang")
+          .agg(count(lit(1)).as("lang_docs"),
+            sum($"n_chars").as("dim_total_chars"))
+          .withColumn("r_fanout",
+            greatest(lit(1L),
+              ceil($"lang_docs" / lit(SkewJoinBudget.toDouble)))
+              .cast("int"))
+        val fact = docs
+          .join(broadcast(stats.select($"lang", $"r_fanout")), Seq("lang"))
+          .select($"lang", $"doc_id", $"n_chars",
+            (md5Prefix16($"doc_id") % $"r_fanout").as("salt"))
+        val dimRep = stats
+          .select($"lang", $"dim_total_chars", $"r_fanout",
+            explode(sequence(lit(0L), $"r_fanout".cast("long") - 1))
+              .as("salt"))
+        fact.join(dimRep.hint("merge"), Seq("lang", "salt"))
+          .groupBy($"lang", $"salt")
+          .agg(count(lit(1)).as("bucket_rows"),
+            sum($"n_chars").as("bucket_chars"),
+            first($"r_fanout").as("r_fanout"),
+            first($"dim_total_chars").as("dim_total_chars"))
+          .groupBy($"lang")
+          .agg(first($"r_fanout").as("r_fanout"),
+            max($"bucket_rows").as("max_bucket_rows"),
+            sum($"bucket_rows").as("n_docs"),
+            sum($"bucket_chars").as("sum_chars"),
+            first($"dim_total_chars").as("dim_total_chars"))
+          .select($"lang", $"r_fanout", $"max_bucket_rows", $"n_docs",
+            $"sum_chars", $"dim_total_chars")
+          .orderBy($"lang")
+      },
+      Some(s"""WITH st AS (
+             |  SELECT lang, count(*) AS lang_docs,
+             |    CAST(sum(n_chars) AS BIGINT) AS dim_total_chars
+             |  FROM documents GROUP BY 1),
+             |r AS (SELECT lang, lang_docs, dim_total_chars,
+             |    GREATEST(1, CAST(ceil(lang_docs / $SkewJoinBudget.0)
+             |      AS INT)) AS r_fanout FROM st),
+             |k AS (SELECT d.lang,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+             |      1, 4)) AS BIGINT) % r.r_fanout AS salt
+             |  FROM documents d JOIN r ON d.lang = r.lang),
+             |bw AS (SELECT lang, max(cnt) AS max_bucket_rows
+             |  FROM (SELECT lang, salt, count(*) AS cnt
+             |        FROM k GROUP BY 1, 2) GROUP BY 1),
+             |ag AS (SELECT lang, count(*) AS n_docs,
+             |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |  FROM documents GROUP BY 1)
+             |SELECT r.lang, r.r_fanout, bw.max_bucket_rows, ag.n_docs,
+             |  ag.sum_chars, r.dim_total_chars
+             |FROM r JOIN bw USING (lang) JOIN ag USING (lang)
+             |ORDER BY lang""".stripMargin),
+      doc = "Skewed equi-join by hot-key replication: corpus-derived " +
+        "per-key fan-out R = ceil(count/budget), fact salted into R " +
+        "buckets, dim replicated R ways (rare keys pay nothing), join " +
+        "on (key, salt) — exact vs the plain join, R and bucket " +
+        "widths oracle-replayed")
   )
 
   /** q9v: write the two-era layout, read it back as one evolved table.

@@ -167,6 +167,20 @@ class PlanShapeSpec extends AnyFunSuite {
         "unreduced through the exchange")
   }
 
+  test("qc3: salted join replicates the dim and merges on (key, salt)") {
+    val p = plan("qc3_skew_join_salted")
+    assert(p.contains("SortMergeJoin"),
+      "the merge hint was lost — the replicated join must be a real " +
+        "shuffle join (at corpus scale the dim does not broadcast)")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |keys|-row stats attach should broadcast — only the " +
+        "frequency frame is small enough to ship")
+    assert(p.contains("Generate"),
+      "no explode in the plan — the dim side is not being replicated " +
+        "per salt bucket")
+    assert(!p.contains("Window"), "qc3 must not fall back to a window")
+  }
+
   test("q9l: weighted top-k plans TakeOrderedAndProject, no global sort") {
     val p = plan("q9l_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
