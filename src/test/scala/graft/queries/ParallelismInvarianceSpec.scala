@@ -58,7 +58,12 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // r16 cont.: the bounded top-k aggregate's partial-merge order and
     // the salted composition's bucket layout are EXACTLY the
     // partitioning-dependence this gate exists to catch
-    "qc0_skew_topk_native", "qc1_skew_topk_salted")
+    "qc0_skew_topk_native", "qc1_skew_topk_salted",
+    // r16 cont.: the bloom literal's word layout and the salted join's
+    // replica matching must be pure functions of the data — a salt or
+    // bit position that varied with partitioning would split or merge
+    // join buckets
+    "qc2_bloom_join_reduction", "qc3_skew_join_salted")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map(_.toSeq.map {
