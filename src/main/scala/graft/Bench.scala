@@ -298,7 +298,10 @@ object Bench {
     // the 192-suite cost normalized to pin-era box speed, so a
     // recovered box reads vs_baseline ≈ 1.0 and a degraded one reads
     // the box factor honestly instead of laundering it into the pin.
-    val baselinePin = 107.0
+    // +0.4 for qc4 (MG heavy hitters, 193rd query: measured 0.705s
+    // solo at degraded-box speed / 1.27 = ~0.55s; its in-suite cost
+    // is lower still — the events scan is already warm — pinned 0.4).
+    val baselinePin = 107.4
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val gcTotal = (gcMillis() - gcStart) / 1e3

@@ -532,6 +532,85 @@ object EventOps extends Registry {
              |FROM e JOIN c USING (user_id)
              |GROUP BY cohort_w, week_offset
              |ORDER BY cohort_w, week_offset""".stripMargin),
-      doc = "Weekly cohort retention matrix (first-seen week × return offset)")
+      doc = "Weekly cohort retention matrix (first-seen week × return offset)"),
+
+    // ------------------------------------------------------------------
+    // qc4: HEAVY HITTERS FROM BOUNDED STATE (Misra–Gries) — the
+    // frequency member of the sketch family: HLL (q93) and KMV (qb8)
+    // answer "how many distinct", CMS (q9e) answers "how often is THIS
+    // key", and this answers "WHICH keys dominate the stream" from k
+    // counters in ONE pass — at 100 TB the exact formulation (group-by
+    // count then top-k) shuffles the full distinct-key domain; the
+    // mg_sketch aggregate (third native TypedImperativeAggregate)
+    // ships ≤ k (item, count) pairs per map partition and merges with
+    // the PODS'12 mergeable-summaries rule, preserving the n/(k+1)
+    // undercount bound under ANY merge tree. The item stream is the
+    // suite's planted-fixture discipline (the corpus has no natural
+    // Zipf domain — 31 distinct words, uniform user_ids): a
+    // deterministic Zipf map item = 65536 div (1 + md5prefix16(
+    // event_id)) gives ~65k possible items where item j carries
+    // ~1/(j(j+1)) of the stream — real evictions (k=64 counters vs
+    // tens of thousands of distinct items), real heavy hitters
+    // (items 1..7 clear the 1/(k+1) threshold), both engines derive
+    // it bit-identically. Honesty: the sketch's raw CONTENTS are
+    // layout-dependent (inherent to MG — which borderline items
+    // survive depends on merge order), so the result emits ONLY the
+    // layout-invariant guarantees, each a theorem, each hash-gated:
+    // every item with true_cnt·(k+1) > n is present; estimates never
+    // overcount; undercount·(k+1) ≤ n; state ≤ k entries. true_cnt
+    // comes from an exact arm that exists purely as the gate (the
+    // q5b/qb8 discipline — at scale only the sketch pass runs). Plan:
+    // the sketch is one partial+final aggregation to a single row
+    // (bounded k-state through the shuffle), broadcast-crossed onto
+    // the exact arm's heavy rows.
+    QueryDef(
+      "qc4_heavy_hitters",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        import s.implicits._
+        val withItem = Tables.eventsRaw(s, dir)
+          .select(Sampling.md5Prefix16($"event_id").as("h"))
+          .select(expr("CAST(65536 div (1 + h) AS BIGINT)").as("item"))
+        val sk = withItem.agg(
+          expr(s"mg_sketch(item, $MgK)").as("sk"),
+          count(lit(1)).as("n_events"))
+        val truth = withItem.groupBy($"item")
+          .agg(count(lit(1)).as("true_cnt"))
+        truth.crossJoin(broadcast(sk))
+          .filter($"true_cnt" * (MgK + 1) > $"n_events")
+          .withColumn("est", element_at(map_from_entries($"sk"), $"item"))
+          .select($"item", $"true_cnt", $"n_events",
+            $"est".isNotNull.as("present"),
+            ($"est".isNotNull && $"est" <= $"true_cnt")
+              .as("never_overcount"),
+            ($"est".isNotNull &&
+              ($"true_cnt" - $"est") * (MgK + 1) <= $"n_events")
+              .as("within_bound"),
+            (size($"sk") <= MgK).as("state_bounded"))
+          .orderBy($"item")
+      },
+      Some(s"""WITH h AS (
+             |  SELECT 65536 // (1 + CAST(('0x' ||
+             |    substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT))
+             |    AS item
+             |  FROM events),
+             |n AS (SELECT count(*) AS n_events FROM h),
+             |t AS (SELECT item, count(*) AS true_cnt FROM h GROUP BY 1)
+             |SELECT item, true_cnt, (SELECT n_events FROM n) AS n_events,
+             |  true AS present, true AS never_overcount,
+             |  true AS within_bound, true AS state_bounded
+             |FROM t WHERE true_cnt * ${MgK + 1} > (SELECT n_events FROM n)
+             |ORDER BY item""".stripMargin),
+      doc = "Heavy hitters from k bounded counters (Misra-Gries native " +
+        "aggregate, mergeable-summaries merge): every guaranteed-heavy " +
+        "item present, never-overcount and n/(k+1) undercount bound " +
+        "emitted as hash-gated data over a deterministic Zipf stream")
   )
+
+  /** qc4: Misra–Gries counter budget. 64 counters against ~65k possible
+    * Zipf items forces real evictions at every shipped sf while items
+    * 1..7 (share 1/(j(j+1)) > 1/65) stay guaranteed-present; at 100 TB
+    * the same k serves — the state is k counters per map task
+    * regardless of stream length or key-domain size. */
+  val MgK = 64
 }

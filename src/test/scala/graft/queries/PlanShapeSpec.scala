@@ -181,6 +181,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "qc3 must not fall back to a window")
   }
 
+  test("qc4: the MG sketch aggregates partial+final, no window sort") {
+    val p = plan("qc4_heavy_hitters")
+    val oha = "(?m)^\\(\\d+\\) ObjectHashAggregate".r.findAllIn(p).length
+    assert(oha >= 2,
+      s"expected partial+final ObjectHashAggregate for mg_sketch, got " +
+        s"$oha — a single-stage plan would ship raw items, not " +
+        "k-bounded counter maps, through the shuffle")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Broadcast"),
+      "the 1-row sketch should broadcast onto the exact arm")
+    assert(!p.contains("Window"), "qc4 must not fall back to a window")
+  }
+
   test("q9l: weighted top-k plans TakeOrderedAndProject, no global sort") {
     val p = plan("q9l_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
