@@ -301,7 +301,10 @@ object Bench {
     // +0.4 for qc4 (MG heavy hitters, 193rd query: measured 0.705s
     // solo at degraded-box speed / 1.27 = ~0.55s; its in-suite cost
     // is lower still — the events scan is already warm — pinned 0.4).
-    val baselinePin = 107.4
+    // +0.9 for qc5 (incremental MG, 194th: 1.413s solo on the
+    // degraded box / 1.27 = ~1.1s, solo pays the state read + three
+    // events passes that run warmer in-suite — pinned 0.9).
+    val baselinePin = 108.3
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val gcTotal = (gcMillis() - gcStart) / 1e3

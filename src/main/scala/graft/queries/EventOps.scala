@@ -568,9 +568,7 @@ object EventOps extends Registry {
       (s, dir) => {
         graft.GraftExtensions.ensureRegistered(s)
         import s.implicits._
-        val withItem = Tables.eventsRaw(s, dir)
-          .select(Sampling.md5Prefix16($"event_id").as("h"))
-          .select(expr("CAST(65536 div (1 + h) AS BIGINT)").as("item"))
+        val withItem = mgItems(s, dir)
         val sk = withItem.agg(
           expr(s"mg_sketch(item, $MgK)").as("sk"),
           count(lit(1)).as("n_events"))
@@ -604,7 +602,104 @@ object EventOps extends Registry {
       doc = "Heavy hitters from k bounded counters (Misra-Gries native " +
         "aggregate, mergeable-summaries merge): every guaranteed-heavy " +
         "item present, never-overcount and n/(k+1) undercount bound " +
-        "emitted as hash-gated data over a deterministic Zipf stream")
+        "emitted as hash-gated data over a deterministic Zipf stream"),
+
+    // ------------------------------------------------------------------
+    // qc5: HEAVY HITTERS MAINTAINED INCREMENTALLY — qc4's lifecycle
+    // arm, qb9's stored-state discipline applied to the frequency
+    // sketch: the base slice's MG sketch (k counters + base length,
+    // ONE stored row) is built once, content-addressed on the source
+    // stamp; serve scans ONLY the delta slice (~12.5 % of events),
+    // sketches it with the same bounded aggregate, and merges the two
+    // sketches DECLARATIVELY with the identical PODS'12 rule the
+    // aggregate uses internally: explode both counter arrays, sum per
+    // item (≤ 2k rows), subtract the (k+1)-th largest summed count,
+    // drop non-positives — the (k+1)-th largest itself found by
+    // reusing topk_pairs over the ≤2k-row frame, no window, no
+    // driver-side sort. Because the whole merge is the theorem's own
+    // construction, the n_total/(k+1) bound and the guaranteed-heavy
+    // property hold for the COMBINED stream (any merge tree), and the
+    // base is NEVER re-scanned — at 100 TB the nightly cost is the
+    // day's delta plus arithmetic on 2k counters. One honest
+    // difference from qb9 is documented rather than papered over: KMV
+    // merge is lossless so qb9 pins merged≡rebuilt value-for-value;
+    // MG merge is NOT content-deterministic (different trees keep
+    // different borderline items), so the contract here is the same
+    // theorem set qc4 emits — guaranteed-heavy presence,
+    // never-overcount, bounded undercount, state ≤ k — evaluated
+    // against the full stream's exact arm (gate-only, as q5b), plus
+    // the split-totality identity n_base + n_delta = n_total. The
+    // invariance gate proves the emitted frame is layout-independent.
+    QueryDef(
+      "qc5_heavy_hitters_incremental",
+      (s, dir) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        import s.implicits._
+        val base = loadOrBuildMgBase(s, dir) // 1 row: sk, n_base
+        val delta = mgItems(s, dir)
+          .filter(pmod($"event_id", lit(MgDeltaMod)) === 0)
+          .agg(expr(s"mg_sketch(item, $MgK)").as("dsk"),
+            count(lit(1)).as("n_delta"))
+        val counters = base.select(explode($"sk").as("e"))
+          .select($"e.item".as("item"), $"e.est".as("est"))
+          .unionByName(delta.select(explode($"dsk").as("e"))
+            .select($"e.item".as("item"), $"e.est".as("est")))
+          .groupBy($"item").agg(sum($"est").as("est"))
+        // (k+1)-th largest summed counter (0 when ≤ k survive): the
+        // mergeable-summaries subtraction, over a ≤2k-row frame
+        val sub = counters.agg(expr(
+          s"topk_pairs(-est, item, ${MgK + 1})").as("t"))
+          .select(when(size($"t") >= MgK + 1,
+            -element_at($"t", MgK + 1).getField("a"))
+            .otherwise(lit(0L)).as("m"))
+        val merged = counters.crossJoin(broadcast(sub))
+          .select($"item", ($"est" - $"m").as("est"))
+          .filter($"est" > 0)
+        val mergedState = merged.agg(
+          map_from_entries(collect_list(struct($"item", $"est")))
+            .as("mg"), count(lit(1)).as("n_counters"))
+        val full = mgItems(s, dir)
+        val truth = full.groupBy($"item").agg(count(lit(1)).as("true_cnt"))
+        val totals = full.agg(count(lit(1)).as("n_total"))
+          .crossJoin(broadcast(base.select($"n_base")))
+          .crossJoin(broadcast(delta.select($"n_delta")))
+        truth.crossJoin(broadcast(mergedState))
+          .crossJoin(broadcast(totals))
+          .filter($"true_cnt" * (MgK + 1) > $"n_total")
+          .withColumn("est", element_at($"mg", $"item"))
+          .select($"item", $"true_cnt", $"n_total", $"n_base", $"n_delta",
+            $"est".isNotNull.as("present"),
+            ($"est".isNotNull && $"est" <= $"true_cnt")
+              .as("never_overcount"),
+            ($"est".isNotNull &&
+              ($"true_cnt" - $"est") * (MgK + 1) <= $"n_total")
+              .as("within_bound"),
+            ($"n_counters" <= MgK).as("state_bounded"),
+            ($"n_base" + $"n_delta" === $"n_total").as("split_total_ok"))
+          .orderBy($"item")
+      },
+      Some(s"""WITH h AS (
+             |  SELECT event_id, 65536 // (1 + CAST(('0x' ||
+             |    substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT))
+             |    AS item
+             |  FROM events),
+             |n AS (SELECT count(*) AS n_total,
+             |    count(*) FILTER (WHERE event_id % $MgDeltaMod != 0)
+             |      AS n_base,
+             |    count(*) FILTER (WHERE event_id % $MgDeltaMod = 0)
+             |      AS n_delta
+             |  FROM h),
+             |t AS (SELECT item, count(*) AS true_cnt FROM h GROUP BY 1)
+             |SELECT item, true_cnt, n.n_total, n.n_base, n.n_delta,
+             |  true AS present, true AS never_overcount,
+             |  true AS within_bound, true AS state_bounded,
+             |  true AS split_total_ok
+             |FROM t, n WHERE true_cnt * ${MgK + 1} > n.n_total
+             |ORDER BY item""".stripMargin),
+      doc = "Incremental heavy hitters: stored base MG sketch merged " +
+        "with the delta's sketch by the declarative mergeable-" +
+        "summaries rule - base never re-scanned, k-bounded state, " +
+        "combined-stream guarantees hash-gated against the exact arm")
   )
 
   /** qc4: Misra–Gries counter budget. 64 counters against ~65k possible
@@ -613,4 +708,53 @@ object EventOps extends Registry {
     * the same k serves — the state is k counters per map task
     * regardless of stream length or key-domain size. */
   val MgK = 64
+
+  /** qc5: base/delta split modulus — event_id % 8 == 0 is the delta
+    * (~12.5 %), the rest is the stored-sketch base. */
+  val MgDeltaMod = 8
+
+  /** qc4/qc5's deterministic Zipf item stream: item = 65536 div
+    * (1 + md5prefix16(event_id)) — item j carries ~1/(j(j+1)) of the
+    * stream; ~65k possible items vs 64 counters makes MG evictions
+    * real, and both engines derive it bit-identically. event_id rides
+    * along for the base/delta split. */
+  private[queries] def mgItems(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.eventsRaw(s, dir)
+      .select($"event_id", Sampling.md5Prefix16($"event_id").as("h"))
+      .select($"event_id",
+        expr("CAST(65536 div (1 + h) AS BIGINT)").as("item"))
+  }
+
+  /** qc5: the stored base MG sketch (events with
+    * event_id % MgDeltaMod != 0), content-addressed on the source
+    * stamp + every parameter shaping the sketch — qb9's stored-state
+    * discipline applied to the frequency sketch. One row: the
+    * k-bounded counter array + the base stream length. */
+  private[queries] def loadOrBuildMgBase(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
+    val src = s"$dir/events.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|mg-base|k=$MgK|base=mod${MgDeltaMod}ne0|zipf65536"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = Tables.persistentScratchDir(s"qc5_mg_$tag")
+    val outDir = java.nio.file.Paths.get(stateDir, "sketch")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
+    if (!valid) {
+      mgItems(s, dir)
+        .filter(pmod($"event_id", lit(MgDeltaMod)) =!= 0)
+        .agg(expr(s"mg_sketch(item, $MgK)").as("sk"),
+          count(lit(1)).as("n_base"))
+        .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
+      java.nio.file.Files.writeString(keyFile, key)
+    }
+    s.read.parquet(outDir.toString)
+  }
 }

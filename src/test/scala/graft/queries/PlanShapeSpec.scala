@@ -181,6 +181,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "qc3 must not fall back to a window")
   }
 
+  test("qc5: serve reads the stored base sketch, delta filtered, no window") {
+    val p = plan("qc5_heavy_hitters_incremental")
+    assert(p.contains("qc5_mg_"),
+      "serve plan has no scan of the stored base sketch — the base " +
+        "stream is being re-sketched instead of read back")
+    assert(p.contains("(event_id#") || p.contains("pmod"),
+      "no delta predicate visible — the serve-side sketch must scan " +
+        "only the delta slice")
+    assert(!p.contains("Window"),
+      "qc5's merge must stay aggregate+arithmetic — the (k+1)-th " +
+        "largest comes from topk_pairs, not a window rank")
+  }
+
   test("qc4: the MG sketch aggregates partial+final, no window sort") {
     val p = plan("qc4_heavy_hitters")
     val oha = "(?m)^\\(\\d+\\) ObjectHashAggregate".r.findAllIn(p).length
