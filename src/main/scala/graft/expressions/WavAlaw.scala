@@ -34,50 +34,14 @@ object WavAlaw {
   import LeBytes.{u16le, u32le, readU16, readU32, fourcc}
 
   /** Build a valid mono A-law WAV whose data chunk is `payload`. */
-  def encode(payload: Array[Byte], sampleRate: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(46 + payload.length)
-    out.write("RIFF".getBytes(StandardCharsets.US_ASCII))
-    // 4 ("WAVE") + (8+18 fmt: non-PCM formats carry cbSize) +
-    // (8+4 fact) + (8 data hdr) + data
-    out.write(u32le(50 + payload.length))
-    out.write("WAVE".getBytes(StandardCharsets.US_ASCII))
-    out.write("fmt ".getBytes(StandardCharsets.US_ASCII))
-    out.write(u32le(18)) // fmt chunk size incl. cbSize
-    out.write(u16le(6)) // audio format: A-law
-    out.write(u16le(1)) // channels: mono
-    out.write(u32le(sampleRate))
-    out.write(u32le(sampleRate)) // byte rate = sr × 1 byte/sample
-    out.write(u16le(1)) // block align
-    out.write(u16le(8)) // bits per sample
-    out.write(u16le(0)) // cbSize
-    out.write("fact".getBytes(StandardCharsets.US_ASCII))
-    out.write(u32le(4))
-    out.write(u32le(payload.length)) // sample count
-    out.write("data".getBytes(StandardCharsets.US_ASCII))
-    out.write(u32le(payload.length))
-    out.write(payload, 0, payload.length)
-    out.toByteArray
-  }
+  def encode(payload: Array[Byte], sampleRate: Int): Array[Byte] =
+    LeBytes.g711Wav(payload, sampleRate, 6) // format 6: A-law
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"wav_alaw: $msg")
 
-  private def findChunk(wav: Array[Byte], id: String): (Int, Int) = {
-    if (wav.length < 12) fail(s"container too short (${wav.length} bytes)")
-    if (fourcc(wav, 0) != "RIFF") fail("missing RIFF magic")
-    if (fourcc(wav, 8) != "WAVE") fail("missing WAVE form type")
-    val riffEnd = math.min(wav.length.toLong, 8L + readU32(wav, 4))
-    var off = 12
-    while (off + 8 <= riffEnd) {
-      val cid = fourcc(wav, off)
-      val size = readU32(wav, off + 4)
-      if (size < 0 || off + 8L + size > riffEnd)
-        fail(s"chunk '$cid' overruns the declared RIFF extent")
-      if (cid == id) return (off + 8, size)
-      off += 8 + size + (size & 1)
-    }
-    fail(s"no '$id' chunk")
-  }
+  private def findChunk(wav: Array[Byte], id: String): (Int, Int) =
+    LeBytes.findWavChunk(wav, id, fail)
 
   /** The canonical per-code expansion (Sun g711 alaw2linear — the
     * ±32256 16-bit reconstruction table, computed not tabulated). */

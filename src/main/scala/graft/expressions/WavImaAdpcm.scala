@@ -143,22 +143,8 @@ object WavImaAdpcm {
   }
 
   /** RIFF walk shared with the PCM16 decoder's rules. */
-  private def findChunk(wav: Array[Byte], id: String): (Int, Int) = {
-    if (wav.length < 12) fail(s"container too short (${wav.length} bytes)")
-    if (fourcc(wav, 0) != "RIFF") fail("missing RIFF magic")
-    if (fourcc(wav, 8) != "WAVE") fail("missing WAVE form type")
-    val riffEnd = math.min(wav.length.toLong, 8L + readU32(wav, 4))
-    var off = 12
-    while (off + 8 <= riffEnd) {
-      val cid = fourcc(wav, off)
-      val size = readU32(wav, off + 4)
-      if (size < 0 || off + 8L + size > riffEnd)
-        fail(s"chunk '$cid' overruns the declared RIFF extent")
-      if (cid == id) return (off + 8, size)
-      off += 8 + size + (size & 1)
-    }
-    fail(s"no '$id' chunk")
-  }
+  private def findChunk(wav: Array[Byte], id: String): (Int, Int) =
+    LeBytes.findWavChunk(wav, id, fail)
 
   /** fmt contract: tag 0x11, mono, 4-bit, coherent block geometry.
     * Returns the blockAlign to iterate with. */

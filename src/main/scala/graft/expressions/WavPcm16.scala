@@ -63,24 +63,8 @@ object WavPcm16 {
 
   /** Walk the RIFF chunk list and return (dataOffset, dataSize) of the
     * chunk with the given id, validating container magics on the way. */
-  private def findChunk(wav: Array[Byte], id: String): (Int, Int) = {
-    if (wav.length < 12) fail(s"container too short (${wav.length} bytes)")
-    if (fourcc(wav, 0) != "RIFF") fail("missing RIFF magic")
-    if (fourcc(wav, 8) != "WAVE") fail("missing WAVE form type")
-    val riffEnd = math.min(wav.length.toLong, 8L + readU32(wav, 4))
-    var off = 12
-    while (off + 8 <= riffEnd) {
-      val cid = fourcc(wav, off)
-      val size = readU32(wav, off + 4)
-      // bound against the DECLARED riff extent (same rule as AviDib):
-      // trailing bytes past the declared size are not container content
-      if (size < 0 || off + 8L + size > riffEnd)
-        fail(s"chunk '$cid' overruns the declared RIFF extent")
-      if (cid == id) return (off + 8, size)
-      off += 8 + size + (size & 1) // odd-sized chunks carry a pad byte
-    }
-    fail(s"no '$id' chunk")
-  }
+  private def findChunk(wav: Array[Byte], id: String): (Int, Int) =
+    LeBytes.findWavChunk(wav, id, fail)
 
   /** fmt contract check shared by the sample and rate readers. Returns
     * the fmt chunk offset. */

@@ -423,25 +423,41 @@ object Dedup extends Registry {
       .select($"doc_id", $"s.pos".cast("long").as("pos"), $"s.win".as("win"))
   }
 
+  /** The qba/qbc island core over any co-occurrence frame: seeds that
+    * share win text land on (doc_l, doc_r, pl−pr) diagonals; a gaps-
+    * and-islands pass (isl = pl − row_number) groups each diagonal's
+    * consecutive dots into one maximal run, and span_md5 hashes the
+    * span from doc_l's text (the other side hashes it in the oracle —
+    * equality proves cross-document byte-identity). occ must be
+    * (doc_l, doc_r, pl, pr); textOfL must be (doc_l, text). ONE
+    * definition so the batch-vs-corpus serve (qbc) can never drift
+    * from the all-pairs pass (qba). */
+  private def substrSpans(occ: DataFrame, textOfL: DataFrame): DataFrame = {
+    import occ.sparkSession.implicits._
+    val wd = Window.partitionBy($"doc_l", $"doc_r", $"diag").orderBy($"pl")
+    val runs = occ.withColumn("diag", $"pl" - $"pr")
+      .withColumn("isl", $"pl" - row_number().over(wd))
+      .groupBy($"doc_l", $"doc_r", $"diag", $"isl")
+      .agg(min($"pl").as("start_l"), min($"pr").as("start_r"),
+        (max($"pl") - min($"pl") + SubstrSeedLen).as("match_len"))
+      .filter($"match_len" >= SubstrMinMatch)
+    runs.join(textOfL, Seq("doc_l"))
+      .select($"doc_l", $"doc_r", $"start_l", $"start_r", $"match_len",
+        md5(expr("substring(text, CAST(start_l AS INT), " +
+          "CAST(match_len AS INT))")).as("span_md5"))
+      .orderBy($"doc_l", $"doc_r", $"start_l", $"start_r")
+  }
+
   private[queries] def exactSubstringPairs(reps: DataFrame): DataFrame = {
     import reps.sparkSession.implicits._
     val capped = capBuckets(substrSeeds(reps), Seq("win"))
     val occ = capped.as("a").join(capped.as("b"),
         $"a.win" === $"b.win" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.pos".as("pa"), $"b.pos".as("pb"))
-    val wd = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")
-    val runs = occ.withColumn("diag", $"pa" - $"pb")
-      .withColumn("isl", $"pa" - row_number().over(wd))
-      .groupBy($"doc_a", $"doc_b", $"diag", $"isl")
-      .agg(min($"pa").as("start_a"), min($"pb").as("start_b"),
-        (max($"pa") - min($"pa") + SubstrSeedLen).as("match_len"))
-      .filter($"match_len" >= SubstrMinMatch)
-    runs.join(reps.select($"doc_id".as("doc_a"), $"text"), Seq("doc_a"))
-      .select($"doc_a", $"doc_b", $"start_a", $"start_b", $"match_len",
-        md5(expr("substring(text, CAST(start_a AS INT), " +
-          "CAST(match_len AS INT))")).as("span_md5"))
-      .orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
+      .select($"a.doc_id".as("doc_l"), $"b.doc_id".as("doc_r"),
+        $"a.pos".as("pl"), $"b.pos".as("pr"))
+    substrSpans(occ, reps.select($"doc_id".as("doc_l"), $"text"))
+      .toDF("doc_a", "doc_b", "start_a", "start_b", "match_len",
+        "span_md5")
   }
 
   /** qbb's rewriter over any (doc_id, text) frame — the DELIVERABLE of
@@ -554,22 +570,11 @@ object Dedup extends Registry {
     val batchSeeds = capBuckets(substrSeeds(batchReps), Seq("win"))
       .select($"doc_id".as("batch_doc"), $"pos".as("pb"), $"win")
     val occ = batchSeeds.join(index, Seq("win"))
-      .select($"batch_doc", $"corpus_doc", $"pb", $"pc")
-    val wd = Window.partitionBy($"batch_doc", $"corpus_doc", $"diag")
-      .orderBy($"pb")
-    val runs = occ.withColumn("diag", $"pb" - $"pc")
-      .withColumn("isl", $"pb" - row_number().over(wd))
-      .groupBy($"batch_doc", $"corpus_doc", $"diag", $"isl")
-      .agg(min($"pb").as("start_b"), min($"pc").as("start_c"),
-        (max($"pb") - min($"pb") + SubstrSeedLen).as("match_len"))
-      .filter($"match_len" >= SubstrMinMatch)
-    runs.join(batchReps.select($"doc_id".as("batch_doc"), $"text"),
-        Seq("batch_doc"))
-      .select($"batch_doc", $"corpus_doc", $"start_b", $"start_c",
-        $"match_len",
-        md5(expr("substring(text, CAST(start_b AS INT), " +
-          "CAST(match_len AS INT))")).as("span_md5"))
-      .orderBy($"batch_doc", $"corpus_doc", $"start_b", $"start_c")
+      .select($"batch_doc".as("doc_l"), $"corpus_doc".as("doc_r"),
+        $"pb".as("pl"), $"pc".as("pr"))
+    substrSpans(occ, batchReps.select($"doc_id".as("doc_l"), $"text"))
+      .toDF("batch_doc", "corpus_doc", "start_b", "start_c",
+        "match_len", "span_md5")
   }
 
   /** One side of the qbc oracle: content-class reps of one doc_id

@@ -658,9 +658,12 @@ object EventOps extends Registry {
         val mergedState = merged.agg(
           map_from_entries(collect_list(struct($"item", $"est")))
             .as("mg"), count(lit(1)).as("n_counters"))
-        val full = mgItems(s, dir)
-        val truth = full.groupBy($"item").agg(count(lit(1)).as("true_cnt"))
-        val totals = full.agg(count(lit(1)).as("n_total"))
+        val truth = mgItems(s, dir).groupBy($"item")
+          .agg(count(lit(1)).as("true_cnt"))
+        // n_total = Σ true_cnt: the exact arm already counted every
+        // event, so totals come from its (item, count) frame — no
+        // third pass over the fact table
+        val totals = truth.agg(sum($"true_cnt").as("n_total"))
           .crossJoin(broadcast(base.select($"n_base")))
           .crossJoin(broadcast(delta.select($"n_delta")))
         truth.crossJoin(broadcast(mergedState))

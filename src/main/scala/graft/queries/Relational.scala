@@ -1429,13 +1429,13 @@ object Relational extends Registry {
 
   /** qa5 thresholds: minimum anonymity set size and sensitive-value
     * diversity. */
+  val AnonK = 5
+  val AnonL = 3
+
   /** qc2: the selective build-side predicate (~1 % of orders at every
     * shipped sf — scale-invariant selectivity, so the reduction ratio
     * the query demonstrates holds at any corpus size). */
   val BloomJoinPriceMin = 495000
-
-  val AnonK = 5
-  val AnonL = 3
 
   /** qa5's model-sized intermediate: per (QI class, sensitive bracket)
     * row counts — the ADDITIVE state the incremental form (qa7)

@@ -2616,8 +2616,7 @@ object Similarity extends Registry {
     * on source stamp + build parameters; a regenerated corpus changes
     * the stamp and rebuilds. */
   private[queries] def nswEdgesStored(s: SparkSession,
-      dir: String): DataFrame = {
-    val parts = nswPartsAt(s, dir)
+      dir: String, parts: Int): DataFrame = {
     val src = s"$dir/embeddings.parquet"
     val key = s"v1|$src|${Tables.sourceStamp(src)}" +
       s"|nsw|P=$parts|M=$NswM"
@@ -2809,7 +2808,7 @@ object Similarity extends Registry {
     val parts = nswPartsAt(s, dir)
     val c = corpus(s, dir)
     val ex = exactTopkStored(s, dir).select(col("q_id"), col("neighbor_id"))
-    val ann = nswTopkOn(c, nswEdgesStored(s, dir), parts)
+    val ann = nswTopkOn(c, nswEdgesStored(s, dir, parts), parts)
       .select(col("q_id"), col("neighbor_id"))
     val perQ = ex.groupBy(col("q_id")).agg(count(lit(1)).as("possible"))
       .join(ann.join(ex, Seq("q_id", "neighbor_id"), "left_semi")
@@ -3020,8 +3019,7 @@ object Similarity extends Registry {
     * have acquired at least one link (a degenerate attach would
     * silently serve the base graph and still look green). */
   private[queries] def nswMaintainedStored(s: SparkSession,
-      dir: String): DataFrame = {
-    val parts = nswPartsAt(s, dir)
+      dir: String, parts: Int): DataFrame = {
     val src = s"$dir/embeddings.parquet"
     val key = s"v1|$src|${Tables.sourceStamp(src)}" +
       s"|nsw-inc|P=$parts|M=$NswM|B=$NswBeam|H=$NswHops" +
@@ -3074,7 +3072,7 @@ object Similarity extends Registry {
     val parts = nswPartsAt(s, dir)
     val c = corpus(s, dir)
     val ex = exactTopkStored(s, dir).select(col("q_id"), col("neighbor_id"))
-    val ann = nswTopkOn(c, nswMaintainedStored(s, dir), parts)
+    val ann = nswTopkOn(c, nswMaintainedStored(s, dir, parts), parts)
       .select(col("q_id"), col("neighbor_id"))
     val perQ = ex.groupBy(col("q_id")).agg(count(lit(1)).as("possible"))
       .join(ann.join(ex, Seq("q_id", "neighbor_id"), "left_semi")

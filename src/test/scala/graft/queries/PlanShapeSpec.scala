@@ -201,8 +201,8 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected partial+final ObjectHashAggregate for mg_sketch, got " +
         s"$oha — a single-stage plan would ship raw items, not " +
         "k-bounded counter maps, through the shuffle")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Broadcast"),
-      "the 1-row sketch should broadcast onto the exact arm")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row sketch should broadcast-cross onto the exact arm")
     assert(!p.contains("Window"), "qc4 must not fall back to a window")
   }
 

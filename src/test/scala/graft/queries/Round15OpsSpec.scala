@@ -49,7 +49,8 @@ class Round15OpsSpec extends AnyFunSuite {
   test("qb6 navigable graph: symmetric, partition-local, degree-bounded") {
     import spark.implicits._
     val nswP = Similarity.nswPartsAt(spark, sfDir)
-    val edges = Similarity.nswEdgesStored(spark, sfDir)
+    val edges = Similarity.nswEdgesStored(spark, sfDir,
+      Similarity.nswPartsAt(spark, sfDir))
       .select($"pt".cast("long"), $"src".cast("long"), $"dst".cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(edges.nonEmpty)
@@ -80,10 +81,12 @@ class Round15OpsSpec extends AnyFunSuite {
     "partition, at most M links, base graph untouched") {
     import spark.implicits._
     val nswP = Similarity.nswPartsAt(spark, sfDir)
-    val maintained = Similarity.nswMaintainedStored(spark, sfDir)
+    val maintained = Similarity.nswMaintainedStored(spark, sfDir,
+      Similarity.nswPartsAt(spark, sfDir))
       .select($"pt".cast("long"), $"src".cast("long"), $"dst".cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val base = Similarity.nswEdgesStored(spark, sfDir) // full-graph qb6 store
+    val base = Similarity.nswEdgesStored(spark, sfDir,
+      Similarity.nswPartsAt(spark, sfDir)) // full-graph qb6 store
     val isDelta = (id: Long) =>
       id % Similarity.NswDeltaMod == Similarity.NswDeltaRem
     val attach = maintained.filter { case (_, s, d) =>
