@@ -114,7 +114,8 @@ object PlanAudit {
     "qc2_bloom_join_reduction", // bloom probe below the join exchange
     "qc3_skew_join_salted",   // hot-key replication join, per-key fan-out
     "qc4_heavy_hitters",      // k-bounded MG sketch, partial+final agg
-    "qc5_heavy_hitters_incremental") // stored base sketch + delta merge
+    "qc5_heavy_hitters_incremental", // stored base sketch + delta merge
+    "qc6_feature_covariance") // paired posexplodes, d²/2 agg groups
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated

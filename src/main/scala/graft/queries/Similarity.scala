@@ -2196,7 +2196,82 @@ object Similarity extends Registry {
       doc = "Graph-ANN maintained by batch-attach (order-independent " +
         "NSW insertion against the frozen base graph, segment-model " +
         "delta handling), stored content-addressed, serve recall " +
-        "floor-gated, every walk replayed by the oracle")
+        "floor-gated, every walk replayed by the oracle"),
+
+    // ------------------------------------------------------------------
+    // qc6: FEATURE COVARIANCE (the Gram upper triangle) — q9p gives
+    // each dimension's mean/variance (the DIAGONAL); whitening, PCA
+    // prep, and redundant-feature detection need the CROSS moments,
+    // i.e. X'X in one pass. Same integer-exactness discipline as q9p:
+    // components micro-quantized (round(x·1e6) as BIGINT) so
+    // cov_num = n·Σ(mᵢmⱼ) − Σmᵢ·Σmⱼ is integer arithmetic both
+    // engines replay bit-for-bit — no float summation-order
+    // divergence. Plan: two chained posexplodes pair each vector's
+    // components (j ≥ i keeps the upper triangle; the quantization
+    // runs as codegen scalars AFTER the generators — no interpreted
+    // higher-order lambda, q94's rule), partial aggregation combines
+    // map-side, and the shuffle carries d(d+1)/2 = 2,080 groups per
+    // partition regardless of corpus size; the per-dim sums for
+    // centering come from q9p's own 64-group aggregate, broadcast
+    // onto the pair grid. At 100 TB with d=64 this shape holds
+    // as-is; at d ≫ 10³ the d²-per-row generator inflation is the
+    // documented cliff — the same pass becomes a per-partition d×d
+    // accumulator (treeAggregate outer product), same single scan,
+    // same additive merge. Magnitudes: |m| ≤ 10⁶, so n·Σmᵢmⱼ at the
+    // shipped scale peaks ~10¹⁸ — inside int64, and any overflow is
+    // a loud error (q9p's rule); a 100 TB run widens to
+    // DECIMAL(38,0) sums, same plan shape.
+    QueryDef(
+      "qc6_feature_covariance",
+      (s, dir) => {
+        import s.implicits._
+        val c = corpus(s, dir)
+        val pairs = c.select($"vec_id", $"v")
+          .select($"v", posexplode($"v").as(Seq("i", "xi")))
+          .select($"i", $"xi", posexplode($"v").as(Seq("j", "xj")))
+          .filter($"j" >= $"i")
+          .select($"i", $"j",
+            expr("CAST(round(xi * 1e6) AS BIGINT)").as("mi"),
+            expr("CAST(round(xj * 1e6) AS BIGINT)").as("mj"))
+        val cross = pairs.groupBy($"i", $"j")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("mi * mj")).as("cross_micro"))
+        val sums = c.select(posexplode($"v").as(Seq("dim", "x")))
+          .select($"dim", expr("CAST(round(x * 1e6) AS BIGINT)").as("m"))
+          .groupBy($"dim").agg(sum($"m").as("s"))
+        cross
+          .join(broadcast(sums.select($"dim".as("i"), $"s".as("s_i"))),
+            Seq("i"))
+          .join(broadcast(sums.select($"dim".as("j"), $"s".as("s_j"))),
+            Seq("j"))
+          .select($"i".as("dim_i"), $"j".as("dim_j"), $"n",
+            $"cross_micro",
+            ($"n" * $"cross_micro" - $"s_i" * $"s_j").as("cov_num"))
+          .orderBy($"dim_i", $"dim_j")
+      },
+      Some("""WITH m AS (
+             |  SELECT vec_id,
+             |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+             |      AS BIGINT) AS m
+             |  FROM embeddings),
+             |g AS (SELECT dim, CAST(sum(m) AS BIGINT) AS s
+             |      FROM m GROUP BY dim),
+             |x AS (SELECT a.dim AS dim_i, b.dim AS dim_j,
+             |        count(*) AS n,
+             |        CAST(sum(a.m * b.m) AS BIGINT) AS cross_micro
+             |      FROM m a JOIN m b
+             |        ON a.vec_id = b.vec_id AND a.dim <= b.dim
+             |      GROUP BY 1, 2)
+             |SELECT dim_i, dim_j, x.n, cross_micro,
+             |  x.n * cross_micro - gi.s * gj.s AS cov_num
+             |FROM x JOIN g gi ON gi.dim = dim_i
+             |  JOIN g gj ON gj.dim = dim_j
+             |ORDER BY dim_i, dim_j""".stripMargin),
+      doc = "Feature covariance (Gram upper triangle) in one pass: " +
+        "paired posexplodes to d(d+1)/2 partial-agg groups, micro-" +
+        "quantized integer-exact cov_num, per-dim centering sums " +
+        "broadcast onto the pair grid")
   )
 
   // ------------------------------------------------------------------

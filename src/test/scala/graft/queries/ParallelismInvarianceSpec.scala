@@ -68,7 +68,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // (MG evictions depend on merge order) — the gate proves the query
     // emits only the layout-invariant guarantee booleans + exact-arm
     // counts, exactly the property its QueryDef claims
-    "qc4_heavy_hitters", "qc5_heavy_hitters_incremental")
+    "qc4_heavy_hitters", "qc5_heavy_hitters_incremental",
+    // r16 cont.: integer micro-quantized sums are layout-invariant by
+    // construction — the gate proves no float summation-order leak
+    "qc6_feature_covariance")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map(_.toSeq.map {

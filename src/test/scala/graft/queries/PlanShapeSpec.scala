@@ -194,6 +194,19 @@ class PlanShapeSpec extends AnyFunSuite {
         "largest comes from topk_pairs, not a window rank")
   }
 
+  test("qc6: covariance pairs via generators, no join on the big side") {
+    val p = plan("qc6_feature_covariance")
+    val gens = "(?m)^\\(\\d+\\) Generate".r.findAllIn(p).length
+    assert(gens >= 2,
+      s"expected two chained posexplodes to build the pair grid, got " +
+        s"$gens Generate nodes")
+    assert(!p.contains("SortMergeJoin"),
+      "the centering sums must broadcast onto the 2,080-row pair " +
+        "grid — a shuffle join here means the flattened corpus is " +
+        "being joined instead")
+    assert(!p.contains("Window"), "qc6 must not fall back to a window")
+  }
+
   test("qc4: the MG sketch aggregates partial+final, no window sort") {
     val p = plan("qc4_heavy_hitters")
     val oha = "(?m)^\\(\\d+\\) ObjectHashAggregate".r.findAllIn(p).length
