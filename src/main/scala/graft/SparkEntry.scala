@@ -21,6 +21,7 @@ object SparkEntry {
     graft.queries.EventOps,
     graft.queries.GraphOps,
     graft.queries.Multimodal,
+    graft.queries.Privacy,
     graft.queries.FhirEtl
   )
 

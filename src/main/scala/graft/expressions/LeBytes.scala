@@ -56,10 +56,16 @@ private[expressions] object LeBytes {
   def g711Wav(payload: Array[Byte], sampleRate: Int,
       formatTag: Int): Array[Byte] = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val out = new java.io.ByteArrayOutputStream(46 + payload.length)
+    // RIFF mandates word-aligned chunks: an odd-sized data payload is
+    // followed by a zero pad byte that counts toward the RIFF extent
+    // but NOT the data chunk's declared size — findWavChunk enforces
+    // the same rule when walking, and strict external readers reject
+    // odd-payload files without it.
+    val pad = payload.length & 1
+    val out = new java.io.ByteArrayOutputStream(46 + payload.length + pad)
     out.write("RIFF".getBytes(ascii))
-    // 4 ("WAVE") + (8+18 fmt) + (8+4 fact) + (8 data hdr) + data
-    out.write(u32le(50 + payload.length))
+    // 4 ("WAVE") + (8+18 fmt) + (8+4 fact) + (8 data hdr) + data + pad
+    out.write(u32le(50 + payload.length + pad))
     out.write("WAVE".getBytes(ascii))
     out.write("fmt ".getBytes(ascii))
     out.write(u32le(18)) // fmt chunk size incl. cbSize
@@ -76,6 +82,7 @@ private[expressions] object LeBytes {
     out.write("data".getBytes(ascii))
     out.write(u32le(payload.length))
     out.write(payload, 0, payload.length)
+    if (pad == 1) out.write(0)
     out.toByteArray
   }
 }

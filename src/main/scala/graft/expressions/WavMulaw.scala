@@ -1,7 +1,5 @@
 package graft.expressions
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -28,7 +26,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType}
   * containers are REJECTED with a descriptive error, not sliced. */
 object WavMulaw {
 
-  import LeBytes.{u16le, u32le, readU16, readU32, fourcc}
+  import LeBytes.readU16
 
   /** Build a valid mono µ-law WAV whose data chunk is `payload`. */
   def encode(payload: Array[Byte], sampleRate: Int): Array[Byte] =

@@ -2774,7 +2774,7 @@ object Similarity extends Registry {
     * every scored node. Emits each visited (q_id, pt, vec_id, cos)
     * once — downstream consumers dedupe anyway, so collapsing the
     * declarative form's duplicates is lossless. */
-  private def walkShard(pt: Long,
+  private[queries] def walkShard(pt: Long,
       nsL: Seq[(Long, Seq[Double], Double)],
       esL: Seq[(Long, Long)],
       ssL: Seq[(Long, Long, Seq[Double], Double)])
@@ -2795,31 +2795,42 @@ object Similarity extends Registry {
       Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
     ssL.iterator.flatMap { case (qId, entry, qv, qn) =>
       val q = qv.toArray
-      def score(id: Long): Double = {
-        val (v, nrm) = vecs(id)
-        var acc = 0.0
-        var i = 0
-        val n = math.min(v.length, q.length)
-        while (i < n) { acc += v(i) * q(i); i += 1 }
-        round4(acc / (nrm * qn))
+      // Option-scored: an adjacency entry referencing a node absent
+      // from the shard's node list (a stale/corrupted stored edge
+      // file) is SKIPPED, matching the declarative twin's join-drop
+      // tolerance — the imperative form must not turn a recall
+      // degradation into a task crash on inconsistent inputs.
+      def score(id: Long): Option[Double] = vecs.get(id).map {
+        case (v, nrm) =>
+          var acc = 0.0
+          var i = 0
+          val n = math.min(v.length, q.length)
+          while (i < n) { acc += v(i) * q(i); i += 1 }
+          round4(acc / (nrm * qn))
       }
       val visited =
         new scala.collection.mutable.LinkedHashMap[Long, Double]
-      visited(entry) = score(entry)
-      var beam = List(entry -> visited(entry))
-      for (_ <- 1 to NswHops) {
-        val cand = beam.iterator
-          .flatMap(b => adj.getOrElse(b._1, Nil)).toSet
-        val scored = cand.iterator.map { id =>
-          val c = visited.getOrElse(id, score(id))
-          visited(id) = c
-          id -> c
-        }.toList
-        beam = (beam ++ scored).distinctBy(_._1)
-          .sortBy { case (id, c) => (0.0 - c, id) }(beamOrd)
-          .take(NswBeam)
+      score(entry) match {
+        case None => Iterator.empty // entry absent ⇒ the declarative
+        // form's starts→nodes join yields no rows for this query
+        case Some(entryScore) =>
+          visited(entry) = entryScore
+          var beam = List(entry -> entryScore)
+          for (_ <- 1 to NswHops) {
+            val cand = beam.iterator
+              .flatMap(b => adj.getOrElse(b._1, Nil)).toSet
+            val scored = cand.iterator.flatMap { id =>
+              visited.get(id).orElse(score(id)).map { c =>
+                visited(id) = c
+                id -> c
+              }
+            }.toList
+            beam = (beam ++ scored).distinctBy(_._1)
+              .sortBy { case (id, c) => (0.0 - c, id) }(beamOrd)
+              .take(NswBeam)
+          }
+          visited.iterator.map { case (id, c) => (qId, pt, id, c) }
       }
-      visited.iterator.map { case (id, c) => (qId, pt, id, c) }
     }
   }
 

@@ -1162,7 +1162,50 @@ object TextOps extends Registry {
       doc = "KMV sketches maintained by lossless merge: stored " +
         "per-source base sketches + delta-only scan + sorted-array " +
         "merge, merge≡rebuild contract on the build run only " +
-        "(distributed except), every merged value oracle-pinned")
+        "(distributed except), every merged value oracle-pinned"),
+
+    // ------------------------------------------------------------------
+    // qc9: LANGUAGE-ID TRAINING — hashed char-trigram multiclass batch
+    // perceptron (the fastText-class model family) in q9a's
+    // integer-exact discipline, extended from 5 scalar weights to a
+    // C×K weight MATRIX. Features are md5-bucketed trigram counts over
+    // a 64-char document head (one bounded explode + partial-agg
+    // groupBy — the corpus appears once); each round is one bucket-key
+    // broadcast join (the 320-row model is the broadcast side, the
+    // corpus never shuffles), an argmax-by-struct-min (no window), and
+    // a batch update collected as ≤C×K integer rows. EVERY cell of
+    // every round's weight matrix ships as data, so the oracle's
+    // unrolled CTE replay (per-round score→pred→update→weights chains
+    // over weight TABLES, not scalars) gates the trajectory
+    // bit-for-bit. At 100 TB: per-round cost is one scan of the
+    // cached model-sized feature frame; driver state is C×K longs.
+    QueryDef(
+      "qc9_langid_train",
+      (s, dir) => langIdTrain(s, dir),
+      Some(langIdTrainOracle),
+      doc = "Language-ID training: hashed-trigram multiclass batch " +
+        "perceptron, per-round C×K integer weight matrix shipped " +
+        "whole, oracle replays every round as CTE weight tables"),
+
+    // ------------------------------------------------------------------
+    // qca: LANGUAGE-ID APPLY — score every document (train AND eval
+    // split) with the trained matrix and ship the per-split confusion
+    // matrix; a positional checksum of the final weights rides as a
+    // constant column so the matrix is pinned to the exact model. The
+    // honest result on THIS corpus: the synthetic lang label is
+    // independent of text content, so eval accuracy reads ≈ the
+    // majority-class prior — the qb5 precedent (the metric exposing
+    // the toy corpus is the demonstration; the gated claim is the
+    // bit-exact integer trajectory and matrix, not the accuracy).
+    // Inference is one bucket-key broadcast join over the feature
+    // projection: scan + partial agg, nothing corpus-sized shuffles.
+    QueryDef(
+      "qca_langid_apply",
+      (s, dir) => langIdApply(s, dir),
+      Some(langIdApplyOracle),
+      doc = "Language-ID inference: trained-matrix scoring of all " +
+        "documents via one broadcast join, per-split confusion matrix " +
+        "+ weight-matrix checksum, oracle replays training + scoring")
   )
 
   /** The qb1 kernel over an explicit (doc_id, text) frame — factored
@@ -1378,6 +1421,245 @@ object TextOps extends Registry {
         lit(w(3)) * $"x3" + lit(w(4)) * $"x4").as("score"))
       .withColumn("pred", when($"score" > 0, 1L).otherwise(-1L))
       .withColumn("correct", $"pred" === $"y")
+  }
+
+  // ---- language identification (qc9/qca): hashed char-trigram -------
+  // multiclass batch perceptron — the fastText-class model shape, in
+  // q9a's integer-exact discipline. Closes the "lang is given"
+  // assumption q36/q9o/qa2/q95 lean on: a real crawl pipeline DERIVES
+  // the lang column, and this is the operator that derives it.
+
+  /** Trigram hash space — the model is C×K longs (≤ 320 here), the
+    * "model tiny, data huge" training reality at 100 TB. */
+  val LangIdBuckets = 64
+  /** Unrolled batch rounds — each is one CTE chain in the oracle. */
+  val LangIdRounds = 2
+  /** Character prefix cap: language-ID samples a document head; the
+    * cap also bounds the per-doc feature explode on both sides. */
+  val LangIdPrefix = 64
+
+  /** Feature projection: (doc_id, lang, is_train, bucket, cnt) —
+    * hashed char-trigram counts over the first [[LangIdPrefix]] chars.
+    * Bucket = first 4 md5 hex digits mod K (the house md5-bucket
+    * idiom — both engines hash the trigram's UTF-8 bytes and substr
+    * by character, so non-ASCII text buckets identically). The ≥3-char
+    * filter is vacuous on this corpus (min doc length 44) but keeps
+    * the projection total. */
+  def langIdFeatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .filter(length($"text") >= 3)
+      .select($"doc_id", $"lang",
+        (pmod($"doc_id", lit(2)) === 0).as("is_train"),
+        substring($"text", 1, LangIdPrefix).as("p"))
+      .select($"doc_id", $"lang", $"is_train",
+        explode(transform(sequence(lit(1), length($"p") - 2, lit(1)),
+          i => $"p".substr(i, lit(3)))).as("tri"))
+      .select($"doc_id", $"lang", $"is_train",
+        pmod(conv(substring(md5($"tri"), 1, 4), 16, 10).cast("long"),
+          lit(LangIdBuckets)).cast("int").as("bucket"))
+      .groupBy($"doc_id", $"lang", $"is_train", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The shared multiclass training loop over a persisted feature
+    * frame: per round, weights ride in as a ZERO-FILLED C×K broadcast
+    * frame (so scoring is one bucket-key broadcast join + partial agg
+    * — the corpus never shuffles on anything model-sized), argmax is
+    * `min(struct(−score, cls))` (one aggregate, no window; ties break
+    * toward the smaller class name, matching the oracle's
+    * `ORDER BY s DESC, cls`), and the batch update Δw[label] += x,
+    * Δw[pred] −= x is an order-free integer sum collected as ≤C×K
+    * rows. The per-round pred frame is localCheckpoint'ed (the
+    * q48/q5a loop-hygiene pattern) so the n_err count and the delta
+    * aggregation read one materialized micro-frame instead of
+    * re-running the scoring join. Returns the class list and, per
+    * round, (n_err, weights-after) snapshots. */
+  def langIdFit(f: DataFrame)
+      : (Seq[String], Seq[(Long, Array[Array[Long]])]) = {
+    val s = f.sparkSession
+    import s.implicits._
+    val classes = f.select($"lang").distinct()
+      .as[String].collect().sorted.toSeq
+    val k = LangIdBuckets
+    val w = Array.fill(classes.size, k)(0L)
+    val out = Seq.newBuilder[(Long, Array[Array[Long]])]
+    for (_ <- 1 to LangIdRounds) {
+      val wDf = s.createDataFrame(
+        for { (c, ci) <- classes.zipWithIndex; b <- 0 until k }
+          yield (c, b, w(ci)(b))).toDF("cls", "bucket", "w")
+      val pred = f.filter($"is_train")
+        .join(broadcast(wDf), Seq("bucket"))
+        .groupBy($"doc_id", $"lang", $"cls")
+        .agg(sum($"cnt" * $"w").as("score"))
+        .groupBy($"doc_id", $"lang")
+        .agg(min(struct((lit(0L) - $"score").as("ns"), $"cls")).as("m"))
+        .select($"doc_id", $"lang", $"m.cls".as("pred"))
+        .localCheckpoint(true)
+      val mis = pred.filter($"pred" =!= $"lang")
+      val nErr = mis.count()
+      val upd = mis.join(
+        f.filter($"is_train").select($"doc_id", $"bucket", $"cnt"),
+        Seq("doc_id"))
+      val delta = upd
+        .select($"lang".as("cls"), $"bucket", $"cnt".as("d"))
+        .unionAll(upd.select($"pred".as("cls"), $"bucket",
+          (lit(0L) - $"cnt").as("d")))
+        .groupBy($"cls", $"bucket").agg(sum($"d").as("d"))
+        .collect()
+      delta.foreach { row =>
+        w(classes.indexOf(row.getString(0)))(row.getInt(1)) +=
+          row.getLong(2)
+      }
+      out += ((nErr, w.map(_.clone())))
+    }
+    (classes, out.result())
+  }
+
+  /** qc9: the full per-round integer weight trajectory as data —
+    * every (round, cls, bucket) cell ships, so the oracle's unrolled
+    * replay gates the training bit-for-bit (stronger than a checksum;
+    * the q9a standard extended to a weight MATRIX). */
+  def langIdTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = langIdFeatures(table(s, dir, "documents")).persist()
+    try {
+      val (classes, rounds) = langIdFit(f)
+      val rows = for {
+        (snapshot, r0) <- rounds.zipWithIndex
+        (c, ci) <- classes.zipWithIndex
+        b <- 0 until LangIdBuckets
+      } yield (r0 + 1, snapshot._1, c, b, snapshot._2(ci)(b))
+      rows.toDF("round", "n_err", "cls", "bucket", "w")
+        .orderBy($"round", $"cls", $"bucket")
+    } finally { f.unpersist(); () }
+  }
+
+  /** qca: score EVERY document (train and eval splits) with the
+    * trained weights and ship the per-split confusion matrix, plus a
+    * positional checksum of the final weight matrix (constant column)
+    * pinning the exact model the matrix came from. Inference is the
+    * same bucket-key broadcast join — scan + partial agg, nothing
+    * corpus-sized moves. Honesty note: on this synthetic corpus the
+    * text carries NO language signal (the lang label is independent
+    * of content), so accuracy reads ≈ the majority-class prior —
+    * which is exactly what the confusion matrix is for (the qb5
+    * precedent: the metric disagreeing with the toy corpus is the
+    * demonstration; the gated claim is the bit-exact trajectory). */
+  def langIdApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = langIdFeatures(table(s, dir, "documents")).persist()
+    try {
+      val (classes, rounds) = langIdFit(f)
+      val wFinal = rounds.last._2
+      val chk = (for {
+        (row, ci) <- wFinal.zipWithIndex
+        (v, b) <- row.zipWithIndex
+      } yield v * (b + 1) * (ci + 1)).sum
+      val wDf = s.createDataFrame(
+        for { (c, ci) <- classes.zipWithIndex; b <- 0 until LangIdBuckets }
+          yield (c, b, wFinal(ci)(b))).toDF("cls", "bucket", "w")
+      f.join(broadcast(wDf), Seq("bucket"))
+        .groupBy($"doc_id", $"lang", $"is_train", $"cls")
+        .agg(sum($"cnt" * $"w").as("score"))
+        .groupBy($"doc_id", $"lang", $"is_train")
+        .agg(min(struct((lit(0L) - $"score").as("ns"), $"cls")).as("m"))
+        .select($"lang", $"is_train", $"m.cls".as("pred"))
+        .groupBy(when($"is_train", "train").otherwise("eval").as("split"),
+          $"lang", $"pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_checksum", lit(chk))
+        .orderBy($"split", $"lang", $"pred")
+    } finally { f.unpersist(); () }
+  }
+
+  /** Shared oracle prefix: features, class/bucket frames, zero
+    * weights, and each unrolled round's score→pred→update→weights
+    * CTE chain. */
+  private def langIdRoundSql(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""sc$r AS (
+       |  SELECT f.doc_id, f.lang, w.cls, SUM(f.cnt * w.w) AS s
+       |  FROM f JOIN $prev w USING (bucket) WHERE f.is_train
+       |  GROUP BY ALL),
+       |pr$r AS (
+       |  SELECT doc_id, lang, cls AS pred FROM (
+       |    SELECT doc_id, lang, cls,
+       |      row_number() OVER (PARTITION BY doc_id
+       |                         ORDER BY s DESC, cls) AS rn
+       |    FROM sc$r) z WHERE rn = 1),
+       |up$r AS (
+       |  SELECT p.doc_id, p.lang, p.pred, f.bucket, f.cnt
+       |  FROM pr$r p JOIN f USING (doc_id) WHERE p.pred != p.lang),
+       |e$r AS (SELECT count(DISTINCT doc_id) AS n_err FROM up$r),
+       |d$r AS (
+       |  SELECT cls, bucket, SUM(d) AS d FROM (
+       |    SELECT lang AS cls, bucket, CAST(cnt AS BIGINT) AS d FROM up$r
+       |    UNION ALL
+       |    SELECT pred, bucket, -CAST(cnt AS BIGINT) FROM up$r) z
+       |  GROUP BY ALL),
+       |w$r AS (
+       |  SELECT w.cls, w.bucket, w.w + COALESCE(d.d, 0) AS w
+       |  FROM $prev w LEFT JOIN d$r d
+       |    ON d.cls = w.cls AND d.bucket = w.bucket)""".stripMargin
+  }
+
+  private def langIdCommonSql: String =
+    s"""WITH docs3 AS (
+       |  SELECT doc_id, lang, doc_id % 2 = 0 AS is_train,
+       |    substr(text, 1, $LangIdPrefix) AS p
+       |  FROM documents WHERE length(text) >= 3),
+       |tri AS (
+       |  SELECT doc_id, lang, is_train,
+       |    unnest([substr(p, i, 3) for i in range(1, length(p) - 1)])
+       |      AS tri
+       |  FROM docs3),
+       |f AS (
+       |  SELECT doc_id, lang, is_train,
+       |    CAST(CAST(('0x' || substr(md5(tri), 1, 4)) AS BIGINT)
+       |         % $LangIdBuckets AS INT) AS bucket,
+       |    count(*) AS cnt
+       |  FROM tri GROUP BY ALL),
+       |classes AS (SELECT DISTINCT lang AS cls FROM f),
+       |buckets AS (SELECT CAST(range AS INT) AS bucket
+       |            FROM range($LangIdBuckets)),
+       |w0 AS (SELECT cls, bucket, CAST(0 AS BIGINT) AS w
+       |       FROM classes, buckets),
+       |${(1 to LangIdRounds).map(langIdRoundSql).mkString(",\n")}""".stripMargin
+
+  private def langIdTrainOracle: String = {
+    val unions = (1 to LangIdRounds).map { r =>
+      s"""SELECT $r AS round, (SELECT n_err FROM e$r) AS n_err,
+         |  cls, bucket, w FROM w$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$langIdCommonSql
+       |$unions
+       |ORDER BY round, cls, bucket""".stripMargin
+  }
+
+  private def langIdApplyOracle: String = {
+    val wf = s"w$LangIdRounds"
+    s"""$langIdCommonSql,
+       |ci AS (SELECT cls, row_number() OVER (ORDER BY cls) AS ci
+       |       FROM classes),
+       |chk AS (SELECT CAST(SUM(w.w * (w.bucket + 1) * ci.ci) AS BIGINT)
+       |          AS c
+       |        FROM $wf w JOIN ci USING (cls)),
+       |sca AS (
+       |  SELECT f.doc_id, f.lang, f.is_train, w.cls,
+       |    SUM(f.cnt * w.w) AS s
+       |  FROM f JOIN $wf w USING (bucket) GROUP BY ALL),
+       |pra AS (
+       |  SELECT doc_id, lang, is_train, cls AS pred FROM (
+       |    SELECT doc_id, lang, is_train, cls,
+       |      row_number() OVER (PARTITION BY doc_id
+       |                         ORDER BY s DESC, cls) AS rn
+       |    FROM sca) z WHERE rn = 1)
+       |SELECT CASE WHEN is_train THEN 'train' ELSE 'eval' END AS split,
+       |  lang, pred, count(*) AS n_docs,
+       |  (SELECT c FROM chk) AS w_checksum
+       |FROM pra GROUP BY ALL ORDER BY split, lang, pred""".stripMargin
   }
 
   /** q9d keep threshold: average NLL ≤ 3.4 nats (in micro units). On
