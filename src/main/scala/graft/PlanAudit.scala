@@ -115,7 +115,11 @@ object PlanAudit {
     "qc3_skew_join_salted",   // hot-key replication join, per-key fan-out
     "qc4_heavy_hitters",      // k-bounded MG sketch, partial+final agg
     "qc5_heavy_hitters_incremental", // stored base sketch + delta merge
-    "qc6_feature_covariance") // paired posexplodes, d²/2 agg groups
+    "qc6_feature_covariance", // paired posexplodes, d²/2 agg groups
+    "qc7_pii_redact",         // narrow regex scrub chain, no shuffle
+    "qc8_pii_inventory",      // extract+explode → bounded groupBy
+    "qc9_langid_train",       // model-broadcast join, corpus unshuffled
+    "qca_langid_apply")       // trained-matrix broadcast inference
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated

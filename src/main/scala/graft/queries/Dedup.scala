@@ -448,9 +448,16 @@ object Dedup extends Registry {
       .orderBy($"doc_l", $"doc_r", $"start_l", $"start_r")
   }
 
-  private[queries] def exactSubstringPairs(reps: DataFrame): DataFrame = {
-    import reps.sparkSession.implicits._
+  private[queries] def exactSubstringPairs(repsIn: DataFrame): DataFrame = {
+    import repsIn.sparkSession.implicits._
+    // reps feeds the seed pass AND the span-hash text join; the capped
+    // seed frame feeds BOTH sides of the self-join — one
+    // localCheckpoint each (in-query only, the r16-review ask) so the
+    // content-class groupBy and the every-position seed explode run
+    // once per query instead of once per consumer
+    val reps = repsIn.localCheckpoint(true)
     val capped = capBuckets(substrSeeds(reps), Seq("win"))
+      .localCheckpoint(true)
     val occ = capped.as("a").join(capped.as("b"),
         $"a.win" === $"b.win" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_l"), $"b.doc_id".as("doc_r"),
@@ -478,8 +485,14 @@ object Dedup extends Registry {
     * mishandling breaks it), and md5 of the cleaned text — recomputed
     * by the oracle from ITS independently-derived spans, so the hash
     * gate pins every byte of the rewrite. */
-  private[queries] def exactSubstringApply(reps: DataFrame): DataFrame = {
-    import reps.sparkSession.implicits._
+  private[queries] def exactSubstringApply(repsIn: DataFrame): DataFrame = {
+    import repsIn.sparkSession.implicits._
+    // the rep frame is read by the span derivation AND the final
+    // rebuild join — checkpoint once here so qbb's outer join does not
+    // re-run the content-class groupBy (exactSubstringPairs re-
+    // checkpoints its input; that second copy is the deduped corpus
+    // frame, a bounded price for keeping the two passes one function)
+    val reps = repsIn.localCheckpoint(true)
     // DISTINCT before the running-max window: the same (doc, span)
     // arrives once per doc_a partner, and duplicate (s, e) rows make
     // the ROWS-frame's tie order load-bearing (observed: DuckDB's
@@ -564,7 +577,10 @@ object Dedup extends Registry {
   def exactSubstringIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = table(s, dir, "documents").select($"doc_id", $"text")
+    // seeds + span-hash text join both read the batch reps — one
+    // checkpoint (the qba/qbb discipline)
     val batchReps = contentClassReps(docs.filter($"doc_id" % 2 === 1))
+      .localCheckpoint(true)
     val index = loadOrBuildSubstrIndex(s, dir)._1
       .select($"doc_id".as("corpus_doc"), $"pos".as("pc"), $"win")
     val batchSeeds = capBuckets(substrSeeds(batchReps), Seq("win"))

@@ -568,7 +568,13 @@ object EventOps extends Registry {
       (s, dir) => {
         graft.GraftExtensions.ensureRegistered(s)
         import s.implicits._
-        val withItem = mgItems(s, dir)
+        // one events scan: the sketch arm and the exact-truth gate arm
+        // both read a localCheckpoint of the item projection (the q5b
+        // exact-arm trick — in-suite the md5-per-row derivation would
+        // otherwise run twice; at 100 TB only the sketch arm exists,
+        // so the checkpoint is a gate-run artifact, not the plan)
+        val withItem = mgItems(s, dir).select($"item")
+          .localCheckpoint(true)
         val sk = withItem.agg(
           expr(s"mg_sketch(item, $MgK)").as("sk"),
           count(lit(1)).as("n_events"))
@@ -636,7 +642,11 @@ object EventOps extends Registry {
         graft.GraftExtensions.ensureRegistered(s)
         import s.implicits._
         val base = loadOrBuildMgBase(s, dir) // 1 row: sk, n_base
-        val delta = mgItems(s, dir)
+        // one events scan feeds the delta sketch AND the exact-truth
+        // gate arm (qc4's localCheckpoint discipline; the base build
+        // path keeps its own scan — it runs once per source stamp)
+        val items = mgItems(s, dir).localCheckpoint(true)
+        val delta = items
           .filter(pmod($"event_id", lit(MgDeltaMod)) === 0)
           .agg(expr(s"mg_sketch(item, $MgK)").as("dsk"),
             count(lit(1)).as("n_delta"))
@@ -658,7 +668,7 @@ object EventOps extends Registry {
         val mergedState = merged.agg(
           map_from_entries(collect_list(struct($"item", $"est")))
             .as("mg"), count(lit(1)).as("n_counters"))
-        val truth = mgItems(s, dir).groupBy($"item")
+        val truth = items.groupBy($"item")
           .agg(count(lit(1)).as("true_cnt"))
         // n_total = Σ true_cnt: the exact arm already counted every
         // event, so totals come from its (item, count) frame — no
