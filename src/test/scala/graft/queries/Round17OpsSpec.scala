@@ -131,6 +131,42 @@ class Round17OpsSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("qcb entry-warming beats cold starts at the same hop budget — " +
+    "the measured claim the hierarchy ships on") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val c = Similarity.corpus(spark, dir)
+    val parts = Similarity.nswPartsAt(spark, dir)
+    val q = broadcast(Similarity.queriesOf(c))
+    val p = Similarity.withPt(c, parts)
+    val edges = Similarity.nswEdgesStored(spark, dir, parts)
+    val entries = p.groupBy(col("pt"))
+      .agg(min(col("vec_id")).as("vec_id"))
+    val ex = Similarity.exactTopkStored(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+    def meanRecall(vis: org.apache.spark.sql.DataFrame): Double = {
+      val cand = vis.select(col("q_id"), col("vec_id"), col("cos"))
+        .distinct().filter(col("vec_id") =!= col("q_id"))
+      val ann = Similarity.topKPerQuery(cand.select(col("q_id"),
+          col("vec_id").as("neighbor_id"), col("cos").as("cosine")))
+        .select(col("q_id"), col("neighbor_id"))
+      ex.groupBy(col("q_id")).agg(count(lit(1)).as("possible"))
+        .join(ann.join(ex, Seq("q_id", "neighbor_id"), "left_semi")
+            .groupBy(col("q_id")).agg(count(lit(1)).as("h")),
+          Seq("q_id"), "left")
+        .agg((sum(coalesce(col("h"), lit(0L))).cast("double") /
+          sum(col("possible"))).as("m")).collect().head.getDouble(0)
+    }
+    val cold2 = meanRecall(Similarity.beamWalk(p, edges, q,
+      q.select(col("q_id")).crossJoin(entries), Similarity.HnswBaseHops))
+    val warm2 = SparkEntryAccess.run(spark, "qcb_graph_ann_hnsw", dir)
+      .select("mean_recall").head().getDouble(0)
+    assert(warm2 > cold2,
+      s"warm entries must beat cold at H=${Similarity.HnswBaseHops}: " +
+        s"warm=$warm2 cold=$cold2")
+    assert(warm2 >= Similarity.HnswRecallPin)
+  }
+
   // ---- r16 advice items ----------------------------------------------
 
   test("walkShard skips stale edges referencing nodes absent from the " +
