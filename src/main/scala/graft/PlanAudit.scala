@@ -120,7 +120,8 @@ object PlanAudit {
     "qc8_pii_inventory",      // extract+explode → bounded groupBy
     "qc9_langid_train",       // model-broadcast join, corpus unshuffled
     "qca_langid_apply",       // trained-matrix broadcast inference
-    "qcb_graph_ann_hnsw")     // 2-level HNSW: warm entries, 2-hop base
+    "qcb_graph_ann_hnsw",     // 2-level HNSW: warm entries, 2-hop base
+    "qcc_repetition_filter")  // per-doc array ops, zero shuffle
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated

@@ -1165,6 +1165,36 @@ object TextOps extends Registry {
         "(distributed except), every merged value oracle-pinned"),
 
     // ------------------------------------------------------------------
+    // qcc: REPETITION FILTER (the Gopher rules) — the corpus-hygiene
+    // staple between rule-based quality (q32) and perplexity (q9d):
+    // Rae et al.'s repetition signals drop boilerplate and degenerate
+    // generations by the fraction of the document that repeats. Three
+    // word-level metrics per doc, each exact-rational in micro units:
+    // top-word fraction (the most frequent word's token share — ties
+    // are count ties so the share is tie-free), and duplicate 2-/3-
+    // gram token fractions (the share of n-gram tokens whose n-gram
+    // occurs more than once — computed by SORTING the doc's n-gram
+    // list and counting elements equal to a neighbor, an O(g log g)
+    // per-doc identity needing no grouping). Keep-thresholds are
+    // literals on both sides, chosen to split THIS corpus non-
+    // trivially (225/436/473 of 500 pass the three gates at sf0.01 —
+    // the word-salad generator repeats heavily, which is exactly what
+    // the rules exist to catch; Gopher's published cutoffs assume web
+    // text). Plan shape is the 100 TB ideal for per-doc hygiene: every
+    // metric is a higher-order-function chain over the doc's own
+    // arrays — ONE narrow projection, zero shuffles, zero joins; the
+    // only exchange is the harness's output sort. Arrays are
+    // materialized between projections (the CodegenFallback rule).
+    QueryDef(
+      "qcc_repetition_filter",
+      (s, dir) => repetitionFilter(s, dir),
+      Some(repetitionOracle),
+      doc = "Gopher-style repetition filter: top-word share and " +
+        "duplicate 2-/3-gram token fractions as exact micro-unit " +
+        "rationals from per-doc sorted-array neighbor counts — no " +
+        "shuffle, no grouping, thresholds split the corpus non-trivially"),
+
+    // ------------------------------------------------------------------
     // qc9: LANGUAGE-ID TRAINING — hashed char-trigram multiclass batch
     // perceptron (the fastText-class model family) in q9a's
     // integer-exact discipline, extended from 5 scalar weights to a
@@ -1422,6 +1452,90 @@ object TextOps extends Registry {
       .withColumn("pred", when($"score" > 0, 1L).otherwise(-1L))
       .withColumn("correct", $"pred" === $"y")
   }
+
+  // ---- qcc: Gopher repetition rules ----------------------------------
+  /** Keep-thresholds in micro units (fractions ×1e6): top-word share
+    * ≤ 0.09, duplicate-2-gram token share ≤ 0.12, duplicate-3-gram
+    * token share ≤ 0.02 — literals on BOTH sides, calibrated to split
+    * the shipped corpus non-trivially (Gopher's published web-text
+    * cutoffs would pass or fail it wholesale). */
+  val RepTopWordMicro = 90000L
+  val RepDup2Micro = 120000L
+  val RepDup3Micro = 20000L
+
+  def repetitionFilter(s: SparkSession, dir: String): DataFrame =
+    repetitionMetricsOf(table(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** The qcc kernel over any (doc_id, text) frame — factored so the
+    * spec can hand-replay constructed documents through the exact
+    * shipped arithmetic. */
+  def repetitionMetricsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // per-doc n-gram lists, sorted so "occurs more than once" becomes
+    // "equals a neighbor" — a per-row identity, no grouping
+    def grams(ws: Column, n: Int): Column = sort_array(transform(
+      sequence(lit(1), size(ws) - (n - 1), lit(1)),
+      i => concat_ws(" ",
+        (0 until n).map(o => element_at(ws, i + o)): _*)))
+    def dupTokens(g: Column): Column =
+      size(filter(sequence(lit(1), size(g), lit(1)), i =>
+        (i > 1 && element_at(g, i) === element_at(g, i - 1)) ||
+          (i < size(g) && element_at(g, i) === element_at(g, i + 1))))
+    val base = docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", $"ws",
+        grams($"ws", 2).as("g2"), grams($"ws", 3).as("g3"))
+      .select($"doc_id",
+        size($"ws").as("n_words"),
+        array_max(transform(array_distinct($"ws"),
+          w => size(filter($"ws", x => x === w)))).as("top_cnt"),
+        dupTokens($"g2").as("d2"), size($"g2").as("ng2"),
+        dupTokens($"g3").as("d3"), size($"g3").as("ng3"))
+    base.select($"doc_id", $"n_words",
+        expr("CAST(top_cnt AS BIGINT) * 1000000 div n_words")
+          .as("top_word_micro"),
+        expr("CAST(d2 AS BIGINT) * 1000000 div ng2").as("dup2_micro"),
+        expr("CAST(d3 AS BIGINT) * 1000000 div ng3").as("dup3_micro"))
+      .withColumn("kept",
+        $"top_word_micro" <= RepTopWordMicro &&
+          $"dup2_micro" <= RepDup2Micro && $"dup3_micro" <= RepDup3Micro)
+  }
+
+  private def repetitionOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(ws) AS n_words,
+       |    list_max([len(list_filter(ws, x -> x = w))
+       |              for w in list_distinct(ws)]) AS top_cnt,
+       |    list_sort([ws[i] || ' ' || ws[i+1]
+       |               for i in range(1, len(ws))]) AS g2,
+       |    list_sort([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |               for i in range(1, len(ws) - 1)]) AS g3
+       |  FROM d WHERE len(ws) >= 3),
+       |f AS (
+       |  SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       |    top_cnt * 1000000 // n_words AS top_word_micro,
+       |    len([i for i in range(1, len(g2) + 1)
+       |         if (i > 1 AND g2[i] = g2[i-1])
+       |            OR (i < len(g2) AND g2[i] = g2[i+1])])
+       |      * 1000000 // len(g2) AS dup2_micro,
+       |    len([i for i in range(1, len(g3) + 1)
+       |         if (i > 1 AND g3[i] = g3[i-1])
+       |            OR (i < len(g3) AND g3[i] = g3[i+1])])
+       |      * 1000000 // len(g3) AS dup3_micro
+       |  FROM m)
+       |SELECT doc_id, n_words,
+       |  CAST(top_word_micro AS BIGINT) AS top_word_micro,
+       |  CAST(dup2_micro AS BIGINT) AS dup2_micro,
+       |  CAST(dup3_micro AS BIGINT) AS dup3_micro,
+       |  (top_word_micro <= $RepTopWordMicro
+       |   AND dup2_micro <= $RepDup2Micro
+       |   AND dup3_micro <= $RepDup3Micro) AS kept
+       |FROM f ORDER BY doc_id""".stripMargin
 
   // ---- language identification (qc9/qca): hashed char-trigram -------
   // multiclass batch perceptron — the fastText-class model shape, in

@@ -131,6 +131,27 @@ class Round17OpsSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("qcc repetition metrics replay by hand and the thresholds " +
+    "split the corpus non-trivially") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // "a a a b": top word a ×3 of 4 words → 750000 micro; sorted
+    // 2-grams [a a, a a, a b] → 2 of 3 tokens duplicated → 666666;
+    // 3-grams [a a a, a a b] → none duplicated → 0.
+    // "x y z w": nothing repeats → 250000 / 0 / 0.
+    val hand = TextOps.repetitionMetricsOf(
+      Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(hand(1L) == ((750000L, 666666L, 0L)))
+    assert(hand(2L) == ((250000L, 0L, 0L)))
+    val split = TextOps.repetitionFilter(spark, "/root/testdata/sf0.001")
+      .groupBy($"kept").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(split.getOrElse(true, 0L) > 0 && split.getOrElse(false, 0L) > 0,
+      s"thresholds must split the corpus non-trivially: $split")
+  }
+
   test("qcb entry-warming beats cold starts at the same hop budget — " +
     "the measured claim the hierarchy ships on") {
     import org.apache.spark.sql.functions._
