@@ -281,32 +281,37 @@ object Bench {
     // plan regression; q73's ~+0.45 residual is within the ±6% box
     // variance band on the largest e2e pipeline.
     //
-    // r16 FINAL PIN = 107.0s for the 192-query suite. The suite
-    // gained 7 queries after the 98.3 pin (qbb/qbc exact-substring
-    // apply+incremental, q8n A-law, qc0-qc3 skew/bloom), measured
-    // +11.1s on the round-close runs — but those runs hit a DEGRADED
-    // box window, proven by same-build A/B: the c17fad6 pin-era
-    // build, re-run at round close from an idle start (load 0.31),
-    // read 125.258s vs its own 98.263s pin — identical 185-query
-    // binary, median per-query ratio 1.27x, 26/185 queries >1.5x
-    // (qba 2.89x in-suite on BOTH builds; alone it reads 2.4s on
-    // both — contention amplifies the suite context, not a plan).
-    // HEAD idle runs in the same window: 125.383/126.042/130.830 for
-    // 192 queries = the same 1.27x box factor, i.e. ZERO code-level
-    // regression (HEAD-minus-pin-era delta ~0-6s ≈ the new queries
-    // at degraded speed). Pin therefore = 98.3 + 11.1/1.27 ≈ 107.0:
-    // the 192-suite cost normalized to pin-era box speed, so a
-    // recovered box reads vs_baseline ≈ 1.0 and a degraded one reads
-    // the box factor honestly instead of laundering it into the pin.
-    // +0.4 for qc4 (MG heavy hitters, 193rd query: measured 0.705s
-    // solo at degraded-box speed / 1.27 = ~0.55s; its in-suite cost
-    // is lower still — the events scan is already warm — pinned 0.4).
-    // +0.9 for qc5 (incremental MG, 194th: 1.413s solo on the
-    // degraded box / 1.27 = ~1.1s, solo pays the state read + three
-    // events passes that run warmer in-suite — pinned 0.9).
-    // +0.6 for qc6 (feature covariance, 195th: 0.849s solo at
-    // degraded speed / 1.27 = ~0.67s — pinned 0.6).
-    val baselinePin = 108.9
+    // r16 close used a MODEL pin (108.9 = the 98.3 idle pin + the 7
+    // new queries' cost ÷ a same-build-A/B box-degradation factor of
+    // 1.27 + three per-query estimates) because every close window was
+    // degraded. r17 RESOLVED it with measurements: the round OPENED on
+    // a genuinely idle box (load 0.20 at launch, zero steal, 0 users)
+    // and the unchanged r16 suite STILL read 124.721/134.395 for its
+    // 195 queries (GC 2.0/3.0s — clean runs) — the "degradation" is
+    // the box's PERSISTENT new speed (~1.27× the 98.3-era host),
+    // not a co-tenancy window, so the normalized model answered the
+    // wrong question and is retired per the r16 verdict: the pin is
+    // a measured idle pair on THIS host again, full stop.
+    //
+    // r17 PIN = 134.3s for the 201-query suite (sf0.1, local[32],
+    // shuffle=32, min-of-2 per query, warm stored state). Evidence
+    // pair: back-to-back close runs 140.570/134.297 (launch load
+    // 0.04, GC 4.1/3.5s) on the final suite; the 134.3 is the cleaner
+    // member. Delta vs the 124.7 open pair (195 queries, pre-fix
+    // code): +9.6s ≈ the six new queries' min-of-2 sum (10.4s: qca
+    // 4.0 — two training rounds + a corpus apply over the trigram
+    // projection; qcb 3.0 — upper-layer walk + 2-hop base walk over
+    // two stored graphs; qc9 2.7; qc8 0.38; qcc 0.18; qc7 0.13).
+    // Honesty note on the round's single-scan fixes: they cut SOLO/
+    // cold-context costs hard (qc4 6.1→0.4, qbb 5.9→4.0 measured
+    // alone) but the clean-box in-suite numbers were never that high
+    // — the r16 artifact's qc4 6.12 was contention on the degraded
+    // window (the same query read 0.25 in-suite on this round's
+    // clean open pair, PRE-fix code), so the fixes defend worst-case
+    // contexts rather than shrinking the clean-suite total. Re-pin
+    // only when the query set changes materially or the host
+    // demonstrably changes.
+    val baselinePin = 134.3
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val gcTotal = (gcMillis() - gcStart) / 1e3
