@@ -448,14 +448,20 @@ object Dedup extends Registry {
       .orderBy($"doc_l", $"doc_r", $"start_l", $"start_r")
   }
 
-  private[queries] def exactSubstringPairs(repsIn: DataFrame): DataFrame = {
-    import repsIn.sparkSession.implicits._
-    // reps feeds the seed pass AND the span-hash text join; the capped
-    // seed frame feeds BOTH sides of the self-join — one
-    // localCheckpoint each (in-query only, the r16-review ask) so the
-    // content-class groupBy and the every-position seed explode run
-    // once per query instead of once per consumer
-    val reps = repsIn.localCheckpoint(true)
+  private[queries] def exactSubstringPairs(repsIn: DataFrame): DataFrame =
+    // reps feeds the seed pass AND the span-hash text join — one
+    // localCheckpoint (in-query only, the r16-review ask) so the
+    // content-class groupBy runs once per query, not once per consumer
+    exactSubstringPairsOn(repsIn.localCheckpoint(true))
+
+  /** The pair derivation over a frame the CALLER already materialized
+    * — qbb checkpoints its reps once for the span derivation AND the
+    * rebuild join, and must not pay a second block-manager copy of
+    * the corpus-sized text frame here. */
+  private def exactSubstringPairsOn(reps: DataFrame): DataFrame = {
+    import reps.sparkSession.implicits._
+    // the capped seed frame feeds BOTH sides of the self-join — its
+    // own checkpoint keeps the every-position seed explode single-run
     val capped = capBuckets(substrSeeds(reps), Seq("win"))
       .localCheckpoint(true)
     val occ = capped.as("a").join(capped.as("b"),
@@ -488,10 +494,9 @@ object Dedup extends Registry {
   private[queries] def exactSubstringApply(repsIn: DataFrame): DataFrame = {
     import repsIn.sparkSession.implicits._
     // the rep frame is read by the span derivation AND the final
-    // rebuild join — checkpoint once here so qbb's outer join does not
-    // re-run the content-class groupBy (exactSubstringPairs re-
-    // checkpoints its input; that second copy is the deduped corpus
-    // frame, a bounded price for keeping the two passes one function)
+    // rebuild join — ONE checkpoint here, shared with the pair
+    // derivation via the checkpoint-free exactSubstringPairsOn (no
+    // second block-manager copy of the corpus-sized text frame)
     val reps = repsIn.localCheckpoint(true)
     // DISTINCT before the running-max window: the same (doc, span)
     // arrives once per doc_a partner, and duplicate (s, e) rows make
@@ -499,7 +504,7 @@ object Dedup extends Registry {
     // parallel window intermittently gave BOTH duplicates an
     // island-start, double-counting the cut) — deduped, (s, e) is a
     // total order and the window is deterministic on both engines
-    val iv = exactSubstringPairs(reps)
+    val iv = exactSubstringPairsOn(reps)
       .select($"doc_b".as("doc_id"), $"start_b".as("s"),
         ($"start_b" + $"match_len").as("e"))
       .distinct()

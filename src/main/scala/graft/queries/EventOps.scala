@@ -752,22 +752,12 @@ object EventOps extends Registry {
     val src = s"$dir/events.parquet"
     val key = s"v1|$src|${Tables.sourceStamp(src)}" +
       s"|mg-base|k=$MgK|base=mod${MgDeltaMod}ne0|zipf65536"
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val stateDir = Tables.persistentScratchDir(s"qc5_mg_$tag")
-    val outDir = java.nio.file.Paths.get(stateDir, "sketch")
-    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
-    val valid = java.nio.file.Files.exists(keyFile) &&
-      java.nio.file.Files.readString(keyFile) == key &&
-      java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
-    if (!valid) {
+    Tables.contentAddressed(s, "qc5_mg", key) {
       mgItems(s, dir)
         .filter(pmod($"event_id", lit(MgDeltaMod)) =!= 0)
         .agg(expr(s"mg_sketch(item, $MgK)").as("sk"),
           count(lit(1)).as("n_base"))
-        .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
-      java.nio.file.Files.writeString(keyFile, key)
+        .coalesce(1)
     }
-    s.read.parquet(outDir.toString)
   }
 }

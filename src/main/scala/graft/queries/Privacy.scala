@@ -40,10 +40,13 @@ object Privacy extends Registry {
   private val Oct = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
   val Ipv4Pat = s"\\b$Oct(\\.$Oct){3}\\b" // octet-range guarded
 
-  /** Redaction tokens and their lengths (the length-identity terms). */
-  val Tokens: Seq[(String, String, Int)] = Seq(
-    ("email", "[EMAIL]", 7), ("id", "[ID]", 4),
-    ("phone", "[PHONE]", 7), ("ipv4", "[IPV4]", 6))
+  /** Redaction tokens — the SINGLE source for both the replacement
+    * strings and the length-identity terms (lengths derive from the
+    * token text, so engine expression and oracle SQL cannot drift). */
+  val Tokens: Map[String, String] = Map(
+    "email" -> "[EMAIL]", "id" -> "[ID]",
+    "phone" -> "[PHONE]", "ipv4" -> "[IPV4]")
+  private def tokLen(cls: String): Int = Tokens(cls).length
 
   // ---- deterministic planting (engine side) --------------------------
   // doc_id%7: 0 → clean, 1 → email, 2 → phone, 3 → ipv4, 4 → id,
@@ -108,13 +111,13 @@ object Privacy extends Registry {
     import s.implicits._
     p
       .withColumn("e", regexp_extract_all($"t0", lit(EmailPat), lit(0)))
-      .withColumn("t1", regexp_replace($"t0", EmailPat, "[EMAIL]"))
+      .withColumn("t1", regexp_replace($"t0", EmailPat, Tokens("email")))
       .withColumn("i", regexp_extract_all($"t1", lit(IdPat), lit(0)))
-      .withColumn("t2", regexp_replace($"t1", IdPat, "[ID]"))
+      .withColumn("t2", regexp_replace($"t1", IdPat, Tokens("id")))
       .withColumn("ph", regexp_extract_all($"t2", lit(PhonePat), lit(0)))
-      .withColumn("t3", regexp_replace($"t2", PhonePat, "[PHONE]"))
+      .withColumn("t3", regexp_replace($"t2", PhonePat, Tokens("phone")))
       .withColumn("ip", regexp_extract_all($"t3", lit(Ipv4Pat), lit(0)))
-      .withColumn("t4", regexp_replace($"t3", Ipv4Pat, "[IPV4]"))
+      .withColumn("t4", regexp_replace($"t3", Ipv4Pat, Tokens("ipv4")))
   }
 
   /** Planted corpus of a documents frame — exposed for the spec's
@@ -151,10 +154,11 @@ object Privacy extends Registry {
             length($"t0").as("orig_len"),
             length($"t4").as("red_len"),
             (length($"t0") - length($"t4") ===
-              sumLens($"e") - size($"e") * 7 +
-              sumLens($"i") - size($"i") * 4 +
-              sumLens($"ph") - size($"ph") * 7 +
-              sumLens($"ip") - size($"ip") * 6).as("len_identity"),
+              sumLens($"e") - size($"e") * tokLen("email") +
+              sumLens($"i") - size($"i") * tokLen("id") +
+              sumLens($"ph") - size($"ph") * tokLen("phone") +
+              sumLens($"ip") - size($"ip") * tokLen("ipv4"))
+              .as("len_identity"),
             md5($"t4".cast("binary")).as("red_md5"))
           .orderBy($"doc_id")
       },
@@ -162,17 +166,17 @@ object Privacy extends Registry {
               |r AS (
               |  SELECT doc_id, t0,
               |    regexp_extract_all(t0, '$EmailPat') AS e,
-              |    regexp_replace(t0, '$EmailPat', '[EMAIL]', 'g') AS t1
+              |    regexp_replace(t0, '$EmailPat', '${Tokens("email")}', 'g') AS t1
               |  FROM p),
               |r2 AS (
               |  SELECT *, regexp_extract_all(t1, '$IdPat') AS i,
-              |    regexp_replace(t1, '$IdPat', '[ID]', 'g') AS t2 FROM r),
+              |    regexp_replace(t1, '$IdPat', '${Tokens("id")}', 'g') AS t2 FROM r),
               |r3 AS (
               |  SELECT *, regexp_extract_all(t2, '$PhonePat') AS ph,
-              |    regexp_replace(t2, '$PhonePat', '[PHONE]', 'g') AS t3 FROM r2),
+              |    regexp_replace(t2, '$PhonePat', '${Tokens("phone")}', 'g') AS t3 FROM r2),
               |r4 AS (
               |  SELECT *, regexp_extract_all(t3, '$Ipv4Pat') AS ip,
-              |    regexp_replace(t3, '$Ipv4Pat', '[IPV4]', 'g') AS t4 FROM r3)
+              |    regexp_replace(t3, '$Ipv4Pat', '${Tokens("ipv4")}', 'g') AS t4 FROM r3)
               |SELECT doc_id,
               |  CAST(len(e) AS INT) AS n_email,
               |  CAST(len(i) AS INT) AS n_id,
@@ -181,10 +185,10 @@ object Privacy extends Registry {
               |  CAST(length(t0) AS INT) AS orig_len,
               |  CAST(length(t4) AS INT) AS red_len,
               |  (length(t0) - length(t4) =
-              |     COALESCE(list_sum([length(x) for x in e]), 0) - len(e) * 7
-              |   + COALESCE(list_sum([length(x) for x in i]), 0) - len(i) * 4
-              |   + COALESCE(list_sum([length(x) for x in ph]), 0) - len(ph) * 7
-              |   + COALESCE(list_sum([length(x) for x in ip]), 0) - len(ip) * 6)
+              |     COALESCE(list_sum([length(x) for x in e]), 0) - len(e) * ${tokLen("email")}
+              |   + COALESCE(list_sum([length(x) for x in i]), 0) - len(i) * ${tokLen("id")}
+              |   + COALESCE(list_sum([length(x) for x in ph]), 0) - len(ph) * ${tokLen("phone")}
+              |   + COALESCE(list_sum([length(x) for x in ip]), 0) - len(ip) * ${tokLen("ipv4")})
               |    AS len_identity,
               |  md5(t4) AS red_md5
               |FROM r4 ORDER BY doc_id""".stripMargin),
@@ -207,14 +211,19 @@ object Privacy extends Registry {
       "qc8_pii_inventory",
       (s, dir) => {
         import s.implicits._
-        val p = plantedDocs(table(s, dir, "documents"))
-        def one(cls: String, pat: String): DataFrame =
-          p.select($"doc_id", lit(cls).as("pii_class"),
-            explode(regexp_extract_all($"t0", lit(pat), lit(0))).as("value"))
-        one("email", EmailPat)
-          .unionAll(one("id", IdPat))
-          .unionAll(one("phone", PhonePat))
-          .unionAll(one("ipv4", Ipv4Pat))
+        // ONE corpus scan: all four classes extract in a single
+        // projection, tag their matches, and one explode flattens the
+        // concatenated (class, value) structs — four regex passes per
+        // row, one pass over the table (a unionAll of per-class
+        // branches would scan and re-plant the corpus four times)
+        def tagged(cls: String, pat: String): Column =
+          transform(regexp_extract_all($"t0", lit(pat), lit(0)),
+            v => struct(lit(cls).as("pii_class"), v.as("value")))
+        plantedDocs(table(s, dir, "documents"))
+          .select($"doc_id", explode(concat(
+            tagged("email", EmailPat), tagged("id", IdPat),
+            tagged("phone", PhonePat), tagged("ipv4", Ipv4Pat))).as("m"))
+          .select($"doc_id", $"m.pii_class", $"m.value")
           .groupBy($"pii_class", $"value")
           .agg(count(lit(1)).as("n_occurrences"),
             countDistinct($"doc_id").as("n_docs"),

@@ -63,6 +63,34 @@ object Tables {
     p.toString
   }
 
+  /** The content-addressed build-once parquet store idiom shared by
+    * the stored-state families (NSW/HNSW graphs, MG base sketch, …):
+    * state lives under a scratch dir named by the md5 tag of `key`,
+    * is valid only when the recorded key matches AND the parquet
+    * `_SUCCESS` marker exists (a crash between the parquet write and
+    * the key write leaves the key absent → rebuild), and is rebuilt
+    * by `build` otherwise. Callers that also need to KNOW whether
+    * this invocation built (build-run-only contracts) keep their own
+    * copies of the idiom with the extra return — everything else
+    * goes through here so the validity/ordering rules live once. */
+  def contentAddressed(spark: SparkSession, prefix: String, key: String)(
+      build: => DataFrame): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val stateDir = persistentScratchDir(s"${prefix}_$tag")
+    val outDir = java.nio.file.Paths.get(stateDir, "data")
+    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
+    val valid = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
+    if (!valid) {
+      build.write.mode("overwrite").parquet(outDir.toString)
+      java.nio.file.Files.writeString(keyFile, key)
+      ()
+    }
+    spark.read.parquet(outDir.toString)
+  }
+
   /** `size|maxMtime` identity stamp of a parquet source, covering both
     * single-file and directory layouts — the input half of a
     * content-addressed index key (q4b signatures, q99 postings). */

@@ -2744,20 +2744,9 @@ object Similarity extends Registry {
     val src = s"$dir/embeddings.parquet"
     val key = s"v1|$src|${Tables.sourceStamp(src)}" +
       s"|nsw|P=$parts|M=$NswM"
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val stateDir = Tables.persistentScratchDir(s"qb6_nsw_$tag")
-    val outDir = java.nio.file.Paths.get(stateDir, "edges")
-    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
-    val valid = java.nio.file.Files.exists(keyFile) &&
-      java.nio.file.Files.readString(keyFile) == key &&
-      java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
-    if (!valid) {
+    Tables.contentAddressed(s, "qb6_nsw", key) {
       nswEdgesOn(corpus(s, dir), parts).coalesce(1)
-        .write.mode("overwrite").parquet(outDir.toString)
-      java.nio.file.Files.writeString(keyFile, key)
     }
-    s.read.parquet(outDir.toString)
   }
 
   /** Greedy beam search over the navigable graph, per partition, then
@@ -3368,20 +3357,9 @@ object Similarity extends Registry {
     val src = s"$dir/embeddings.parquet"
     val key = s"v1|$src|${Tables.sourceStamp(src)}" +
       s"|hnsw-upper|stride=$HnswStride|P1=$upParts|M=$NswM"
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val stateDir = Tables.persistentScratchDir(s"qcb_hnsw_$tag")
-    val outDir = java.nio.file.Paths.get(stateDir, "edges")
-    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
-    val valid = java.nio.file.Files.exists(keyFile) &&
-      java.nio.file.Files.readString(keyFile) == key &&
-      java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
-    if (!valid) {
+    Tables.contentAddressed(s, "qcb_hnsw", key) {
       nswEdgesOnPt(hnswUpper(corpus(s, dir), upParts)).coalesce(1)
-        .write.mode("overwrite").parquet(outDir.toString)
-      java.nio.file.Files.writeString(keyFile, key)
     }
-    s.read.parquet(outDir.toString)
   }
 
   /** The qcb surface: walk the SMALL upper layer everywhere (it is
