@@ -1585,11 +1585,12 @@ object TextOps extends Registry {
     * toward the smaller class name, matching the oracle's
     * `ORDER BY s DESC, cls`), and the batch update Δw[label] += x,
     * Δw[pred] −= x is an order-free integer sum collected as ≤C×K
-    * rows. The per-round pred frame is localCheckpoint'ed (the
-    * q48/q5a loop-hygiene pattern) so the n_err count and the delta
-    * aggregation read one materialized micro-frame instead of
-    * re-running the scoring join. Returns the class list and, per
-    * round, (n_err, weights-after) snapshots. */
+    * rows in ONE job per round together with the n_err scalar (a
+    * sentinel row) — lineage stays bounded because each round's plan
+    * starts from fresh literals over the persisted feature frame (the
+    * q5a pattern), no checkpoint needed at this round count. Returns
+    * the class list and, per round, (n_err, weights-after)
+    * snapshots. */
   def langIdFit(f: DataFrame)
       : (Seq[String], Seq[(Long, Array[Array[Long]])]) = {
     val s = f.sparkSession
@@ -1603,27 +1604,34 @@ object TextOps extends Registry {
       val wDf = s.createDataFrame(
         for { (c, ci) <- classes.zipWithIndex; b <- 0 until k }
           yield (c, b, w(ci)(b))).toDF("cls", "bucket", "w")
-      val pred = f.filter($"is_train")
+      // ONE Spark job per round: the ≤C×K delta rows and the n_err
+      // scalar (a sentinel `__nerr__` row, impossible as a lang value)
+      // collect together — separate checkpoint/count/collect actions
+      // measured ~1s/round of pure job-scheduling overhead on this
+      // model-sized frame
+      val mis = f.filter($"is_train")
         .join(broadcast(wDf), Seq("bucket"))
         .groupBy($"doc_id", $"lang", $"cls")
         .agg(sum($"cnt" * $"w").as("score"))
         .groupBy($"doc_id", $"lang")
         .agg(min(struct((lit(0L) - $"score").as("ns"), $"cls")).as("m"))
         .select($"doc_id", $"lang", $"m.cls".as("pred"))
-        .localCheckpoint(true)
-      val mis = pred.filter($"pred" =!= $"lang")
-      val nErr = mis.count()
+        .filter($"pred" =!= $"lang")
       val upd = mis.join(
         f.filter($"is_train").select($"doc_id", $"bucket", $"cnt"),
         Seq("doc_id"))
-      val delta = upd
+      val rows = upd
         .select($"lang".as("cls"), $"bucket", $"cnt".as("d"))
         .unionAll(upd.select($"pred".as("cls"), $"bucket",
           (lit(0L) - $"cnt").as("d")))
         .groupBy($"cls", $"bucket").agg(sum($"d").as("d"))
+        .unionByName(mis.agg(count(lit(1)).as("d"))
+          .select(lit("__nerr__").as("cls"), lit(-1).as("bucket"), $"d"))
         .collect()
-      delta.foreach { row =>
-        w(classes.indexOf(row.getString(0)))(row.getInt(1)) +=
+      var nErr = 0L
+      rows.foreach { row =>
+        if (row.getString(0) == "__nerr__") nErr = row.getLong(2)
+        else w(classes.indexOf(row.getString(0)))(row.getInt(1)) +=
           row.getLong(2)
       }
       out += ((nErr, w.map(_.clone())))
@@ -1671,20 +1679,44 @@ object TextOps extends Registry {
         (row, ci) <- wFinal.zipWithIndex
         (v, b) <- row.zipWithIndex
       } yield v * (b + 1) * (ci + 1)).sum
-      val wDf = s.createDataFrame(
-        for { (c, ci) <- classes.zipWithIndex; b <- 0 until LangIdBuckets }
-          yield (c, b, wFinal(ci)(b))).toDF("cls", "bucket", "w")
-      f.join(broadcast(wDf), Seq("bucket"))
-        .groupBy($"doc_id", $"lang", $"is_train", $"cls")
-        .agg(sum($"cnt" * $"w").as("score"))
-        .groupBy($"doc_id", $"lang", $"is_train")
-        .agg(min(struct((lit(0L) - $"score").as("ns"), $"cls")).as("m"))
-        .select($"lang", $"is_train", $"m.cls".as("pred"))
+      langIdScore(f, classes, wFinal)
         .groupBy(when($"is_train", "train").otherwise("eval").as("split"),
           $"lang", $"pred")
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("w_checksum", lit(chk))
         .orderBy($"split", $"lang", $"pred")
+    } finally { f.unpersist(); () }
+  }
+
+  /** Literal-model scoring of a feature frame — the qca inference
+    * kernel, shared by the batch query and the per-trigger streaming
+    * serve (q9f's deployment shape: the model trains once, documents
+    * arrive as micro-batches, each trigger scores its batch with the
+    * same C×K broadcast frame). */
+  def langIdScore(f: DataFrame, classes: Seq[String],
+      w: Array[Array[Long]]): DataFrame = {
+    val s = f.sparkSession
+    import s.implicits._
+    val wDf = s.createDataFrame(
+      for { (c, ci) <- classes.zipWithIndex; b <- 0 until LangIdBuckets }
+        yield (c, b, w(ci)(b))).toDF("cls", "bucket", "w")
+    f.join(broadcast(wDf), Seq("bucket"))
+      .groupBy($"doc_id", $"lang", $"is_train", $"cls")
+      .agg(sum($"cnt" * $"w").as("score"))
+      .groupBy($"doc_id", $"lang", $"is_train")
+      .agg(min(struct((lit(0L) - $"score").as("ns"), $"cls")).as("m"))
+      .select($"doc_id", $"lang", $"is_train", $"m.cls".as("pred"))
+  }
+
+  /** The trained language-ID model for a corpus (bounded driver
+    * state: C×K longs) — exposed so a serving path (a stream of
+    * arriving documents) can score without retraining. */
+  def langIdTrainedModel(s: SparkSession, dir: String)
+      : (Seq[String], Array[Array[Long]]) = {
+    val f = langIdFeatures(table(s, dir, "documents")).persist()
+    try {
+      val (classes, rounds) = langIdFit(f)
+      (classes, rounds.last._2)
     } finally { f.unpersist(); () }
   }
 

@@ -131,6 +131,43 @@ class Round17OpsSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("qca: documents scored as a STREAM match the batch inference") {
+    // the language-ID deployment shape (q9f's precedent): the model
+    // trains once on the static corpus, then documents arrive as
+    // micro-batches and each trigger scores its batch with the same
+    // C×K broadcast frame — drained per-doc predictions must equal
+    // the one-shot batch scoring
+    val dir = "/root/testdata/sf0.001"
+    val (classes, w) = TextOps.langIdTrainedModel(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val streamDir = java.nio.file.Files.createTempDirectory("qca-stream")
+    docs.repartition(2).write.mode("overwrite").parquet(streamDir.toString)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String)]
+    val nTriggers = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = TextOps.langIdScore(
+          TextOps.langIdFeatures(df), classes, w).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+        out.synchronized { out ++= rows }
+        nTriggers.incrementAndGet(); ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    assert(nTriggers.get() == 2, s"expected 2 triggers, got ${nTriggers.get()}")
+    val batch = TextOps.langIdScore(
+      TextOps.langIdFeatures(docs), classes, w).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+    assert(out.toSet == batch && batch.nonEmpty,
+      "streamed per-trigger language-ID diverged from the batch apply")
+  }
+
   test("qcc repetition metrics replay by hand and the thresholds " +
     "split the corpus non-trivially") {
     import org.apache.spark.sql.functions._
