@@ -71,7 +71,15 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     "qc4_heavy_hitters", "qc5_heavy_hitters_incremental",
     // r16 cont.: integer micro-quantized sums are layout-invariant by
     // construction — the gate proves no float summation-order leak
-    "qc6_feature_covariance")
+    "qc6_feature_covariance",
+    // r17: the PII regex chain is per-row (trivially invariant — the
+    // gate guards the inventory's groupBy), the language-ID training
+    // collects integer batch updates whose SUM must not depend on
+    // partial-merge order, qcb's two-layer walk must not care how
+    // either layer's shards are grouped, and qcc's per-doc sorted-
+    // array neighbor counts are pure row functions
+    "qc7_pii_redact", "qc8_pii_inventory", "qca_langid_apply",
+    "qcb_graph_ann_hnsw", "qcc_repetition_filter")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map(_.toSeq.map {
