@@ -121,7 +121,8 @@ object PlanAudit {
     "qc9_langid_train",       // model-broadcast join, corpus unshuffled
     "qca_langid_apply",       // trained-matrix broadcast inference
     "qcb_graph_ann_hnsw",     // 2-level HNSW: warm entries, 2-hop base
-    "qcc_repetition_filter")  // per-doc array ops, zero shuffle
+    "qcc_repetition_filter",  // per-doc array ops, zero shuffle
+    "qcd_langid_stratified")  // govern on derived metadata, one pass
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated

@@ -1235,7 +1235,33 @@ object TextOps extends Registry {
       Some(langIdApplyOracle),
       doc = "Language-ID inference: trained-matrix scoring of all " +
         "documents via one broadcast join, per-split confusion matrix " +
-        "+ weight-matrix checksum, oracle replays training + scoring")
+        "+ weight-matrix checksum, oracle replays training + scoring"),
+
+    // ------------------------------------------------------------------
+    // qcd: GOVERNANCE ON DERIVED METADATA — q36's stratified quota
+    // sampling re-keyed on the PREDICTED language, the composition
+    // every real pipeline runs (derive metadata → govern by it) and
+    // the closing of the loop qc9 opened: q36 trusts the corpus's
+    // lang column; qcd derives it first. Train (qc9's exact rounds),
+    // score every document (qca's broadcast kernel), bucket by q36's
+    // md5 hash, keep under q36's verbatim quota table keyed on pred.
+    // Per predicted stratum: total docs, kept count, and the kept-set
+    // id checksum — so a single document sampled differently breaks
+    // the hash gate — plus the weight-matrix checksum pinning which
+    // model did the deriving. The oracle replays the ENTIRE chain:
+    // training trajectory → every prediction → every keep decision.
+    // At 100 TB: training cost is qc9's (model-sized rounds over one
+    // cached projection), scoring + sampling is one narrow pass —
+    // deriving governance metadata costs one broadcast join more
+    // than trusting it.
+    QueryDef(
+      "qcd_langid_stratified",
+      (s, dir) => langIdStratified(s, dir),
+      Some(langIdStratifiedOracle),
+      doc = "Stratified quota sampling on DERIVED language: qc9's " +
+        "training + qca's scoring feed q36's verbatim quota/bucket " +
+        "sampling keyed on the prediction — per-stratum kept counts " +
+        "and id checksums, full chain oracle-replayed")
   )
 
   /** The qb1 kernel over an explicit (doc_id, text) frame — factored
@@ -1784,7 +1810,10 @@ object TextOps extends Registry {
        |ORDER BY round, cls, bucket""".stripMargin
   }
 
-  private def langIdApplyOracle: String = {
+  /** Shared serve fragment: the trained matrix, its checksum, and
+    * every document's prediction — the front of both the qca and qcd
+    * oracles. */
+  private def langIdServeSql: String = {
     val wf = s"w$LangIdRounds"
     s"""$langIdCommonSql,
        |ci AS (SELECT cls, row_number() OVER (ORDER BY cls) AS ci
@@ -1801,11 +1830,68 @@ object TextOps extends Registry {
        |    SELECT doc_id, lang, is_train, cls,
        |      row_number() OVER (PARTITION BY doc_id
        |                         ORDER BY s DESC, cls) AS rn
-       |    FROM sca) z WHERE rn = 1)
+       |    FROM sca) z WHERE rn = 1)""".stripMargin
+  }
+
+  private def langIdApplyOracle: String =
+    s"""$langIdServeSql
        |SELECT CASE WHEN is_train THEN 'train' ELSE 'eval' END AS split,
        |  lang, pred, count(*) AS n_docs,
        |  (SELECT c FROM chk) AS w_checksum
        |FROM pra GROUP BY ALL ORDER BY split, lang, pred""".stripMargin
+
+  /** qcd: q36's stratified quota sampling, re-keyed on the DERIVED
+    * language — train, score every document, then sample per
+    * PREDICTED stratum with q36's exact quota table and hash bucket.
+    * Closes the loop the language-ID family opened: governance
+    * decisions run on metadata the engine itself derived, end to
+    * end, with the whole chain (training trajectory → predictions →
+    * per-stratum keep set) integer-exact and oracle-replayed. */
+  def langIdStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = langIdFeatures(table(s, dir, "documents")).persist()
+    try {
+      val (classes, rounds) = langIdFit(f)
+      val wFinal = rounds.last._2
+      val chk = (for {
+        (row, ci) <- wFinal.zipWithIndex
+        (v, b) <- row.zipWithIndex
+      } yield v * (b + 1) * (ci + 1)).sum
+      val quota = typedLit(LangIdQuota)
+      val keep = Sampling.bucket100($"doc_id") <
+        coalesce(quota($"pred"), lit(50))
+      langIdScore(f, classes, wFinal)
+        .groupBy($"pred")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(keep, $"doc_id")), lit(0L))
+            .as("kept_id_checksum"))
+        .withColumn("w_checksum", lit(chk))
+        .orderBy($"pred")
+    } finally { f.unpersist(); () }
+  }
+
+  /** q36's per-language quotas, reused verbatim so qcd is literally
+    * "q36 on derived metadata". */
+  val LangIdQuota: Map[String, Int] =
+    Map("en" -> 30, "es" -> 60, "fr" -> 60, "de" -> 60, "zh" -> 90)
+
+  private def langIdStratifiedOracle: String = {
+    val quotaCase = "CASE pred " + LangIdQuota.toSeq.sorted.map {
+      case (l, q) => s"WHEN '$l' THEN $q"
+    }.mkString(" ") + " ELSE 50 END"
+    s"""$langIdServeSql,
+       |kb AS (SELECT pred, doc_id,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+       |         AS BIGINT) % 100 AS b
+       |  FROM pra)
+       |SELECT pred, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN b < $quotaCase THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(COALESCE(sum(CASE WHEN b < $quotaCase THEN doc_id END), 0)
+       |       AS BIGINT) AS kept_id_checksum,
+       |  (SELECT c FROM chk) AS w_checksum
+       |FROM kb GROUP BY pred ORDER BY pred""".stripMargin
   }
 
   /** q9d keep threshold: average NLL ≤ 3.4 nats (in micro units). On

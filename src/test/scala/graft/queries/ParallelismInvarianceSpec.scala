@@ -79,7 +79,8 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // either layer's shards are grouped, and qcc's per-doc sorted-
     // array neighbor counts are pure row functions
     "qc7_pii_redact", "qc8_pii_inventory", "qca_langid_apply",
-    "qcb_graph_ann_hnsw", "qcc_repetition_filter")
+    "qcb_graph_ann_hnsw", "qcc_repetition_filter",
+    "qcd_langid_stratified")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map(_.toSeq.map {

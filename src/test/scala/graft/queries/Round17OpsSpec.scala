@@ -225,6 +225,28 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(warm2 >= Similarity.HnswRecallPin)
   }
 
+  test("qcd samples on DERIVED language with the same model qca " +
+    "scored with, and strata partition the corpus") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val strat = SparkEntryAccess.run(spark, "qcd_langid_stratified", dir)
+      .cache()
+    try {
+      val rows = strat.collect()
+      assert(rows.map(_.getLong(1)).sum == 500L,
+        "per-stratum totals must partition the corpus")
+      rows.foreach { r =>
+        assert(r.getLong(2) <= r.getLong(1),
+          s"stratum ${r.getString(0)}: kept > total")
+      }
+      // the SAME model: qcd's weight checksum equals qca's
+      val qcaChk = SparkEntryAccess.run(spark, "qca_langid_apply", dir)
+        .select("w_checksum").head().getLong(0)
+      assert(rows.map(_.getLong(4)).distinct.toSeq == Seq(qcaChk),
+        "qcd must govern with the exact model qca scored with")
+    } finally { strat.unpersist(); () }
+  }
+
   // ---- r16 advice items ----------------------------------------------
 
   test("walkShard skips stale edges referencing nodes absent from the " +
