@@ -30,6 +30,21 @@ object Sampling extends Registry {
   /** Stable per-row bucket in [0, 100). */
   def bucket100(key: Column): Column = md5Prefix16(key) % 100
 
+  /** q36's per-language keep quotas (bucket100 cutoffs) — ONE
+    * definition, shared with qcd which re-keys the same sampling on
+    * the DERIVED language; the default for an unquoted language is
+    * [[LangQuotaDefault]] on both engine and oracle sides. */
+  val LangQuota: Map[String, Int] =
+    Map("en" -> 30, "es" -> 60, "fr" -> 60, "de" -> 60, "zh" -> 90)
+  val LangQuotaDefault = 50
+
+  /** The quota table as a SQL CASE over `col` — generated from
+    * [[LangQuota]] so the oracles cannot drift from the engine map. */
+  def langQuotaCaseSql(col: String): String =
+    s"CASE $col " + LangQuota.toSeq.sorted.map {
+      case (l, q) => s"WHEN '$l' THEN $q"
+    }.mkString(" ") + s" ELSE $LangQuotaDefault END"
+
   /** qc0/qc1: per-key top-k size, and qc1's per-salt-bucket row budget
     * (S = max(4, ceil(n/budget)) — small here so the shipped sf dirs
     * exercise multiple S values; a production 100 TB run sets the
@@ -82,25 +97,22 @@ object Sampling extends Registry {
       "q36_stratified_sample",
       (s, dir) => {
         import s.implicits._
-        val quota = typedLit(Map("en" -> 30, "es" -> 60, "fr" -> 60,
-          "de" -> 60, "zh" -> 90))
+        val quota = typedLit(LangQuota)
         table(s, dir, "documents")
           .withColumn("b", bucket100($"doc_id"))
-          .filter($"b" < coalesce(quota($"lang"), lit(50)))
+          .filter($"b" < coalesce(quota($"lang"), lit(LangQuotaDefault)))
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("id_checksum"))
           .orderBy($"lang")
       },
-      Some("""SELECT lang, count(*) AS n_kept,
-             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
-             |FROM (SELECT lang, doc_id,
-             |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-             |             AS BIGINT) % 100 AS b
-             |      FROM documents) t
-             |WHERE b < CASE lang WHEN 'en' THEN 30 WHEN 'es' THEN 60
-             |            WHEN 'fr' THEN 60 WHEN 'de' THEN 60
-             |            WHEN 'zh' THEN 90 ELSE 50 END
-             |GROUP BY lang ORDER BY lang""".stripMargin),
+      Some(s"""SELECT lang, count(*) AS n_kept,
+              |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+              |FROM (SELECT lang, doc_id,
+              |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              |             AS BIGINT) % 100 AS b
+              |      FROM documents) t
+              |WHERE b < ${langQuotaCaseSql("lang")}
+              |GROUP BY lang ORDER BY lang""".stripMargin),
       doc = "Deterministic stratified quota sampling per language"),
 
     // ------------------------------------------------------------------

@@ -1695,23 +1695,40 @@ object TextOps extends Registry {
     * which is exactly what the confusion matrix is for (the qb5
     * precedent: the metric disagreeing with the toy corpus is the
     * demonstration; the gated claim is the bit-exact trajectory). */
-  def langIdApply(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Positional checksum of a weight matrix — pins the exact model a
+    * downstream frame was derived with (qca's and qcd's gate column;
+    * the oracle's chk CTE computes the same sum). ONE definition so
+    * the qca≡qcd model-identity spec can't be broken one side at a
+    * time. */
+  def langIdChecksum(w: Array[Array[Long]]): Long =
+    (for {
+      (row, ci) <- w.zipWithIndex
+      (v, b) <- row.zipWithIndex
+    } yield v * (b + 1) * (ci + 1)).sum
+
+  /** The train-once lifecycle every serve shares: persist the feature
+    * projection, fit, hand (features, classes, final weights) to the
+    * body, unpersist — so no caller can forget the unpersist or
+    * retrain against an uncached frame. */
+  private def withLangIdModel[T](s: SparkSession, dir: String)(
+      body: (DataFrame, Seq[String], Array[Array[Long]]) => T): T = {
     val f = langIdFeatures(table(s, dir, "documents")).persist()
     try {
       val (classes, rounds) = langIdFit(f)
-      val wFinal = rounds.last._2
-      val chk = (for {
-        (row, ci) <- wFinal.zipWithIndex
-        (v, b) <- row.zipWithIndex
-      } yield v * (b + 1) * (ci + 1)).sum
+      body(f, classes, rounds.last._2)
+    } finally { f.unpersist(); () }
+  }
+
+  def langIdApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withLangIdModel(s, dir) { (f, classes, wFinal) =>
       langIdScore(f, classes, wFinal)
         .groupBy(when($"is_train", "train").otherwise("eval").as("split"),
           $"lang", $"pred")
         .agg(count(lit(1)).as("n_docs"))
-        .withColumn("w_checksum", lit(chk))
+        .withColumn("w_checksum", lit(langIdChecksum(wFinal)))
         .orderBy($"split", $"lang", $"pred")
-    } finally { f.unpersist(); () }
+    }
   }
 
   /** Literal-model scoring of a feature frame — the qca inference
@@ -1738,13 +1755,8 @@ object TextOps extends Registry {
     * state: C×K longs) — exposed so a serving path (a stream of
     * arriving documents) can score without retraining. */
   def langIdTrainedModel(s: SparkSession, dir: String)
-      : (Seq[String], Array[Array[Long]]) = {
-    val f = langIdFeatures(table(s, dir, "documents")).persist()
-    try {
-      val (classes, rounds) = langIdFit(f)
-      (classes, rounds.last._2)
-    } finally { f.unpersist(); () }
-  }
+      : (Seq[String], Array[Array[Long]]) =
+    withLangIdModel(s, dir) { (_, classes, wFinal) => (classes, wFinal) }
 
   /** Shared oracle prefix: features, class/bucket frames, zero
     * weights, and each unrolled round's score→pred→update→weights
@@ -1849,37 +1861,26 @@ object TextOps extends Registry {
     * per-stratum keep set) integer-exact and oracle-replayed. */
   def langIdStratified(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val f = langIdFeatures(table(s, dir, "documents")).persist()
-    try {
-      val (classes, rounds) = langIdFit(f)
-      val wFinal = rounds.last._2
-      val chk = (for {
-        (row, ci) <- wFinal.zipWithIndex
-        (v, b) <- row.zipWithIndex
-      } yield v * (b + 1) * (ci + 1)).sum
-      val quota = typedLit(LangIdQuota)
+    withLangIdModel(s, dir) { (f, classes, wFinal) =>
+      // q36's quota table and default, by reference — ONE definition
+      // (Sampling.LangQuota) so qcd stays literally "q36 on derived
+      // metadata" if the quotas are ever retuned
+      val quota = typedLit(Sampling.LangQuota)
       val keep = Sampling.bucket100($"doc_id") <
-        coalesce(quota($"pred"), lit(50))
+        coalesce(quota($"pred"), lit(Sampling.LangQuotaDefault))
       langIdScore(f, classes, wFinal)
         .groupBy($"pred")
         .agg(count(lit(1)).as("n_total"),
           sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
           coalesce(sum(when(keep, $"doc_id")), lit(0L))
             .as("kept_id_checksum"))
-        .withColumn("w_checksum", lit(chk))
+        .withColumn("w_checksum", lit(langIdChecksum(wFinal)))
         .orderBy($"pred")
-    } finally { f.unpersist(); () }
+    }
   }
 
-  /** q36's per-language quotas, reused verbatim so qcd is literally
-    * "q36 on derived metadata". */
-  val LangIdQuota: Map[String, Int] =
-    Map("en" -> 30, "es" -> 60, "fr" -> 60, "de" -> 60, "zh" -> 90)
-
   private def langIdStratifiedOracle: String = {
-    val quotaCase = "CASE pred " + LangIdQuota.toSeq.sorted.map {
-      case (l, q) => s"WHEN '$l' THEN $q"
-    }.mkString(" ") + " ELSE 50 END"
+    val quotaCase = Sampling.langQuotaCaseSql("pred")
     s"""$langIdServeSql,
        |kb AS (SELECT pred, doc_id,
        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)

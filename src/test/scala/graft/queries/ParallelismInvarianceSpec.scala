@@ -78,8 +78,11 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // partial-merge order, qcb's two-layer walk must not care how
     // either layer's shards are grouped, and qcc's per-doc sorted-
     // array neighbor counts are pure row functions
-    "qc7_pii_redact", "qc8_pii_inventory", "qca_langid_apply",
-    "qcb_graph_ann_hnsw", "qcc_repetition_filter",
+    // qc9 is the DIRECT training-invariance gate (per-round n_err and
+    // every weight cell ship as rows — a partition-order leak that
+    // cancels out of qca's checksum still changes this frame)
+    "qc7_pii_redact", "qc8_pii_inventory", "qc9_langid_train",
+    "qca_langid_apply", "qcb_graph_ann_hnsw", "qcc_repetition_filter",
     "qcd_langid_stratified")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
