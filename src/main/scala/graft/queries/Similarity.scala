@@ -798,20 +798,9 @@ object Similarity extends Registry {
     val src = s"$dir/embeddings.parquet"
     val key = s"v1|$src|${Tables.sourceStamp(src)}" +
       s"|exact-top$K|q=mod100lt$MaxQueryId"
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val stateDir = Tables.persistentScratchDir(s"q5b_exact_$tag")
-    val outDir = java.nio.file.Paths.get(stateDir, "topk")
-    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
-    val valid = java.nio.file.Files.exists(keyFile) &&
-      java.nio.file.Files.readString(keyFile) == key &&
-      java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
-    if (!valid) {
+    Tables.contentAddressed(s, "q5b_exact", key) {
       knnExactOn(corpus(s, dir)).coalesce(1)
-        .write.mode("overwrite").parquet(outDir.toString)
-      java.nio.file.Files.writeString(keyFile, key)
     }
-    s.read.parquet(outDir.toString)
   }
 
   def annRecall(s: SparkSession, dir: String): DataFrame = {
@@ -3150,15 +3139,7 @@ object Similarity extends Registry {
     val key = s"v1|$src|${Tables.sourceStamp(src)}" +
       s"|nsw-inc|P=$parts|M=$NswM|B=$NswBeam|H=$NswHops" +
       s"|delta=mod${NswDeltaMod}eq$NswDeltaRem"
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val stateDir = Tables.persistentScratchDir(s"qb7_nswinc_$tag")
-    val outDir = java.nio.file.Paths.get(stateDir, "edges")
-    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
-    val valid = java.nio.file.Files.exists(keyFile) &&
-      java.nio.file.Files.readString(keyFile) == key &&
-      java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
-    if (!valid) {
+    Tables.contentAddressed(s, "qb7_nswinc", key) {
       val c = corpus(s, dir)
       // computed edges ARE checkpointed (build path only): the walk's
       // unrolled hops would otherwise re-run the M-NN build per hop
@@ -3173,10 +3154,8 @@ object Similarity extends Registry {
         .unionAll(att.select(col("pt"), col("dst").as("src"),
           col("src").as("dst")))
         .distinct()
-        .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
-      java.nio.file.Files.writeString(keyFile, key)
+        .coalesce(1)
     }
-    s.read.parquet(outDir.toString)
   }
 
   /** Base-split M-NN edge set, recomputed from scratch — the spec's

@@ -3105,15 +3105,7 @@ object TextOps extends Registry {
       dir: String): DataFrame = {
     val src = s"$dir/documents.parquet"
     val key = s"v1|$src|${Tables.sourceStamp(src)}|kmv-exact|sh8|md5hex15"
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val stateDir = Tables.persistentScratchDir(s"qb8_exact_$tag")
-    val outDir = java.nio.file.Paths.get(stateDir, "pairs")
-    val keyFile = java.nio.file.Paths.get(stateDir, "_graft_index_key")
-    val valid = java.nio.file.Files.exists(keyFile) &&
-      java.nio.file.Files.readString(keyFile) == key &&
-      java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
-    if (!valid) {
+    Tables.contentAddressed(s, "qb8_exact", key) {
       val d = kmvGrams(s, dir).distinct()
       val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("c"))
       val shared = d.as("a")
@@ -3129,10 +3121,8 @@ object TextOps extends Registry {
         .join(shared, Seq("source_a", "source_b"), "left")
         .select(col("source_a"), col("source_b"), col("ca"), col("cb"),
           coalesce(col("exact_shared"), lit(0L)).as("exact_shared"))
-        .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
-      java.nio.file.Files.writeString(keyFile, key)
+        .coalesce(1)
     }
-    s.read.parquet(outDir.toString)
   }
 
   /** The standard KMV estimator on a sorted sketch column, integer-

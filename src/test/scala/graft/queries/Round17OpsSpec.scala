@@ -73,6 +73,39 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(got(5L) == "phone [PHONE] is not an id; id [ID] is not a phone")
   }
 
+  test("qc7: documents scrubbed as a STREAM match the batch redaction") {
+    // PII scrubbing is stateless per document, so the streaming form
+    // is the trivially-correct one — this pins that the shipped stage
+    // chain really is per-row (a stage that accidentally depended on
+    // cross-document state would diverge under micro-batching)
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val streamDir = java.nio.file.Files.createTempDirectory("qc7-stream")
+    docs.repartition(2).write.mode("overwrite").parquet(streamDir.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val query = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = Privacy.redactStages(Privacy.plantedDocs(df))
+          .select(col("doc_id"), md5(col("t4").cast("binary")))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        out.synchronized { out ++= rows }
+        ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    val batch = SparkEntryAccess.run(spark, "qc7_pii_redact", dir)
+      .select("doc_id", "red_md5").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.toSet == batch && batch.size == 500,
+      "streamed per-trigger redaction diverged from the batch pass")
+  }
+
   test("qc8 inventory carries no doc from the clean or negative " +
     "branches and covers all four classes") {
     import org.apache.spark.sql.functions._
