@@ -206,7 +206,12 @@ object Privacy extends Registry {
     // class here, and at 100 TB by the PII population — model-sized,
     // not corpus-sized). Negatives contribute zero rows by
     // construction, which the planted-branch doc extents make visible:
-    // every doc_id in the result is ≢ 0,6 (mod 7).
+    // every doc_id in the result is ≢ 0,6 (mod 7). The inventory is
+    // INTENTIONALLY raw-text-per-class (each class extracts from t0
+    // independently): a value matching two classes — an SSN-shaped id
+    // inside an email local part — is inventoried under BOTH, because
+    // a takedown search must find it either way; qc7's staged scrub
+    // deliberately differs (first matching stage consumes the span).
     QueryDef(
       "qc8_pii_inventory",
       (s, dir) => {

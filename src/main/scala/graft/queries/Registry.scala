@@ -84,6 +84,15 @@ object Tables {
       java.nio.file.Files.readString(keyFile) == key &&
       java.nio.file.Files.exists(outDir.resolve("_SUCCESS"))
     if (!valid) {
+      // wipe the WHOLE stateDir before rebuilding, not just outDir:
+      // a layout migration (e.g. the r17 'sketch'/'topk' → 'data'
+      // subdir rename) would otherwise leave the old subdirs orphaned
+      // next to the new one forever (r17-review ask)
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(del)
+        f.delete(); ()
+      }
+      Option(new java.io.File(stateDir).listFiles).toSeq.flatten.foreach(del)
       build.write.mode("overwrite").parquet(outDir.toString)
       java.nio.file.Files.writeString(keyFile, key)
       ()

@@ -1665,23 +1665,68 @@ object TextOps extends Registry {
     (classes, out.result())
   }
 
+  /** Content-address key for the trained model/trajectory store —
+    * corpus identity (path + size|mtime stamp) × every hyperparameter
+    * that shapes training. Any corpus regeneration or retune is a new
+    * key → rebuild; same corpus → the whole family serves from one
+    * stored train run. */
+  private def langIdKey(dir: String): String = {
+    val p = s"$dir/documents.parquet"
+    s"v1|$p|${Tables.sourceStamp(p)}" +
+      s"|k=$LangIdBuckets|r=$LangIdRounds|pfx=$LangIdPrefix"
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The stored training trajectory — (round, n_err, cls, bucket, w,
+    * traj_md5), content-addressed on [[langIdKey]] (the q99/qb6
+    * build-once idiom the r17 review asked this family to adopt):
+    * training runs ONCE per (corpus, hyperparams); qc9 ships the
+    * stored rows and qca/qcd serve from the final-round slice instead
+    * of retraining (they were 3× re-training the same model
+    * in-suite). Two hardening measures from the r17 qc9 post-mortem
+    * (an unreproducible driver-side hash mismatch) live here:
+    * (a) the BUILD runs [[langIdFit]] TWICE in the same session over
+    * the same persisted features and requires bit-identical
+    * trajectories — a same-session double-run determinism gate, paid
+    * only at build; (b) traj_md5 (md5 of the round's weight VECTOR
+    * for that class, comma-joined in bucket order — recomputed
+    * independently by the oracle) rides in-band, so any future
+    * mismatch localizes to a (round, cls) instead of a bare
+    * "hash_match: false". */
+  def langIdTrajectory(s: SparkSession, dir: String): DataFrame =
+    Tables.contentAddressed(s, "qc9_langid", langIdKey(dir)) {
+      import s.implicits._
+      val f = langIdFeatures(table(s, dir, "documents")).persist()
+      try {
+        val (classes, rounds) = langIdFit(f)
+        val (classes2, rounds2) = langIdFit(f)
+        require(classes == classes2 &&
+          rounds.map(_._1) == rounds2.map(_._1) &&
+          rounds.map(_._2.map(_.toSeq).toSeq) ==
+            rounds2.map(_._2.map(_.toSeq).toSeq),
+          "langIdFit: two same-session fits diverged — training is " +
+            "not deterministic on this corpus")
+        val rows = for {
+          (snapshot, r0) <- rounds.zipWithIndex
+          (c, ci) <- classes.zipWithIndex
+          b <- 0 until LangIdBuckets
+        } yield (r0 + 1, snapshot._1, c, b, snapshot._2(ci)(b),
+          md5Hex(snapshot._2(ci).mkString(",")))
+        rows.toDF("round", "n_err", "cls", "bucket", "w", "traj_md5")
+      } finally { f.unpersist(); () }
+    }
+
   /** qc9: the full per-round integer weight trajectory as data —
     * every (round, cls, bucket) cell ships, so the oracle's unrolled
     * replay gates the training bit-for-bit (stronger than a checksum;
-    * the q9a standard extended to a weight MATRIX). */
+    * the q9a standard extended to a weight MATRIX), plus the per-
+    * (round, cls) traj_md5 both engines derive independently. */
   def langIdTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val f = langIdFeatures(table(s, dir, "documents")).persist()
-    try {
-      val (classes, rounds) = langIdFit(f)
-      val rows = for {
-        (snapshot, r0) <- rounds.zipWithIndex
-        (c, ci) <- classes.zipWithIndex
-        b <- 0 until LangIdBuckets
-      } yield (r0 + 1, snapshot._1, c, b, snapshot._2(ci)(b))
-      rows.toDF("round", "n_err", "cls", "bucket", "w")
-        .orderBy($"round", $"cls", $"bucket")
-    } finally { f.unpersist(); () }
+    langIdTrajectory(s, dir).orderBy($"round", $"cls", $"bucket")
   }
 
   /** qca: score EVERY document (train and eval splits) with the
@@ -1706,17 +1751,31 @@ object TextOps extends Registry {
       (v, b) <- row.zipWithIndex
     } yield v * (b + 1) * (ci + 1)).sum
 
-  /** The train-once lifecycle every serve shares: persist the feature
-    * projection, fit, hand (features, classes, final weights) to the
-    * body, unpersist — so no caller can forget the unpersist or
-    * retrain against an uncached frame. */
+  /** Final-round (classes, W) from the trajectory store — the
+    * train-once/serve-many read path (bounded collect: C×K integer
+    * rows, model-sized by construction). */
+  def langIdStoredModel(s: SparkSession, dir: String)
+      : (Seq[String], Array[Array[Long]]) = {
+    import s.implicits._
+    val rows = langIdTrajectory(s, dir)
+      .filter($"round" === LangIdRounds)
+      .select($"cls", $"bucket", $"w")
+      .as[(String, Int, Long)].collect()
+    val classes = rows.map(_._1).distinct.sorted.toSeq
+    val w = Array.fill(classes.size, LangIdBuckets)(0L)
+    rows.foreach { case (c, b, v) => w(classes.indexOf(c))(b) = v }
+    (classes, w)
+  }
+
+  /** The serve-path lifecycle every scorer shares: load the stored
+    * final model (training at most once per corpus via the store) and
+    * hand (features, classes, final weights) to the body. The feature
+    * frame is NOT persisted — each serve path consumes it exactly
+    * once, so the plan is a single scan + broadcast join. */
   private def withLangIdModel[T](s: SparkSession, dir: String)(
       body: (DataFrame, Seq[String], Array[Array[Long]]) => T): T = {
-    val f = langIdFeatures(table(s, dir, "documents")).persist()
-    try {
-      val (classes, rounds) = langIdFit(f)
-      body(f, classes, rounds.last._2)
-    } finally { f.unpersist(); () }
+    val (classes, wFinal) = langIdStoredModel(s, dir)
+    body(langIdFeatures(table(s, dir, "documents")), classes, wFinal)
   }
 
   def langIdApply(s: SparkSession, dir: String): DataFrame = {
@@ -1755,8 +1814,7 @@ object TextOps extends Registry {
     * state: C×K longs) — exposed so a serving path (a stream of
     * arriving documents) can score without retraining. */
   def langIdTrainedModel(s: SparkSession, dir: String)
-      : (Seq[String], Array[Array[Long]]) =
-    withLangIdModel(s, dir) { (_, classes, wFinal) => (classes, wFinal) }
+      : (Seq[String], Array[Array[Long]]) = langIdStoredModel(s, dir)
 
   /** Shared oracle prefix: features, class/bucket frames, zero
     * weights, and each unrolled round's score→pred→update→weights
@@ -1812,13 +1870,31 @@ object TextOps extends Registry {
        |       FROM classes, buckets),
        |${(1 to LangIdRounds).map(langIdRoundSql).mkString(",\n")}""".stripMargin
 
+  /** qc9 oracle tail: version-conservative SQL only (the r17 driver
+    * run flagged qc9 with a hash mismatch no judge-side replay could
+    * reproduce — the scalar subqueries `(SELECT n_err FROM e$r)` were
+    * the one construct qc9 used that the PASSING qca/qcd oracles
+    * don't, so n_err now rides in via plain CROSS JOINs of the
+    * one-row e$r CTEs instead). traj_md5 re-derives the in-band
+    * per-(round, cls) weight-vector hash with string_agg in bucket
+    * order — the same comma-joined Long rendering the engine hashes
+    * driver-side. */
   private def langIdTrainOracle: String = {
     val unions = (1 to LangIdRounds).map { r =>
-      s"""SELECT $r AS round, (SELECT n_err FROM e$r) AS n_err,
-         |  cls, bucket, w FROM w$r""".stripMargin
+      s"""SELECT $r AS round, e$r.n_err, w.cls, w.bucket,
+         |    CAST(w.w AS BIGINT) AS w
+         |  FROM w$r w CROSS JOIN e$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""$langIdCommonSql
-       |$unions
+    s"""$langIdCommonSql,
+       |tr AS (
+       |$unions),
+       |tm AS (
+       |  SELECT round, cls,
+       |    md5(string_agg(CAST(w AS VARCHAR), ',' ORDER BY bucket))
+       |      AS traj_md5
+       |  FROM tr GROUP BY round, cls)
+       |SELECT tr.round, tr.n_err, tr.cls, tr.bucket, tr.w, tm.traj_md5
+       |FROM tr JOIN tm ON tm.round = tr.round AND tm.cls = tr.cls
        |ORDER BY round, cls, bucket""".stripMargin
   }
 
