@@ -39,14 +39,23 @@ object Tables {
     * use this instead of fresh createTempDirectory calls so repeated
     * Verify/Bench runs are bounded to ONE resident copy per query
     * rather than leaking corpus-sized temp dirs. */
+  /** ONE recursive delete for every scratch/store wipe (scratchDir,
+    * contentAddressed) — does NOT descend into directory symlinks
+    * (the link itself is removed, its target untouched), and fails
+    * LOUDLY when an entry survives deletion: a silently half-wiped
+    * content-addressed stateDir would rebuild next to stale files,
+    * which is exactly the orphan hazard the wipe exists to prevent. */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles).toSeq.flatten.foreach(deleteRecursively)
+    if (!f.delete() && f.exists())
+      throw new java.io.IOException(s"scratch wipe: failed to delete $f")
+  }
+
   def scratchDir(name: String): String = {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_scratch", name)
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles).toSeq.flatten.foreach(del)
-      f.delete(); ()
-    }
-    del(p.toFile)
+    deleteRecursively(p.toFile)
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
@@ -88,11 +97,8 @@ object Tables {
       // a layout migration (e.g. the r17 'sketch'/'topk' → 'data'
       // subdir rename) would otherwise leave the old subdirs orphaned
       // next to the new one forever (r17-review ask)
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles).toSeq.flatten.foreach(del)
-        f.delete(); ()
-      }
-      Option(new java.io.File(stateDir).listFiles).toSeq.flatten.foreach(del)
+      Option(new java.io.File(stateDir).listFiles).toSeq.flatten
+        .foreach(deleteRecursively)
       build.write.mode("overwrite").parquet(outDir.toString)
       java.nio.file.Files.writeString(keyFile, key)
       ()
