@@ -83,7 +83,12 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // cancels out of qca's checksum still changes this frame)
     "qc7_pii_redact", "qc8_pii_inventory", "qc9_langid_train",
     "qca_langid_apply", "qcb_graph_ann_hnsw", "qcc_repetition_filter",
-    "qcd_langid_stratified")
+    "qcd_langid_stratified",
+    // r19: the mojibake repair and lexicon shares are pure row
+    // functions (the gate guards the plant arithmetic + output sort),
+    // and qce additionally proves the codec expression behaves
+    // identically across codegen contexts
+    "qce_encoding_hygiene", "qcf_lexicon_filter")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map(_.toSeq.map {
