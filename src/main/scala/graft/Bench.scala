@@ -320,7 +320,24 @@ object Bench {
     // this round's clean open pair, PRE-fix code). Re-pin only when
     // the query set changes materially or the host demonstrably
     // changes.
-    val baselinePin = 153.7
+    // r19 PIN = 115.1s for the 204-query suite (sf0.1, local[32],
+    // shuffle=32, min-of-2 per query, warm stored state). Evidence
+    // pair: back-to-back idle runs 116.318/115.052 (launch load 0.02,
+    // zero users, GC 2.6/2.8s — clean runs). Deltas vs the r17 153.7
+    // pin are REAL plan changes, not box drift: the same box same day
+    // read 140.442/135.581 at round-19 OPEN on the unchanged r18 code
+    // (202 queries), and the close suite differs by (a) the qba/qbb
+    // span-store serve — the derived maximal-match span set is now
+    // content-addressed like every other family index, so qba reads
+    // stored spans (5.5s → 0.26s solo) and qbb cuts from the same
+    // store (5.6s → 0.62s) — about −10s in-suite, (b) warm stores
+    // everywhere at close vs the open pair's partially-cold state,
+    // and (c) +0.4s from the two r19 queries (qce 0.18, qcf 0.19).
+    // The open-vs-close gap beyond the span store is intra-day drift
+    // within the documented ±15% band of this host. Re-pin only when
+    // the query set changes materially or the host demonstrably
+    // changes; never from a loaded run.
+    val baselinePin = 115.1
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val gcTotal = (gcMillis() - gcStart) / 1e3

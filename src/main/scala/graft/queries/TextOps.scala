@@ -1827,14 +1827,26 @@ object TextOps extends Registry {
   def langIdStoredModel(s: SparkSession, dir: String)
       : (Seq[String], Array[Array[Long]]) = {
     import s.implicits._
-    val rows = langIdTrajectory(s, dir)
+    val traj = langIdTrajectory(s, dir)
+    val rows = traj
       .filter($"round" === LangIdRounds)
       .select($"cls", $"bucket", $"w")
       .as[(String, Int, Long)].collect()
     val classes = rows.map(_._1).distinct.sorted.toSeq
     // a partially-written store that still carries _SUCCESS and a
     // matching key would otherwise zero-fill missing cells and serve
-    // wrong weights silently — fail loudly at load instead
+    // wrong weights silently — fail loudly at load instead. Two
+    // checks because the cell count alone can't see CLASS-ALIGNED
+    // loss (drop all K buckets of one class and both sides of the
+    // count identity shrink together): the class set of the final
+    // slice must equal the class set of the WHOLE stored trajectory
+    // (store-local — no corpus rescan).
+    val allClasses = traj.select($"cls").distinct()
+      .as[String].collect().sorted.toSeq
+    require(classes == allClasses,
+      s"langIdStoredModel: final-round slice carries classes $classes " +
+        s"but the stored trajectory carries $allClasses — stored " +
+        "trajectory is corrupt; delete the qc9_langid store dir")
     require(rows.length == classes.size * LangIdBuckets,
       s"langIdStoredModel: final-round slice has ${rows.length} cells, " +
         s"expected ${classes.size} classes x $LangIdBuckets buckets — " +
