@@ -454,12 +454,17 @@ object Dedup extends Registry {
     // content-class groupBy runs once per query, not once per consumer
     exactSubstringPairsOn(repsIn.localCheckpoint(true))
 
-  /** Content-address key of the qba/qbb shared rep+seed store —
-    * corpus identity × every parameter that shapes reps or seeds. */
+  /** Content-address key of the qba/qbb shared rep+span store —
+    * corpus identity × every parameter that shapes the stored spans:
+    * seed length, bucket cap, AND the min-match filter (the span set
+    * is post-filter, so a retuned SubstrMinMatch must miss the key —
+    * the same rule qbc's index key follows). The reps store shares
+    * the key; over-keying reps is harmless (one extra rebuild per
+    * retune), under-keying spans would serve stale results. */
   private def substrStoreKey(dir: String): String = {
     val p = s"$dir/documents.parquet"
     s"v1|$p|${Tables.sourceStamp(p)}" +
-      s"|k=$SubstrSeedLen|cap=$MaxBucketSize|all"
+      s"|k=$SubstrSeedLen|min=$SubstrMinMatch|cap=$MaxBucketSize|all"
   }
 
   /** Stored content-class reps of the WHOLE corpus — the qbc
