@@ -124,7 +124,8 @@ object PlanAudit {
     "qcc_repetition_filter",  // per-doc array ops, zero shuffle
     "qcd_langid_stratified",  // govern on derived metadata, one pass
     "qce_encoding_hygiene",   // codegen repair expr, narrow scan only
-    "qcf_lexicon_filter")     // per-doc lexicon shares, zero shuffle
+    "qcf_lexicon_filter",     // per-doc lexicon shares, zero shuffle
+    "qcg_unicode_normalize")  // codegen NFC expr, narrow scan only
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated

@@ -1314,7 +1314,37 @@ object TextOps extends Registry {
       Some(lexiconFilterOracle),
       doc = "Lexicon safety gate: per-category token-hit micro-shares " +
         "from one narrow scan, zero-tolerance and threshold branches " +
-        "both exercised, keep decision + every share oracle-matched")
+        "both exercised, keep decision + every share oracle-matched"),
+
+    // ------------------------------------------------------------------
+    // qcg: UNICODE NFC NORMALIZATION — the pre-tokenization pass every
+    // production pipeline runs before qce's byte-level repair hands
+    // off to dedup/tokenization: the same visible string arrives from
+    // crawls decomposed (e + U+0301) and precomposed (é), and an
+    // un-normalized corpus splits identical words across tokenizer
+    // entries, breaks q40's exact digests on canonically-equal text,
+    // and double-counts n-grams. NFC, not NFKC, deliberately —
+    // canonical composition is lossless (the ligature fixture must
+    // NOT change); compatibility folding is a separate lossy policy.
+    // The gate is unusually strong for zero oracle code: the ASCII
+    // corpus gets decomposed fixtures planted (the qc7/qce
+    // discipline — LVT hangul jamo, partial compositions, a
+    // no-precomposed-form guard, an already-NFC guard) and BOTH
+    // engines then normalize the same constructed input with
+    // UNRELATED NFC implementations (JDK Normalizer vs DuckDB's
+    // utf8proc) — md5 equality per row means two independent UAX #15
+    // codebases agree byte-for-byte. Plan shape: one narrow
+    // projection, zero shuffles; isNormalized short-circuits
+    // already-clean rows (the 100 TB hot path).
+    QueryDef(
+      "qcg_unicode_normalize",
+      (s, dir) => unicodeNormalize(s, dir),
+      Some(unicodeNormalizeOracle),
+      doc = "Unicode NFC normalization: planted decomposed fixtures " +
+        "(LVT hangul, partial composition, ligature and " +
+        "no-precomposed guards) normalized independently by JDK and " +
+        "utf8proc NFC - md5-gated byte agreement, codepoint deltas " +
+        "in-band, one narrow scan")
   )
 
   /** The qb1 kernel over an explicit (doc_id, text) frame — factored
@@ -3792,5 +3822,87 @@ object TextOps extends Registry {
        |    AND bulk_hits * 1000000 // n_words <= $LexiconBulkMicroMax
        |    AND dupe_hits = 0 AS kept
        |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- qcg: Unicode NFC normalization ----------------------------------
+
+  /** Planted decomposed/edge fixtures — (input, must-change flag used
+    * by the spec only; the ORACLE normalizes independently). Escaped
+    * codepoints so the source stays ASCII:
+    *  0 e+COMBINING ACUTE        -> \u00e9 (composes)
+    *  1 a/u+COMBINING DIAERESIS  -> \u00e4/\u00fc (two compositions)
+    *  2 already-NFC text          (must NOT change)
+    *  3 fi/fl ligatures           (NFC keeps them: NFC != NFKC guard)
+    *  4 hangul jamo L+V+T        -> one LVT syllable \uac01
+    *  5 q+dot (no precomposed) vs r+dot (-> \u1e59): mixed in one row
+    *  6 o+ogonek+acute           -> partial composition \u01eb+\u0301
+    *  7 A+ring, B+acute (none exists), C+cedilla -> mixed */
+  private[queries] val NfcFixtures: Seq[(String, Boolean)] = Seq(
+    ("e\u0301clair", true),
+    ("a\u0308 u\u0308ber", true),
+    ("caf\u00e9 nfc", false),
+    ("\ufb01le \ufb02ow", false),
+    ("\u1100\u1161\u11a8 hangul", true),
+    ("q\u0307 r\u0307", true),
+    ("o\u0328\u0301 mixed", true),
+    ("A\u030a B\u0301 C\u0327", true))
+
+  def unicodeNormalize(s: SparkSession, dir: String): DataFrame =
+    unicodeNormalizeOf(table(s, dir, "documents"))
+
+  /** The qcg kernel over any (doc_id, text) frame — factored so the
+    * spec can replay the fixture table and hand cases through the
+    * exact shipped plant + normalize + metrics. */
+  def unicodeNormalizeOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
+    val n = NfcFixtures.size
+    val fxArr = array(NfcFixtures.map(f => lit(f._1)): _*)
+    docs
+      .select($"doc_id", $"text",
+        ($"doc_id" % 6 === 4).as("planted"),
+        expr(s"CAST((doc_id div 6) % $n AS INT)").as("fi0"))
+      .select($"doc_id", $"planted",
+        when($"planted", $"fi0").otherwise(-1).as("fi"),
+        when($"planted",
+          concat(element_at(fxArr, $"fi0" + 1), lit(" "), $"text"))
+          .otherwise($"text").as("input_text"))
+      .withColumn("norm", expr("nfc_normalize(input_text)"))
+      .select($"doc_id", $"planted", $"fi",
+        length($"input_text").cast("long").as("cp_before"),
+        length($"norm").cast("long").as("cp_after"),
+        ($"norm" =!= $"input_text").as("changed"),
+        md5($"norm").as("norm_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** The oracle normalizes the SAME constructed input with DuckDB's
+    * own NFC (utf8proc) — no expected-output table: the gate is two
+    * unrelated UAX #15 implementations agreeing byte-for-byte on
+    * every row. */
+  private def unicodeNormalizeOracle: String = {
+    val n = NfcFixtures.size
+    val vals = NfcFixtures.zipWithIndex.map { case ((raw, _), i) =>
+      s"($i, ${sqlLit(raw)})"
+    }.mkString(",\n    ")
+    s"""WITH fx(fi, raw) AS (VALUES
+       |    $vals),
+       |d AS (
+       |  SELECT doc_id, text, doc_id % 6 = 4 AS planted,
+       |    CAST((doc_id // 6) % $n AS INT) AS fi0
+       |  FROM documents),
+       |j AS (
+       |  SELECT d.doc_id, d.planted,
+       |    CASE WHEN d.planted THEN d.fi0 ELSE -1 END AS fi,
+       |    CASE WHEN d.planted THEN f.raw || ' ' || d.text
+       |         ELSE d.text END AS input_text
+       |  FROM d LEFT JOIN fx f ON d.planted AND f.fi = d.fi0)
+       |SELECT doc_id, planted, fi,
+       |  CAST(length(input_text) AS BIGINT) AS cp_before,
+       |  CAST(length(nfc_normalize(input_text)) AS BIGINT) AS cp_after,
+       |  nfc_normalize(input_text) != input_text AS changed,
+       |  md5(nfc_normalize(input_text)) AS norm_md5
+       |FROM j ORDER BY doc_id""".stripMargin
   }
 }

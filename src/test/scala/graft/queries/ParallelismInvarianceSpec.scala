@@ -88,7 +88,8 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // functions (the gate guards the plant arithmetic + output sort),
     // and qce additionally proves the codec expression behaves
     // identically across codegen contexts
-    "qce_encoding_hygiene", "qcf_lexicon_filter")
+    "qce_encoding_hygiene", "qcf_lexicon_filter",
+    "qcg_unicode_normalize")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map(_.toSeq.map {

@@ -230,4 +230,70 @@ class Round19OpsSpec extends AnyFunSuite {
       "symlink target contents were deleted through the link")
     Tables.deleteRecursively(base.toFile)
   }
+
+  // ---- qcg: Unicode NFC normalization -----------------------------------
+
+  test("NFC fixtures normalize to the hand-pinned UAX #15 forms") {
+    // fixture 7: A+ring -> \u00c5, B+acute has no precomposed form
+    // (stays decomposed), C+cedilla -> \u00c7
+    val expected = Seq(
+      "\u00e9clair",
+      "\u00e4 \u00fcber",
+      "caf\u00e9 nfc",
+      "\ufb01le \ufb02ow",
+      "\uac01 hangul",
+      "q\u0307 \u1e59",
+      "\u01eb\u0301 mixed",
+      "\u00c5 B\u0301 \u00c7")
+    for (((raw, mustChange), i) <- TextOps.NfcFixtures.zipWithIndex) {
+      val got = graft.expressions.NfcNormalize.eval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw)).toString
+      val want = expected(i)
+      assert(got == want, s"fixture $i NFC output diverged")
+      assert((got != raw) == mustChange, s"fixture $i changed flag")
+      // idempotence: NFC is a projection
+      val again = graft.expressions.NfcNormalize.eval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(got)).toString
+      assert(again == got, s"fixture $i NFC not idempotent")
+    }
+  }
+
+  test("NFC fast path: already-normalized input returns the SAME " +
+    "UTF8String instance (no allocation on the clean hot path)") {
+    val in = org.apache.spark.unsafe.types.UTF8String.fromString(
+      "plain ascii corpus row")
+    assert(graft.expressions.NfcNormalize.eval(in) eq in)
+    val nfc = org.apache.spark.unsafe.types.UTF8String.fromString(
+      "caf\u00e9 already composed")
+    assert(graft.expressions.NfcNormalize.eval(nfc) eq nfc)
+  }
+
+  test("qcg kernel: planted rows change exactly when the fixture " +
+    "composes, codepoint deltas match, clean rows are identity") {
+    import spark.implicits._
+    val out = TextOps.unicodeNormalize(spark, sfDir)
+      .select($"doc_id", $"planted", $"fi", $"cp_before", $"cp_after",
+        $"changed")
+      .collect()
+    // per-fixture codepoint shrink of the PREFIX under NFC
+    val delta = Seq(1L, 2L, 0L, 0L, 2L, 1L, 1L, 2L)
+    var plantedSeen = 0
+    for (row <- out) {
+      val id = row.getLong(0)
+      assert(row.getBoolean(1) == (id % 6 == 4))
+      if (!row.getBoolean(1)) {
+        assert(row.getInt(2) == -1 &&
+          row.getLong(3) == row.getLong(4) && !row.getBoolean(5),
+          s"clean doc $id was touched")
+      } else {
+        plantedSeen += 1
+        val fi = row.getInt(2)
+        assert(row.getLong(3) - row.getLong(4) == delta(fi),
+          s"doc $id fixture $fi codepoint delta")
+        assert(row.getBoolean(5) == TextOps.NfcFixtures(fi)._2,
+          s"doc $id fixture $fi changed flag")
+      }
+    }
+    assert(plantedSeen > 50, s"plant rate degenerate: $plantedSeen")
+  }
 }
