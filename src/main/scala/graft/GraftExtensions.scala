@@ -256,13 +256,19 @@ object GraftExtensions {
       Seq[Expression] => Expression) = (
     FunctionIdentifier("fix_mojibake"),
     new ExpressionInfo(classOf[MojibakeRepairExpr].getName, "fix_mojibake"),
-    (args: Seq[Expression]) => MojibakeRepairExpr(args.head))
+    (args: Seq[Expression]) => args match {
+      case Seq(text) => MojibakeRepairExpr(text)
+      case _ => throw new IllegalArgumentException("fix_mojibake(text)")
+    })
 
   private val nfcNormalize: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("nfc_normalize"),
     new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
-    (args: Seq[Expression]) => NfcNormalizeExpr(args.head))
+    (args: Seq[Expression]) => args match {
+      case Seq(text) => NfcNormalizeExpr(text)
+      case _ => throw new IllegalArgumentException("nfc_normalize(text)")
+    })
 
   private val wavMulawEncode: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (

@@ -110,11 +110,32 @@ object MojibakeRepair {
     (cur, it)
   }
 
+  /** Pure-ASCII bytes (no lead byte ≥ 0x80) can carry no mojibake —
+    * the UTF8String-level fast path that keeps the dominant clean
+    * row to ONE byte scan with zero decode/alloc work. */
+  private def asciiOnly(text: UTF8String): Boolean = {
+    val b = text.getBytes
+    var i = 0
+    while (i < b.length) {
+      if ((b(i) & 0x80) != 0) return false
+      i += 1
+    }
+    true
+  }
+
   def eval(text: UTF8String): GenericInternalRow = {
-    val (fixed, iters) = repair(text.toString)
     val row = new GenericInternalRow(2)
-    row.update(0, UTF8String.fromString(fixed))
-    row.setInt(1, iters)
+    if (asciiOnly(text)) {
+      // the 100 TB hot path: no String decode, original binary reused
+      row.update(0, text)
+      row.setInt(1, 0)
+    } else {
+      val s = text.toString
+      val (fixed, iters) = repair(s)
+      row.update(0,
+        if (fixed eq s) text else UTF8String.fromString(fixed))
+      row.setInt(1, iters)
+    }
     row
   }
 }

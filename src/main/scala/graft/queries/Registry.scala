@@ -34,24 +34,28 @@ object Tables {
   def eventsRaw(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.readBatch(spark, s"$dir/events.parquet")
 
-  /** Fixed per-name scratch directory, deleted and recreated on every
-    * call — queries that write real output (e2e pipelines, layout ops)
-    * use this instead of fresh createTempDirectory calls so repeated
-    * Verify/Bench runs are bounded to ONE resident copy per query
-    * rather than leaking corpus-sized temp dirs. */
   /** ONE recursive delete for every scratch/store wipe (scratchDir,
     * contentAddressed) — does NOT descend into directory symlinks
     * (the link itself is removed, its target untouched), and fails
     * LOUDLY when an entry survives deletion: a silently half-wiped
     * content-addressed stateDir would rebuild next to stale files,
-    * which is exactly the orphan hazard the wipe exists to prevent. */
+    * which is exactly the orphan hazard the wipe exists to prevent.
+    * The survival check is NOFOLLOW — a dangling symlink that
+    * delete() failed on would read exists()=false through the broken
+    * link and slip past a follow-links check. */
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
       Option(f.listFiles).toSeq.flatten.foreach(deleteRecursively)
-    if (!f.delete() && f.exists())
+    if (!f.delete() && java.nio.file.Files.exists(f.toPath,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
       throw new java.io.IOException(s"scratch wipe: failed to delete $f")
   }
 
+  /** Fixed per-name scratch directory, deleted and recreated on every
+    * call — queries that write real output (e2e pipelines, layout ops)
+    * use this instead of fresh createTempDirectory calls so repeated
+    * Verify/Bench runs are bounded to ONE resident copy per query
+    * rather than leaking corpus-sized temp dirs. */
   def scratchDir(name: String): String = {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_scratch", name)
