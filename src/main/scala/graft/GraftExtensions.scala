@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, MojibakeRepairExpr, NfcNormalizeExpr, SeedWindowsExpr,AviDibEncodeExpr, AviDibFramesExpr, AviRle8EncodeExpr, AviRle8PixelsExpr, BmpHeightExpr, KmvSketchAgg, TopKPairsAgg, MgSketchAgg, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavAlawEncodeExpr, WavAlawSamplesExpr, WavImaEncodeExpr, WavImaSamplesExpr, WavMulawEncodeExpr, WavMulawSamplesExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, MojibakeRepairExpr, NfcNormalizeExpr, PhraseMatchExpr, SeedWindowsExpr,AviDibEncodeExpr, AviDibFramesExpr, AviRle8EncodeExpr, AviRle8PixelsExpr, BmpHeightExpr, KmvSketchAgg, TopKPairsAgg, MgSketchAgg, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavAlawEncodeExpr, WavAlawSamplesExpr, WavImaEncodeExpr, WavImaSamplesExpr, WavMulawEncodeExpr, WavMulawSamplesExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.seedWindows)
     ext.injectFunction(GraftExtensions.fixMojibake)
     ext.injectFunction(GraftExtensions.nfcNormalize)
+    ext.injectFunction(GraftExtensions.phraseMatches)
     ext.injectFunction(GraftExtensions.wavMulawEncode)
     ext.injectFunction(GraftExtensions.wavMulawSamples)
     ext.injectFunction(GraftExtensions.wavAlawEncode)
@@ -270,6 +271,22 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException("nfc_normalize(text)")
     })
 
+  private val phraseMatches: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("phrase_matches"),
+    new ExpressionInfo(classOf[PhraseMatchExpr].getName, "phrase_matches"),
+    (args: Seq[Expression]) => args match {
+      case Seq(text, specExpr) =>
+        val spec = (if (specExpr.foldable) specExpr.eval() else null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case _ => throw new IllegalArgumentException(
+            "phrase_matches requires a constant '|'-joined phrase list")
+        }
+        PhraseMatchExpr(text, spec.split('|').toSeq)
+      case _ => throw new IllegalArgumentException(
+        "phrase_matches(text, 'phrase|phrase|...')")
+    })
+
   private val wavMulawEncode: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("wav_mulaw_encode"),
@@ -475,7 +492,7 @@ object GraftExtensions {
         aviEncode, aviFrames, aviRleEncode, aviRlePixels, kmvSketch,
         topkPairs, mgSketch,
         anchorWindows, seedWindows, fixMojibake, nfcNormalize,
-        wavMulawEncode, wavMulawSamples,
+        phraseMatches, wavMulawEncode, wavMulawSamples,
         wavAlawEncode, wavAlawSamples,
         pngEncode, pngPixels,
         pngRgbEncode, pngRgbPixels, pngPaletteEncode, pngPaletteRgb,

@@ -125,7 +125,9 @@ object PlanAudit {
     "qcd_langid_stratified",  // govern on derived metadata, one pass
     "qce_encoding_hygiene",   // codegen repair expr, narrow scan only
     "qcf_lexicon_filter",     // per-doc lexicon shares, zero shuffle
-    "qcg_unicode_normalize")  // codegen NFC expr, narrow scan only
+    "qcg_unicode_normalize",  // codegen NFC expr, narrow scan only
+    "qch_phrase_lexicon",     // Aho-Corasick walk, one narrow scan
+    "qci_hygiene_pipeline")   // 4-stage hygiene fused in one projection
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated

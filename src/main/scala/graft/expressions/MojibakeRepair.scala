@@ -112,8 +112,10 @@ object MojibakeRepair {
 
   /** Pure-ASCII bytes (no lead byte ≥ 0x80) can carry no mojibake —
     * the UTF8String-level fast path that keeps the dominant clean
-    * row to ONE byte scan with zero decode/alloc work. */
-  private def asciiOnly(text: UTF8String): Boolean = {
+    * row to ONE byte scan with zero decode/alloc work. Shared with
+    * [[NfcNormalize]] (ASCII is NFC by construction) so the byte
+    * scan has one definition. */
+  private[expressions] def asciiOnly(text: UTF8String): Boolean = {
     val b = text.getBytes
     var i = 0
     while (i < b.length) {

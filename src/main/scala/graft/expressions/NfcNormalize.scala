@@ -29,9 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * UTF8String with no allocation. */
 object NfcNormalize {
   def eval(text: UTF8String): UTF8String = {
-    val s = text.toString
-    if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) text
-    else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))
+    // ASCII bytes are NFC by construction (no combining sequences, no
+    // precomposable pairs): the dominant clean row pays one byte scan,
+    // no String decode, no allocation.
+    if (MojibakeRepair.asciiOnly(text)) text
+    else {
+      val s = text.toString
+      if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) text
+      else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))
+    }
   }
 }
 

@@ -1344,7 +1344,68 @@ object TextOps extends Registry {
         "(LVT hangul, partial composition, ligature and " +
         "no-precomposed guards) normalized independently by JDK and " +
         "utf8proc NFC - md5-gated byte agreement, codepoint deltas " +
-        "in-band, one narrow scan")
+        "in-band, one narrow scan"),
+
+    // ------------------------------------------------------------------
+    // qch: MULTI-WORD PHRASE LEXICON (Aho-Corasick) — qcf's documented
+    // follow-through: real safety/PII term lists are overwhelmingly
+    // multi-word phrases, which the single-token isin gate cannot
+    // express. One automaton walk per document (expressions.
+    // PhraseMatch) finds EVERY occurrence of every phrase at once —
+    // overlapping cross-phrase matches, shared-prefix phrases (the
+    // lexicon deliberately contains "slow scan" ⊂ "slow scan slow"
+    // and "table s"-sharing "table slow"/"table scan" in DIFFERENT
+    // categories), and self-overlapping repeats ("dup dup" twice in
+    // "dup dup dup"). The gate is POSITIONAL, not count-level: the
+    // oracle replays every match start with a per-position substr
+    // comprehension, and pos_sum = Σ (pid+1)·start² pins which phrase
+    // matched where. Planted fixtures (qc7/qce discipline) arrange
+    // the adversarial shapes; natural adjacent-word matches in the
+    // corpus keep every gate non-trivial at every SF. Plan shape: one
+    // narrow projection, zero shuffles/joins — the automaton rides
+    // the plan as a codegen reference (a broadcast-sized literal at
+    // any real lexicon size), and the walk is O(text + matches)
+    // independent of lexicon size.
+    QueryDef(
+      "qch_phrase_lexicon",
+      (s, dir) => phraseLexicon(s, dir),
+      Some(phraseLexiconOracle),
+      doc = "Aho-Corasick multi-word phrase lexicon gate: one " +
+        "automaton walk reports every match of every phrase " +
+        "(overlaps, shared prefixes, self-overlapping repeats) with " +
+        "1-based codepoint start positions; per-phrase counts, " +
+        "position checksum and first match oracle-replayed " +
+        "positionally; category thresholds + zero-tolerance gate"),
+
+    // ------------------------------------------------------------------
+    // qci: COMPOSED SINGLE-PASS HYGIENE PIPELINE — qce, qcg, qcc and
+    // qcf each claim the one-narrow-projection shape individually;
+    // this query proves they COMPOSE: mojibake repair → NFC
+    // normalization → Gopher repetition metrics → lexicon gate → one
+    // keep decision, all in a single projection chain over one scan
+    // (PlanShapeSpec pins the plan to the output sort's exchange and
+    // nothing else — no join, no aggregate, no window). This is the
+    // corpus-hygiene pass a real 100 TB pipeline runs: each stage's
+    // output feeds the next IN the projection, so stage fusion is a
+    // gate, not a belief. The fixture table adds the one interaction
+    // the solo queries cannot express: a MIXED row carrying cp1252
+    // mojibake AND genuinely-multibyte decomposed unicode in the same
+    // string — sloppy-cp1252 re-encoding fails on the combining mark,
+    // so the repair refuses the whole string (ftfy's own mixed-
+    // encoding limitation, asserted not hidden) while NFC still
+    // composes the decomposed half. The oracle chains the same CTEs:
+    // expected post-repair text constructed from the fixture table
+    // (never implementing the repair), DuckDB's own utf8proc NFC,
+    // and the qcc/qcf arithmetic over the normalized tokens.
+    QueryDef(
+      "qci_hygiene_pipeline",
+      (s, dir) => hygienePipeline(s, dir),
+      Some(hygienePipelineOracle),
+      doc = "Composed single-pass hygiene: repair -> NFC -> repetition " +
+        "-> lexicon -> keep in ONE fused projection chain (plan " +
+        "pinned to zero mid-plan exchanges); mixed moji+decomposed " +
+        "row proves the repair refuses and NFC still composes; " +
+        "normalized-text md5 and every stage metric oracle-matched")
   )
 
   /** The qb1 kernel over an explicit (doc_id, text) frame — factored
@@ -1576,38 +1637,46 @@ object TextOps extends Registry {
     repetitionMetricsOf(table(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  // per-doc n-gram lists, sorted so "occurs more than once" becomes
+  // "equals a neighbor" — a per-row identity, no grouping. Object
+  // level (not local to the qcc kernel) so the qci composed pipeline
+  // chains the SAME definitions — one kernel, no drift.
+  private[queries] def wordGrams(ws: Column, n: Int): Column =
+    sort_array(transform(
+      sequence(lit(1), size(ws) - (n - 1), lit(1)),
+      i => concat_ws(" ",
+        (0 until n).map(o => element_at(ws, i + o)): _*)))
+
+  private[queries] def dupGramTokens(g: Column): Column =
+    size(filter(sequence(lit(1), size(g), lit(1)), i =>
+      (i > 1 && element_at(g, i) === element_at(g, i - 1)) ||
+        (i < size(g) && element_at(g, i) === element_at(g, i + 1))))
+
+  // top-word count = longest equal-run in the SORTED word list —
+  // one O(n log n) sort + one O(n) fold, replacing the old
+  // O(distinct x n) rescan-per-distinct-word form (r17/r18 review
+  // item). The ("", 0) seed makes the first element uniform: both
+  // branches yield cur = 1, so no sentinel-collision hazard even if
+  // split ever emits an empty token.
+  private[queries] def maxRunLen(sorted: Column): Column = aggregate(
+    sorted,
+    struct(lit(0).as("best"), lit(0).as("cur"), lit("").as("prev")),
+    (acc, w) => {
+      val cur = when(acc.getField("prev") === w,
+        acc.getField("cur") + 1).otherwise(lit(1))
+      struct(greatest(acc.getField("best"), cur).as("best"),
+        cur.as("cur"), w.as("prev"))
+    },
+    acc => acc.getField("best"))
+
   /** The qcc kernel over any (doc_id, text) frame — factored so the
     * spec can hand-replay constructed documents through the exact
     * shipped arithmetic. */
   def repetitionMetricsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // per-doc n-gram lists, sorted so "occurs more than once" becomes
-    // "equals a neighbor" — a per-row identity, no grouping
-    def grams(ws: Column, n: Int): Column = sort_array(transform(
-      sequence(lit(1), size(ws) - (n - 1), lit(1)),
-      i => concat_ws(" ",
-        (0 until n).map(o => element_at(ws, i + o)): _*)))
-    def dupTokens(g: Column): Column =
-      size(filter(sequence(lit(1), size(g), lit(1)), i =>
-        (i > 1 && element_at(g, i) === element_at(g, i - 1)) ||
-          (i < size(g) && element_at(g, i) === element_at(g, i + 1))))
-    // top-word count = longest equal-run in the SORTED word list —
-    // one O(n log n) sort + one O(n) fold, replacing the old
-    // O(distinct x n) rescan-per-distinct-word form (r17/r18 review
-    // item). The ("", 0) seed makes the first element uniform: both
-    // branches yield cur = 1, so no sentinel-collision hazard even if
-    // split ever emits an empty token.
-    def maxRunLen(sorted: Column): Column = aggregate(
-      sorted,
-      struct(lit(0).as("best"), lit(0).as("cur"), lit("").as("prev")),
-      (acc, w) => {
-        val cur = when(acc.getField("prev") === w,
-          acc.getField("cur") + 1).otherwise(lit(1))
-        struct(greatest(acc.getField("best"), cur).as("best"),
-          cur.as("cur"), w.as("prev"))
-      },
-      acc => acc.getField("best"))
+    def grams(ws: Column, n: Int): Column = wordGrams(ws, n)
+    def dupTokens(g: Column): Column = dupGramTokens(g)
     val base = docs
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(size($"ws") >= 3)
@@ -3875,6 +3944,341 @@ object TextOps extends Registry {
         ($"norm" =!= $"input_text").as("changed"),
         md5($"norm").as("norm_md5"))
       .orderBy($"doc_id")
+  }
+
+  // ---- qch: Aho-Corasick multi-word phrase lexicon ---------------------
+
+  /** The phrase lexicon — categories as in qcf, but multi-WORD
+    * entries. Adversarial by construction: "slow scan" is a strict
+    * PREFIX of "slow scan slow" (the automaton must report the short
+    * phrase mid-way through the long one via suffix-link outputs);
+    * "table slow" and "table scan" share the prefix "table s" across
+    * DIFFERENT categories; "dup dup" self-overlaps ("dup dup dup"
+    * contains it twice). Phrase ids = flat order below. */
+  private[queries] val PhraseLexicon: Seq[(String, Seq[String])] = Seq(
+    ("latency", Seq("slow scan", "slow scan slow", "table slow")),
+    ("bulk", Seq("big table", "table scan")),
+    ("dupes", Seq("dup dup")))
+
+  private[queries] def phraseFlat: Seq[String] =
+    PhraseLexicon.flatMap(_._2)
+
+  /** Keep-gate: small absolute occurrence caps (a real safety gate is
+    * any-occurrence or low-count on phrase lists) + zero tolerance on
+    * `dupes` — calibrated so every gate rejects a non-trivial,
+    * SF-stable subset (planted rows mostly fail; natural adjacent-word
+    * matches push some unplanted rows over too). */
+  val PhraseLatencyMax = 1L
+  val PhraseBulkMax = 1L
+
+  /** Planted arrangements (prepended, qce discipline), one per shape:
+    *  0 "slow scan slow scan"         prefix phrase twice + long phrase once
+    *  1 "big table scan"              cross-phrase overlap (share "table")
+    *  2 "dup dup dup"                 self-overlapping zero-tolerance hit
+    *  3 "slow scan slow table slow"   long phrase + both its relatives
+    *  4 "merge batch key"             control: no matches
+    *  5 "table slow scan"             cross-category overlap (share "slow")
+    *  6 "big table slow scan dup dup" four-match chain across all cats */
+  private[queries] val PhraseFixtures: Seq[String] = Seq(
+    "slow scan slow scan",
+    "big table scan",
+    "dup dup dup",
+    "slow scan slow table slow",
+    "merge batch key",
+    "table slow scan",
+    "big table slow scan dup dup")
+
+  private def phraseSlug(p: String): String = p.replace(' ', '_')
+
+  def phraseLexicon(s: SparkSession, dir: String): DataFrame =
+    phraseLexiconOf(table(s, dir, "documents"))
+
+  /** The qch kernel over any (doc_id, text) frame — factored so the
+    * spec can drive hand-built overlap/prefix/boundary cases through
+    * the exact shipped plant + automaton + gate. */
+  def phraseLexiconOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
+    val n = PhraseFixtures.size
+    val fxArr = array(PhraseFixtures.map(f => lit(f)): _*)
+    val spec = phraseFlat.mkString("|")
+    val flat = phraseFlat
+    def catHits(cat: String): Column =
+      PhraseLexicon.toMap.apply(cat)
+        .map(p => col(s"hits_${phraseSlug(p)}"))
+        .reduce(_ + _)
+    docs
+      .select($"doc_id", $"text",
+        ($"doc_id" % 5 === 3).as("planted"),
+        expr(s"CAST((doc_id div 5) % $n AS INT)").as("fi0"))
+      .select($"doc_id", $"planted",
+        when($"planted", $"fi0").otherwise(-1).as("fi"),
+        when($"planted",
+          concat(element_at(fxArr, $"fi0" + 1), lit(" "), $"text"))
+          .otherwise($"text").as("input_text"))
+      .withColumn("m", expr(s"phrase_matches(input_text, '$spec')"))
+      .select(Seq($"doc_id", $"planted", $"fi") ++
+        flat.zipWithIndex.map { case (p, i) =>
+          element_at($"m.counts", i + 1).as(s"hits_${phraseSlug(p)}")
+        } ++ Seq($"m.n_matches".as("n_matches"),
+          $"m.pos_sum".as("pos_sum"),
+          $"m.first_pos".as("first_pos")): _*)
+      .select(col("*"),
+        catHits("latency").as("latency_hits"),
+        catHits("bulk").as("bulk_hits"),
+        catHits("dupes").as("dupe_hits"))
+      .withColumn("kept",
+        col("latency_hits") <= PhraseLatencyMax &&
+          col("bulk_hits") <= PhraseBulkMax && col("dupe_hits") === 0)
+      .orderBy($"doc_id")
+  }
+
+  /** The oracle replays every match POSITIONALLY: for each phrase, a
+    * per-position substr comprehension over the constructed input
+    * lists all 1-based match starts (overlaps and self-overlaps
+    * included, which a replace-and-count idiom would miss), then
+    * counts, the (pid+1)·start² checksum, and the global first
+    * position are recomputed from those lists — the engine's
+    * automaton against brute-force enumeration. */
+  private def phraseLexiconOracle: String = {
+    val n = PhraseFixtures.size
+    val vals = PhraseFixtures.zipWithIndex.map { case (f, i) =>
+      s"($i, ${sqlLit(f)})"
+    }.mkString(",\n    ")
+    val flat = phraseFlat
+    def posList(p: String): String =
+      s"[i for i in range(1, length(input_text) - ${p.length} + 2) " +
+        s"if substr(input_text, i, ${p.length}) = ${sqlLit(p)}]"
+    val posCols = flat.zipWithIndex.map { case (p, i) =>
+      s"${posList(p)} AS p$i"
+    }.mkString(",\n    ")
+    val hitCols = flat.zipWithIndex.map { case (p, i) =>
+      s"CAST(len(p$i) AS BIGINT) AS hits_${phraseSlug(p)}"
+    }.mkString(",\n    ")
+    val posSum = flat.indices.map(i =>
+      s"coalesce(list_sum(list_transform(p$i, i -> ${i + 1}*i*i)), 0)")
+      .mkString(" + ")
+    val firstPos = flat.indices.map(i => s"list_min(p$i)")
+      .mkString("least(", ", ", ")")
+    val nMatches = flat.indices.map(i => s"len(p$i)").mkString(" + ")
+    def catSum(cat: String): String =
+      PhraseLexicon.toMap.apply(cat)
+        .map(p => s"hits_${phraseSlug(p)}").mkString(" + ")
+    s"""WITH fx(fi, snip) AS (VALUES
+       |    $vals),
+       |d AS (
+       |  SELECT doc_id, text, doc_id % 5 = 3 AS planted,
+       |    CAST((doc_id // 5) % $n AS INT) AS fi0
+       |  FROM documents),
+       |j AS (
+       |  SELECT d.doc_id, d.planted,
+       |    CASE WHEN d.planted THEN d.fi0 ELSE -1 END AS fi,
+       |    CASE WHEN d.planted THEN f.snip || ' ' || d.text
+       |         ELSE d.text END AS input_text
+       |  FROM d LEFT JOIN fx f ON d.planted AND f.fi = d.fi0),
+       |p AS (
+       |  SELECT doc_id, planted, fi,
+       |    $posCols
+       |  FROM j),
+       |m AS (
+       |  SELECT doc_id, planted, fi,
+       |    $hitCols,
+       |    CAST($nMatches AS BIGINT) AS n_matches,
+       |    CAST($posSum AS BIGINT) AS pos_sum,
+       |    CAST(coalesce($firstPos, 0) AS BIGINT) AS first_pos
+       |  FROM p)
+       |SELECT m.*,
+       |  ${catSum("latency")} AS latency_hits,
+       |  ${catSum("bulk")} AS bulk_hits,
+       |  ${catSum("dupes")} AS dupe_hits,
+       |  ${catSum("latency")} <= $PhraseLatencyMax
+       |    AND ${catSum("bulk")} <= $PhraseBulkMax
+       |    AND ${catSum("dupes")} = 0 AS kept
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- qci: composed single-pass hygiene pipeline ----------------------
+
+  /** (raw prepend, expected after fix_mojibake, expected iterations).
+    * NFC is applied AFTERWARD by both engines independently (the
+    * oracle uses DuckDB's utf8proc on the constructed expectation),
+    * so the table never encodes normalization results. Shapes:
+    *  0 repairable cp1252 mojibake (1 iteration)
+    *  1 pure decomposed unicode — repair must refuse (combining marks
+    *    have no cp1252 byte), NFC composes
+    *  2 MIXED mojibake + decomposed in one string — the repair
+    *    refuses the WHOLE string (sloppy-cp1252 re-encode fails on
+    *    U+0301, ftfy's documented mixed-encoding limitation) while
+    *    NFC still composes the decomposed half and leaves the
+    *    mojibake bytes alone (U+00C3 U+00A9 is already NFC)
+    *  3 repetition bomb — top-word and dup-2-gram gates fire; word
+    *    chosen OUTSIDE the lexicon so only the repetition gate fails
+    *  4 zero-tolerance lexicon hit, repetition clean
+    *  5 doubly-encoded mojibake (2 iterations)
+    *  6 clean control
+    *  7 truncated mojibake mid-string — strict decode fails on the
+    *    stripped continuation byte, passthrough */
+  private[queries] val HygieneFixtures: Seq[(String, String, Int)] = Seq(
+    ("caf\u00c3\u00a9 cr\u00c3\u00a8me", "caf\u00e9 cr\u00e8me", 1),
+    ("e\u0301clair de\u0301ja\u0300 vu",
+      "e\u0301clair de\u0301ja\u0300 vu", 0),
+    ("caf\u00c3\u00a9 e\u0301", "caf\u00c3\u00a9 e\u0301", 0),
+    ("key key key key key key key key key key",
+      "key key key key key key key key key key", 0),
+    ("dup", "dup", 0),
+    ("r\u00c3\u0192\u00c2\u00a9sum\u00c3\u0192\u00c2\u00a9",
+      "r\u00e9sum\u00e9", 2),
+    ("merge batch", "merge batch", 0),
+    ("truncated \u00e2\u20ac", "truncated \u00e2\u20ac", 0))
+
+  def hygienePipeline(s: SparkSession, dir: String): DataFrame =
+    hygienePipelineOf(table(s, dir, "documents"))
+
+  /** The qci kernel over any (doc_id, text) frame. One projection
+    * chain: plant → fix_mojibake → nfc_normalize → split → qcc
+    * repetition metrics (the SAME wordGrams/dupGramTokens/maxRunLen
+    * definitions qcc runs) → qcf lexicon shares (same SafetyLexicon,
+    * same thresholds) → keep. No join, no aggregate, no window —
+    * whole-stage fusion is pinned by PlanShapeSpec. */
+  def hygienePipelineOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
+    val n = HygieneFixtures.size
+    val fxArr = array(HygieneFixtures.map(f => lit(f._1)): _*)
+    val lex = SafetyLexicon.toMap
+    def hits(words: Seq[String]): Column =
+      size(filter($"ws", w => w.isin(words: _*))).cast("long")
+    docs
+      .select($"doc_id", $"text",
+        ($"doc_id" % 4 === 1).as("planted"),
+        expr(s"CAST((doc_id div 4) % $n AS INT)").as("fi0"))
+      .select($"doc_id", $"planted",
+        when($"planted", $"fi0").otherwise(-1).as("fi"),
+        when($"planted",
+          concat(element_at(fxArr, $"fi0" + 1), lit(" "), $"text"))
+          .otherwise($"text").as("input_text"))
+      .withColumn("r", expr("fix_mojibake(input_text)"))
+      .withColumn("norm", expr("nfc_normalize(r.fixed)"))
+      .select($"doc_id", $"planted", $"fi",
+        $"r.iters".as("iters"),
+        ($"r.fixed" =!= $"input_text").as("moji_changed"),
+        ($"norm" =!= $"r.fixed").as("nfc_changed"),
+        $"norm", split($"norm", " ").as("ws"))
+      .select($"doc_id", $"planted", $"fi", $"iters",
+        $"moji_changed", $"nfc_changed", $"norm", $"ws",
+        wordGrams($"ws", 2).as("g2"), wordGrams($"ws", 3).as("g3"))
+      .select($"doc_id", $"planted", $"fi", $"iters",
+        $"moji_changed", $"nfc_changed",
+        size($"ws").cast("long").as("n_words"),
+        maxRunLen(sort_array($"ws")).as("top_cnt"),
+        dupGramTokens($"g2").as("d2"), size($"g2").as("ng2"),
+        dupGramTokens($"g3").as("d3"), size($"g3").as("ng3"),
+        hits(lex("latency")).as("latency_hits"),
+        hits(lex("bulk")).as("bulk_hits"),
+        hits(lex("dupes")).as("dupe_hits"),
+        md5($"norm").as("norm_md5"))
+      .select($"doc_id", $"planted", $"fi", $"iters",
+        $"moji_changed", $"nfc_changed", $"n_words",
+        expr("CAST(top_cnt AS BIGINT) * 1000000 div n_words")
+          .as("top_word_micro"),
+        expr("CAST(d2 AS BIGINT) * 1000000 div ng2").as("dup2_micro"),
+        expr("CAST(d3 AS BIGINT) * 1000000 div ng3").as("dup3_micro"),
+        expr("latency_hits * 1000000 div n_words").as("latency_micro"),
+        expr("bulk_hits * 1000000 div n_words").as("bulk_micro"),
+        $"dupe_hits", $"norm_md5")
+      .withColumn("kept",
+        $"top_word_micro" <= RepTopWordMicro &&
+          $"dup2_micro" <= RepDup2Micro &&
+          $"dup3_micro" <= RepDup3Micro &&
+          $"latency_micro" <= LexiconLatencyMicroMax &&
+          $"bulk_micro" <= LexiconBulkMicroMax && $"dupe_hits" === 0)
+      .orderBy($"doc_id")
+  }
+
+  /** The oracle chains the SAME stages as CTEs: expected post-repair
+    * text constructed from the fixture table (the repair itself is
+    * never implemented oracle-side), DuckDB's own utf8proc NFC over
+    * that construction, then the qcc repetition comprehensions and
+    * the qcf lexicon shares over the normalized tokens — so a
+    * mismatch at ANY stage breaks the row hash. */
+  private def hygienePipelineOracle: String = {
+    val n = HygieneFixtures.size
+    val vals = HygieneFixtures.zipWithIndex.map {
+      case ((raw, fixed, it), i) =>
+        s"($i, ${sqlLit(raw)}, ${sqlLit(fixed)}, $it)"
+    }.mkString(",\n    ")
+    def inList(words: Seq[String]): String =
+      words.map(w => s"'$w'").mkString("(", ", ", ")")
+    val lex = SafetyLexicon.toMap
+    s"""WITH fx(fi, raw, fixed, exp_iters) AS (VALUES
+       |    $vals),
+       |d AS (
+       |  SELECT doc_id, text, doc_id % 4 = 1 AS planted,
+       |    CAST((doc_id // 4) % $n AS INT) AS fi0
+       |  FROM documents),
+       |j AS (
+       |  SELECT d.doc_id, d.planted,
+       |    CASE WHEN d.planted THEN d.fi0 ELSE -1 END AS fi,
+       |    CASE WHEN d.planted THEN f.raw || ' ' || d.text
+       |         ELSE d.text END AS input_text,
+       |    CASE WHEN d.planted THEN f.fixed || ' ' || d.text
+       |         ELSE d.text END AS rep_text,
+       |    CASE WHEN d.planted THEN f.exp_iters ELSE 0 END AS iters
+       |  FROM d LEFT JOIN fx f ON d.planted AND f.fi = d.fi0),
+       |nrm AS (
+       |  SELECT doc_id, planted, fi, iters,
+       |    rep_text != input_text AS moji_changed,
+       |    nfc_normalize(rep_text) != rep_text AS nfc_changed,
+       |    nfc_normalize(rep_text) AS norm
+       |  FROM j),
+       |w AS (
+       |  SELECT doc_id, planted, fi, iters, moji_changed, nfc_changed,
+       |    md5(norm) AS norm_md5, string_split(norm, ' ') AS ws
+       |  FROM nrm),
+       |m AS (
+       |  SELECT doc_id, planted, fi, iters, moji_changed, nfc_changed,
+       |    norm_md5, CAST(len(ws) AS BIGINT) AS n_words,
+       |    list_max([len(list_filter(ws, x -> x = w))
+       |              for w in list_distinct(ws)]) AS top_cnt,
+       |    list_sort([ws[i] || ' ' || ws[i+1]
+       |               for i in range(1, len(ws))]) AS g2,
+       |    list_sort([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |               for i in range(1, len(ws) - 1)]) AS g3,
+       |    CAST(len(list_filter(ws,
+       |      x -> x IN ${inList(lex("latency"))})) AS BIGINT)
+       |      AS latency_hits,
+       |    CAST(len(list_filter(ws,
+       |      x -> x IN ${inList(lex("bulk"))})) AS BIGINT) AS bulk_hits,
+       |    CAST(len(list_filter(ws,
+       |      x -> x IN ${inList(lex("dupes"))})) AS BIGINT) AS dupe_hits
+       |  FROM w),
+       |f2 AS (
+       |  SELECT doc_id, planted, fi, iters, moji_changed, nfc_changed,
+       |    n_words,
+       |    CAST(top_cnt * 1000000 // n_words AS BIGINT)
+       |      AS top_word_micro,
+       |    CAST(len([i for i in range(1, len(g2) + 1)
+       |         if (i > 1 AND g2[i] = g2[i-1])
+       |            OR (i < len(g2) AND g2[i] = g2[i+1])])
+       |      * 1000000 // len(g2) AS BIGINT) AS dup2_micro,
+       |    CAST(len([i for i in range(1, len(g3) + 1)
+       |         if (i > 1 AND g3[i] = g3[i-1])
+       |            OR (i < len(g3) AND g3[i] = g3[i+1])])
+       |      * 1000000 // len(g3) AS BIGINT) AS dup3_micro,
+       |    latency_hits * 1000000 // n_words AS latency_micro,
+       |    bulk_hits * 1000000 // n_words AS bulk_micro,
+       |    dupe_hits, norm_md5
+       |  FROM m)
+       |SELECT f2.*,
+       |  top_word_micro <= $RepTopWordMicro
+       |    AND dup2_micro <= $RepDup2Micro
+       |    AND dup3_micro <= $RepDup3Micro
+       |    AND latency_micro <= $LexiconLatencyMicroMax
+       |    AND bulk_micro <= $LexiconBulkMicroMax
+       |    AND dupe_hits = 0 AS kept
+       |FROM f2 ORDER BY doc_id""".stripMargin
   }
 
   /** The oracle normalizes the SAME constructed input with DuckDB's

@@ -89,7 +89,11 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // and qce additionally proves the codec expression behaves
     // identically across codegen contexts
     "qce_encoding_hygiene", "qcf_lexicon_filter",
-    "qcg_unicode_normalize")
+    "qcg_unicode_normalize",
+    // r20: the Aho-Corasick walk and the composed hygiene chain are
+    // pure row functions; the gate additionally proves the automaton
+    // reference object behaves identically across task boundaries
+    "qch_phrase_lexicon", "qci_hygiene_pipeline")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map(_.toSeq.map {

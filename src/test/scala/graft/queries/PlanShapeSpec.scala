@@ -219,6 +219,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "qc4 must not fall back to a window")
   }
 
+  test("qch: the Aho-Corasick walk is one narrow scan — the output " +
+    "sort's exchange and nothing else") {
+    val p = plan("qch_phrase_lexicon")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"qch shuffles $exchanges times; the automaton gate is a per-row " +
+        "projection — only the output sort may exchange")
+    assert(!p.contains("Join"), "qch must not join — the fixture table " +
+      "and lexicon are plan literals")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"),
+      "qch must not aggregate or window — everything is per-row")
+  }
+
+  test("qci: the 4-stage hygiene pipeline fuses into one projection " +
+    "chain — zero mid-plan exchanges, no join/agg/window") {
+    val p = plan("qci_hygiene_pipeline")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"qci shuffles $exchanges times; repair → NFC → repetition → " +
+        "lexicon must stay fused in the projection — only the output " +
+        "sort may exchange")
+    assert(!p.contains("Join"),
+      "qci must not join — the fixture plant is a literal array lookup")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"),
+      "qci must not aggregate or window — all four stages are per-row")
+    // structural pin: the tree is Scan → Project chain → Exchange →
+    // Sort and NOTHING else (the HOF lambdas keep the projections on
+    // the interpreted path, as in qcc/qcf — the fusion claim is the
+    // single chain, not codegen)
+    val kinds = "(?m)^\\(\\d+\\) ([A-Za-z]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    val allowed = Set("Scan", "Project", "Exchange", "Sort",
+      "AdaptiveSparkPlan", "ColumnarToRow", "WholeStageCodegen")
+    assert((kinds -- allowed).isEmpty,
+      s"unexpected plan nodes in the fused chain: ${kinds -- allowed}")
+  }
+
   test("q9l: weighted top-k plans TakeOrderedAndProject, no global sort") {
     val p = plan("q9l_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
