@@ -7,11 +7,54 @@ object Bench {
     * wall attributed to its passes, and whether any pass threw. An
     * erred query contributes NO time (a fail-fast ~0.06s reading would
     * flatter the total — r11's event family did exactly that) and
-    * poisons vs_baseline to NaN. */
+    * poisons vs_baseline to NaN. `suspect` marks a query whose final
+    * min STILL exceeds SuspectFactor× its committed BENCH_DETAIL min
+    * after the rescue pass — on untouched code that reads as
+    * whole-run co-tenancy, and the metric line's suspect_load count
+    * lets an inflated readout self-explain (r19's driver artifact
+    * showed BOTH min-of-2 passes inflated 3-10× on untouched queries,
+    * so pass disagreement alone cannot be the only tripwire). */
   final case class QTime(name: String, passes: Seq[Double], gcSec: Double,
-      err: Boolean) {
+      err: Boolean, suspect: Boolean = false) {
     def min: Double = if (passes.isEmpty) 0.0 else passes.min
   }
+
+  /** Rescue/suspect threshold vs the committed per-query min: 2.5×
+    * sits above the documented ±15% intra-day drift band AND the ~1.3×
+    * uniform co-tenancy smear of r17/r19 driver runs, so it only fires
+    * on the 3-10× spikes that actually distort a readout. The absolute
+    * floor keeps sub-second queries (where 2.5× is tens of ms of
+    * scheduler jitter) from churning rescue passes. */
+  val SuspectFactor = 2.5
+  val SuspectFloorSec = 0.5
+
+  /** The policy predicates, pure so the spec can pin them without
+    * racing real wall-clock on a possibly-loaded test box. */
+  def slowVsCommitted(t: Double, committed: Option[Double]): Boolean =
+    committed.exists(c => t > SuspectFloorSec && t > SuspectFactor * c)
+
+  def needsRescue(passes: Seq[Double], committed: Option[Double]): Boolean =
+    (passes.min > 2.0 &&
+      passes.max / math.max(passes.min, 1e-9) > 1.5) ||
+      slowVsCommitted(passes.min, committed)
+
+  /** Per-query committed mins from a prior round's BENCH_DETAIL.json
+    * (written by writeDetail below — same process, so the regex parse
+    * is against a known shape, not arbitrary JSON). Erred entries have
+    * no passes and drop out; a missing/corrupt file yields an empty
+    * map, which disables the committed-min trigger, never the run. */
+  def loadCommittedMins(path: String): Map[String, Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val entry = """"([A-Za-z0-9_]+)":\{"passes":\[([0-9.,eE+-]*)\]""".r
+      entry.findAllMatchIn(txt).flatMap { m =>
+        val ps = m.group(2).split(",").filter(_.nonEmpty)
+          .flatMap(s => scala.util.Try(s.toDouble).toOption)
+        if (ps.isEmpty) None else Some(m.group(1) -> ps.min)
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
 
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
@@ -50,12 +93,18 @@ object Bench {
   }
 
   /** Measure every query: two timed passes, min reported; a third
-    * rescue pass when the min is slow in absolute terms AND the two
-    * passes disagree enough to look like a contention spike (min-of-N
-    * can only improve, so idle runs are unaffected). Exceptions mark
-    * the query `err` instead of recording a bogus fast time. */
+    * rescue pass when EITHER (a) the min is slow in absolute terms AND
+    * the two passes disagree enough to look like a contention spike,
+    * OR (b) the min exceeds SuspectFactor× the query's committed
+    * BENCH_DETAIL min — r19 falsified "two identical slow passes = plan
+    * problem" (BOTH driver passes read 3-10× idle on untouched code),
+    * so consistency alone cannot clear a reading; the committed detail
+    * is the cross-run reference that can. Min-of-N can only improve,
+    * so idle runs are unaffected. Exceptions mark the query `err`
+    * instead of recording a bogus fast time. */
   def runSuite(spark: SparkSession, sfDir: String,
-      queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      committedMin: Map[String, Double] = Map.empty)
       : Seq[QTime] =
     queries.map { case (name, fn) =>
       val gc0 = gcMillis()
@@ -66,21 +115,18 @@ object Bench {
         catch { case _: Throwable => erred = true }
         (System.nanoTime() - t0) / 1e9
       }
+      val committed = committedMin.get(name)
       val p1 = onePass()
       val p2 = onePass()
       var passes = Seq(p1, p2)
-      // rescue pass: both passes slow AND mutually inconsistent → the
-      // reading smells of a co-tenant/GC spike, give it one more chance
-      // after hygiene; a genuinely slow plan is slow again and keeps
-      // its honest time
-      if (!erred && passes.min > 2.0 &&
-          passes.max / math.max(passes.min, 1e-9) > 1.5) {
+      if (!erred && needsRescue(passes, committed)) {
         releaseLeftovers(spark)
         passes = passes :+ onePass()
       }
       releaseLeftovers(spark)
       QTime(name, if (erred) Seq.empty else passes,
-        (gcMillis() - gc0) / 1e3, erred)
+        (gcMillis() - gc0) / 1e3, erred,
+        suspect = !erred && slowVsCommitted(passes.min, committed))
     }
 
   def r3(v: Double): String =
@@ -102,10 +148,12 @@ object Bench {
       gcTotalSec: Double, rssMb: Long, sfDir: String): String = {
     val total = results.filterNot(_.err).map(_.min).sum
     val errCount = results.count(_.err)
+    val suspectCount = results.count(_.suspect)
     val vsBase = if (errCount > 0) "null" else r3(total / baselinePin)
     s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""vs_baseline":$vsBase,"baseline_pin_sec":$baselinePin,""" +
       s""""n_queries":${results.size},"err_count":$errCount,""" +
+      s""""suspect_load":$suspectCount,""" +
       s""""load_avg":${r3(loadAvg)},"gc_sec":${r3(gcTotalSec)},""" +
       s""""rss_mb":$rssMb,"sf":"$sfDir"}"""
   }
@@ -116,8 +164,11 @@ object Bench {
     * lives here, where truncation costs detail, not the gate). Carries
     * the err names, the full per-query min map, and per-pass times + GC
     * attribution for the slowest queries: pass times that disagree 5x,
-    * or GC eating the wall, is co-tenancy/memory pressure; two
-    * identical slow passes with no GC is a real plan problem. */
+    * or GC eating the wall, is co-tenancy/memory pressure. NOTE two
+    * identical slow passes do NOT prove a plan problem — r19's driver
+    * run inflated BOTH passes 3-10× on untouched queries — which is
+    * why runSuite also rescues against the committed BENCH_DETAIL min
+    * and the metric line carries suspect_load. */
   def diagLine(results: Seq[QTime]): String = {
     val top = results.filterNot(_.err).sortBy(-_.min).take(8)
     val parts = top.map { q =>
@@ -143,7 +194,7 @@ object Bench {
       val qs = results.map { q =>
         "\"" + q.name + "\":{\"passes\":[" +
           q.passes.map(r3).mkString(",") + "],\"gc\":" + r3(q.gcSec) +
-          ",\"err\":" + q.err + "}"
+          ",\"err\":" + q.err + ",\"suspect\":" + q.suspect + "}"
       }.mkString("{", ",", "}")
       val total = results.filterNot(_.err).map(_.min).sum
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
@@ -206,9 +257,17 @@ object Bench {
     // timed set (the driver never sets it — full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // the PREVIOUS run's committed per-query mins arm the widened
+    // rescue trigger + suspect_load counter (loaded BEFORE writeDetail
+    // overwrites the file below). On a clean box nothing fires; under
+    // whole-run co-tenancy each inflated query earns a rescue pass and
+    // any that stay >2.5× committed are counted on the metric line so
+    // a 1.3× readout self-explains.
+    val committed = loadCommittedMins("/root/repo/BENCH_DETAIL.json")
     val results = runSuite(spark, sfDir,
       SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (n, _) => only.isEmpty || only(n) })
+        .filter { case (n, _) => only.isEmpty || only(n) },
+      committed)
     // vs_baseline: total / the pinned idle reference run, so a driver
     // readout separates machine contention from real regression without
     // a manual rerun. PIN = 98.0s for the FINAL 175-query r14 suite
@@ -340,7 +399,12 @@ object Bench {
     // same store (5.6s → 0.62s) — about −10s in-suite, plus warm
     // lang-ID stores vs r17's build-paying close. Re-pin only when
     // the query set changes materially or the host demonstrably
-    // changes; never from a loaded run.
+    // changes; never from a loaded run. STRETCH REFERENCE: the same
+    // day's mid-close 204-query pair read 116.318/115.052 (and the
+    // r19 judge's idle 205-query run 114.97) — if a future idle pair
+    // lands near 116 rather than 125, that is the box's faster state,
+    // not headroom to hide a regression in; re-pin against the faster
+    // pair in that case.
     val baselinePin = 125.4
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage

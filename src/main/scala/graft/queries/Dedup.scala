@@ -454,16 +454,30 @@ object Dedup extends Registry {
     // content-class groupBy runs once per query, not once per consumer
     exactSubstringPairsOn(repsIn.localCheckpoint(true))
 
+  /** Version tag of the exact-substring DERIVATION KERNEL itself
+    * (substrSeeds → capBuckets → win self-join → substrSpans), shared
+    * by every store keyed on its output (the qba/qbb span store below
+    * AND qbc's seed index). BUMP THIS on ANY semantic change to those
+    * functions — seed windowing, island grouping, min-match placement,
+    * span hashing — or the stores serve spans derived by the OLD
+    * kernel until the corpus happens to regenerate: the per-query
+    * oracle would catch it, but only at verification time, and qbb
+    * consumers in between would see stale cuts. Tuning CONSTANTS
+    * (seed len, min-match, cap) are in the keys explicitly and do not
+    * need a bump. */
+  private[queries] val SubstrKernelVersion = "v1"
+
   /** Content-address key of the qba/qbb shared rep+span store —
-    * corpus identity × every parameter that shapes the stored spans:
-    * seed length, bucket cap, AND the min-match filter (the span set
-    * is post-filter, so a retuned SubstrMinMatch must miss the key —
-    * the same rule qbc's index key follows). The reps store shares
-    * the key; over-keying reps is harmless (one extra rebuild per
-    * retune), under-keying spans would serve stale results. */
+    * kernel version × corpus identity × every parameter that shapes
+    * the stored spans: seed length, bucket cap, AND the min-match
+    * filter (the span set is post-filter, so a retuned SubstrMinMatch
+    * must miss the key — the same rule qbc's index key follows). The
+    * reps store shares the key; over-keying reps is harmless (one
+    * extra rebuild per retune), under-keying spans would serve stale
+    * results. */
   private def substrStoreKey(dir: String): String = {
     val p = s"$dir/documents.parquet"
-    s"v1|$p|${Tables.sourceStamp(p)}" +
+    s"$SubstrKernelVersion|$p|${Tables.sourceStamp(p)}" +
       s"|k=$SubstrSeedLen|min=$SubstrMinMatch|cap=$MaxBucketSize|all"
   }
 
@@ -497,17 +511,12 @@ object Dedup extends Registry {
   private[queries] def substrPairsStore(s: SparkSession,
       dir: String): DataFrame =
     Tables.contentAddressed(s, "qba_pairs", substrStoreKey(dir)) {
-      import s.implicits._
-      val capped = capBuckets(substrSeeds(substrRepsStore(s, dir)),
-        Seq("win")).localCheckpoint(true)
-      val occ = capped.as("a").join(capped.as("b"),
-          $"a.win" === $"b.win" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_l"), $"b.doc_id".as("doc_r"),
-          $"a.pos".as("pl"), $"b.pos".as("pr"))
-      substrSpans(occ,
-        substrRepsStore(s, dir).select($"doc_id".as("doc_l"), $"text"))
-        .toDF("doc_a", "doc_b", "start_a", "start_b", "match_len",
-          "span_md5")
+      // the build is exactly the fresh kernel over the stored reps —
+      // ONE definition (exactSubstringPairsOn) so the stored and
+      // fresh paths can never drift; the reps store is a parquet
+      // read, i.e. already materialized, which is all the kernel's
+      // caller contract asks for
+      exactSubstringPairsOn(substrRepsStore(s, dir))
     }
 
   /** qba's registered form: the stored span set, re-ordered on read
@@ -633,7 +642,7 @@ object Dedup extends Registry {
       dir: String): (DataFrame, Boolean) = {
     import s.implicits._
     val p = s"$dir/documents.parquet"
-    val key = s"v1|$p|${Tables.sourceStamp(p)}" +
+    val key = s"$SubstrKernelVersion|$p|${Tables.sourceStamp(p)}" +
       s"|k=$SubstrSeedLen|min=$SubstrMinMatch|cap=$MaxBucketSize|even"
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)

@@ -64,6 +64,74 @@ class BenchSpec extends AnyFunSuite {
     assert(diag.contains("bench_diag") && diag.contains(""""queries":{"""))
   }
 
+  test("rescue/suspect policy: consistent-but-slow-vs-committed fires " +
+    "(the r19 falsifier), floor and no-entry cases stay quiet") {
+    // the r19 failure mode: BOTH min-of-2 passes inflated 3-10x on
+    // untouched code, so "consistent = honest" was falsified — the
+    // committed BENCH_DETAIL min is the cross-run reference that still
+    // catches it. Pure-predicate pins (no wall-clock racing):
+    // two CONSISTENT slow passes, 30x the committed min → rescue
+    assert(Bench.needsRescue(Seq(3.0, 3.1), Some(0.1)))
+    assert(Bench.slowVsCommitted(3.0, Some(0.1)))
+    // same reading with no committed entry and no pass disagreement:
+    // the legacy trigger alone must NOT fire (consistent passes)
+    assert(!Bench.needsRescue(Seq(3.0, 3.1), None))
+    // the legacy slow-and-inconsistent trigger still fires without
+    // any committed reference
+    assert(Bench.needsRescue(Seq(3.0, 6.0), None))
+    // absolute floor: 2.5x of a tiny committed min is scheduler
+    // jitter, not signal — sub-floor readings never fire
+    assert(!Bench.slowVsCommitted(0.4, Some(0.001)))
+    assert(!Bench.needsRescue(Seq(0.4, 0.4), Some(0.001)))
+    // within-band readings (< 2.5x committed) never fire
+    assert(!Bench.slowVsCommitted(1.9, Some(1.0)))
+  }
+
+  test("forced inflation through the runner: the rescue pass lands, a " +
+    "recovered query is NOT suspect, a persistent one IS and is counted") {
+    // integration with generous margins (committed 1.0 → threshold
+    // 2.5s; sleeps 3s) so a loaded test box can't flip the outcome:
+    // q_laggy's first two invocations simulate the co-tenant spike and
+    // its rescue pass runs at real speed; q_stuck stays inflated.
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    def laggy(s: SparkSession, dir: String): DataFrame = {
+      if (calls.incrementAndGet() <= 2) Thread.sleep(3000)
+      s.range(1).toDF("id")
+    }
+    def stuck(s: SparkSession, dir: String): DataFrame = {
+      Thread.sleep(3000); s.range(1).toDF("id")
+    }
+    val results = Bench.runSuite(spark, sfDir,
+      Seq("q_laggy" -> (laggy _), "q_stuck" -> (stuck _)),
+      committedMin = Map("q_laggy" -> 1.0, "q_stuck" -> 1.0))
+    val byName = results.map(q => q.name -> q).toMap
+    assert(byName("q_laggy").passes.size == 3,
+      s"slow-vs-committed must earn a rescue pass: ${byName("q_laggy")}")
+    assert(!byName("q_laggy").suspect,
+      "a rescued query back under 2.5x committed must not be suspect")
+    assert(byName("q_stuck").passes.size == 3)
+    assert(byName("q_stuck").suspect,
+      "a query still >2.5x committed after rescue must be flagged")
+    val line = Bench.metricLine(results, 66.0, 1.0, 0.0, 100, sfDir)
+    assert(line.contains(""""suspect_load":1"""), line)
+  }
+
+  test("loadCommittedMins round-trips writeDetail output") {
+    val results = Seq(
+      Bench.QTime("q_a", Seq(1.5, 1.2), 0.05, err = false),
+      Bench.QTime("q_b", Seq(0.3, 0.4, 0.2), 0.0, err = false,
+        suspect = true),
+      Bench.QTime("q_err", Seq.empty, 0.0, err = true))
+    val path = java.nio.file.Files.createTempFile("bench-detail", ".json")
+      .toString
+    Bench.writeDetail(path, results, 1.0, 0.1, 100, sfDir)
+    val mins = Bench.loadCommittedMins(path)
+    assert(mins == Map("q_a" -> 1.2, "q_b" -> 0.2),
+      s"erred entries must drop out, mins must survive: $mins")
+    // a missing file disables the trigger, never the run
+    assert(Bench.loadCommittedMins("/no/such/file.json").isEmpty)
+  }
+
   test("metric line stays constant-size: <400 bytes for a 200-query suite") {
     // r13's line grew with the suite (2.5 KB of per-query entries) and
     // scrolled its own head out of the driver's ~2.3 KB stdout tail —

@@ -1211,6 +1211,59 @@ class StreamingSpec extends AnyFunSuite {
       "redelivered batch (same batchId) mutated the served audit")
   }
 
+  test("streaming hygiene: qce/qcg/qcf/qch/qci kernels drained " +
+    "per-trigger equal the batch pass row-for-row") {
+    // the crawl-ingest deployment shape for the hygiene family: every
+    // kernel is a pure per-row map (plant → repair/normalize/score →
+    // gate), so the foreachBatch form over micro-batches must equal
+    // the one-shot batch run exactly — pinning that no stage secretly
+    // depends on cross-document state (the qc7 discipline). All four
+    // kernels ride ONE drain: each trigger applies each kernel to its
+    // batch and the unions must match the batch runs per kernel.
+    import org.apache.spark.sql.functions._
+    import graft.queries.TextOps
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val streamDir = java.nio.file.Files.createTempDirectory("hyg-stream")
+    docs.repartition(2).write.mode("overwrite").parquet(streamDir.toString)
+
+    val kernels: Seq[(String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] =
+      Seq("qce" -> TextOps.encodingHygieneOf,
+        "qcg" -> TextOps.unicodeNormalizeOf,
+        "qcf" -> TextOps.lexiconFilterOf,
+        "qch" -> TextOps.phraseLexiconOf,
+        "qci" -> TextOps.hygienePipelineOf)
+    val drained = scala.collection.mutable.Map.empty[String, Vector[String]]
+      .withDefaultValue(Vector.empty)
+    val triggers = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        triggers.incrementAndGet()
+        kernels.foreach { case (name, k) =>
+          val rows = k(df).collect().map(_.toString).toVector
+          drained.synchronized { drained(name) = drained(name) ++ rows }
+        }
+        ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    assert(triggers.get() == 2, s"expected 2 triggers, got ${triggers.get()}")
+
+    kernels.foreach { case (name, k) =>
+      val got = drained(name)
+      val want = k(docs).collect().map(_.toString).toVector
+      assert(got.nonEmpty && got.size == want.size &&
+        got.toSet == want.toSet,
+        s"$name: streamed ${got.size} rows diverged from batch ${want.size}")
+    }
+  }
+
   test("streaming KMV maintenance: per-trigger sketch merges equal a " +
     "one-shot sketch, and redelivered CONTENT is idempotent by algebra") {
     // qb9's fold on a real stream: documents arrive as three files,
