@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{AnchorWindowsExpr, MojibakeRepairExpr, NfcNormalizeExpr, PhraseMatchExpr, SeedWindowsExpr,AviDibEncodeExpr, AviDibFramesExpr, AviRle8EncodeExpr, AviRle8PixelsExpr, BmpHeightExpr, KmvSketchAgg, TopKPairsAgg, MgSketchAgg, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavAlawEncodeExpr, WavAlawSamplesExpr, WavImaEncodeExpr, WavImaSamplesExpr, WavMulawEncodeExpr, WavMulawSamplesExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
+import graft.expressions.{AnchorWindowsExpr, MojibakeRepairExpr, NfcNormalizeExpr, PhraseMatchExpr, PhraseRedactExpr, SeedWindowsExpr,AviDibEncodeExpr, AviDibFramesExpr, AviRle8EncodeExpr, AviRle8PixelsExpr, BmpHeightExpr, KmvSketchAgg, TopKPairsAgg, MgSketchAgg, BmpRgb24EncodeExpr, BmpRgb24PixelsExpr, BmpWidthExpr, BpeMergeWordExpr, JpegDcCategoriesExpr, JpegGray8EncodeExpr, JpegGray8EncodeRstExpr, JpegGray8PixelsExpr, JpegHeightExpr, JpegRgbPixelsExpr, JpegRstCountExpr, JpegWidthExpr, JpegYcbcr420EncodeExpr, PngAdam7EncodeExpr, PngAdam7FilterTypesExpr, PngAdam7PixelsExpr, PngFilterTypesExpr, PngGray8EncodeExpr, PngGray8PixelsExpr, PngHeightExpr, PngPaletteEncodeExpr, PngPaletteRgbExpr, PngRgb24EncodeExpr, PngRgb24PixelsExpr, PngWidthExpr, JaccardSortedExpr, MinHashBandsExpr, ShingleHashesExpr, ShingleStringsExpr, SimHash64Expr, VectorDotExpr, WavAlawEncodeExpr, WavAlawSamplesExpr, WavImaEncodeExpr, WavImaSamplesExpr, WavMulawEncodeExpr, WavMulawSamplesExpr, WavPcm16EncodeExpr, WavPcm16SamplesExpr, WavSampleRateExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.fixMojibake)
     ext.injectFunction(GraftExtensions.nfcNormalize)
     ext.injectFunction(GraftExtensions.phraseMatches)
+    ext.injectFunction(GraftExtensions.phraseRedact)
     ext.injectFunction(GraftExtensions.wavMulawEncode)
     ext.injectFunction(GraftExtensions.wavMulawSamples)
     ext.injectFunction(GraftExtensions.wavAlawEncode)
@@ -287,6 +288,27 @@ object GraftExtensions {
         "phrase_matches(text, 'phrase|phrase|...')")
     })
 
+  private val phraseRedact: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("phrase_redact"),
+    new ExpressionInfo(classOf[PhraseRedactExpr].getName, "phrase_redact"),
+    (args: Seq[Expression]) => {
+      def constStr(e: Expression, what: String): String =
+        (if (e.foldable) e.eval() else null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case _ => throw new IllegalArgumentException(
+            s"phrase_redact requires a constant '|'-joined $what list")
+        }
+      args match {
+        case Seq(text, specExpr, tagExpr) =>
+          PhraseRedactExpr(text,
+            constStr(specExpr, "phrase").split('|').toSeq,
+            constStr(tagExpr, "tag").split('|').toSeq)
+        case _ => throw new IllegalArgumentException(
+          "phrase_redact(text, 'phrase|...', 'tag|...')")
+      }
+    })
+
   private val wavMulawEncode: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("wav_mulaw_encode"),
@@ -492,7 +514,7 @@ object GraftExtensions {
         aviEncode, aviFrames, aviRleEncode, aviRlePixels, kmvSketch,
         topkPairs, mgSketch,
         anchorWindows, seedWindows, fixMojibake, nfcNormalize,
-        phraseMatches, wavMulawEncode, wavMulawSamples,
+        phraseMatches, phraseRedact, wavMulawEncode, wavMulawSamples,
         wavAlawEncode, wavAlawSamples,
         pngEncode, pngPixels,
         pngRgbEncode, pngRgbPixels, pngPaletteEncode, pngPaletteRgb,

@@ -127,7 +127,8 @@ object PlanAudit {
     "qcf_lexicon_filter",     // per-doc lexicon shares, zero shuffle
     "qcg_unicode_normalize",  // codegen NFC expr, narrow scan only
     "qch_phrase_lexicon",     // Aho-Corasick walk, one narrow scan
-    "qci_hygiene_pipeline")   // 4-stage hygiene fused in one projection
+    "qci_hygiene_pipeline",   // 4-stage hygiene fused in one projection
+    "qcj_phrase_redact")      // redaction expr, one narrow scan
 
   /** A formatted physical plan whose ONLY node is the scan of an
     * already-materialized RDD — the shape a checkpoint-terminated

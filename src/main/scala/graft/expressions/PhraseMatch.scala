@@ -141,6 +141,110 @@ final class PhraseAutomaton(val phrases: Array[String])
     row.update(3, new GenericArrayData(counts))
     row
   }
+
+  /** The redaction walk (qcj): the same automaton pass, but every
+    * match is COLLECTED, overlapping matches merge into maximal
+    * ISLANDS (gaps-and-islands on the (start asc, len desc, pid asc)
+    * order — the running max end; adjacency does NOT merge), and each
+    * island is replaced by the tag of its island-STARTING match. One
+    * pass over the bytes plus one sort of the (small) match set; the
+    * rebuild copies gap bytes directly — no per-codepoint String
+    * work. Returns (red, n_islands, chars_masked, tag_chars); the
+    * caller's length identity red_len = len − masked + tag_chars
+    * holds by construction and rides the result as data.
+    *
+    * Match packing: start(32) | (0xFFFF − cpLen)(16) | pid(16), so a
+    * plain ascending long sort IS the (start asc, len desc, pid asc)
+    * policy order. Bounds are require()d at expression construction
+    * (phrases < 65,535 codepoints, < 65,535 phrases). */
+  def redact(text: UTF8String, tagBytesByPid: Array[Array[Byte]],
+      tagCpLenByPid: Array[Int]): GenericInternalRow = {
+    val bytes = text.getBytes
+    // byte offset where each 1-based codepoint starts; offsets(nCp+1)
+    // = bytes.length closes the last codepoint (nCp <= bytes.length)
+    val offsets = new Array[Int](bytes.length + 2)
+    val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+    var cur = 0
+    var i = 0
+    var pos = 0
+    while (i < bytes.length) {
+      pos += 1
+      offsets(pos) = i
+      val n = UTF8String.numBytesForFirstByte(bytes(i))
+      val cp = n match {
+        case 1 => bytes(i) & 0x7f
+        case 2 => ((bytes(i) & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
+        case 3 => ((bytes(i) & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f)
+        case _ => ((bytes(i) & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+      }
+      i += n
+      val key = Integer.valueOf(cp)
+      var next = gotoMaps(cur).get(key)
+      while (next == null && cur != 0) {
+        cur = fail(cur)
+        next = gotoMaps(cur).get(key)
+      }
+      cur = if (next == null) 0 else next.intValue()
+      val o = out(cur)
+      var k = 0
+      while (k < o.length) {
+        val pid = o(k)
+        val start = pos - cpLen(pid) + 1
+        buf += (start.toLong << 32) |
+          ((0xFFFFL - cpLen(pid)) << 16) | pid.toLong
+        k += 1
+      }
+    }
+    offsets(pos + 1) = bytes.length
+    val ms = buf.toArray
+    java.util.Arrays.sort(ms)
+    val outBytes = new java.io.ByteArrayOutputStream(bytes.length)
+    var nIslands = 0L
+    var masked = 0L
+    var tagChars = 0L
+    var islandStart = 0
+    var islandEnd = 0
+    var islandPid = -1
+    var copiedUpTo = 1 // next 1-based codepoint not yet emitted
+    def flushIsland(): Unit = if (islandPid >= 0) {
+      outBytes.write(bytes, offsets(copiedUpTo),
+        offsets(islandStart) - offsets(copiedUpTo))
+      val tb = tagBytesByPid(islandPid)
+      outBytes.write(tb, 0, tb.length)
+      nIslands += 1
+      masked += islandEnd - islandStart + 1
+      tagChars += tagCpLenByPid(islandPid)
+      copiedUpTo = islandEnd + 1
+    }
+    var k = 0
+    while (k < ms.length) {
+      val m = ms(k)
+      val start = (m >>> 32).toInt
+      val len = 0xFFFF - ((m >>> 16) & 0xFFFFL).toInt
+      val pid = (m & 0xFFFFL).toInt
+      val end = start + len - 1
+      if (islandPid < 0) {
+        islandStart = start; islandEnd = end; islandPid = pid
+      } else if (start <= islandEnd) {
+        if (end > islandEnd) islandEnd = end
+      } else {
+        flushIsland()
+        islandStart = start; islandEnd = end; islandPid = pid
+      }
+      k += 1
+    }
+    flushIsland()
+    outBytes.write(bytes, offsets(copiedUpTo),
+      bytes.length - offsets(copiedUpTo))
+    val row = new GenericInternalRow(4)
+    row.update(0, UTF8String.fromBytes(outBytes.toByteArray))
+    row.setLong(1, nIslands)
+    row.setLong(2, masked)
+    row.setLong(3, tagChars)
+    row
+  }
 }
 
 object PhraseMatch {

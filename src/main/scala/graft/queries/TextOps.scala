@@ -1405,7 +1405,36 @@ object TextOps extends Registry {
         "-> lexicon -> keep in ONE fused projection chain (plan " +
         "pinned to zero mid-plan exchanges); mixed moji+decomposed " +
         "row proves the repair refuses and NFC still composes; " +
-        "normalized-text md5 and every stage metric oracle-matched")
+        "normalized-text md5 and every stage metric oracle-matched"),
+
+    // ------------------------------------------------------------------
+    // qcj: PHRASE REDACTION — the deliverable qch's matcher exists
+    // for (qc7's role for the phrase lexicon): every text region
+    // covered by any phrase match is MASKED, overlapping matches
+    // merging into one island tagged by its island-starting match
+    // (leftmost, then longest, then lowest pid — a fixed total
+    // policy). The island derivation is deliberately the qbb
+    // span-cut idiom (running-max gaps-and-islands + lag gap
+    // rebuild) so the ORACLE computes the same islands declaratively
+    // in SQL windows while the ENGINE does one imperative automaton
+    // pass inside the codegen expression — two unrelated
+    // implementations of one semantics, md5-gated per row on the
+    // redacted text (the qcg gate shape). Same plant as qch, so the
+    // adversarial arrangements (prefix phrases, cross-category
+    // overlaps, self-overlapping repeats) all exercise the merge;
+    // the length identity red_len = orig − masked + tag_chars rides
+    // as data and breaks on any interval mishandling. Plan shape:
+    // one narrow projection, zero shuffles/joins — the qch walk plus
+    // one sort of the per-doc match set.
+    QueryDef(
+      "qcj_phrase_redact",
+      (s, dir) => phraseRedact(s, dir),
+      Some(phraseRedactOracle),
+      doc = "Phrase redaction over the Aho-Corasick matches: " +
+        "overlap-merged islands masked with category tags " +
+        "(island-starting match wins), engine's one-pass expression " +
+        "vs the oracle's window-derived islands, redacted text " +
+        "md5-gated with the length identity as data")
   )
 
   /** The qb1 kernel over an explicit (doc_id, text) frame — factored
@@ -4096,6 +4125,157 @@ object TextOps extends Registry {
        |    AND ${catSum("bulk")} <= $PhraseBulkMax
        |    AND ${catSum("dupes")} = 0 AS kept
        |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- qcj: phrase redaction -------------------------------------------
+
+  /** Category tag inserted for each masked island, keyed by the
+    * island-starting match's category. Printable ASCII (the
+    * phrase_redact contract) and visibly distinct from corpus words
+    * so a redacted row can never collide with a clean one. */
+  private[queries] val PhraseCatTags: Map[String, String] =
+    Map("latency" -> "[LAT]", "bulk" -> "[BULK]", "dupes" -> "[DUP]")
+
+  /** Per-PHRASE tags aligned with [[phraseFlat]] (pid order). */
+  private[queries] def phraseTagFlat: Seq[String] =
+    PhraseLexicon.flatMap { case (cat, ps) =>
+      ps.map(_ => PhraseCatTags(cat))
+    }
+
+  def phraseRedact(s: SparkSession, dir: String): DataFrame =
+    phraseRedactOf(table(s, dir, "documents"))
+
+  /** The qcj kernel over any (doc_id, text) frame — the qch plant
+    * (same mod, same fixtures) feeding the redaction expression; all
+    * metrics ride as scalars and the length identity is computed as
+    * DATA so the oracle re-derives it independently. */
+  def phraseRedactOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
+    val n = PhraseFixtures.size
+    val fxArr = array(PhraseFixtures.map(f => lit(f)): _*)
+    val spec = phraseFlat.mkString("|")
+    val tagSpec = phraseTagFlat.mkString("|")
+    docs
+      .select($"doc_id", $"text",
+        ($"doc_id" % 5 === 3).as("planted"),
+        expr(s"CAST((doc_id div 5) % $n AS INT)").as("fi0"))
+      .select($"doc_id", $"planted",
+        when($"planted", $"fi0").otherwise(-1).as("fi"),
+        when($"planted",
+          concat(element_at(fxArr, $"fi0" + 1), lit(" "), $"text"))
+          .otherwise($"text").as("input_text"))
+      .withColumn("r",
+        expr(s"phrase_redact(input_text, '$spec', '$tagSpec')"))
+      .select($"doc_id", $"planted", $"fi",
+        length($"input_text").cast("long").as("orig_len"),
+        $"r.n_islands".as("n_islands"),
+        $"r.chars_masked".as("chars_masked"),
+        $"r.tag_chars".as("tag_chars"),
+        length($"r.red").cast("long").as("red_len"),
+        (length($"r.red").cast("long") ===
+          length($"input_text").cast("long") - $"r.chars_masked" +
+            $"r.tag_chars").as("len_ok"),
+        md5($"r.red").as("red_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** The oracle derives the SAME islands declaratively: per-phrase
+    * match starts from the qch substr comprehension, one row per
+    * match, a running-max window over the (s, len desc, pid) policy
+    * order marks island starts, row_number picks each island's
+    * starting match for the tag, and the redacted text is rebuilt as
+    * lag-gap substrings interleaved with tags — never the engine's
+    * imperative sweep. md5 equality per row proves every redacted
+    * byte against the independent construction. */
+  private def phraseRedactOracle: String = {
+    val n = PhraseFixtures.size
+    val vals = PhraseFixtures.zipWithIndex.map { case (f, i) =>
+      s"($i, ${sqlLit(f)})"
+    }.mkString(",\n    ")
+    val flat = phraseFlat
+    val tags = phraseTagFlat
+    def posList(p: String): String =
+      s"[i for i in range(1, length(input_text) - ${p.length} + 2) " +
+        s"if substr(input_text, i, ${p.length}) = ${sqlLit(p)}]"
+    val posCols = flat.zipWithIndex.map { case (p, i) =>
+      s"${posList(p)} AS p$i"
+    }.mkString(",\n    ")
+    val unions = flat.zipWithIndex.map { case (p, i) =>
+      val len = p.length
+      s"""SELECT doc_id, s, $len AS len, s + ${len - 1} AS e,
+         |    $i AS pid, ${sqlLit(tags(i))} AS tag
+         |  FROM p, UNNEST(p$i) AS u$i(s)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH fx(fi, snip) AS (VALUES
+       |    $vals),
+       |d AS (
+       |  SELECT doc_id, text, doc_id % 5 = 3 AS planted,
+       |    CAST((doc_id // 5) % $n AS INT) AS fi0
+       |  FROM documents),
+       |j AS (
+       |  SELECT d.doc_id, d.planted,
+       |    CASE WHEN d.planted THEN d.fi0 ELSE -1 END AS fi,
+       |    CASE WHEN d.planted THEN f.snip || ' ' || d.text
+       |         ELSE d.text END AS input_text
+       |  FROM d LEFT JOIN fx f ON d.planted AND f.fi = d.fi0),
+       |p AS (
+       |  SELECT doc_id,
+       |    $posCols
+       |  FROM j),
+       |mr AS (
+       |  $unions),
+       |ord AS (
+       |  SELECT *, max(e) OVER (PARTITION BY doc_id
+       |      ORDER BY s ASC, len DESC, pid ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    AS prev_max
+       |  FROM mr),
+       |isl AS (
+       |  SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+       |      ORDER BY s ASC, len DESC, pid ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+       |  FROM ord),
+       |mem AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id, isle
+       |      ORDER BY s ASC, len DESC, pid ASC) AS rn
+       |  FROM isl),
+       |islands AS (
+       |  SELECT doc_id, isle, min(s) AS is_s, max(e) AS is_e,
+       |    max(CASE WHEN rn = 1 THEN tag END) AS tag
+       |  FROM mem GROUP BY doc_id, isle),
+       |lagd AS (
+       |  SELECT *, coalesce(lag(is_e) OVER (PARTITION BY doc_id
+       |      ORDER BY is_s), 0) AS prev_e
+       |  FROM islands),
+       |agg AS (
+       |  SELECT l.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_islands,
+       |    CAST(sum(l.is_e - l.is_s + 1) AS BIGINT) AS chars_masked,
+       |    CAST(sum(length(l.tag)) AS BIGINT) AS tag_chars,
+       |    string_agg(substr(j.input_text, l.prev_e + 1,
+       |      l.is_s - l.prev_e - 1) || l.tag, '' ORDER BY l.is_s)
+       |      AS head_part,
+       |    max(l.is_e) AS last_e
+       |  FROM lagd l JOIN j ON j.doc_id = l.doc_id
+       |  GROUP BY l.doc_id),
+       |fin AS (
+       |  SELECT j.doc_id, j.planted, j.fi,
+       |    CAST(length(j.input_text) AS BIGINT) AS orig_len,
+       |    coalesce(a.n_islands, 0) AS n_islands,
+       |    coalesce(a.chars_masked, 0) AS chars_masked,
+       |    coalesce(a.tag_chars, 0) AS tag_chars,
+       |    CASE WHEN a.doc_id IS NULL THEN j.input_text
+       |         ELSE a.head_part || substr(j.input_text, a.last_e + 1)
+       |         END AS red
+       |  FROM j LEFT JOIN agg a ON a.doc_id = j.doc_id)
+       |SELECT doc_id, planted, fi, orig_len, n_islands, chars_masked,
+       |  tag_chars, CAST(length(red) AS BIGINT) AS red_len,
+       |  length(red) = orig_len - chars_masked + tag_chars AS len_ok,
+       |  md5(red) AS red_md5
+       |FROM fin ORDER BY doc_id""".stripMargin
   }
 
   // ---- qci: composed single-pass hygiene pipeline ----------------------

@@ -93,7 +93,7 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     // r20: the Aho-Corasick walk and the composed hygiene chain are
     // pure row functions; the gate additionally proves the automaton
     // reference object behaves identically across task boundaries
-    "qch_phrase_lexicon", "qci_hygiene_pipeline")
+    "qch_phrase_lexicon", "qci_hygiene_pipeline", "qcj_phrase_redact")
 
   private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map(_.toSeq.map {

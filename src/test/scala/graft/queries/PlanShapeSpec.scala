@@ -256,6 +256,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected plan nodes in the fused chain: ${kinds -- allowed}")
   }
 
+  test("qcj: phrase redaction is one narrow scan — zero mid-plan " +
+    "exchanges, no join/agg/window") {
+    val p = plan("qcj_phrase_redact")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"qcj shuffles $exchanges times; the redaction expression must " +
+        "ride the scan's projection — only the output sort may exchange")
+    assert(!p.contains("Join"),
+      "qcj must not join — the automaton and tags are plan literals")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"),
+      "qcj must not aggregate or window — redaction is per-row")
+  }
+
   test("q9l: weighted top-k plans TakeOrderedAndProject, no global sort") {
     val p = plan("q9l_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),

@@ -249,6 +249,138 @@ class Round20OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- qcj phrase redaction -------------------------------------------
+
+  /** Engine call: the shipped redactor (automaton walk + island sweep
+    * + byte rebuild) on a single string. */
+  private def redact(phrases: Seq[String], tags: Seq[String],
+      text: String): (String, Long, Long, Long) = {
+    val r = graft.expressions.PhraseRedact
+      .redactor(phrases.mkString("|"), tags.mkString("|"))
+      .redact(UTF8String.fromString(text))
+    (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2),
+      r.getLong(3))
+  }
+
+  /** Brute-force reference redactor: matches by codepoint slice
+    * comparison, islands by an explicit sorted sweep over tuples,
+    * rebuild by codepoint-array concatenation — no automaton, no
+    * byte arithmetic, nothing shared with the engine path. */
+  private def bruteRedact(phrases: Seq[String], tags: Seq[String],
+      text: String): (String, Long, Long, Long) = {
+    val cps = text.codePoints().toArray
+    val pcps = phrases.map(_.codePoints().toArray)
+    val hits = (for {
+      (p, pid) <- pcps.zipWithIndex
+      start <- 1 to (cps.length - p.length + 1)
+      if cps.slice(start - 1, start - 1 + p.length).sameElements(p)
+    } yield (start, p.length, pid))
+      .sortBy { case (s, l, pid) => (s, -l, pid) }
+    final case class Isl(s: Int, var e: Int, tag: String)
+    val islands = scala.collection.mutable.ArrayBuffer.empty[Isl]
+    for ((s, l, pid) <- hits) {
+      val e = s + l - 1
+      if (islands.nonEmpty && s <= islands.last.e) {
+        if (e > islands.last.e) islands.last.e = e
+      } else islands += Isl(s, e, tags(pid))
+    }
+    val sb = new StringBuilder
+    var next = 1
+    for (i <- islands) {
+      sb.append(new String(cps, next - 1, i.s - next))
+      sb.append(i.tag)
+      next = i.e + 1
+    }
+    sb.append(new String(cps, next - 1, cps.length - next + 1))
+    (sb.toString, islands.size.toLong,
+      islands.map(i => (i.e - i.s + 1).toLong).sum,
+      islands.map(_.tag.length.toLong).sum)
+  }
+
+  private val QcjFlat = TextOps.phraseFlat
+  private val QcjTags = TextOps.phraseTagFlat
+
+  test("qcj hand cases: overlap merge, island-starting tag, adjacency " +
+    "kept separate, identity on clean text") {
+    // prefix + self-overlap all merge into ONE latency island
+    assert(redact(QcjFlat, QcjTags, "slow scan slow scan") ==
+      (("[LAT]", 1L, 19L, 5L)))
+    // cross-category chain merges under the FIRST (leftmost) match's
+    // category; the zero-tolerance hit stays its own island
+    assert(redact(QcjFlat, QcjTags, "big table slow scan dup dup") ==
+      (("[BULK] [DUP]", 2L, 26L, 11L)))
+    // adjacency (gap of one space) does NOT merge: two islands, two tags
+    assert(redact(QcjFlat, QcjTags, "slow scan table scan") ==
+      (("[LAT] [BULK]", 2L, 19L, 11L)))
+    // self-overlapping repeats collapse to one island
+    assert(redact(QcjFlat, QcjTags, "dup dup dup") ==
+      (("[DUP]", 1L, 11L, 5L)))
+    // clean text is the identity with zero islands
+    assert(redact(QcjFlat, QcjTags, "merge batch key") ==
+      (("merge batch key", 0L, 0L, 0L)))
+    assert(redact(QcjFlat, QcjTags, "") == (("", 0L, 0L, 0L)))
+  }
+
+  test("qcj positions are codepoint-exact through multi-byte and " +
+    "supplementary-plane context") {
+    // 2-byte chars around the match: byte offsets differ from
+    // codepoint offsets on BOTH sides of the island
+    assert(redact(QcjFlat, QcjTags, "é slow scan é") ==
+      (("é [LAT] é", 1L, 9L, 5L)))
+    // a 4-byte supplementary codepoint before the match shifts every
+    // byte offset by 3 relative to codepoint positions
+    assert(redact(QcjFlat, QcjTags, "𝄞 dup dup") ==
+      (("𝄞 [DUP]", 1L, 7L, 5L)))
+  }
+
+  test("qcj engine == brute force on generated texts over an " +
+    "adversarial overlapping phrase set") {
+    val phrases = Seq("a b", "a b a", "b a", "aa", "a")
+    val tags = Seq("[P]", "[Q]", "[R]", "[S]", "[T]")
+    val rnd = new scala.util.Random(21)
+    val alphabet = "ab "
+    for (len <- Seq(0, 1, 2, 5, 17, 64); trial <- 1 to 20) {
+      val text = Seq.fill(len)(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(redact(phrases, tags, text) ==
+        bruteRedact(phrases, tags, text), s"divergence on <$text>")
+    }
+  }
+
+  test("qcj kernel == brute force on every constructed corpus input " +
+    "at sf0.001, and the length identity holds on every row") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val n = TextOps.PhraseFixtures.size
+    val expected = docs.map { case (id, text) =>
+      val planted = id % 5 == 3
+      val input = if (planted)
+        TextOps.PhraseFixtures(((id / 5) % n).toInt) + " " + text
+      else text
+      val (red, ni, masked, tagc) = bruteRedact(QcjFlat, QcjTags, input)
+      id -> ((ni, masked, tagc, md5hex(red)))
+    }.toMap
+    val got = SparkEntryAccess.run(spark, "qcj_phrase_redact", sfDir)
+      .collect()
+    assert(got.length == docs.length)
+    for (r <- got) {
+      val id = r.getLong(0)
+      assert(r.getBoolean(8), s"len_ok false for doc $id")
+      assert((r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(9)) == expected(id),
+        s"doc $id diverged from the brute-force redaction")
+    }
+    // the fixture plant must actually exercise redaction: planted rows
+    // with matches exist, and so do untouched clean rows
+    assert(got.exists(r => r.getBoolean(1) && r.getLong(4) > 0))
+    assert(got.exists(r => r.getLong(4) == 0))
+  }
+
   // ---- NfcNormalize ASCII byte fast path (r19 verdict item) -----------
 
   test("NfcNormalize: pure-ASCII input returns the original instance " +

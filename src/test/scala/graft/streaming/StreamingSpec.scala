@@ -1211,7 +1211,7 @@ class StreamingSpec extends AnyFunSuite {
       "redelivered batch (same batchId) mutated the served audit")
   }
 
-  test("streaming hygiene: qce/qcg/qcf/qch/qci kernels drained " +
+  test("streaming hygiene: qce/qcg/qcf/qch/qci/qcj kernels drained " +
     "per-trigger equal the batch pass row-for-row") {
     // the crawl-ingest deployment shape for the hygiene family: every
     // kernel is a pure per-row map (plant → repair/normalize/score →
@@ -1234,7 +1234,8 @@ class StreamingSpec extends AnyFunSuite {
         "qcg" -> TextOps.unicodeNormalizeOf,
         "qcf" -> TextOps.lexiconFilterOf,
         "qch" -> TextOps.phraseLexiconOf,
-        "qci" -> TextOps.hygienePipelineOf)
+        "qci" -> TextOps.hygienePipelineOf,
+        "qcj" -> TextOps.phraseRedactOf)
     val drained = scala.collection.mutable.Map.empty[String, Vector[String]]
       .withDefaultValue(Vector.empty)
     val triggers = new java.util.concurrent.atomic.AtomicInteger(0)
