@@ -1644,7 +1644,10 @@ object Relational extends Registry {
       : (DataFrame, Boolean, String) = {
     import s.implicits._
     val src = s"$dir/events.parquet"
-    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+    // v2: the merge≡rebuild contract moved INTO this build (r20, qb4's
+    // rule) — the bump forces one rebuild so every serving store has
+    // passed the contract
+    val key = s"v2|$src|${Tables.sourceStamp(src)}" +
       s"|agg=cms-userid|d=$CmsDepth|w=$CmsWidth|base=mod${CmsDeltaMod}ne0"
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -1659,6 +1662,29 @@ object Relational extends Registry {
           .filter(pmod($"event_id", lit(CmsDeltaMod)) =!= 0)
           .select($"user_id"))
         .write.mode("overwrite").parquet(gridDir.toString)
+      // contract (lossless merge), ON THE BUILD RUN ONLY (qb4's rule;
+      // pre-r20 every serve re-counted the full event stream to
+      // re-prove it): stored base grid + delta counters must equal a
+      // full rebuild bit-for-bit. Throws before the key file lands.
+      val delta = cmsEvents(s, dir)
+        .filter(pmod($"event_id", lit(CmsDeltaMod)) === 0)
+        .select($"user_id")
+      val merged = s.read.parquet(gridDir.toString)
+        .withColumnRenamed("cnt", "cnt_base")
+        .join(cmsCounters(delta).withColumnRenamed("cnt", "cnt_delta"),
+          Seq("d", "w"), "full")
+        .select($"d", $"w",
+          (coalesce($"cnt_base", lit(0L)) + coalesce($"cnt_delta", lit(0L)))
+            .as("cnt"))
+      val rebuilt = cmsCounters(cmsEvents(s, dir).select($"user_id"))
+      val diff = merged
+        .join(rebuilt.withColumnRenamed("cnt", "cnt_rb"), Seq("d", "w"),
+          "full")
+        .agg(sum(abs(coalesce($"cnt", lit(0L)) - coalesce($"cnt_rb", lit(0L))))
+          .as("dv"))
+        .collect().head
+      require(!diff.isNullAt(0) && diff.getLong(0) == 0L,
+        "q9e: merged CMS counters diverged from a from-scratch rebuild")
       java.nio.file.Files.writeString(keyFile, key)
     }
     (s.read.parquet(gridDir.toString), !valid, stateDir)
@@ -1721,19 +1747,13 @@ object Relational extends Registry {
   def cmsIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val merged = cmsMergedCounters(s, dir)
-    // contract 1 (lossless merge): the maintained grid must equal a
-    // full rebuild bit-for-bit — additive merge admits NO tolerance,
-    // unlike q9c's register union. The rebuild grid exists only here,
-    // as the contract instrument.
-    val rebuilt = cmsCounters(cmsEvents(s, dir).select($"user_id"))
-    val diff = merged
-      .join(rebuilt.withColumnRenamed("cnt", "cnt_rb"), Seq("d", "w"), "full")
-      .agg(sum(abs(coalesce($"cnt", lit(0L)) - coalesce($"cnt_rb", lit(0L))))
-        .as("dv"))
-      .collect().head
-    val mergeEq = !diff.isNullAt(0) && diff.getLong(0) == 0L
-    require(mergeEq,
-      "q9e: merged CMS counters diverged from a from-scratch rebuild")
+    // contract 1 (lossless merge) runs on the STATE-BUILD run inside
+    // loadOrBuildCmsState (qb4's rule — r20; pre-r20 every serve
+    // re-counted the full event stream as the contract instrument). A
+    // serving store exists only because the contract held, so the
+    // in-band flag below is constant-true by construction — exactly
+    // as it was before, when require(mergeEq) preceded it.
+    val mergeEq = true
 
     // serve: lifetime estimates for the delta's active keys, from the
     // merged grid only (broadcast: ≤ depth×width rows)
@@ -1752,11 +1772,15 @@ object Relational extends Registry {
     // classic e·N/w CMS bound, with no float boundary to desync the
     // engines; contract 3 (hard guarantee): est ≥ exact, require()d
     // below driver-side so a broken merge errors the query even though
-    // both engines would agree on the comparison columns
-    val ev = cmsEvents(s, dir)
-    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_cnt"))
+    // both engines would agree on the comparison columns. N_total is
+    // the sum of the per-key exact counts — same scan, one fewer full
+    // pass than the old separate ev.agg(count) (r20).
+    val exact = cmsEvents(s, dir).groupBy($"user_id")
+      .agg(count(lit(1)).as("exact_cnt"))
+      .localCheckpoint(true) // bounded: one row per active key
     val out = est.join(exact, Seq("user_id"))
-      .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_total"))))
+      .crossJoin(broadcast(exact.agg(
+        sum($"exact_cnt").cast("long").as("n_total"))))
       .select($"user_id", $"est_cnt", $"exact_cnt",
         ($"est_cnt" - $"exact_cnt" <= expr(s"(3 * n_total) div $CmsWidth"))
           .as("within_eps"),
@@ -1808,7 +1832,10 @@ object Relational extends Registry {
       : (DataFrame, Boolean, String) = {
     import s.implicits._
     val src = s"$dir/lineitem.parquet"
-    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+    // v2: the merge≡rebuild contract moved INTO this build (r20, qb4's
+    // rule) — the bump forces one rebuild so every serving store has
+    // passed the contract
+    val key = s"v2|$src|${Tables.sourceStamp(src)}" +
       s"|agg=hist-extprice-cents|w=$QtBucketW|base=mod${QtDeltaMod}ne0"
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -1822,6 +1849,26 @@ object Relational extends Registry {
       qtHist(qtCents(s, dir)
           .filter(pmod($"l_orderkey", lit(QtDeltaMod)) =!= 0))
         .write.mode("overwrite").parquet(histDir.toString)
+      // contract (lossless merge), ON THE BUILD RUN ONLY (qb4's rule;
+      // pre-r20 every serve re-histogrammed the full corpus to
+      // re-prove it): stored base buckets + delta buckets must equal
+      // a full rebuild bit-for-bit. Throws before the key file lands.
+      val delta = qtHist(qtCents(s, dir)
+        .filter(pmod($"l_orderkey", lit(QtDeltaMod)) === 0))
+      val merged = s.read.parquet(histDir.toString)
+        .withColumnRenamed("cnt", "cnt_base")
+        .join(delta.withColumnRenamed("cnt", "cnt_delta"), Seq("b"), "full")
+        .select($"b",
+          (coalesce($"cnt_base", lit(0L)) + coalesce($"cnt_delta", lit(0L)))
+            .as("cnt"))
+      val rebuilt = qtHist(qtCents(s, dir))
+      val diff = merged
+        .join(rebuilt.withColumnRenamed("cnt", "cnt_rb"), Seq("b"), "full")
+        .agg(sum(abs(coalesce($"cnt", lit(0L)) - coalesce($"cnt_rb", lit(0L))))
+          .as("dv"))
+        .collect().head
+      require(!diff.isNullAt(0) && diff.getLong(0) == 0L,
+        "q9t: merged histogram diverged from a from-scratch rebuild")
       java.nio.file.Files.writeString(keyFile, key)
     }
     (s.read.parquet(histDir.toString), !valid, stateDir)
@@ -1887,18 +1934,13 @@ object Relational extends Registry {
   def quantileIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val merged = qtMergedHist(s, dir)
-    // contract 1 (lossless merge): maintained buckets ≡ full rebuild
-    // bit-for-bit — additive merge admits no tolerance. The rebuild
-    // histogram exists only here, as the contract instrument.
-    val rebuilt = qtHist(qtCents(s, dir))
-    val diff = merged
-      .join(rebuilt.withColumnRenamed("cnt", "cnt_rb"), Seq("b"), "full")
-      .agg(sum(abs(coalesce($"cnt", lit(0L)) - coalesce($"cnt_rb", lit(0L))))
-        .as("dv"))
-      .collect().head
-    val mergeEq = !diff.isNullAt(0) && diff.getLong(0) == 0L
-    require(mergeEq,
-      "q9t: merged histogram diverged from a from-scratch rebuild")
+    // contract 1 (lossless merge) runs on the STATE-BUILD run inside
+    // loadOrBuildQtState (qb4's rule — r20; pre-r20 every serve
+    // re-histogrammed the full corpus as the contract instrument). A
+    // serving store exists only because the contract held, so the
+    // in-band flag below is constant-true by construction — exactly
+    // as it was before, when require(mergeEq) preceded it.
+    val mergeEq = true
 
     // quantile read-out from the merged histogram only: cumsum over the
     // bucket axis. The single-partition window is over ≤ ~1.1k bucket

@@ -804,9 +804,21 @@ object Similarity extends Registry {
   }
 
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
+    // Materialize each corpus's (vec_id, v, nrm) projection ONCE: the
+    // three serve arms below (LSH chain, two IVF-PQ chains) reference
+    // it 16×/13× (sf/fixture) in one action — 29 parquet scans, each
+    // re-paying the to-double transform and the norm dot, in the r20
+    // before-plan. persist(), NOT localCheckpoint: a checkpoint's
+    // LogicalRDD loses the scan statistics, which silently flipped the
+    // corpus side of the rerank joins from auto-broadcast to shuffle
+    // (measured SLOWER than the 29-scan form); the cached plan keeps
+    // its stats, every reference reads memory, and both frames are
+    // released below once the 3-row result is materialized (the
+    // kmeansConverge pattern). Guide §1.2/§8: materialize the shared
+    // projection once.
+    val c = corpus(s, dir).persist()
     val fc = corpusOf(s.read.parquet(
-      s"${FhirEtl.FixtureDir}/neardup_embeddings.parquet"))
+      s"${FhirEtl.FixtureDir}/neardup_embeddings.parquet")).persist()
     val centerSeed = col("vec_id") % 100 === 0
     def famRow(family: String, pin: Double, ann: DataFrame,
         ex: DataFrame): DataFrame = {
@@ -839,6 +851,8 @@ object Similarity extends Registry {
       .unionAll(famRow("lsh_sf", AnnRecallPinLsh, knnLshOn(c), exSf))
       .orderBy(col("family"))
       .localCheckpoint(true) // 3 rows — also feeds the require() below
+    c.unpersist()
+    fc.unpersist()
     rows.collect().foreach { r =>
       require(r.getDouble(4) >= r.getDouble(5),
         s"ANN recall contract violated: ${r.getString(0)} recall " +
@@ -1041,7 +1055,13 @@ object Similarity extends Registry {
 
   def annRecallPartitioned(s: SparkSession, dir: String): DataFrame = {
     val out = cellLayoutStored(s, dir)
-    val c = corpus(s, dir)
+    // one cut for the five downstream references (probe routing runs
+    // two collect()s at build time, then codebook/LUT/split each
+    // re-derive the projection) — the q5b rule: materialize the
+    // normalized projection once per action; persist, not checkpoint,
+    // so the scan stats (and with them the auto-broadcast choices)
+    // survive; released below once the 1-row result is materialized
+    val c = corpus(s, dir).persist()
     // serve: the FULL q5b query set probes its cells; the probed set is
     // bounded metadata (≤ 2 cells × ≤ 20 queries). A 20-query batch
     // usually unions to ALL cells (2×20 probes over 8 directories), so
@@ -1094,6 +1114,7 @@ object Similarity extends Registry {
         lit(cellsTotal).as("cells_total"),
         lit(cellsScanned < cellsTotal).as("partition_pruned"))
       .localCheckpoint(true) // 1 row — also feeds the require()s below
+    c.unpersist()
     row.collect().foreach { r =>
       require(r.getDouble(4) >= r.getDouble(5),
         s"partitioned ANN recall contract violated: ${r.getDouble(4)} < " +

@@ -1986,13 +1986,13 @@ object TextOps extends Registry {
 
   /** The serve-path lifecycle every scorer shares: load the stored
     * final model (training at most once per corpus via the store) and
-    * hand (features, classes, final weights) to the body. The feature
-    * frame is NOT persisted — each serve path consumes it exactly
-    * once, so the plan is a single scan + broadcast join. */
+    * hand (documents, classes, final weights) to the body — the r20
+    * per-row scorer consumes the raw document frame, so each serve
+    * path plans as one scan + projection. */
   private def withLangIdModel[T](s: SparkSession, dir: String)(
       body: (DataFrame, Seq[String], Array[Array[Long]]) => T): T = {
     val (classes, wFinal) = langIdStoredModel(s, dir)
-    body(langIdFeatures(table(s, dir, "documents")), classes, wFinal)
+    body(table(s, dir, "documents"), classes, wFinal)
   }
 
   def langIdApply(s: SparkSession, dir: String): DataFrame = {
@@ -2007,24 +2007,48 @@ object TextOps extends Registry {
     }
   }
 
-  /** Literal-model scoring of a feature frame — the qca inference
+  /** Literal-model scoring of a DOCUMENT frame — the qca inference
     * kernel, shared by the batch query and the per-trigger streaming
     * serve (q9f's deployment shape: the model trains once, documents
-    * arrive as micro-batches, each trigger scores its batch with the
-    * same C×K broadcast frame). */
-  def langIdScore(f: DataFrame, classes: Seq[String],
+    * arrive as micro-batches, each trigger scores its batch).
+    *
+    * Inference is PER-ROW (r20): the pre-r20 form re-derived the
+    * (doc, bucket, cnt) feature frame and scored it with a bucket-key
+    * broadcast join + two corpus-keyed aggregations — i.e. every
+    * inference pass shuffled docs×K feature rows and docs×C score rows
+    * just to sum a 64-long dot product per class. The model is C×K
+    * LITERALS, so score(cls) = Σ_tri w[cls][bucket(tri)] folds inside
+    * one projection: trigram buckets once per row, one aggregate() per
+    * class, argmax via array_min over (−score, cls) structs (same
+    * lexicographic tie-break as the old min(struct)). ZERO corpus
+    * shuffles — the plan is scan → project, and the only exchange any
+    * caller pays is its own tiny final aggregate. Equivalence: integer
+    * sums in any order, and Σ_bucket cnt·w ≡ Σ_occurrence w; gated by
+    * the qca/qcd oracles at all three SFs and the hand spec. */
+  def langIdScore(docs: DataFrame, classes: Seq[String],
       w: Array[Array[Long]]): DataFrame = {
-    val s = f.sparkSession
+    val s = docs.sparkSession
     import s.implicits._
-    val wDf = s.createDataFrame(
-      for { (c, ci) <- classes.zipWithIndex; b <- 0 until LangIdBuckets }
-        yield (c, b, w(ci)(b))).toDF("cls", "bucket", "w")
-    f.join(broadcast(wDf), Seq("bucket"))
-      .groupBy($"doc_id", $"lang", $"is_train", $"cls")
-      .agg(sum($"cnt" * $"w").as("score"))
-      .groupBy($"doc_id", $"lang", $"is_train")
-      .agg(min(struct((lit(0L) - $"score").as("ns"), $"cls")).as("m"))
-      .select($"doc_id", $"lang", $"is_train", $"m.cls".as("pred"))
+    val alts = classes.zipWithIndex.map { case (cname, ci) =>
+      struct(
+        (lit(0L) - aggregate(col("buckets"), lit(0L),
+          (acc, b) => acc + element_at(typedLit(w(ci).toSeq), b + 1)))
+          .as("ns"),
+        lit(cname).as("cls"))
+    }
+    docs
+      .filter(length($"text") >= 3)
+      .select($"doc_id", $"lang",
+        (pmod($"doc_id", lit(2)) === 0).as("is_train"),
+        substring($"text", 1, LangIdPrefix).as("p"))
+      .select($"doc_id", $"lang", $"is_train",
+        transform(
+          transform(sequence(lit(1), length($"p") - 2, lit(1)),
+            i => $"p".substr(i, lit(3))),
+          t => pmod(conv(substring(md5(t), 1, 4), 16, 10).cast("long"),
+            lit(LangIdBuckets)).cast("int")).as("buckets"))
+      .select($"doc_id", $"lang", $"is_train",
+        array_min(array(alts: _*)).getField("cls").as("pred"))
   }
 
   /** The trained language-ID model for a corpus (bounded driver
@@ -2297,7 +2321,10 @@ object TextOps extends Registry {
       : (DataFrame, DataFrame, Boolean, String) = {
     import s.implicits._
     val src = s"$dir/documents.parquet"
-    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+    // v2: the merge≡rebuild contract moved INTO this build (r20, qb4's
+    // rule) — the bump forces one rebuild so every serving store has
+    // passed the contract
+    val key = s"v2|$src|${Tables.sourceStamp(src)}" +
       s"|lm=bigram-ws-laplace|base=mod${IncDeltaMod}ne0"
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -2322,6 +2349,36 @@ object TextOps extends Registry {
       val (big, uni) = lmCountsOf(base)
       big.write.mode("overwrite").parquet(bigDir.toString)
       uni.write.mode("overwrite").parquet(uniDir.toString)
+      // contract (lossless merge), ON THE BUILD RUN ONLY (qb4's rule;
+      // pre-r20 every serve re-tokenized the full corpus to re-prove
+      // it): stored base + delta counts must equal a full-corpus
+      // rebuild bit-for-bit — additive count merge admits NO
+      // tolerance. Throws before the key file lands.
+      val delta = lmDocsWs(s, dir)
+        .filter(pmod($"doc_id", lit(IncDeltaMod)) === 0)
+      val (bigD, uniD) = lmCountsOf(delta)
+      val (bigR, uniR) = lmCountsOf(lmDocsWs(s, dir))
+      val dBig = s.read.parquet(bigDir.toString)
+        .withColumnRenamed("c12", "c12_b")
+        .join(bigD.withColumnRenamed("c12", "c12_d"), Seq("a", "b"), "full")
+        .select($"a", $"b",
+          (coalesce($"c12_b", lit(0L)) + coalesce($"c12_d", lit(0L)))
+            .as("c12"))
+        .join(bigR.withColumnRenamed("c12", "c12_r"), Seq("a", "b"), "full")
+        .agg(sum(abs(coalesce($"c12", lit(0L)) - coalesce($"c12_r", lit(0L)))))
+        .collect().head
+      val dUni = s.read.parquet(uniDir.toString)
+        .withColumnRenamed("c1", "c1_b")
+        .join(uniD.withColumnRenamed("c1", "c1_d"), Seq("w"), "full")
+        .select($"w",
+          (coalesce($"c1_b", lit(0L)) + coalesce($"c1_d", lit(0L)))
+            .as("c1"))
+        .join(uniR.withColumnRenamed("c1", "c1_r"), Seq("w"), "full")
+        .agg(sum(abs(coalesce($"c1", lit(0L)) - coalesce($"c1_r", lit(0L)))))
+        .collect().head
+      require(!dBig.isNullAt(0) && dBig.getLong(0) == 0L &&
+        !dUni.isNullAt(0) && dUni.getLong(0) == 0L,
+        "q9h: merged LM tables diverged from a from-scratch rebuild")
       java.nio.file.Files.writeString(keyFile, key)
     }
     (s.read.parquet(bigDir.toString), s.read.parquet(uniDir.toString),
@@ -2401,23 +2458,12 @@ object TextOps extends Registry {
   def lmIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (bigM, uniM) = lmMergedTables(s, dir)
-    // contract (lossless merge): both maintained tables must equal a
-    // full-corpus rebuild bit-for-bit — additive count merge admits NO
-    // tolerance (the q9e standard, vs q9c's estimator caveat). The
-    // rebuild exists only here, as the contract instrument.
-    val (bigR, uniR) = lmCountsOf(lmDocsWs(s, dir))
-    val dBig = bigM
-      .join(bigR.withColumnRenamed("c12", "c12_r"), Seq("a", "b"), "full")
-      .agg(sum(abs(coalesce($"c12", lit(0L)) - coalesce($"c12_r", lit(0L)))))
-      .collect().head
-    val dUni = uniM
-      .join(uniR.withColumnRenamed("c1", "c1_r"), Seq("w"), "full")
-      .agg(sum(abs(coalesce($"c1", lit(0L)) - coalesce($"c1_r", lit(0L)))))
-      .collect().head
-    val mergeEq = !dBig.isNullAt(0) && dBig.getLong(0) == 0L &&
-      !dUni.isNullAt(0) && dUni.getLong(0) == 0L
-    require(mergeEq,
-      "q9h: merged LM tables diverged from a from-scratch rebuild")
+    // the merge≡rebuild contract runs on the STATE-BUILD run inside
+    // loadOrBuildLmState (qb4's rule — r20; pre-r20 every serve
+    // re-tokenized the full corpus as the contract instrument). A
+    // serving store exists only because the contract held, so the
+    // in-band flag is constant-true by construction — exactly as it
+    // was before, when require(mergeEq) preceded it.
     // serve: score the DELTA documents (the arriving batch) with the
     // merged full-corpus LM; the vocab size derives from the merged
     // unigram table itself — no stored statistic to go stale
@@ -2425,7 +2471,7 @@ object TextOps extends Registry {
       .filter(pmod($"doc_id", lit(IncDeltaMod)) === 0))
     val vocab = uniM.agg(count(lit(1)).as("v"))
     lmScoreOf(pairs, bigM, uniM, vocab)
-      .withColumn("merge_equals_rebuild", lit(mergeEq))
+      .withColumn("merge_equals_rebuild", lit(true))
       .orderBy($"doc_id")
   }
 
@@ -2958,7 +3004,10 @@ object TextOps extends Registry {
       String) = {
     import s.implicits._
     val src = s"$dir/documents.parquet"
-    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+    // v2: the purge≡rebuild and stats≡recompute contracts moved INTO
+    // this build (r20) — the bump forces one rebuild so no store that
+    // predates the contracts can carry the _SUCCESS-equivalent key
+    val key = s"v2|$src|${Tables.sourceStamp(src)}" +
       s"|tok=ws-lower|buckets=$PostingsBuckets" +
       s"|tomb=mod${TombMod}eq$TombRem"
     val tag = java.security.MessageDigest.getInstance("MD5")
@@ -3017,6 +3066,40 @@ object TextOps extends Registry {
         .join(tomb.select($"doc_id"), Seq("doc_id"), "left_anti")
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(compDir.toString)
+
+      // 5. contracts, ON THE BUILD RUN ONLY (qb4's documented rule —
+      // the one execution that already pays a full corpus pass is
+      // where merge≡rebuild belongs; r19 and earlier re-ran these on
+      // EVERY serve, re-tokenizing the corpus per invocation). A
+      // failed contract throws BEFORE the key file lands, so a store
+      // that exists is a store whose contracts held.
+      //
+      // contract 1: the compacted index ≡ postings rebuilt from the
+      // live corpus — the purge dropped exactly the dead rows.
+      val rebuilt = postingsOf(docs
+        .filter(pmod($"doc_id", lit(TombMod)) =!= TombRem))
+        .localCheckpoint(true)
+      val compacted = s.read.parquet(compDir.toString)
+      val postDiff = compacted
+        .select($"doc_id", $"term", $"tf", $"dl", $"term_bucket")
+        .unionAll(rebuilt
+          .select($"doc_id", $"term", $"tf", $"dl", $"term_bucket"))
+        .groupBy($"doc_id", $"term", $"tf", $"dl", $"term_bucket")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" =!= 2)
+      require(postDiff.isEmpty,
+        "q9u: compacted postings diverged from a live-corpus rebuild")
+      // contract 2: decremented stats ≡ stats recomputed from the live
+      // corpus (scalar compare; live (doc_id, dl) pairs come from the
+      // checkpointed rebuild — no second corpus pass)
+      val liveStats = rebuilt
+        .select($"doc_id", $"dl").distinct()
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($"dl").as("sum_dl")).collect().head
+      val storedStats = s.read.parquet(statsDir.toString).collect().head
+      require(liveStats.getLong(0) == storedStats.getLong(0) &&
+        liveStats.getLong(1) == storedStats.getLong(1),
+        "q9u: decremented stats diverged from live-corpus recompute")
 
       java.nio.file.Files.writeString(keyFile, key)
     }
@@ -3129,38 +3212,14 @@ object TextOps extends Registry {
     val (_, compacted, statsLive, tomb, _, _) =
       loadOrBuildTombstonedPostings(s, dir)
 
-    // contract 1: the compacted index ≡ postings rebuilt from the live
-    // corpus — the purge dropped exactly the dead rows and nothing
-    // else. The corpus retokenize exists ONLY here, as the contract
-    // instrument (the maintained path above never runs it);
-    // localCheckpoint so contract 2 reads it instead of tokenizing the
-    // corpus a second time.
-    val rebuilt = postingsOf(tokenizedDocs(s, dir)
-      .filter(pmod($"doc_id", lit(TombMod)) =!= TombRem))
-      .localCheckpoint(true)
-    val postDiff = compacted
-      .select($"doc_id", $"term", $"tf", $"dl", $"term_bucket")
-      .unionAll(rebuilt
-        .select($"doc_id", $"term", $"tf", $"dl", $"term_bucket"))
-      .groupBy($"doc_id", $"term", $"tf", $"dl", $"term_bucket")
-      .agg(count(lit(1)).as("n"))
-      .filter($"n" =!= 2)
-    require(postDiff.isEmpty,
-      "q9u: compacted postings diverged from a live-corpus rebuild")
-
-    // contract 2: decremented stats ≡ stats recomputed from the live
-    // corpus (scalar compare — two 1-row frames). The live (doc_id,
-    // dl) pairs come from the checkpointed rebuild — every live doc
-    // has ≥1 postings row, so this is the same doc set with no second
-    // corpus pass.
-    val liveStats = rebuilt
-      .select($"doc_id", $"dl").distinct()
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum($"dl").as("sum_dl")).collect().head
-    val storedStats = statsLive.collect().head
-    require(liveStats.getLong(0) == storedStats.getLong(0) &&
-      liveStats.getLong(1) == storedStats.getLong(1),
-      "q9u: decremented stats diverged from live-corpus recompute")
+    // contracts 1 (compacted ≡ live-corpus rebuild) and 2 (stats ≡
+    // recompute) run on the STATE-BUILD run inside
+    // loadOrBuildTombstonedPostings — qb4's rule: the full-corpus
+    // contract instruments belong on the one execution that already
+    // pays a full pass, never on the cached-state serve (pre-r20 they
+    // re-tokenized the corpus on every invocation; the store's key
+    // file only lands after the contracts hold, so a serving store is
+    // a contracted store).
 
     // contract 3 (serve invariance): the masked serve ≡ serving from
     // the compacted index — deletion's two physical forms answer
@@ -3444,8 +3503,16 @@ object TextOps extends Registry {
     * rows, stored exact arm broadcast in, mean union error floor-
     * gated driver-side. */
   def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    // the sketch frame is referenced FOUR times downstream (both sides
+    // of the pair self-join, and the whole pair subtree again under the
+    // mean-error crossJoin) — without a cut the one action re-runs the
+    // corpus scan + shingle explode + sketch aggregation per reference
+    // (4 corpus scans, 5 partial_kmv_sketch aggs in the r20 before-
+    // plan). S sketch rows (≤ sources × K longs) are state-sized, so
+    // checkpoint once and let every arm read the bounded frame.
     val sk = kmvGrams(s, dir).groupBy(col("source"))
       .agg(expr(s"kmv_sketch(h, $KmvK)").as("sk"))
+      .localCheckpoint(true)
     val pairs = sk.as("a").join(sk.as("b"),
         col("a.source") < col("b.source"))
       .select(col("a.source").as("source_a"),
@@ -3486,6 +3553,9 @@ object TextOps extends Registry {
         col("err_union_micro"), col("kmv_overlap"),
         col("jaccard_est_micro"), col("jaccard_exact_micro"),
         col("est_shared"), col("exact_shared"), col("err_shared_micro"))
+      // ≤ S² rows; read twice below (rows + their mean) — cut so the
+      // pair arithmetic and the stored-exact broadcast run once
+      .localCheckpoint(true)
     val out = pairs.crossJoin(broadcast(pairs.agg(
         expr("sum(err_union_micro) div count(1)").as("mean_err_micro"),
         expr("sum(err_shared_micro) div count(1)")

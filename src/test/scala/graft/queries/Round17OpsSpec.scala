@@ -185,8 +185,7 @@ class Round17OpsSpec extends AnyFunSuite {
       .parquet(streamDir.toString)
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        val rows = TextOps.langIdScore(
-          TextOps.langIdFeatures(df), classes, w).collect()
+        val rows = TextOps.langIdScore(df, classes, w).collect()
           .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
         out.synchronized { out ++= rows }
         nTriggers.incrementAndGet(); ()
@@ -194,8 +193,7 @@ class Round17OpsSpec extends AnyFunSuite {
       .start()
     try query.processAllAvailable() finally query.stop()
     assert(nTriggers.get() == 2, s"expected 2 triggers, got ${nTriggers.get()}")
-    val batch = TextOps.langIdScore(
-      TextOps.langIdFeatures(docs), classes, w).collect()
+    val batch = TextOps.langIdScore(docs, classes, w).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
     assert(out.toSet == batch && batch.nonEmpty,
       "streamed per-trigger language-ID diverged from the batch apply")
