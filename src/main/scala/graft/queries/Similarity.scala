@@ -384,10 +384,49 @@ object Similarity extends Registry {
     (grid, prev, iters, converged)
   }
 
+  /** Content-addressed stored Lloyd training run — the qc9_langid
+    * train-once/serve-many discipline applied to the k-means family:
+    * q5a (the trajectory report) and qb2 (trained-centroid routing)
+    * each re-ran the full 4-iteration loop per serve, so the same
+    * (corpus, hyperparams) model trained twice per suite pass. The
+    * store holds both final and previous grids (2 × k × 64 micro-unit
+    * rows) plus an iters/converged sentinel, keyed on corpus stamp ×
+    * every loop hyperparameter; training is integer-deterministic
+    * (micro-quantized means) and the q5a oracle replays the unrolled
+    * loop from scratch, so a stale or wrong store hash-mismatches. */
+  private[queries] def trainLloydStored(s: SparkSession, dir: String)
+      : (Grid, Grid, Int, Boolean) = {
+    import s.implicits._
+    val src = s"$dir/embeddings.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|lloyd|iters=$MaxLloydIters|eps=$KmeansEpsMicroSq|seed=lt8"
+    val rows = Tables.contentAddressed(s, "q5a_lloyd", key) {
+      val c = lloydCorpus(s, dir).persist()
+      try {
+        val (grid, prev, iters, converged) = trainLloyd(c)
+        val data =
+          grid.toSeq.map { case ((cell, d), mi) => ("g", cell, d, mi) } ++
+            prev.toSeq.map { case ((cell, d), mi) => ("p", cell, d, mi) } :+
+            (("m", iters.toLong, if (converged) 1 else 0, 0L))
+        data.toDF("which", "cell", "dim", "mi").coalesce(1)
+      } finally { c.unpersist(); () }
+    }.collect() // bounded: 2 × k × 64 + 1 rows
+    def gridOf(tag: String): Grid = rows.iterator
+      .filter(_.getString(0) == tag)
+      .map(r => (r.getLong(1), r.getInt(2)) -> r.getLong(3)).toMap
+    val meta = rows.find(_.getString(0) == "m").getOrElse(
+      throw new IllegalStateException(
+        "q5a_lloyd store: missing meta sentinel — delete the store dir"))
+    val (g, p) = (gridOf("g"), gridOf("p"))
+    require(g.size == p.size && g.nonEmpty,
+      "q5a_lloyd store: grid/prev cell count mismatch — store corrupt")
+    (g, p, meta.getLong(1).toInt, meta.getInt(2) == 1)
+  }
+
   def kmeansConverge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val c = lloydCorpus(s, dir).persist()
-    val (grid, prev, iters, converged) = trainLloyd(c)
+    val (grid, prev, iters, converged) = trainLloydStored(s, dir)
+    val c = lloydCorpus(s, dir)
 
     // final report: per-cell member count + inertia from the LAST
     // assignment (wrt the centroids it was assigned against), centroid
@@ -407,8 +446,7 @@ object Similarity extends Registry {
         coalesce($"inertia_micro", lit(0L)).as("inertia_micro"),
         lit(iters).as("n_iters"), lit(converged).as("converged"))
       .orderBy($"cell")
-      .localCheckpoint(true) // materialize 8 rows, then free the corpus cache
-    c.unpersist()
+      .localCheckpoint(true) // materialize 8 rows
     result
   }
 
@@ -464,8 +502,10 @@ object Similarity extends Registry {
   }
 
   def annRecallTrained(s: SparkSession, dir: String): DataFrame = {
+    // trained grid from the content-addressed store (see
+    // trainLloydStored): routing no longer re-runs the Lloyd loop
+    val (grid, _, _, _) = trainLloydStored(s, dir)
     val c = lloydCorpus(s, dir).persist()
-    val (grid, _, _, _) = trainLloyd(c)
     val assigned = lloydAssign(c, grid).select(col("vec_id"), col("cell"))
     val probes = c
       .filter(col("vec_id") % 100 === 0 && col("vec_id") < MaxQueryId)
@@ -3371,6 +3411,11 @@ object Similarity extends Registry {
     * the oracle's per-(q, pt) beam stay step-identical. Candidates are
     * the union of both layers' visited sets. */
   def hnswRecall(s: SparkSession, dir: String): DataFrame = {
+    // NOT cached (r20 negative result): persisting the projection here
+    // measured ~0.9s SLOWER per walk query — a cached subtree disables
+    // AQE's partition coalescing for every stage above it, and the
+    // walk is shuffle-stage-bound, not scan-bound (contrast q5b, where
+    // the same persist wins because the cost IS the repeated scans).
     val c = corpus(s, dir)
     val parts = nswPartsAt(s, dir)
     val upN = c.filter(pmod(col("vec_id"), lit(HnswStride)) === 0).count()
