@@ -209,6 +209,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE partition-coalescing mode, parameterized for measurement.
+      // r20 A/B on a 22-query subset: parallelismFirst=false (the
+      // byte-targeted mode production guides recommend for large
+      // shuffles) read 35.2s vs 32.1s — it coalesces every sub-MB
+      // shuffle to ONE partition, which starves CPU-bound small-data
+      // stages (qbc's seed join went 2.6s → 6.4s single-task). At
+      // bench scale shuffle BYTES are tiny and stage COMPUTE isn't,
+      // so parallelism-first is the right local default; a 100 TB
+      // deployment, where partitions actually reach the advisory
+      // size, flips this via the env without touching code.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.ui.enabled", "false")
       // same pin as Verify and the test specs: without it, NTZ event
       // timestamps shift with the host zone in bench runs (timing-only

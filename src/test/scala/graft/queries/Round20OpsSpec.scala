@@ -39,6 +39,23 @@ class Round20OpsSpec extends AnyFunSuite {
     } finally { c.unpersist(); () }
   }
 
+  test("q97/q9g stored BPE training == fresh bpeFit at sf0.001") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (trajS, vocabS) = TextOps.loadOrBuildBpeState(spark, sfDir)
+    val stored = trajS.orderBy($"round").collect().map(_.toSeq).toSeq
+    val vocabStored = vocabS.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val (rowsF, vocabF) = TextOps.bpeFit(spark, sfDir)
+    assert(stored == rowsF.map(_.productIterator.toSeq).toSeq,
+      "stored BPE trajectory diverged from fresh training")
+    val vocabFresh = vocabF
+      .select($"word", size($"tokens").cast("long").as("ntok"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(vocabStored == vocabFresh && vocabStored.nonEmpty,
+      "stored fitted vocab diverged from fresh training")
+  }
+
   test("per-row language-ID scorer == feature-frame scorer at sf0.001") {
     // the r20 inference rewrite (zero corpus shuffles) must predict
     // identically to the pre-r20 broadcast-join form, restated here
