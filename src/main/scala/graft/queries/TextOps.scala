@@ -1579,7 +1579,7 @@ object TextOps extends Registry {
     * the final weights plus the per-round trajectory. Factored so q9f's
     * inference pass can reuse the same cached projection the rounds ran
     * on instead of re-reading the corpus. */
-  private def perceptronFit(f: DataFrame)
+  private[queries] def perceptronFit(f: DataFrame)
       : (Array[Long], Seq[(Int, Long, Long, Long, Long, Long, Long)]) = {
     import f.sparkSession.implicits._
     val w = Array.fill(5)(0L)
@@ -1602,13 +1602,40 @@ object TextOps extends Registry {
     (w, out.result())
   }
 
+  /** Content-addressed stored perceptron training run (the qc9_langid
+    * train-once/serve-many discipline, r20): q9a, q9f and the
+    * streaming serve each re-ran the 5-round loop per invocation
+    * (5 margin-agg jobs + collects each, three trainings of the same
+    * model per suite pass). The store holds the per-round trajectory
+    * (PerceptronRounds rows — q9a's result verbatim); the final
+    * weights are its last row. Keyed on corpus stamp × round count;
+    * the q9a/q9f oracles replay training from scratch, so a stale
+    * store hash-mismatches. */
+  private[queries] def perceptronFitStored(s: SparkSession, dir: String)
+      : (Seq[Long], DataFrame) = {
+    import s.implicits._
+    val src = s"$dir/documents.parquet"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|perceptron|r=$PerceptronRounds"
+    val traj = Tables.contentAddressed(s, "q9a_perceptron", key) {
+      val f = perceptronFeatures(s, dir).persist()
+      try perceptronFit(f)._2
+        .toDF("round", "n_err", "w_bias", "w_len", "w_tok", "w_vowel",
+          "w_st")
+        .coalesce(1)
+      finally { f.unpersist(); () }
+    }
+    val rows = traj.orderBy($"round").collect() // bounded: rounds rows
+    require(rows.length == PerceptronRounds,
+      s"q9a_perceptron store: ${rows.length} trajectory rows, expected " +
+        s"$PerceptronRounds — store corrupt; delete the store dir")
+    val last = rows.last
+    ((2 to 6).map(last.getLong), traj)
+  }
+
   def perceptronTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val f = perceptronFeatures(s, dir).persist()
-    try perceptronFit(f)._2
-      .toDF("round", "n_err", "w_bias", "w_len", "w_tok", "w_vowel",
-        "w_st")
-    finally { f.unpersist(); () }
+    perceptronFitStored(s, dir)._2.orderBy($"round")
   }
 
   /** q9f: score every document with the TRAINED weights — train (5
@@ -1620,24 +1647,21 @@ object TextOps extends Registry {
     * shuffle beyond the deterministic output order. */
   def perceptronApply(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val f = perceptronFeatures(s, dir, withId = true).persist()
-    try {
-      val w = perceptronFit(f.drop("doc_id"))._1
-      // consumed lazily after the finally unpersists the training
-      // cache — the plan then falls back to the parquet scan, still one
-      // narrow literal-weight pass (a per-doc materialization here
-      // would be corpus-sized at scale, so deliberately NOT cached)
-      perceptronScore(f, w).orderBy($"doc_id")
-    } finally { f.unpersist(); () }
+    // trained weights from the store (training at most once per
+    // corpus, r20); inference stays one narrow literal-weight pass
+    // over the parquet scan — deliberately NOT cached (a per-doc
+    // materialization would be corpus-sized at scale)
+    val w = perceptronFitStored(s, dir)._1
+    perceptronScore(perceptronFeatures(s, dir, withId = true), w)
+      .orderBy($"doc_id")
   }
 
-  /** The trained q9a/q9f weights for a corpus — training runs here
-    * (bounded driver state: 5 longs); exposed so a serving path (e.g. a
-    * stream of arriving documents) can score without retraining. */
-  def perceptronTrainedWeights(s: SparkSession, dir: String): Seq[Long] = {
-    val f = perceptronFeatures(s, dir).persist()
-    try perceptronFit(f)._1.toSeq finally { f.unpersist(); () }
-  }
+  /** The trained q9a/q9f weights for a corpus — served from the
+    * content-addressed store (bounded driver state: 5 longs); a
+    * serving path (e.g. a stream of arriving documents) scores
+    * without retraining. */
+  def perceptronTrainedWeights(s: SparkSession, dir: String): Seq[Long] =
+    perceptronFitStored(s, dir)._1
 
   /** Literal-weight scoring of a feature frame (must carry doc_id) —
     * the q9f inference kernel, shared by the batch query and the

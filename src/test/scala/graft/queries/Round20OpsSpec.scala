@@ -56,6 +56,17 @@ class Round20OpsSpec extends AnyFunSuite {
       "stored fitted vocab diverged from fresh training")
   }
 
+  test("q9a/q9f stored perceptron training == fresh fit at sf0.001") {
+    val (wS, trajS) = TextOps.perceptronFitStored(spark, sfDir)
+    val docs = Tables.table(spark, sfDir, "documents")
+    val (wF, trajF) = TextOps.perceptronFit(
+      TextOps.perceptronFeaturesOf(docs, withId = false))
+    assert(wS == wF.toSeq, "stored weights diverged from fresh training")
+    assert(trajS.orderBy("round").collect().map(_.toSeq).toSeq ==
+      trajF.map(_.productIterator.toSeq).toSeq,
+      "stored trajectory diverged from fresh training")
+  }
+
   test("per-row language-ID scorer == feature-frame scorer at sf0.001") {
     // the r20 inference rewrite (zero corpus shuffles) must predict
     // identically to the pre-r20 broadcast-join form, restated here
