@@ -1239,6 +1239,10 @@ object Similarity extends Registry {
       .select(col("vec_id"), col("v"), col("nrm"),
         explode(slice(sort_array(scoredCells), 1, 2)).as("bk"))
       .select(col("vec_id"), col("v"), col("nrm"), col("bk.cell").as("cell"))
+      // referenced 3× (cell-size agg + both self-join sides), each
+      // re-running the k-dot scoring — q59's rule: materialize the
+      // bounded 2-rows/vector frame once
+      .localCheckpoint(true)
     val cap = math.ceil(SemDedupCellSlack * 2.0 * n / k).toLong
     val cellAgg = keyed.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
       .agg(max(col("cnt")).as("max_cell_size"))
@@ -1888,6 +1892,11 @@ object Similarity extends Registry {
             explode(slice(sort_array(scoredCells), 1, 2)).as("bk"))
           .select(col("vec_id"), col("v"), col("nrm"),
             col("bk.cell").as("cell"))
+          // both self-join sides re-ran the k-dot cell scoring + scan;
+          // bounded at 2 rows/vector, so materialize once (r20 —
+          // checkpoint, not persist: AQE still plans above a
+          // checkpointed frame, and no join here wants the lost stats)
+          .localCheckpoint(true)
         keyed.as("a")
           .join(keyed.as("b"),
             col("a.cell") === col("b.cell") &&
