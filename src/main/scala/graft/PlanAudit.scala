@@ -119,7 +119,7 @@ object PlanAudit {
     "qc7_pii_redact",         // narrow regex scrub chain, no shuffle
     "qc8_pii_inventory",      // extract+explode → bounded groupBy
     "qc9_langid_train",       // model-broadcast join, corpus unshuffled
-    "qca_langid_apply",       // trained-matrix broadcast inference
+    "qca_langid_apply",       // per-row literal-matrix inference (r20)
     "qcb_graph_ann_hnsw",     // 2-level HNSW: warm entries, 2-hop base
     "qcc_repetition_filter",  // per-doc array ops, zero shuffle
     "qcd_langid_stratified",  // govern on derived metadata, one pass

@@ -479,8 +479,9 @@ object PlanShapeSpec {
     // qb6/qb7 build/load stored navigable graphs, checkpoint beam
     // frontiers, and run driver-side recall require()s in fn
     "qb6_graph_ann", "qb7_graph_ann_incremental",
-    // qb2 runs the full Lloyd training loop (per-iteration collects)
-    // and a driver-side recall require() inside fn
+    // qb2 reads the stored Lloyd grid (bounded collects; the loop
+    // itself runs on the store-build run only since r20) and a
+    // driver-side recall require() inside fn
     "qb2_ann_recall_trained",
     // qb4 builds stored CC state (and, on the build run only, checks
     // merge ≡ rebuild distributed) inside fn
