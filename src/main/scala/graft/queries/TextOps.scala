@@ -2481,7 +2481,12 @@ object TextOps extends Registry {
 
   def lmIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (bigM, uniM) = lmMergedTables(s, dir)
+    // vocab-bounded by construction — materialize once: uniM feeds
+    // both the score join and the vocab-size aggregate, and each
+    // reference otherwise re-runs the stored-base + delta-count merge
+    val (bigM0, uniM0) = lmMergedTables(s, dir)
+    val (bigM, uniM) =
+      (bigM0.localCheckpoint(true), uniM0.localCheckpoint(true))
     // the merge≡rebuild contract runs on the STATE-BUILD run inside
     // loadOrBuildLmState (qb4's rule — r20; pre-r20 every serve
     // re-tokenized the full corpus as the contract instrument). A
