@@ -1933,6 +1933,11 @@ object Relational extends Registry {
 
   def quantileIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NOT checkpointed (r20 A/B): the merge subtree appears four times
+    // in the plan (count agg, cumsum, estimate join) but its identical
+    // sorted exchanges are deduplicated by ReuseExchange within the one
+    // action, so a cut only added a materialization barrier (measured
+    // 2.58 vs 2.34 isolated under equal load)
     val merged = qtMergedHist(s, dir)
     // contract 1 (lossless merge) runs on the STATE-BUILD run inside
     // loadOrBuildQtState (qb4's rule — r20; pre-r20 every serve
