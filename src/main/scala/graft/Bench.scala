@@ -437,7 +437,8 @@ object Bench {
     // STRETCH REFERENCE), 105.4 (suspect 0), 138.9 (suspect_load 5,
     // load 4.3 — the new committed-min tripwire flagging a co-tenant
     // window exactly as designed), then a back-to-back pair
-    // 123.2/111.5 (both suspect 0, load 1.7). The box oscillates
+    // 123.2/111.5 (both suspect 0, load 1.7) and a final 102.4
+    // (suspect 0, err 0 — the committed BENCH_DETAIL reference). The box oscillates
     // ±13% between clean windows, so no pair was stable enough to
     // re-pin from; 125.4 stays per the r20-build precedent. READ THE
     // PIN ACCORDINGLY: the post-optimization idle band is ~98-112 —
