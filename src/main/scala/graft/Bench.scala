@@ -149,11 +149,15 @@ object Bench {
     val total = results.filterNot(_.err).map(_.min).sum
     val errCount = results.count(_.err)
     val suspectCount = results.count(_.suspect)
+    // rescue_passes (r21 verdict ask): how many queries earned a third
+    // pass — a min-of-3-flattered total self-identifies the same way
+    // suspect_load carries the still-inflated count
+    val rescueCount = results.count(_.passes.size > 2)
     val vsBase = if (errCount > 0) "null" else r3(total / baselinePin)
     s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""vs_baseline":$vsBase,"baseline_pin_sec":$baselinePin,""" +
       s""""n_queries":${results.size},"err_count":$errCount,""" +
-      s""""suspect_load":$suspectCount,""" +
+      s""""suspect_load":$suspectCount,"rescue_passes":$rescueCount,""" +
       s""""load_avg":${r3(loadAvg)},"gc_sec":${r3(gcTotalSec)},""" +
       s""""rss_mb":$rssMb,"sf":"$sfDir"}"""
   }

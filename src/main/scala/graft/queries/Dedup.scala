@@ -208,10 +208,18 @@ object Dedup extends Registry {
     * 64-bit shingle hashes + codegen merge-Jaccard. Shared by q44
     * (standalone exact-Jaccard op) and q48 (edge source for duplicate
     * clustering) so the two stay definitionally in sync. */
+  /** CC edge-derivation constants, referenced by BOTH the edge
+    * derivation and the q4a/qb4 store keys (ADVICE r20: a literal in
+    * the key that can drift from the derivation would silently serve
+    * a stale cluster assignment after a retune). The q48/q4a/qb4
+    * oracle SQL embeds the same values. */
+  private[queries] val CcJaccardThreshold = 0.3
+  private[queries] val CcPairBound = 300
+
   private[queries] def boundedBigramPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.ensureRegistered(s)
-    val shs = table(s, dir, "documents").filter($"doc_id" < 300)
+    val shs = table(s, dir, "documents").filter($"doc_id" < CcPairBound)
       .select($"doc_id", expr("shingle_hashes(text, 2)").as("sh"))
     shs.as("a").join(shs.as("b"), $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
@@ -267,28 +275,34 @@ object Dedup extends Registry {
       .withColumn("root", min($"doc_id").over(wFp))
       .filter($"doc_id" =!= $"root")
       .select($"doc_id".as("src"), $"root".as("dst"))
-    val jacEdges = boundedBigramPairs(s, dir).filter($"j" >= 0.3)
+    val jacEdges = boundedBigramPairs(s, dir)
+      .filter($"j" >= CcJaccardThreshold)
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
     graft.operators.ConnectedComponents.run(canonEdges.unionAll(jacEdges))
       .select($"id".as("doc_id"), $"component".as("cluster_id"))
   }
 
   /** Content-addressed full-corpus cluster assignment — the qba
-    * span-store discipline applied to the CC family (r20): q48 and q4a
-    * each re-derived the same edges and re-ran the O(log n) CC rounds
-    * per serve, the suite's most job-heavy repeated rebuild; a dedup
-    * pipeline resolves clusters once per corpus generation and ships
-    * the assignment (q4a's own scaling note says exactly this). Keyed
-    * on corpus stamp × every edge parameter; the oracles still close
-    * the recursive CTE from scratch, and store ≡ fresh is spec-pinned
-    * (Round20OpsSpec). qb4's rebuild contract keeps calling the FRESH
-    * kernel — its merge≡rebuild compare must not read this store. */
+    * span-store discipline applied to the CC family, serving ONLY the
+    * apply twin q4a (shipping an already-resolved assignment is the
+    * deliverable a dedup pipeline serves; q4a's own scaling note says
+    * exactly this). q48, the resolution demonstration itself, runs
+    * the edges + CC rounds per invocation (r21; the r20 verdict ruled
+    * store-serving a resolve query's own output result caching).
+    * Keyed on corpus stamp × every edge parameter; the oracles still
+    * close the recursive CTE from scratch, and store ≡ fresh is
+    * spec-pinned (Round20OptSpec). qb4's rebuild contract keeps
+    * calling the FRESH kernel — its merge≡rebuild compare must not
+    * read this store. The assignment is corpus-sized (unlike the
+    * bounded trajectory/vocab stores), so the write keeps its natural
+    * partitioning — no coalesce(1) single-task collapse (ADVICE r20). */
   private[queries] def dupClustersStored(s: SparkSession,
       dir: String): DataFrame = {
     val src = s"$dir/documents.parquet"
-    val key = s"v1|$src|${Tables.sourceStamp(src)}|cc=canon+jac0.3lt300"
+    val key = s"v1|$src|${Tables.sourceStamp(src)}" +
+      s"|cc=canon+jac${CcJaccardThreshold}lt$CcPairBound"
     Tables.contentAddressed(s, "q48_clusters", key) {
-      dupClusterAssignments(s, dir).coalesce(1)
+      dupClusterAssignments(s, dir)
     }
   }
 
@@ -403,7 +417,15 @@ object Dedup extends Registry {
       // window texts, not within-document repetition multiplicity
       .dropDuplicates("doc_id", "win")
     val capped = capBuckets(wins, Seq("win"))
-    capped.as("a").join(capped.as("b"),
+    // merge-hinted self-join (r21): the planner's broadcast pick built
+    // one side via BroadcastExchange, so the two join inputs were
+    // SEPARATE copies of the whole reps → anchor-scan → dedup → cap
+    // pipeline — the per-position md5 anchor pass (the query's real
+    // cost) ran twice. As a sort-merge join both sides are identical
+    // Exchange(win) subtrees: ReuseExchange computes the pipeline
+    // once, and the join adds NO exchange or sort of its own (the cap
+    // window already hash-partitions and sorts by win). Guide §2.4.
+    capped.hint("merge").as("a").join(capped.as("b"),
       $"a.win" === $"b.win" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("n_shared_windows"))
@@ -1082,14 +1104,19 @@ object Dedup extends Registry {
       "q48_dup_clusters",
       (s, dir) => {
         import s.implicits._
+        // q48 RESOLVES per invocation (r21): it *is* the cluster-
+        // resolution demonstration, so serving its assignment from the
+        // cross-run store made the bench time a store read — result
+        // caching per the optimization-round rules (r20 verdict). The
+        // store remains for the APPLY twin q4a (ship the assignment).
         val wC = Window.partitionBy($"cluster_id")
-        dupClustersStored(s, dir)
+        dupClusterAssignments(s, dir)
           .withColumn("cluster_size", count(lit(1)).over(wC))
           .orderBy($"cluster_id", $"doc_id")
       },
       Some(dupClustersOracle),
       doc = "Duplicate clusters: large-star/small-star CC over canonical " +
-        "+ Jaccard edges, assignment stored content-addressed (r20), " +
+        "+ Jaccard edges resolved per invocation, " +
         "oracle closes the recursive CTE from scratch"),
 
     // ------------------------------------------------------------------
@@ -1701,7 +1728,8 @@ object Dedup extends Registry {
     import s.implicits._
     val src = s"$dir/documents.parquet"
     val key = s"v1|$src|${Tables.sourceStamp(src)}" +
-      s"|cc=canon+jac0.3lt300|delta=mod${CcDeltaMod}eq$CcDeltaRem"
+      s"|cc=canon+jac${CcJaccardThreshold}lt$CcPairBound" +
+      s"|delta=mod${CcDeltaMod}eq$CcDeltaRem"
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val stateDir = Tables.persistentScratchDir(s"qb4_cc_$tag")
@@ -1718,7 +1746,7 @@ object Dedup extends Registry {
       base.select($"doc_id", ccFp.as("fp"))
         .groupBy($"fp").agg(min($"doc_id").as("rep"))
         .write.mode("overwrite").parquet(s"$stateDir/fpindex")
-      base.filter($"doc_id" < 300)
+      base.filter($"doc_id" < CcPairBound)
         .select($"doc_id", expr("shingle_hashes(text, 2)").as("sh"))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$stateDir/shingles")
@@ -1729,7 +1757,7 @@ object Dedup extends Registry {
         .select($"doc_id".as("src"), $"root".as("dst"))
       val bsh = readShingles(s, stateDir)
       val jacB = bsh.as("a").join(bsh.as("b"), $"a.doc_id" < $"b.doc_id")
-        .filter(expr("jaccard_sorted(a.sh, b.sh) >= 0.3"))
+        .filter(expr(s"jaccard_sorted(a.sh, b.sh) >= $CcJaccardThreshold"))
         .select($"a.doc_id".as("src"), $"b.doc_id".as("dst"))
       graft.operators.ConnectedComponents.run(canonB.unionAll(jacB))
         .select($"id", $"component".as("root"))
@@ -1810,16 +1838,16 @@ object Dedup extends Registry {
     // Jaccard edges touching the delta (bounded <300 universe, q44's
     // rationale): delta-vs-base serves the BASE side from the stored
     // shingle index — base texts are never re-shingled
-    val deltaSh = delta.filter($"doc_id" < 300)
+    val deltaSh = delta.filter($"doc_id" < CcPairBound)
       .select($"doc_id", expr("shingle_hashes(text, 2)").as("sh"))
     val dvb = deltaSh.as("a").join(baseSh.as("b"),
         $"a.doc_id" =!= $"b.doc_id")
-      .filter(expr("jaccard_sorted(a.sh, b.sh) >= 0.3"))
+      .filter(expr(s"jaccard_sorted(a.sh, b.sh) >= $CcJaccardThreshold"))
       .select(least($"a.doc_id", $"b.doc_id").as("src"),
         greatest($"a.doc_id", $"b.doc_id").as("dst"))
     val dvd = deltaSh.as("a").join(deltaSh.as("b"),
         $"a.doc_id" < $"b.doc_id")
-      .filter(expr("jaccard_sorted(a.sh, b.sh) >= 0.3"))
+      .filter(expr(s"jaccard_sorted(a.sh, b.sh) >= $CcJaccardThreshold"))
       .select($"a.doc_id".as("src"), $"b.doc_id".as("dst"))
 
     val deltaEdges = attach.unionAll(newFpStars).unionAll(dvb)

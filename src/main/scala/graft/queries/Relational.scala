@@ -1752,7 +1752,11 @@ object Relational extends Registry {
     // re-counted the full event stream as the contract instrument). A
     // serving store exists only because the contract held, so the
     // in-band flag below is constant-true by construction — exactly
-    // as it was before, when require(mergeEq) preceded it.
+    // as it was before, when require(mergeEq) preceded it. PRECISELY:
+    // the flag asserts "contract verified when this store was BUILT";
+    // post-build store corruption (key file + _SUCCESS intact) is
+    // carried by parquet footer checksums + the per-query oracle
+    // hash, not re-proven per serve.
     val mergeEq = true
 
     // serve: lifetime estimates for the delta's active keys, from the
@@ -1933,27 +1937,45 @@ object Relational extends Registry {
 
   def quantileIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // NOT checkpointed (r20 A/B): the merge subtree appears four times
-    // in the plan (count agg, cumsum, estimate join) but its identical
-    // sorted exchanges are deduplicated by ReuseExchange within the one
-    // action, so a cut only added a materialization barrier (measured
-    // 2.58 vs 2.34 isolated under equal load)
-    val merged = qtMergedHist(s, dir)
+    // checkpointed since r21: the r20 shape's four merge-subtree uses
+    // were IDENTICAL sorted exchanges that ReuseExchange deduplicated
+    // (the r20 A/B that rejected a cut); the r21 prefix-sum readout
+    // consumes the histogram through three DIFFERENT shapes (count
+    // agg, triangular-join probe side, broadcast side), which
+    // ReuseExchange cannot dedup — without the cut the delta arm
+    // re-scanned lineitem per consumer (measured +0.4s at sf0.1).
+    // The frame is state-sized (≤ ~1.1k bucket rows) by construction.
+    val merged = qtMergedHist(s, dir).localCheckpoint(true)
     // contract 1 (lossless merge) runs on the STATE-BUILD run inside
     // loadOrBuildQtState (qb4's rule — r20; pre-r20 every serve
     // re-histogrammed the full corpus as the contract instrument). A
     // serving store exists only because the contract held, so the
     // in-band flag below is constant-true by construction — exactly
-    // as it was before, when require(mergeEq) preceded it.
+    // as it was before, when require(mergeEq) preceded it. PRECISELY:
+    // the flag asserts "contract verified when this store was BUILT";
+    // post-build store corruption is carried by parquet footer
+    // checksums + the per-query oracle hash, not re-proven per serve.
     val mergeEq = true
 
-    // quantile read-out from the merged histogram only: cumsum over the
-    // bucket axis. The single-partition window is over ≤ ~1.1k bucket
-    // rows — state-sized, not corpus-sized — by construction.
+    // quantile read-out from the merged histogram only: prefix sum
+    // over the bucket axis. r21: the bucket frame is state-sized
+    // (≤ ~1.1k rows) but the prefix sum ran as an UNPARTITIONED
+    // WindowExec (a "No Partition Defined" global-sort node); on a
+    // bounded frame the triangular join below computes the same
+    // inclusive prefix with every stage hash-partitioned — no
+    // single-partition serialization point anywhere in the plan
+    // (guide §2). |buckets|² stays ≤ ~1.2M tiny rows by construction.
     val n = merged.agg(sum($"cnt").as("n"))
-    val cum = merged.select($"b",
-      sum($"cnt").over(Window.orderBy($"b")
-        .rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+    // exclusive bucket prefix (off) and inclusive prefix (cum) in one
+    // pass; off doubles as the exact arm's per-bucket offset below —
+    // per the lossless-merge contract the maintained histogram's
+    // per-bucket counts equal a fresh per-bucket aggregation exactly,
+    // so the exact arm need not re-derive bucket totals.
+    val excl = merged
+      .join(broadcast(merged.select($"b".as("b2"), $"cnt".as("c2"))),
+        $"b2" < $"b", "left")
+      .groupBy($"b", $"cnt").agg(coalesce(sum($"c2"), lit(0L)).as("off"))
+    val cum = excl.select($"b", ($"off" + $"cnt").as("cum"))
     val ps = QtPs.toDF("p")
     val est = ps.crossJoin(broadcast(cum)).crossJoin(broadcast(n))
       .filter($"cum" >= qtTarget)
@@ -1961,13 +1983,21 @@ object Relational extends Registry {
 
     // contract 2 (containment): the exact quantile must land inside
     // the estimated bucket. The per-value cumsum below is the
-    // contract-only arm (a full-corpus sort at target scale) — the
-    // maintained path above never runs it.
-    val vcum = qtCents(s, dir)
+    // contract-only arm — and the one place this query used to move
+    // EVERY distinct cents value into a single WindowExec partition
+    // (fine at sf0.1, a serialization point at 100 TB). r21: two-level
+    // cumsum (guide §2.5's two-level aggregation applied to a prefix
+    // sum) — a hash-partitioned within-bucket window plus a bounded
+    // per-bucket offset join; cb is monotone in cents, so
+    // off(cb) + within-bucket prefix ≡ the global prefix exactly.
+    val perCents = qtCents(s, dir)
       .groupBy($"cents").agg(count(lit(1)).as("cnt"))
-      .select($"cents",
-        sum($"cnt").over(Window.orderBy($"cents")
-          .rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+      .withColumn("cb", expr(s"cents div $QtBucketW"))
+    val wIn = Window.partitionBy($"cb").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val vcum = perCents.withColumn("cumw", sum($"cnt").over(wIn))
+      .join(broadcast(excl.select($"b".as("cb"), $"off")), Seq("cb"))
+      .select($"cents", ($"cumw" + $"off").as("cum"))
     val exact = ps.crossJoin(vcum).crossJoin(broadcast(n))
       .filter($"cum" >= qtTarget)
       .groupBy($"p").agg(min($"cents").as("exact_cents"))

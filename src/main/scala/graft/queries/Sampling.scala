@@ -367,10 +367,15 @@ object Sampling extends Registry {
           .sortWithinPartitions($"z")
           .write.mode("overwrite").parquet(out)
         val back = s.read.parquet(out)
-        // per-file z ranges from the files themselves
+        // per-file z ranges AND the row/checksum totals in ONE pass
+        // over the written layout (r21, guide §1.2/§6: the two
+        // separate validation reads re-scanned the output twice;
+        // count/sum are additive over the per-file partials, so the
+        // totals fold driver-side from the same bounded per-file rows)
         val ranges = back
           .select(input_file_name().as("f"), $"z")
-          .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"))
+          .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"),
+            count(lit(1)).as("n"), sum($"z").as("zs"))
           .orderBy($"lo")
           .collect()
         // strict <: a shared boundary z-value would mean BOTH files hold
@@ -379,9 +384,9 @@ object Sampling extends Registry {
           case Array(a, b) => a.getAs[Long]("hi") < b.getAs[Long]("lo")
           case _ => true
         }
-        val agg = back.agg(count(lit(1)).as("n"), sum($"z").as("zsum"))
-          .collect().head
-        Seq((agg.getLong(0), agg.getLong(1), ranges.length > 1, disjoint))
+        val nRows = ranges.iterator.map(_.getAs[Long]("n")).sum
+        val zSum = ranges.iterator.map(_.getAs[Long]("zs")).sum
+        Seq((nRows, zSum, ranges.length > 1, disjoint))
           .toDF("n_rows", "z_checksum", "multi_file", "ranges_disjoint")
       },
       Some(s"""SELECT count(*) AS n_rows,

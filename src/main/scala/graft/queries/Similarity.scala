@@ -385,10 +385,12 @@ object Similarity extends Registry {
   }
 
   /** Content-addressed stored Lloyd training run — the qc9_langid
-    * train-once/serve-many discipline applied to the k-means family:
-    * q5a (the trajectory report) and qb2 (trained-centroid routing)
-    * each re-ran the full 4-iteration loop per serve, so the same
-    * (corpus, hyperparams) model trained twice per suite pass. The
+    * train-once/serve-many discipline, serving ONLY the apply twin
+    * qb2 (trained-centroid routing — its declared semantics are
+    * routing by an already-trained codebook). q5a, the training
+    * demonstration itself, runs the loop per invocation (r21): the
+    * r20 verdict ruled store-serving a *_train query's own output
+    * result caching. The
     * store holds both final and previous grids (2 × k × 64 micro-unit
     * rows) plus an iters/converged sentinel, keyed on corpus stamp ×
     * every loop hyperparameter; training is integer-deterministic
@@ -425,29 +427,36 @@ object Similarity extends Registry {
 
   def kmeansConverge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (grid, prev, iters, converged) = trainLloydStored(s, dir)
-    val c = lloydCorpus(s, dir)
+    // q5a runs the Lloyd loop PER INVOCATION (r21): q5a *is* the
+    // training demonstration, so serving its trajectory from the
+    // cross-run store made the bench time a store read — result
+    // caching per the optimization-round rules (r20 verdict). The
+    // content-addressed store remains for the APPLY twin qb2, whose
+    // declared semantics are routing by an already-trained codebook.
+    val c = lloydCorpus(s, dir).persist()
+    try {
+      val (grid, prev, iters, converged) = trainLloyd(c)
 
-    // final report: per-cell member count + inertia from the LAST
-    // assignment (wrt the centroids it was assigned against), centroid
-    // norms from the FINAL means — all micro-exact except the 4-decimal
-    // norm rounding, which both engines apply to the same 64 summands
-    val ine = lloydAssign(c, prev).groupBy($"cell")
-      .agg(count(lit(1)).as("n_members"),
-        sum(round($"d2" * 1e6).cast("long")).as("inertia_micro"))
-    val gdf = grid.toSeq.map { case ((cell, dim), mi) => (cell, dim, mi) }
-      .toDF("cell", "dim", "mi")
-    val result = gdf.groupBy($"cell")
-      .agg(count(lit(1)).as("n_dims"),
-        round(sum(($"mi" / 1e6) * ($"mi" / 1e6)), 4).as("centroid_norm2"))
-      .join(ine, Seq("cell"), "left")
-      .select($"cell", coalesce($"n_members", lit(0L)).as("n_members"),
-        $"n_dims", $"centroid_norm2",
-        coalesce($"inertia_micro", lit(0L)).as("inertia_micro"),
-        lit(iters).as("n_iters"), lit(converged).as("converged"))
-      .orderBy($"cell")
-      .localCheckpoint(true) // materialize 8 rows
-    result
+      // final report: per-cell member count + inertia from the LAST
+      // assignment (wrt the centroids it was assigned against), centroid
+      // norms from the FINAL means — all micro-exact except the 4-decimal
+      // norm rounding, which both engines apply to the same 64 summands
+      val ine = lloydAssign(c, prev).groupBy($"cell")
+        .agg(count(lit(1)).as("n_members"),
+          sum(round($"d2" * 1e6).cast("long")).as("inertia_micro"))
+      val gdf = grid.toSeq.map { case ((cell, dim), mi) => (cell, dim, mi) }
+        .toDF("cell", "dim", "mi")
+      gdf.groupBy($"cell")
+        .agg(count(lit(1)).as("n_dims"),
+          round(sum(($"mi" / 1e6) * ($"mi" / 1e6)), 4).as("centroid_norm2"))
+        .join(ine, Seq("cell"), "left")
+        .select($"cell", coalesce($"n_members", lit(0L)).as("n_members"),
+          $"n_dims", $"centroid_norm2",
+          coalesce($"inertia_micro", lit(0L)).as("inertia_micro"),
+          lit(iters).as("n_iters"), lit(converged).as("converged"))
+        .orderBy($"cell")
+        .localCheckpoint(true) // materialize 8 rows
+    } finally { c.unpersist(); () }
   }
 
   // ------------------------------------------------------------------
@@ -2579,12 +2588,26 @@ object Similarity extends Registry {
   val HybridQueryVec = 0L
   private val RrfBase = 60
 
+  /** Deliberately single-partition rank window over a BOUNDED pool:
+    * both q9i arms are already limit(k)-ed to ≤ 50 rows, so ranking
+    * them in one partition is the cheapest correct form at ANY corpus
+    * size — the bound comes from k, not the data. The literal
+    * partition key only replaces the empty partition spec (the source
+    * of the entry-run "No Partition Defined" warnings) with an
+    * explicit constant: identical execution, self-documenting plan.
+    * The r21 alternative (broadcast triangular rank join, every stage
+    * hash-partitioned) measured +46% at sf0.1 — four extra tiny jobs
+    * for a warning that was never a scale risk — and was reverted. */
+  private def rankWindowBounded(orderCols: Seq[Column]) =
+    Window.partitionBy(lit(0)).orderBy(orderCols: _*)
+
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val textTop = TextOps
       .bm25TopK(table(s, dir, "documents"), TextOps.Bm25Terms, HybridPoolK)
       .select($"doc_id",
-        row_number().over(Window.orderBy($"score_micro".desc, $"doc_id"))
+        row_number().over(
+          rankWindowBounded(Seq($"score_micro".desc, $"doc_id")))
           .cast("long").as("rank_t"))
     val c = corpus(s, dir)
     val q = c.filter($"vec_id" === HybridQueryVec)
@@ -2595,9 +2618,10 @@ object Similarity extends Registry {
         round(dot($"v", $"qv") / ($"nrm" * $"qn"), 4).as("cosine"))
       .orderBy($"cosine".desc, $"doc_id").limit(HybridPoolK)
     val vecTop = vecPool.select($"doc_id",
-      row_number().over(Window.orderBy($"cosine".desc, $"doc_id"))
+      row_number().over(
+        rankWindowBounded(Seq($"cosine".desc, $"doc_id")))
         .cast("long").as("rank_v"))
-    // both arms are k-row frames: the global windows and this
+    // both arms are k-row frames: the bounded-rank windows and this
     // full-outer fusion join are constant-size tails, not corpus work
     textTop.join(vecTop, Seq("doc_id"), "full_outer")
       .select($"doc_id",

@@ -1603,10 +1603,12 @@ object TextOps extends Registry {
   }
 
   /** Content-addressed stored perceptron training run (the qc9_langid
-    * train-once/serve-many discipline, r20): q9a, q9f and the
-    * streaming serve each re-ran the 5-round loop per invocation
-    * (5 margin-agg jobs + collects each, three trainings of the same
-    * model per suite pass). The store holds the per-round trajectory
+    * train-once/serve-many discipline), serving ONLY the apply twins
+    * (q9f scoring and the streaming serve — inference with already-
+    * trained weights is their declared semantics). q9a, the training
+    * demonstration, runs the loop per invocation (r21; the r20
+    * verdict ruled store-serving a *_train query's own output result
+    * caching). The store holds the per-round trajectory
     * (PerceptronRounds rows — q9a's result verbatim); the final
     * weights are its last row. Keyed on corpus stamp × round count;
     * the q9a/q9f oracles replay training from scratch, so a stale
@@ -1635,7 +1637,15 @@ object TextOps extends Registry {
 
   def perceptronTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    perceptronFitStored(s, dir)._2.orderBy($"round")
+    // q9a runs the 5-round loop PER INVOCATION (r21): it *is* the
+    // training demonstration — see perceptronFitStored's doc for the
+    // store boundary (apply twins only).
+    val f = perceptronFeatures(s, dir).persist()
+    try perceptronFit(f)._2
+      .toDF("round", "n_err", "w_bias", "w_len", "w_tok", "w_vowel",
+        "w_st")
+      .orderBy($"round")
+    finally { f.unpersist(); () }
   }
 
   /** q9f: score every document with the TRAINED weights — train (5
@@ -2481,18 +2491,25 @@ object TextOps extends Registry {
 
   def lmIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // vocab-bounded by construction — materialize once: uniM feeds
-    // both the score join and the vocab-size aggregate, and each
-    // reference otherwise re-runs the stored-base + delta-count merge
-    val (bigM0, uniM0) = lmMergedTables(s, dir)
-    val (bigM, uniM) =
-      (bigM0.localCheckpoint(true), uniM0.localCheckpoint(true))
+    // materialize ONLY uniM (r21, ADVICE r20): uniM is vocab-bounded
+    // AND feeds two references (the score join and the vocab-size
+    // aggregate), so the cut saves a re-merge; bigM is distinct-
+    // adjacent-PAIR-bounded (worst case ~O(V²), corpus-dependent) and
+    // feeds exactly one broadcast — eagerly writing it to executor
+    // block storage per serve bought nothing and could be much larger
+    // than the unigram table the old comment sized it against.
+    val (bigM, uniM0) = lmMergedTables(s, dir)
+    val uniM = uniM0.localCheckpoint(true)
     // the merge≡rebuild contract runs on the STATE-BUILD run inside
     // loadOrBuildLmState (qb4's rule — r20; pre-r20 every serve
     // re-tokenized the full corpus as the contract instrument). A
     // serving store exists only because the contract held, so the
     // in-band flag is constant-true by construction — exactly as it
-    // was before, when require(mergeEq) preceded it.
+    // was before, when require(mergeEq) preceded it. PRECISELY: the
+    // flag asserts "contract verified when this store was BUILT" —
+    // a store corrupted after build (key file + _SUCCESS intact) is
+    // NOT re-detected per serve; that risk is carried by the parquet
+    // footer checksums and the per-query oracle hash, not this flag.
     // serve: score the DELTA documents (the arriving batch) with the
     // merged full-corpus LM; the vocab size derives from the merged
     // unigram table itself — no stored statistic to go stale
@@ -3274,14 +3291,25 @@ object TextOps extends Registry {
 
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    loadOrBuildBpeState(s, dir)._1.orderBy($"round")
+    // q97 runs the merge loop PER INVOCATION (r21): it *is* the
+    // training demonstration, so serving its trajectory from the
+    // cross-run store made the bench time a store read — result
+    // caching per the optimization-round rules (r20 verdict). The
+    // store remains for the APPLY twin q9g (encode with the fitted
+    // tokenizer).
+    bpeFit(s, dir)._1
+      .toDF("round", "token_a", "token_b", "pair_n",
+        "vocab_tokens_after", "corpus_tokens_after")
+      .orderBy($"round")
   }
 
   /** Content-addressed stored BPE training run (the qc9_langid
-    * train-once/serve-many discipline, r20): q97 and q9g each re-ran
-    * the full 3-round greedy merge loop per serve — two trainings of
-    * the same tokenizer per suite pass, each a chain of per-round
-    * top-pair aggregations and collects. The store holds the merge
+    * train-once/serve-many discipline), serving ONLY the apply twin
+    * q9g — encoding arriving documents with an already-fitted
+    * tokenizer is its declared serving semantics. q97, the training
+    * demonstration, runs the loop per invocation (r21; the r20
+    * verdict ruled store-serving a *_train query's own output
+    * result caching). The store holds the merge
     * trajectory (≤ rounds rows) and the fitted (word, ntok) vocabulary
     * (vocab-sized), keyed on corpus stamp × round count; the q97/q9g
     * oracles still unroll training from scratch, so a stale store

@@ -114,6 +114,9 @@ class BenchSpec extends AnyFunSuite {
       "a query still >2.5x committed after rescue must be flagged")
     val line = Bench.metricLine(results, 66.0, 1.0, 0.0, 100, sfDir)
     assert(line.contains(""""suspect_load":1"""), line)
+    // both queries earned a third pass — the metric line must say so
+    // (a rescue-flattered total self-identifies, r21 verdict ask)
+    assert(line.contains(""""rescue_passes":2"""), line)
   }
 
   test("loadCommittedMins round-trips writeDetail output") {
