@@ -585,6 +585,11 @@ object Relational extends Registry {
         import s.implicits._
         val byCust = org.apache.spark.sql.expressions.Window
           .partitionBy($"o_custkey").orderBy($"o_orderkey")
+        // global quartile over the o_custkey < 100 slice — bounded
+        // (constant customer range × constant orders/customer at any
+        // SF), so the single partition is deliberate (PlanShapeSpec
+        // exempts q1c on exactly this ground; a literal partition key
+        // would not survive the optimizer's constant folding anyway)
         val globalByPrice = org.apache.spark.sql.expressions.Window
           .orderBy($"o_totalprice".desc, $"o_orderkey")
         table(s, dir, "orders")

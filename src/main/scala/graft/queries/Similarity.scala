@@ -2591,15 +2591,16 @@ object Similarity extends Registry {
   /** Deliberately single-partition rank window over a BOUNDED pool:
     * both q9i arms are already limit(k)-ed to ≤ 50 rows, so ranking
     * them in one partition is the cheapest correct form at ANY corpus
-    * size — the bound comes from k, not the data. The literal
-    * partition key only replaces the empty partition spec (the source
-    * of the entry-run "No Partition Defined" warnings) with an
-    * explicit constant: identical execution, self-documenting plan.
-    * The r21 alternative (broadcast triangular rank join, every stage
-    * hash-partitioned) measured +46% at sf0.1 — four extra tiny jobs
-    * for a warning that was never a scale risk — and was reverted. */
+    * size — the bound comes from k, not the data (PlanShapeSpec's
+    * limit-below-window rule machine-checks exactly this). The r21
+    * alternatives were both measured and rejected: a broadcast
+    * triangular rank join (every stage hash-partitioned) read +46% at
+    * sf0.1 — four extra tiny jobs for a warning that was never a
+    * scale risk — and a literal partition key does not survive the
+    * optimizer's constant folding (the physical window stays
+    * empty-spec'd and still warns). */
   private def rankWindowBounded(orderCols: Seq[Column]) =
-    Window.partitionBy(lit(0)).orderBy(orderCols: _*)
+    Window.orderBy(orderCols: _*)
 
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -506,7 +506,12 @@ object TextOps extends Registry {
         // (per-partition top-k + driver merge) — a bare row_number
         // window over the whole pair aggregate would exchange it to ONE
         // partition first. The rank window that remains runs over the
-        // 20 surviving rows only.
+        // 20 surviving rows only: its single partition is deliberate,
+        // bounded by k at any corpus size (the r21 sweep note: a
+        // literal partition key does NOT silence the WindowExec
+        // warning — the optimizer folds foldable partition keys away —
+        // so the bounded sites keep the plain form and PlanShapeSpec's
+        // limit-below-window rule is the machine-checked guard).
         val w = org.apache.spark.sql.expressions.Window
           .orderBy($"n".desc, $"pair")
         table(s, dir, "documents")
