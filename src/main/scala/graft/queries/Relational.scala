@@ -1942,15 +1942,7 @@ object Relational extends Registry {
 
   def quantileIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // checkpointed since r21: the r20 shape's four merge-subtree uses
-    // were IDENTICAL sorted exchanges that ReuseExchange deduplicated
-    // (the r20 A/B that rejected a cut); the r21 prefix-sum readout
-    // consumes the histogram through three DIFFERENT shapes (count
-    // agg, triangular-join probe side, broadcast side), which
-    // ReuseExchange cannot dedup — without the cut the delta arm
-    // re-scanned lineitem per consumer (measured +0.4s at sf0.1).
-    // The frame is state-sized (≤ ~1.1k bucket rows) by construction.
-    val merged = qtMergedHist(s, dir).localCheckpoint(true)
+    val merged = qtMergedHist(s, dir)
     // contract 1 (lossless merge) runs on the STATE-BUILD run inside
     // loadOrBuildQtState (qb4's rule — r20; pre-r20 every serve
     // re-histogrammed the full corpus as the contract instrument). A
@@ -1962,29 +1954,36 @@ object Relational extends Registry {
     // checksums + the per-query oracle hash, not re-proven per serve.
     val mergeEq = true
 
-    // quantile read-out from the merged histogram only: prefix sum
-    // over the bucket axis. r21: the bucket frame is state-sized
-    // (≤ ~1.1k rows) but the prefix sum ran as an UNPARTITIONED
-    // WindowExec (a "No Partition Defined" global-sort node); on a
-    // bounded frame the triangular join below computes the same
-    // inclusive prefix with every stage hash-partitioned — no
-    // single-partition serialization point anywhere in the plan
-    // (guide §2). |buckets|² stays ≤ ~1.2M tiny rows by construction.
-    val n = merged.agg(sum($"cnt").as("n"))
-    // exclusive bucket prefix (off) and inclusive prefix (cum) in one
-    // pass; off doubles as the exact arm's per-bucket offset below —
-    // per the lossless-merge contract the maintained histogram's
-    // per-bucket counts equal a fresh per-bucket aggregation exactly,
-    // so the exact arm need not re-derive bucket totals.
-    val excl = merged
-      .join(broadcast(merged.select($"b".as("b2"), $"cnt".as("c2"))),
-        $"b2" < $"b", "left")
-      .groupBy($"b", $"cnt").agg(coalesce(sum($"c2"), lit(0L)).as("off"))
-    val cum = excl.select($"b", ($"off" + $"cnt").as("cum"))
-    val ps = QtPs.toDF("p")
-    val est = ps.crossJoin(broadcast(cum)).crossJoin(broadcast(n))
-      .filter($"cum" >= qtTarget)
-      .groupBy($"p").agg(min($"b").as("bstar"))
+    // Bucket-axis readout, r21: ONE evaluation of the maintained
+    // histogram — a bounded collect (≤ ~1.1k bucket rows, state-sized
+    // by construction; the pre-r21 shape collected the SAME rows to
+    // the driver anyway, as the broadcast side of the estimate join,
+    // and evaluated the merge subtree up to four times on top). n,
+    // the per-p estimated buckets (inclusive-prefix threshold scan)
+    // and the exact arm's per-bucket offsets (exclusive prefix) all
+    // fold from the collected rows; the r20 single-partition
+    // WindowExec over the bucket axis is gone entirely.
+    val hist = merged.orderBy($"b").collect()
+    val nTotal = hist.iterator.map(_.getLong(1)).sum
+    def targetOf(p: Int): Long = (p.toLong * nTotal + 99L) / 100L
+    val estRows = QtPs.flatMap { p =>
+      var cum = 0L
+      var hit: Option[(Long, Long)] = None
+      val it = hist.iterator
+      while (hit.isEmpty && it.hasNext) {
+        val r = it.next()
+        cum += r.getLong(1)
+        if (cum >= targetOf(p)) hit = Some((p.toLong, r.getLong(0)))
+      }
+      hit
+    }
+    val est = estRows.toDF("p", "bstar")
+    val offRows = {
+      var acc = 0L
+      hist.toSeq.map { r =>
+        val o = (r.getLong(0), acc); acc += r.getLong(1); o
+      }
+    }
 
     // contract 2 (containment): the exact quantile must land inside
     // the estimated bucket. The per-value cumsum below is the
@@ -1992,8 +1991,11 @@ object Relational extends Registry {
     // EVERY distinct cents value into a single WindowExec partition
     // (fine at sf0.1, a serialization point at 100 TB). r21: two-level
     // cumsum (guide §2.5's two-level aggregation applied to a prefix
-    // sum) — a hash-partitioned within-bucket window plus a bounded
-    // per-bucket offset join; cb is monotone in cents, so
+    // sum) — a hash-partitioned within-bucket window plus the bounded
+    // per-bucket offsets from the maintained histogram (the lossless-
+    // merge contract guarantees the histogram's per-bucket counts
+    // equal a fresh bucket aggregation, so the exact arm never
+    // re-derives bucket totals); cb is monotone in cents, so
     // off(cb) + within-bucket prefix ≡ the global prefix exactly.
     val perCents = qtCents(s, dir)
       .groupBy($"cents").agg(count(lit(1)).as("cnt"))
@@ -2001,14 +2003,14 @@ object Relational extends Registry {
     val wIn = Window.partitionBy($"cb").orderBy($"cents")
       .rowsBetween(Window.unboundedPreceding, 0)
     val vcum = perCents.withColumn("cumw", sum($"cnt").over(wIn))
-      .join(broadcast(excl.select($"b".as("cb"), $"off")), Seq("cb"))
+      .join(broadcast(offRows.toDF("cb", "off")), Seq("cb"))
       .select($"cents", ($"cumw" + $"off").as("cum"))
-    val exact = ps.crossJoin(vcum).crossJoin(broadcast(n))
-      .filter($"cum" >= qtTarget)
+    val targets = QtPs.map(p => (p.toLong, targetOf(p))).toDF("p", "tgt")
+    val exact = vcum.join(broadcast(targets), $"cum" >= $"tgt")
       .groupBy($"p").agg(min($"cents").as("exact_cents"))
 
-    val out = est.join(exact, Seq("p")).crossJoin(broadcast(n))
-      .select($"p".cast("long").as("p"), $"n",
+    val out = est.join(exact, Seq("p"))
+      .select($"p", lit(nTotal).as("n"),
         ($"bstar" * QtBucketW).as("est_lo_cents"),
         (($"bstar" + 1) * QtBucketW - 1).as("est_hi_cents"),
         $"exact_cents",
