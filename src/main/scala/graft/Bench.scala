@@ -444,12 +444,29 @@ object Bench {
     // 123.2/111.5 (both suspect 0, load 1.7) and a final 102.4
     // (suspect 0, err 0 — the committed BENCH_DETAIL reference). The box oscillates
     // ±13% between clean windows, so no pair was stable enough to
-    // re-pin from; 125.4 stays per the r20-build precedent. READ THE
-    // PIN ACCORDINGLY: the post-optimization idle band is ~98-112 —
-    // a future CLEAN reading near 125 is a real ~15% regression
-    // hiding inside vs_baseline ≤ 1.0, not box noise; re-pin from the
-    // first stable idle pair a future round observes.
-    val baselinePin = 125.4
+    // re-pin from; 125.4 stayed per the r20-build precedent, with the
+    // note that the post-optimization idle band was ~98-112.
+    //
+    // r21 RE-PIN = 114.5s for the FINAL 208-query suite (sf0.1,
+    // local[32], shuffle=32, min-of-2 per query, warm stored state) —
+    // the first stable back-to-back pair a round has observed since
+    // r19, satisfying the r20 verdict's re-pin ask: 114.521/115.580
+    // (0.9% apart; err 0 both; the second run suspect_load 0,
+    // rescue_passes 1; the first run's 3 suspects were the r21
+    // de-memoised *_train queries read against the r20-era committed
+    // mins — stale-reference artifacts, not load, and cleared once
+    // this round's detail was committed). COMPARABILITY NOTE: the r21
+    // suite computes MORE than the r20 suite benched — q97/q9a/q5a/
+    // q48 now run their training/CC loops per invocation instead of
+    // serving cross-run stores (the r20 verdict's gaming finding),
+    // which adds ~+2.6s of honest work; the same-day drift-normalized
+    // per-query comparison (OPTIMIZATION_r21.md) shows the remaining
+    // deltas are q4c/q79/q9h wins and a ~+0.2s q9t scale-safety
+    // trade. A clean reading near the old 102 band is the store-served
+    // suite's number, not this suite's. Re-pin only when the query set
+    // changes materially or the host demonstrably changes; never from
+    // a loaded run.
+    val baselinePin = 114.5
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val gcTotal = (gcMillis() - gcStart) / 1e3
