@@ -1942,7 +1942,12 @@ object Dedup extends Registry {
       .select($"doc_id",
         substring($"text", 1, FuzzyTitleLen).as("title"),
         substring($"text", 1, FuzzyBlockLen).as("blk"))
-    t.as("a").join(t.as("b"),
+    // merge-hinted self-join (r21, the q4c rule): the planner's
+    // broadcast pick computed the corpus projection once per join
+    // side (2 scans) and would broadcast a corpus-sized build side at
+    // scale; as a sort-merge join both sides are identical
+    // Exchange(blk) subtrees that runtime exchange reuse computes once.
+    t.hint("merge").as("a").join(t.as("b"),
         $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         levenshtein(byteStr($"a.title"), byteStr($"b.title"))

@@ -1004,11 +1004,29 @@ object TextOps extends Registry {
       (s, dir) => {
         import s.implicits._
         graft.GraftExtensions.ensureRegistered(s)
+        // the distinct (source, 8-gram-hash) frame feeds three
+        // consumers (both self-join sides + the per-source sizes).
+        // r21 measured-and-rejected BOTH materializations of it:
+        // persist +0.5s (cached subtrees disable AQE coalescing — the
+        // qb6/qb7 r20 lesson), localCheckpoint +0.3s (the barrier
+        // costs more than the repeated explode+distinct it saves).
+        // Shipped: merge-hint the self-join only — both sides become
+        // identical Exchange(h) subtrees that runtime exchange reuse
+        // computes once (the q4c rule), and the broadcast of a
+        // shingle-vocabulary-sized build side (a local-stats artifact
+        // that cannot broadcast at 100 TB) is gone; sizes keeps its
+        // own cheap derivation.
         val grams = table(s, dir, "documents")
           .select($"source", explode(expr("shingle_hashes(text, 8)")).as("h"))
           .distinct()
+        // sizes feeds two differently-projected broadcasts that each
+        // re-derive the corpus aggregate — but eagerly checkpointing
+        // the ≤|sources|-row frame measured +0.55s: the blocking
+        // materialization SERIALIZES work the scheduler otherwise
+        // overlaps (broadcast builds run concurrently with the main
+        // stages — guide §2.6 from the other direction). Left lazy.
         val sizes = grams.groupBy($"source").agg(count(lit(1)).as("c"))
-        val pairs = grams.as("a")
+        val pairs = grams.hint("merge").as("a")
           .join(grams.as("b"),
             $"a.h" === $"b.h" && $"a.source" < $"b.source")
           .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
